@@ -1,0 +1,277 @@
+"""Connections: the object the ETL operators run against.
+
+The reference's operators take a PEP-249 connection
+(reference: etlhelper/connect.py:7-19). Here a :class:`SparkConnection`
+pairs a SparkSession with a *backend*:
+
+- **jdbc** — a remote database described by DbParams; queries are pushed
+  whole to the database via the JDBC ``query``/``dbtable`` option
+  (pushdown parity with reference etl.py:95), writes go through the
+  JDBC batch writer, and DDL/DML pass-through uses a driver-side
+  ``java.sql.DriverManager`` statement (Spark has no JDBC DDL API).
+- **files** — a directory of parquet/csv/json/orc tables registered as
+  temp views; queries run on Spark SQL itself. This is the backend the
+  test harness and the 100 TB data-lake path use.
+
+Both backends expose the same three primitives consumed by the
+operators in :mod:`etlhelper_spark.operators.etl`:
+``dataframe(sql, parameters)``, ``write_dataframe(df, table, ...)`` and
+``execute_statement(sql)``.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Any, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .db_params import DbParams
+from .exceptions import (
+    ETLHelperConnectionError,
+    ETLHelperExtractError,
+    ETLHelperQueryError,
+)
+from .parameters import bind_parameters
+from .validation import validate_identifier
+
+_FILE_FORMATS = ("parquet", "csv", "json", "orc")
+
+
+class SparkConnection:
+    """A queryable/writable backend bound to a SparkSession."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        kind: str,
+        db_params: DbParams | None = None,
+        path: str | None = None,
+        file_format: str = "parquet",
+        jdbc_options: dict[str, str] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.kind = kind
+        self.db_params = db_params
+        self.path = path
+        self.file_format = file_format
+        self.jdbc_options = jdbc_options or {}
+        self._registered: set[str] = set()
+        if kind == "files" and path:
+            self.register_tables()
+
+    # ------------------------------------------------------------------
+    # files backend
+    # ------------------------------------------------------------------
+    def register_tables(self) -> list[str]:
+        """Register every ``<table>.<ext>`` under ``path`` as a temp view."""
+        assert self.path is not None
+        tables: list[str] = []
+        for ext in _FILE_FORMATS:
+            for p in sorted(glob.glob(os.path.join(self.path, f"*.{ext}"))):
+                name = os.path.splitext(os.path.basename(p))[0]
+                validate_identifier(name)
+                if name not in self._registered:
+                    reader = self.spark.read
+                    if ext == "csv":
+                        reader = reader.option("header", "true").option(
+                            "inferSchema", "true"
+                        )
+                    df = reader.format(ext).load(p)
+                    df.createOrReplaceTempView(name)
+                    self._registered.add(name)
+                tables.append(name)
+        return tables
+
+    def table_path(self, table: str) -> str:
+        assert self.path is not None
+        return os.path.join(self.path, f"{table}.{self.file_format}")
+
+    # ------------------------------------------------------------------
+    # common primitives
+    # ------------------------------------------------------------------
+    def dataframe(
+        self,
+        select_query: str,
+        parameters: Sequence[Any] | Mapping[str, Any] = (),
+    ) -> DataFrame:
+        """SQL string + parameters -> lazy DataFrame.
+
+        Parity with reference iter_chunks' ``cursor.execute``
+        (reference: etl.py:95): the full statement is executed by the
+        backend (remote DB for jdbc, Catalyst for files)."""
+        bound = bind_parameters(select_query, parameters)
+        try:
+            if self.kind == "jdbc":
+                assert self.db_params is not None
+                reader = (
+                    self.spark.read.format("jdbc")
+                    .option("url", self.db_params.jdbc_url())
+                    .option("query", bound)
+                    .option("fetchsize", self.jdbc_options.get("fetchsize", "5000"))
+                )
+                for k, v in {
+                    **self.db_params.jdbc_properties(),
+                    **self.jdbc_options,
+                }.items():
+                    reader = reader.option(k, v)
+                return reader.load()
+            return self.spark.sql(bound)
+        except Exception as exc:
+            msg = f"SQL query raised an error.\n\n{bound}\n\n{exc}\n"
+            raise ETLHelperExtractError(msg) from exc
+
+    def table_dataframe(self, table: str) -> DataFrame:
+        """Whole-table scan (reference copy_table_rows' SELECT *,
+        etl.py:498) — but expressed as a table read so Catalyst can
+        prune columns and push filters applied downstream."""
+        validate_identifier(table)
+        if self.kind == "jdbc":
+            assert self.db_params is not None
+            reader = (
+                self.spark.read.format("jdbc")
+                .option("url", self.db_params.jdbc_url())
+                .option("dbtable", table)
+            )
+            for k, v in {
+                **self.db_params.jdbc_properties(),
+                **self.jdbc_options,
+            }.items():
+                reader = reader.option(k, v)
+            return reader.load()
+        if self.path is not None and os.path.exists(self.table_path(table)):
+            return self.spark.read.format(self.file_format).load(
+                self.table_path(table)
+            )
+        return self.spark.table(table)
+
+    def write_dataframe(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "append",
+        batchsize: int = 5000,
+    ) -> None:
+        """Batch write. JDBC: Spark's batch INSERT writer with
+        ``batchsize`` as the chunk_size analogue (reference
+        executemany, etl.py:298). Files: parquet/csv/json append."""
+        validate_identifier(table.rsplit("/", 1)[-1].split(".")[0])
+        if self.kind == "jdbc":
+            assert self.db_params is not None
+            writer = (
+                df.write.format("jdbc")
+                .option("url", self.db_params.jdbc_url())
+                .option("dbtable", table)
+                .option("batchsize", str(batchsize))
+                .mode(mode)
+            )
+            for k, v in {
+                **self.db_params.jdbc_properties(),
+                **self.jdbc_options,
+            }.items():
+                writer = writer.option(k, v)
+            writer.save()
+        else:
+            df.write.format(self.file_format).mode(mode).save(
+                self.table_path(table)
+            )
+            # refresh the temp view so subsequent queries see new data
+            self.spark.read.format(self.file_format).load(
+                self.table_path(table)
+            ).createOrReplaceTempView(table)
+            self._registered.add(table)
+
+    def execute_statement(
+        self,
+        query: str,
+        parameters: Sequence[Any] | Mapping[str, Any] = (),
+    ) -> None:
+        """Single DDL/DML statement (reference execute, etl.py:424-453).
+
+        files backend: Spark SQL (CREATE/DROP VIEW, INSERT into
+        catalog tables...). jdbc backend: pass-through on a direct
+        ``java.sql.DriverManager`` connection via py4j, since Spark's
+        JDBC source has no DDL API (SURVEY §7)."""
+        bound = bind_parameters(query, parameters)
+        try:
+            if self.kind == "jdbc":
+                self._jdbc_execute(bound)
+            else:
+                self.spark.sql(bound).collect()
+        except Exception as exc:
+            msg = f"SQL query raised an error.\n\n{bound}\n\n{exc}\n"
+            raise ETLHelperQueryError(msg) from exc
+
+    def _jdbc_execute(self, sql: str) -> None:
+        assert self.db_params is not None
+        jvm = self.spark._jvm  # py4j gateway
+        props = self.db_params.jdbc_properties()
+        conn = jvm.java.sql.DriverManager.getConnection(
+            self.db_params.jdbc_url(),
+            props.get("user", ""),
+            props.get("password", ""),
+        )
+        try:
+            stmt = conn.createStatement()
+            try:
+                stmt.execute(sql)
+                conn.commit()
+            finally:
+                stmt.close()
+        except Exception:
+            try:
+                conn.rollback()
+            except Exception:
+                pass
+            raise
+        finally:
+            conn.close()
+
+
+def connect(
+    db_params: DbParams,
+    password_variable: str | None = None,
+    spark: SparkSession | None = None,
+    **kwargs: str,
+) -> SparkConnection:
+    """Open a JDBC-backed connection (reference: connect.py:7-19;
+    password only via environment variable, db_helper.py:75-92)."""
+    from .session import get_session
+
+    spark = spark or get_session()
+    try:
+        options = db_params.jdbc_properties(password_variable, **kwargs)
+    except Exception:
+        raise
+    if not options.get("url"):
+        options.pop("url", None)
+    return SparkConnection(
+        spark, "jdbc", db_params=db_params, jdbc_options=kwargs or {}
+    )
+
+
+def connect_files(
+    path: str,
+    file_format: str = "parquet",
+    spark: SparkSession | None = None,
+) -> SparkConnection:
+    """Open a files-backed connection over a directory of tables."""
+    from .session import get_session
+
+    spark = spark or get_session()
+    if not os.path.isdir(path):
+        raise ETLHelperConnectionError(f"No such directory: {path}")
+    return SparkConnection(spark, "files", path=path, file_format=file_format)
+
+
+def get_connection_string(db_params: DbParams, password_variable: str) -> str:
+    """Native driver connection string (reference: connect.py:22-30)."""
+    return db_params.get_connection_string(password_variable)
+
+
+def get_sqlalchemy_connection_string(
+    db_params: DbParams, password_variable: str
+) -> str:
+    """SQLAlchemy URL (reference: connect.py:33-43)."""
+    return db_params.get_sqlalchemy_connection_string(password_variable)

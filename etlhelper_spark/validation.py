@@ -1,0 +1,29 @@
+"""SQL identifier validation.
+
+Semantics match the reference's ``validate_identifier``
+(reference: etlhelper/etl.py:642-664): PostgreSQL identifier rules
+including unicode letters, an optional ``schema.`` prefix, ``$`` and
+digits allowed after the first character. This is the injection guard
+applied before any identifier is interpolated into SQL text that we
+hand to Spark SQL or a JDBC statement.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .exceptions import ETLHelperBadIdentifierError
+
+# First char: letter (any unicode letter) or underscore; rest may add
+# digits and $. Optionally one "schema." prefix with the same rules.
+_IDENT = r"[^\W\d\$][\w\$]*"
+_IDENTIFIER_RE = re.compile(rf"^({_IDENT}\.)?{_IDENT}$", re.UNICODE)
+
+
+def validate_identifier(identifier: str) -> None:
+    """Raise ETLHelperBadIdentifierError unless *identifier* is a safe
+    SQL identifier (optionally schema-qualified)."""
+    if not isinstance(identifier, str) or not _IDENTIFIER_RE.match(identifier):
+        raise ETLHelperBadIdentifierError(
+            f"'{identifier}' contains invalid characters"
+        )
