@@ -1,0 +1,87 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline set covers every operator family (scan/filter, star join,
+window, as-of, sessionize, streaming-equivalent windows, dedup exact +
+minhash LSH + simhash + jaccard, knn, text stats, multimodal) while
+excluding the deliberately quadratic demos (brute-force all-pairs) at
+bench scale — those have their LSH-bucketed counterparts here instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_join_revenue",
+    "q04_topk_per_group",
+    "q05_rollup",
+    "q06_semi_join",
+    "q09_running_total",
+    "q11_pivot",
+    "q14_cube",
+    "q15_json",
+    "q16_asof_join",
+    "q17_sessionize",
+    "q18_hourly_windows",
+    "q19_sliding_windows",
+    "q23_dedup_exact",
+    "q24_text_stats",
+    "q25_top_tokens",
+    "q27_simhash",
+    "q29_minhash_lsh",
+    "q30_ngram_jaccard",
+    "q31_knn_bruteforce",
+    "q33_lsh_topk",
+    "q34_multimodal_features",
+]
+
+
+def main() -> None:
+    from etlhelper_spark.plans import QUERIES
+    from etlhelper_spark.session import get_session
+
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # queries, not session bootstrap
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -73,12 +73,17 @@ class SparkConnection:
                 name = os.path.splitext(os.path.basename(p))[0]
                 validate_identifier(name)
                 if name not in self._registered:
-                    reader = self.spark.read
-                    if ext == "csv":
-                        reader = reader.option("header", "true").option(
-                            "inferSchema", "true"
-                        )
-                    df = reader.format(ext).load(p)
+                    if ext == "parquet":
+                        from .sources import read_parquet_table
+
+                        df = read_parquet_table(self.spark, p)
+                    else:
+                        reader = self.spark.read
+                        if ext == "csv":
+                            reader = reader.option("header", "true").option(
+                                "inferSchema", "true"
+                            )
+                        df = reader.format(ext).load(p)
                     df.createOrReplaceTempView(name)
                     self._registered.add(name)
                 tables.append(name)
@@ -141,6 +146,10 @@ class SparkConnection:
                 reader = reader.option(k, v)
             return reader.load()
         if self.path is not None and os.path.exists(self.table_path(table)):
+            if self.file_format == "parquet":
+                from .sources import read_parquet_table
+
+                return read_parquet_table(self.spark, self.table_path(table))
             return self.spark.read.format(self.file_format).load(
                 self.table_path(table)
             )

@@ -1,0 +1,337 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Design notes for 100 TB:
+
+- exact dedup is a single hash-aggregate on a fingerprint column —
+  one shuffle on the fingerprint, map-side combined.
+- MinHash signatures are computed with explode + groupBy(min) over
+  md5-derived hash values (reproducible across engines, unlike
+  engine-native hash functions); LSH banding turns all-pairs
+  comparison into an equi-join on (band, band_signature) buckets, so
+  the shuffle is on bucket keys and candidate verification touches only
+  colliding pairs.
+- SimHash is a linear scan + one groupBy per document (bit-vote).
+- all joins carry the smaller side broadcast when below threshold;
+  pair generation always enforces id_a < id_b to halve the work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .text import document_fingerprint
+
+
+# ----------------------------------------------------------------------
+# exact dedup
+# ----------------------------------------------------------------------
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep one representative row (lowest id) per distinct content.
+
+    Single shuffle on the fingerprint; min(id) chooses the survivor
+    deterministically. Scales as a plain hash aggregate.
+    """
+    fp = (
+        document_fingerprint(F.col(text_col))
+        if normalize
+        else F.md5(F.col(text_col))
+    )
+    keyed = df.withColumn("__fp", fp)
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# ----------------------------------------------------------------------
+# shingling + MinHash + LSH
+# ----------------------------------------------------------------------
+def _shingles(text_col: str, n: int) -> Column:
+    """Distinct word n-gram shingles of the lowercased text."""
+    tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    if n == 1:
+        return F.array_distinct(tokens)
+    # sliding window of n tokens joined by single spaces
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+        )
+    )
+
+
+def _hash64(col: Column, seed: int) -> Column:
+    """Deterministic, engine-reproducible 60-bit hash: first 15 hex
+    chars of md5(seed || value). Fits a signed BIGINT in any engine."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, shingle_size: int
+) -> DataFrame:
+    """(id, shingle) exploded table of distinct shingles per doc."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(text_col, shingle_size)).alias("shingle"),
+    ).where(F.col("shingle") != "")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for each of *num_hashes* seeded
+    hash functions, the min hash over the document's shingles.
+
+    Output: (id, seed, minhash) — long format keeps the shuffle key
+    small and lets LSH banding regroup without transposes.
+    """
+    shingles = shingle_table(df, id_col, text_col, shingle_size)
+    seeds = F.explode(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    ).alias("seed")
+    exploded = shingles.select("id", "shingle", seeds)
+    return exploded.select(
+        "id",
+        "seed",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long").alias("h"),
+    ).groupBy("id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding.
+
+    Signatures are split into *bands*; documents colliding on an
+    entire band's sub-signature become candidates. The all-pairs
+    O(n²) comparison becomes an equi-join on (band, band_key) —
+    the only shuffle is on bucket keys, which is what makes this
+    viable on billions of documents.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    band_keys = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed", "minhash"))
+                        ),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+    a = band_keys.alias("a")
+    b = band_keys.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------------------
+# n-gram Jaccard
+# ----------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact pairwise Jaccard similarity over word n-gram shingle sets,
+    for pairs ≥ *threshold*, via PPJoin-style prefix filtering.
+
+    A naive inverted-index self-join generates Σ df(s)² candidate rows
+    (quadratic in corpus size for common shingles). Instead, each
+    document's shingles are ordered by ascending global document
+    frequency and only the first ``|S| - ceil(t·|S|) + 1`` (the
+    *prefix* — its rarest shingles) are indexed: two sets with
+    Jaccard ≥ t MUST share at least one prefix shingle under a common
+    global order, so candidate generation joins only on rare shingles
+    while remaining exact (no false negatives). Verification computes
+    the true Jaccard on the full shingle arrays per candidate pair.
+
+    Returns (id_a, id_b, jaccard).
+    """
+    sh = shingle_table(df, id_col, text_col, shingle_size)
+    # global document frequency per shingle: the canonical order that
+    # makes prefixes comparable across documents
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ordered = (
+        sh.join(dfreq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("df", "shingle"))
+                ),
+                lambda s: s["shingle"],
+            ).alias("shingles")
+        )
+        .withColumn("n_shingles", F.size("shingles"))
+        .withColumn(
+            "prefix_len",
+            F.col("n_shingles")
+            - F.ceil(F.col("n_shingles") * F.lit(float(threshold))).cast("int")
+            + 1,
+        )
+    )
+    prefixes = ordered.select(
+        "id",
+        F.explode(F.slice("shingles", 1, F.col("prefix_len"))).alias("shingle"),
+    )
+    a = prefixes.alias("a")
+    b = prefixes.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    da = ordered.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    db = ordered.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    return (
+        candidates.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash fingerprint per document over whitespace tokens.
+
+    Each token votes +1/-1 on each bit of its md5-derived hash; the
+    fingerprint takes the sign of each bit's vote sum. Pure
+    explode/groupBy — linear scan, one shuffle on (id, bit), then one
+    on id. Hamming-close fingerprints ⇒ near-duplicate documents.
+    """
+    tokens = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    ).where(F.col("token") != "")
+    # token hash: first 8 hex chars of md5 → 32-bit int (reproducible)
+    hashed = tokens.withColumn(
+        "th", F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = (
+        hashed.select("id", "th", bit)
+        .withColumn(
+            "vote",
+            F.when(F.expr("(th >> bit) & 1") == 1, 1).otherwise(-1),
+        )
+        .groupBy("id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn(
+            "bitval",
+            F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy("id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+# ----------------------------------------------------------------------
+# embedding cosine near-dup
+# ----------------------------------------------------------------------
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Pairs of rows whose embedding cosine similarity ≥ threshold.
+
+    Brute-force pair join with id_a < id_b; at scale swap the join for
+    the LSH-bucketed variant in similarity.lsh_bucket_topk — same
+    cosine kernel, bucketed candidate generation.
+    """
+    from .similarity import cosine_similarity
+
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

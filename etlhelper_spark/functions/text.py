@@ -1,0 +1,121 @@
+"""Text analysis operators for large-scale corpus pipelines.
+
+Every function here is a pure pyspark.sql.functions expression —
+JVM-side, vectorized, whole-stage-codegen friendly — so it scales
+linearly over 100 TB of documents with zero Python in the hot path.
+Each has an exact ANSI/DuckDB-SQL equivalent used by the correctness
+oracle (see __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: marker words per language for the n-gram/stopword heuristic;
+#: chosen to be expressible identically in any SQL dialect via
+#: occurrence counting on ' word ' with spaces.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "los", "y"],
+}
+
+
+def _occurrences(col: Column, word: str) -> Column:
+    """Count occurrences of ' word ' via length arithmetic (identical
+    semantics in Spark and any SQL engine)."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.regexp_replace(padded, needle, "")))
+        / len(needle)
+    ).cast("int")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are sentence punctuation."""
+    puncts = F.length(F.regexp_replace(col, r"[^.,;:!?]", ""))
+    return puncts / F.greatest(F.length(col), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0, 1]: rewards reasonable length,
+    penalizes punctuation-noise. Deterministic, SQL-expressible."""
+    length_term = F.least(token_count(col) / F.lit(50.0), F.lit(1.0))
+    return F.round(length_term * (F.lit(1.0) - punct_ratio(col)), 4)
+
+
+def language_id(col: Column) -> Column:
+    """Marker-word language guess over LANG_MARKERS; 'und' when no
+    marker matches. Ties broken by fixed language order via greatest."""
+    scores = {
+        lang: sum(
+            (_occurrences(col, w) for w in words), F.lit(0)
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # reversed so earlier languages win ties (CASE evaluates in order)
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_MARKERS:
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(result)
+
+
+def document_fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of lowercased, whitespace-collapsed
+    text. md5 is reproducible across engines, unlike engine-native
+    hash() functions."""
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document stats: chars, tokens, avg token length, punct
+    ratio, quality score, fingerprint, language guess."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars"),
+        token_count(c).alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace(c, r"\s+", ""))
+            / F.greatest(token_count(c), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        quality_score(c).alias("quality"),
+        document_fingerprint(c).alias("fingerprint"),
+        language_id(c).alias("lang_guess"),
+    )
+
+
+def top_tokens(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Global top-k tokens by frequency (tie-broken by token text).
+
+    explode -> partial-aggregated groupBy (map-side combine is
+    automatic) -> top-k. At 100 TB the groupBy shuffles only one row
+    per distinct token per partition.
+    """
+    return (
+        df.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+                "token"
+            )
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(k)
+    )

@@ -1,0 +1,997 @@
+"""Declared query corpus: every operator family from SURVEY §2 plus the
+LLM-pipeline extensions, each as (Spark callable, DuckDB oracle SQL).
+
+Conventions:
+- every computed column is aliased identically in the Spark plan and
+  the oracle SQL (the driver hash-compares after sorting columns by
+  name);
+- float aggregates are rounded the same number of decimals on both
+  sides so IEEE summation-order differences can't flip the hash;
+- oracle SQL is DuckDB dialect (regexp_replace needs the 'g' flag,
+  hex→int is CAST('0x…' AS BIGINT), n-gram slicing via list ranges).
+
+Each callable takes (spark, sf_dir) and returns a lazy DataFrame.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.dedup import (
+    dedup_exact,
+    embedding_near_duplicates,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..functions.multimodal import documents_as_media, extract_features
+from ..functions.similarity import brute_force_topk, lsh_bucket_topk
+from ..functions.text import text_stats, top_tokens
+from ..session import configure_session
+from ..streaming.windows import hourly_counts, sessionize, sliding_value_avg
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _sround(col, d: int):
+    """Engine-stable rounding for averages of doubles.
+
+    Spark rounds doubles via their shortest decimal representation
+    (BigDecimal.valueOf), DuckDB via the binary value — they disagree
+    whenever the shortest repr lands exactly on a .5 at the target
+    scale (e.g. 273.09/8 → '34.13625'). Routing through DECIMAL(30,10)
+    first makes both engines round the identical decimal value.
+    Oracle-side equivalent: CAST(round(CAST(x AS DECIMAL(30,10)), d) AS DOUBLE).
+    """
+    return F.round(col.cast("decimal(30,10)"), d).cast("double")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..sources import read_parquet_table
+
+    configure_session(spark)
+    return read_parquet_table(spark, f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ======================================================================
+# relational core (reference §2.7 capability surface via Spark SQL)
+# ======================================================================
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(round(CAST(avg(l_quantity) AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_qty,
+           CAST(round(CAST(avg(l_extendedprice) AS DECIMAL(30,10)), 2) AS DOUBLE) AS avg_price,
+           CAST(round(CAST(avg(l_discount) AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter (pushed to parquet) + hash agg.
+    Partial aggregation map-side; shuffle carries 4 groups only."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-06-30 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            _sround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            _sround(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            _sround(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filter_project",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1998-01-01' AND TIMESTAMP '1999-12-31'
+      AND o_totalprice > 250000
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection + projection: both pushed into the parquet scan
+    (PushedFilters + pruned ReadSchema — verified in tests)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") <= F.lit("1999-12-31").cast("timestamp_ntz"))
+        & (F.col("o_totalprice") > 250000)
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "q03_join_revenue",
+    """
+    SELECT n_name, r_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+)
+def q03_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact table joins dimensions; nation/region broadcast
+    explicitly (tiny forever), customer/orders left to AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q04_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rank_n FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rank_n
+        FROM orders
+    ) WHERE rank_n <= 3
+    """,
+)
+def q04_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window row_number — the scalable top-k
+    idiom (no global sort; per-partition heaps then k rows/group)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank_n", F.row_number().over(w))
+        .where(F.col("rank_n") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank_n")
+    )
+
+
+@query(
+    "q05_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q05_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (subtotal + grand total rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q06_semi_join",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 400000
+    )
+    """,
+)
+def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS ≙ left-semi join (never duplicates the left side)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.where(F.col("o_totalprice") > 400000),
+        c.c_custkey == o.o_custkey,
+        "left_semi",
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "q07_anti_join",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS ≙ left-anti join (customers with no urgent order)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.where(F.col("o_orderpriority") == "1-URGENT"),
+        c.c_custkey == o.o_custkey,
+        "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q08_set_ops",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def q08_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set-distinct semantics, matching SQL)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = o.where(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.subtract(big)
+
+
+@query(
+    "q08b_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q08b_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.where(F.col("c_mktsegment") == "MACHINERY")
+        .select("c_custkey")
+        .intersect(
+            o.where(F.col("o_orderpriority") == "1-URGENT").select(
+                F.col("o_custkey").alias("c_custkey")
+            )
+        )
+    )
+
+
+@query(
+    "q09_running_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS run_total
+    FROM orders
+    """,
+)
+def q09_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer totals: one shuffle on o_custkey, ordered
+    frame aggregation within partitions."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("run_total"),
+    )
+
+
+@query(
+    "q10_scalar_functions",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substring(p_name, 1, 12) AS name_pfx,
+           length(p_name) AS name_len,
+           round(p_retailprice * 1.1, 2) AS price_up,
+           p_size % 5 AS size_mod,
+           concat(p_brand, '#', p_type) AS brand_type
+    FROM part
+    """,
+)
+def q10_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/math function surface, all whole-stage-codegen."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 12).alias("name_pfx"),
+        F.length("p_name").alias("name_len"),
+        F.round(F.col("p_retailprice") * 1.1, 2).alias("price_up"),
+        (F.col("p_size") % 5).alias("size_mod"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@query(
+    "q11_pivot",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (no extra distinct-values job)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@query(
+    "q12_having",
+    """
+    SELECT n_name,
+           count(*) AS n_custs,
+           count(DISTINCT c_mktsegment) AS n_segments,
+           CAST(round(CAST(avg(c_acctbal) AS DECIMAL(30,10)), 2) AS DOUBLE) AS avg_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING count(*) > 50
+    """,
+)
+def q12_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            _sround(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+        .where(F.col("n_custs") > 50)
+    )
+
+
+@query(
+    "q13_subquery",
+    """
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > (SELECT 1.05 * avg(p_retailprice) FROM part)
+    """,
+)
+def q13_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery ≙ broadcast of a 1-row aggregate."""
+    p = _t(spark, sf_dir, "part")
+    avg_price = p.agg((1.05 * F.avg("p_retailprice")).alias("thr"))
+    return (
+        p.crossJoin(F.broadcast(avg_price))
+        .where(F.col("p_retailprice") > F.col("thr"))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+@query(
+    "q14_cube",
+    """
+    SELECT p_brand, p_size,
+           count(*) AS n_parts,
+           round(sum(p_retailprice), 2) AS sum_price
+    FROM part
+    GROUP BY CUBE (p_brand, p_size)
+    """,
+)
+def q14_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.cube("p_brand", "p_size").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "q15_json",
+    """
+    SELECT event_type,
+           CAST(round(CAST(avg(CAST(json_extract_string(props, '$.k') AS INT)) AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_k,
+           min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q15_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: get_json_object stays JVM-side."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            _sround(F.avg(k), 4).alias("avg_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "q16_asof_join",
+    """
+    SELECT event_id, user_id, ts,
+           last_view_ts
+    FROM (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_view_ts
+        FROM events
+    ) WHERE event_type = 'purchase'
+    """,
+)
+def q16_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (latest prior 'view' per user before each purchase),
+    expressed as an ordered-window last-ignore-nulls — single shuffle
+    on user_id, no range-join explosion. (Spark lacks a native as-of;
+    SURVEY §2.7 / pyspark guide pattern.)"""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        e.withColumn(
+            "last_view_ts",
+            F.last(
+                F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_view_ts")
+    )
+
+
+@query(
+    "q17_sessionize",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), ids AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_seq
+        FROM gaps
+    )
+    SELECT user_id, session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM ids GROUP BY user_id, session_seq
+    """,
+)
+def q17_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return sessionize(e, gap_minutes=30)
+
+
+@query(
+    "q18_hourly_windows",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q18_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows via F.window — identical code runs under
+    Structured Streaming (see q35_streaming)."""
+    e = _t(spark, sf_dir, "events")
+    return hourly_counts(e)
+
+
+@query(
+    "q19_sliding_windows",
+    """
+    SELECT ws AS win_start, ws + INTERVAL 2 HOUR AS win_end, event_type,
+           CAST(round(CAST(sum(value) / count(*) AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_value
+    FROM (
+        SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+               event_type, value
+        FROM events
+    ) GROUP BY ws, event_type
+    """,
+)
+def q19_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return sliding_value_avg(e, "2 hours", "1 hour")
+
+
+# ======================================================================
+# ETL parity slices (extract → transform → load, reference §2.1-2.3)
+# ======================================================================
+@query("q20_copy_roundtrip", "SELECT * FROM region")
+def q20_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """copy_table_rows through a parquet sink and back — exercises the
+    reference's C2 copy pipeline (read → write append → read)."""
+    from ..connect import connect_files
+    from ..operators import copy_table_rows
+
+    src = connect_files(sf_dir, spark=spark)
+    dest = connect_files(tempfile.mkdtemp(prefix="ehs_copy_"), spark=spark)
+    copy_table_rows("region", src, dest)
+    return dest.table_dataframe("region")
+
+
+@query(
+    "q21_chunk_transform",
+    """
+    SELECT n_nationkey, lower(n_name) AS n_name_lower, n_regionkey,
+           length(n_name) AS name_len
+    FROM nation WHERE n_regionkey < 3
+    """,
+)
+def q21_chunk_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Chunk->Chunk Python transform surface
+    (types.py:23), executed distributed via mapInPandas — row count
+    and shape both change, exactly like reference transforms may."""
+    from ..operators.etl import apply_transform
+
+    def transform(chunk):
+        return [
+            {
+                "n_nationkey": r["n_nationkey"],
+                "n_name_lower": r["n_name"].lower(),
+                "n_regionkey": r["n_regionkey"],
+                "name_len": len(r["n_name"]),
+            }
+            for r in chunk
+            if r["n_regionkey"] < 3
+        ]
+
+    n = _t(spark, sf_dir, "nation")
+    return apply_transform(n, transform)
+
+
+@query(
+    "q22_load_roundtrip",
+    """
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           round(sum(s_acctbal), 2) AS sum_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def q22_load_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference pipeline: iter_rows (driver-streamed extract) →
+    load (auto-INSERT write) → aggregate the written table."""
+    from ..connect import connect_files
+    from ..operators import iter_rows, load
+
+    src = connect_files(sf_dir, spark=spark)
+    dest = connect_files(tempfile.mkdtemp(prefix="ehs_load_"), spark=spark)
+    rows = iter_rows("SELECT * FROM supplier", src)
+    load("supplier_copy", dest, rows)
+    df = dest.table_dataframe("supplier_copy")
+    return df.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+# ======================================================================
+# dedup family
+# ======================================================================
+_DOUBLED_DOCS = """
+    WITH all_docs AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+    )
+"""
+
+
+@query(
+    "q23_dedup_exact",
+    _DOUBLED_DOCS
+    + """
+    SELECT min(doc_id) AS doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM all_docs
+    GROUP BY fingerprint
+    """,
+)
+def q23_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with planted duplicates (the table
+    unioned with itself under shifted ids): survivors are the originals."""
+    from ..functions.text import document_fingerprint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionAll(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    survivors = dedup_exact(doubled, "text", "doc_id")
+    return survivors.select(
+        "doc_id", document_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@query(
+    "q24_text_stats",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           round(length(regexp_replace(text, '\\s+', '', 'g'))
+                 / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4) AS avg_token_len,
+           round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 / greatest(length(text), 1), 4) AS punct_ratio,
+           round(least(len(regexp_split_to_array(trim(text), '\\s+')) / 50.0, 1.0)
+                 * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                    / greatest(length(text), 1)), 4) AS quality,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           CASE
+             WHEN greatest(s_en, s_fr, s_de, s_es) <= 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+             WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+             WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+             WHEN s_es = greatest(s_en, s_fr, s_de, s_es) THEN 'es'
+           END AS lang_guess
+    FROM (
+        SELECT *,
+           CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+              + (length(p) - length(replace(p, ' and ', ''))) / 5
+              + (length(p) - length(replace(p, ' of ', ''))) / 4 AS INT) AS s_en,
+           CAST((length(p) - length(replace(p, ' le ', ''))) / 4
+              + (length(p) - length(replace(p, ' la ', ''))) / 4
+              + (length(p) - length(replace(p, ' et ', ''))) / 4 AS INT) AS s_fr,
+           CAST((length(p) - length(replace(p, ' der ', ''))) / 5
+              + (length(p) - length(replace(p, ' und ', ''))) / 5
+              + (length(p) - length(replace(p, ' die ', ''))) / 5 AS INT) AS s_de,
+           CAST((length(p) - length(replace(p, ' el ', ''))) / 4
+              + (length(p) - length(replace(p, ' los ', ''))) / 5
+              + (length(p) - length(replace(p, ' y ', ''))) / 3 AS INT) AS s_es
+        FROM (SELECT *, concat(' ', lower(text), ' ') AS p FROM documents)
+    )
+    """,
+)
+def q24_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return text_stats(d)
+
+
+@query(
+    "q25_top_tokens",
+    """
+    SELECT token, count(*) AS cnt FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ) WHERE token <> ''
+    GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
+    """,
+)
+def q25_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return top_tokens(d, "text", 20)
+
+
+@query(
+    "q26_lang_counts",
+    """
+    SELECT lang, lang_guess, count(*) AS n FROM (
+        SELECT lang,
+           CASE
+             WHEN greatest(s_en, s_fr, s_de, s_es) <= 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+             WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+             WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+             WHEN s_es = greatest(s_en, s_fr, s_de, s_es) THEN 'es'
+           END AS lang_guess
+        FROM (
+            SELECT lang,
+               CAST((length(p) - length(replace(p, ' the ', ''))) / 5
+                  + (length(p) - length(replace(p, ' and ', ''))) / 5
+                  + (length(p) - length(replace(p, ' of ', ''))) / 4 AS INT) AS s_en,
+               CAST((length(p) - length(replace(p, ' le ', ''))) / 4
+                  + (length(p) - length(replace(p, ' la ', ''))) / 4
+                  + (length(p) - length(replace(p, ' et ', ''))) / 4 AS INT) AS s_fr,
+               CAST((length(p) - length(replace(p, ' der ', ''))) / 5
+                  + (length(p) - length(replace(p, ' und ', ''))) / 5
+                  + (length(p) - length(replace(p, ' die ', ''))) / 5 AS INT) AS s_de,
+               CAST((length(p) - length(replace(p, ' el ', ''))) / 4
+                  + (length(p) - length(replace(p, ' los ', ''))) / 5
+                  + (length(p) - length(replace(p, ' y ', ''))) / 3 AS INT) AS s_es
+            FROM (SELECT lang, concat(' ', lower(text), ' ') AS p FROM documents)
+        )
+    ) GROUP BY lang, lang_guess
+    """,
+)
+def q26_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", language_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q27_simhash",
+    """
+    WITH tokens AS (
+        SELECT doc_id AS id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ), hashed AS (
+        SELECT id, CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS th
+        FROM tokens WHERE token <> ''
+    ), votes AS (
+        SELECT id, bit,
+               sum(CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM hashed, (SELECT unnest(range(0, 32)) AS bit)
+        GROUP BY id, bit
+    )
+    SELECT id, sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash
+    FROM votes GROUP BY id
+    """,
+)
+def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d, "doc_id", "text", bits=32)
+
+
+_MINHASH_SQL = """
+    WITH toks AS (
+        SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT id, shingle FROM (
+            SELECT id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM (SELECT id, t, unnest(range(1, len(t)-1)) AS i FROM toks)
+        ) WHERE shingle <> ''
+    ), sigs AS (
+        SELECT id, seed,
+               min(CAST(concat('0x', substr(md5(concat(CAST(seed AS VARCHAR), '|', shingle)), 1, 15)) AS BIGINT)) AS minhash
+        FROM sh, (SELECT unnest(range(0, 16)) AS seed)
+        GROUP BY id, seed
+    )
+"""
+
+
+@query(
+    "q28_minhash_signatures",
+    _MINHASH_SQL + "SELECT id, seed, minhash FROM sigs",
+)
+def q28_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_signatures(d, "doc_id", "text", num_hashes=16, shingle_size=3)
+
+
+@query(
+    "q29_minhash_lsh",
+    _MINHASH_SQL
+    + """
+    , bands AS (
+        -- seed // 4: DuckDB CAST(x AS INT) rounds-to-nearest, so use
+        -- floor division to match Spark's truncating int cast
+        SELECT id, seed // 4 AS band,
+               md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
+        FROM sigs GROUP BY id, seed // 4
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    """,
+)
+def q29_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates: 16 hashes, 4 bands of 4.
+    The all-pairs comparison becomes an equi-join on band buckets."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=16, bands=4, shingle_size=3
+    )
+
+
+@query(
+    "q30_ngram_jaccard",
+    """
+    WITH toks AS (
+        SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT id, shingle FROM (
+            SELECT id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM (SELECT id, t, unnest(range(1, len(t)-1)) AS i FROM toks)
+        ) WHERE shingle <> ''
+    ), sizes AS (
+        SELECT id, count(*) AS n_shingles FROM sh GROUP BY id
+    ), shared AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(shared / (sa.n_shingles + sb.n_shingles - shared), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON id_a = sa.id
+    JOIN sizes sb ON id_b = sb.id
+    WHERE round(shared / (sa.n_shingles + sb.n_shingles - shared), 4) >= 0.5
+    """,
+)
+def q30_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (trigram shingles,
+    threshold 0.5 — the planted near-duplicates score ≥0.9).
+    Spark side uses PPJoin prefix filtering; the oracle verifies the
+    result with the naive inverted-index formulation."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", shingle_size=3, threshold=0.5)
+
+
+# ======================================================================
+# similarity search / embeddings
+# ======================================================================
+@query(
+    "q31_knn_bruteforce",
+    """
+    SELECT query_id, neighbor_id, rank, sim FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                            c.vec_id ASC
+               ) AS rank,
+               round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def q31_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force cosine top-5 for 10 query
+    vectors; query side broadcast, corpus never shuffles."""
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        e.where(F.col("vec_id") < 10), e, k=5
+    )
+
+
+@query(
+    "q32_embedding_neardup",
+    """
+    WITH all_vecs AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+    FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.95
+    """,
+)
+def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection over a corpus with planted
+    exact duplicates (self-union under shifted ids)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = e.unionAll(
+        e.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    return embedding_near_duplicates(doubled, "vec_id", "embedding", 0.95)
+
+
+@query("q33_lsh_topk")  # approximate — rows-only check (no SQL oracle)
+def q33_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketed ANN — the 100 TB scale path.
+    Approximate by construction, so checked rows-only."""
+    e = _t(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(
+        e.where(F.col("vec_id") < 10), e, k=5, num_planes=4, dim=64
+    )
+
+
+# ======================================================================
+# multimodal + streaming
+# ======================================================================
+@query(
+    "q34_multimodal_features",
+    """
+    SELECT doc_id AS asset_id,
+           'text' AS media_type,
+           sha256(text) AS content_sha,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def q34_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: documents adapted to the media schema,
+    features extracted per Arrow batch via mapInPandas (decode stubbed
+    — real decoder libs aren't in this container; plumbing is real)."""
+    d = _t(spark, sf_dir, "documents")
+    media = documents_as_media(d)
+    feats = extract_features(media, decode_stub=True)
+    return feats.select("asset_id", "media_type", "content_sha", "n_bytes")
+
+
+@query(
+    "q35_streaming_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q35_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine Structured Streaming run (readStream → watermark →
+    windowed agg → availableNow drain); result must equal the batch
+    oracle — the streaming/batch unification contract."""
+    from ..streaming.windows import streaming_hourly_counts
+
+    configure_session(spark)
+    ckpt = tempfile.mkdtemp(prefix="ehs_ckpt_")
+    return streaming_hourly_counts(spark, sf_dir, ckpt)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query for the driver's smoke check."""
+    return q03_join_revenue(spark, sf_dir)

@@ -1,0 +1,177 @@
+"""Event-stream operators over the ``events`` table.
+
+Each transformation is written once against a DataFrame and works in
+BOTH batch and Structured Streaming mode (the streaming variants add
+a watermark for late data and state cleanup). The batch form is what
+the correctness oracle checks; ``streaming_hourly_counts`` +
+``read_events_stream`` exercise the genuine readStream path with an
+availableNow trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def hourly_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + value sum.
+
+    Uses F.window so the identical expression runs under Structured
+    Streaming; window starts align to epoch hours (matches SQL
+    date_trunc('hour', ts))."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_value_avg(
+    events: DataFrame, window: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding-window average event value per event_type."""
+    return (
+        events.groupBy(
+            F.window("ts", window, slide).alias("w"), F.col("event_type")
+        )
+        # DECIMAL-intermediary round: Spark rounds doubles via shortest
+        # decimal repr, other engines via binary value; the decimal cast
+        # makes the rounding input identical (see plans.queries._sround)
+        .agg(
+            F.round(
+                (F.sum("value") / F.count("*")).cast("decimal(30,10)"), 4
+            )
+            .cast("double")
+            .alias("avg_value")
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "avg_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: a new session starts when a user's gap
+    since their previous event exceeds *gap_minutes*.
+
+    lag + conditional cumsum over a per-user window — one shuffle on
+    user_id. (Streaming equivalent: F.session_window with watermark.)
+    """
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_sec = gap_minutes * 60
+    with_gap = events.withColumn(
+        "prev_ts", F.lag("ts").over(w)
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                > gap_sec
+            ),
+            1,
+        ).otherwise(0),
+    )
+    with_id = with_gap.withColumn(
+        "session_seq", F.sum("new_session").over(w)
+    )
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Structured Streaming source over the events parquet.
+
+    TIMESTAMP(NANOS) columns arrive as BIGINT under nanosAsLong; the
+    same footer-driven conversion used by the batch reader restores
+    TimestampType before the watermark is applied."""
+    import os
+    import tempfile
+
+    from ..sources import nanos_timestamp_columns
+
+    path = f"{sf_dir}/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(path):
+        # FileStreamSource requires a directory; expose the single
+        # file through a symlink dir (read-only testdata untouched)
+        stream_dir = tempfile.mkdtemp(prefix="ehs_stream_")
+        os.symlink(path, os.path.join(stream_dir, "events.parquet"))
+    else:
+        stream_dir = path
+    batch = spark.read.parquet(path)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stream_dir)
+    )
+    for col in nanos_timestamp_columns(path):
+        if col in stream.columns:
+            stream = stream.withColumn(
+                col, F.expr(f"timestamp_micros(CAST({col} DIV 1000 AS BIGINT))")
+            )
+    return stream
+
+
+def streaming_hourly_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """End-to-end streaming pipeline: readStream -> watermark ->
+    tumbling window agg -> memory sink, drained with availableNow.
+
+    Returns the final materialized result as a (batch) DataFrame.
+    The watermark bounds state: windows older than max(event time) -
+    watermark are finalized and evicted — that property is what lets
+    the identical query run forever on an unbounded stream.
+    """
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("hourly_counts_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("hourly_counts_stream")
