@@ -16,16 +16,23 @@ from .exceptions import ETLHelperAbortError
 
 abort_event = threading.Event()
 
-JOB_GROUP = "etlhelper_spark"
-
 _active_spark = None  # most recent session an ETL op ran on
+_group_counter = 0
+_current_group = "etlhelper_spark_0"
+_lock = threading.Lock()
 
 
 def _register_session(spark) -> None:
-    global _active_spark
-    _active_spark = spark
+    """Start a fresh job group for this ETL call. A unique group id per
+    call means cancelling one run can never poison the next (Spark may
+    keep rejecting jobs submitted under an already-cancelled group)."""
+    global _active_spark, _group_counter, _current_group
+    with _lock:
+        _group_counter += 1
+        _current_group = f"etlhelper_spark_{_group_counter}"
+        _active_spark = spark
     try:
-        spark.sparkContext.setJobGroup(JOB_GROUP, "etlhelper_spark ETL", True)
+        spark.sparkContext.setJobGroup(_current_group, "etlhelper_spark ETL", True)
     except Exception:
         pass
 
@@ -36,7 +43,7 @@ def abort_etlhelper_threads() -> None:
     abort_event.set()
     if _active_spark is not None:
         try:
-            _active_spark.sparkContext.cancelJobGroup(JOB_GROUP)
+            _active_spark.sparkContext.cancelJobGroup(_current_group)
         except Exception:
             pass
 

@@ -65,27 +65,33 @@ class SparkConnection:
     # files backend
     # ------------------------------------------------------------------
     def register_tables(self) -> list[str]:
-        """Register every ``<table>.<ext>`` under ``path`` as a temp view."""
+        """(Re-)register every ``<table>.<ext>`` under ``path`` as a
+        temp view.
+
+        Temp views are session-global, so two connections over
+        different directories can clobber each other's names;
+        ``dataframe()`` re-registers this connection's views right
+        before resolving a query to keep names pointing at *its*
+        files."""
         assert self.path is not None
         tables: list[str] = []
         for ext in _FILE_FORMATS:
             for p in sorted(glob.glob(os.path.join(self.path, f"*.{ext}"))):
                 name = os.path.splitext(os.path.basename(p))[0]
                 validate_identifier(name)
-                if name not in self._registered:
-                    if ext == "parquet":
-                        from .sources import read_parquet_table
+                if ext == "parquet":
+                    from .sources import read_parquet_table
 
-                        df = read_parquet_table(self.spark, p)
-                    else:
-                        reader = self.spark.read
-                        if ext == "csv":
-                            reader = reader.option("header", "true").option(
-                                "inferSchema", "true"
-                            )
-                        df = reader.format(ext).load(p)
-                    df.createOrReplaceTempView(name)
-                    self._registered.add(name)
+                    df = read_parquet_table(self.spark, p)
+                else:
+                    reader = self.spark.read
+                    if ext == "csv":
+                        reader = reader.option("header", "true").option(
+                            "inferSchema", "true"
+                        )
+                    df = reader.format(ext).load(p)
+                df.createOrReplaceTempView(name)
+                self._registered.add(name)
                 tables.append(name)
         return tables
 
@@ -107,6 +113,8 @@ class SparkConnection:
         (reference: etl.py:95): the full statement is executed by the
         backend (remote DB for jdbc, Catalyst for files)."""
         bound = bind_parameters(select_query, parameters)
+        if self.kind == "files":
+            self.register_tables()
         try:
             if self.kind == "jdbc":
                 assert self.db_params is not None

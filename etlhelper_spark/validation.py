@@ -17,13 +17,15 @@ from .exceptions import ETLHelperBadIdentifierError
 # First char: letter (any unicode letter) or underscore; rest may add
 # digits and $. Optionally one "schema." prefix with the same rules.
 _IDENT = r"[^\W\d\$][\w\$]*"
-_IDENTIFIER_RE = re.compile(rf"^({_IDENT}\.)?{_IDENT}$", re.UNICODE)
+# \Z not $: '$' would also match before a trailing newline, letting
+# 'table\n' through the injection guard
+_IDENTIFIER_RE = re.compile(rf"({_IDENT}\.)?{_IDENT}\Z", re.UNICODE)
 
 
 def validate_identifier(identifier: str) -> None:
     """Raise ETLHelperBadIdentifierError unless *identifier* is a safe
     SQL identifier (optionally schema-qualified)."""
-    if not isinstance(identifier, str) or not _IDENTIFIER_RE.match(identifier):
+    if not isinstance(identifier, str) or not _IDENTIFIER_RE.fullmatch(identifier):
         raise ETLHelperBadIdentifierError(
             f"'{identifier}' contains invalid characters"
         )

@@ -1,0 +1,166 @@
+"""Extension operators: dedup, similarity, text, multimodal — semantic
+checks on sf0.001 (correctness vs the DuckDB oracle is covered by
+scripts/check_correctness.py / the driver's t2 gate; these tests pin
+operator-level invariants)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlhelper_spark.functions import (
+    brute_force_topk,
+    dedup_exact,
+    embedding_near_duplicates,
+    lsh_bucket_topk,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    text_stats,
+    top_tokens,
+)
+from etlhelper_spark.functions.multimodal import (
+    attach_binary_metadata,
+    documents_as_media,
+    extract_features,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from etlhelper_spark.sources import read_parquet_table
+
+    return read_parquet_table(spark, f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    from etlhelper_spark.sources import read_parquet_table
+
+    return read_parquet_table(spark, f"{SF}/embeddings.parquet").cache()
+
+
+def test_dedup_exact_removes_planted_dupes(docs):
+    doubled = docs.select("doc_id", "text").unionAll(
+        docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    survivors = dedup_exact(doubled, "text", "doc_id")
+    ids = [r.doc_id for r in survivors.collect()]
+    assert len(ids) == docs.count()
+    assert all(i < 10_000 for i in ids)  # lowest id survives
+
+
+def test_dedup_exact_idempotent(docs):
+    once = dedup_exact(docs.select("doc_id", "text"), "text", "doc_id")
+    assert once.count() == docs.count()  # sf docs are unique
+
+
+def test_minhash_lsh_finds_exact_dupes(docs):
+    d = docs.select("doc_id", "text").limit(30)
+    doubled = d.unionAll(
+        d.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    pairs = minhash_lsh_candidates(doubled, "doc_id", "text").collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    expected = {(r.doc_id, r.doc_id + 10_000) for r in d.collect()}
+    assert expected <= found  # identical docs always collide in LSH
+
+
+def test_ngram_jaccard_exact_dupes_score_one(docs):
+    d = docs.select("doc_id", "text").limit(20)
+    doubled = d.unionAll(
+        d.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    pairs = ngram_jaccard_pairs(doubled, "doc_id", "text", 3, 0.99).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} >= {
+        (r.doc_id, r.doc_id + 10_000) for r in d.collect()
+    }
+    assert all(r.jaccard == 1.0 for r in pairs if r.id_b == r.id_a + 10_000)
+
+
+def test_simhash_identical_docs_equal_fingerprints(docs, spark):
+    d = docs.select("doc_id", "text").limit(10)
+    doubled = d.unionAll(
+        d.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    fps = {r.id: r.simhash for r in simhash(doubled, "doc_id", "text").collect()}
+    for r in d.collect():
+        assert fps[r.doc_id] == fps[r.doc_id + 10_000]
+
+
+def test_brute_force_topk_self_similarity_excluded(vecs):
+    res = brute_force_topk(vecs.where(F.col("vec_id") < 3), vecs, k=4)
+    rows = res.collect()
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert [r.rank for r in sorted(rs, key=lambda r: r.rank)] == [1, 2, 3, 4]
+        sims = [r.sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_brute_force_finds_identical_vector(vecs):
+    doubled = vecs.select("vec_id", "embedding").unionAll(
+        vecs.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    )
+    res = brute_force_topk(
+        doubled.where(F.col("vec_id") < 3), doubled, k=1
+    ).collect()
+    for r in res:
+        assert r.neighbor_id == r.query_id + 10_000
+        assert r.sim == 1.0
+
+
+def test_embedding_near_duplicates_threshold(vecs):
+    doubled = vecs.select("vec_id", "embedding").unionAll(
+        vecs.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    )
+    pairs = embedding_near_duplicates(doubled, "vec_id", "embedding", 0.95)
+    assert pairs.count() == vecs.count()
+
+
+def test_lsh_topk_schema_and_ranks(vecs):
+    res = lsh_bucket_topk(
+        vecs.where(F.col("vec_id") < 3), vecs, k=3, num_planes=2, dim=64
+    )
+    rows = res.collect()
+    assert set(res.columns) == {"query_id", "neighbor_id", "rank", "sim"}
+    assert all(1 <= r.rank <= 3 for r in rows)
+
+
+def test_text_stats_invariants(docs):
+    stats = text_stats(docs).collect()
+    for r in stats:
+        assert r.n_chars > 0
+        assert r.n_tokens > 0
+        assert 0 <= r.punct_ratio <= 1
+        assert 0 <= r.quality <= 1
+        assert len(r.fingerprint) == 32
+
+
+def test_top_tokens_descending(docs):
+    rows = top_tokens(docs, "text", 5).collect()
+    assert len(rows) == 5
+    counts = [r.cnt for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_multimodal_plumbing(docs):
+    media = documents_as_media(docs)
+    with_meta = attach_binary_metadata(media)
+    feats = extract_features(media, decode_stub=True)
+    rows = feats.limit(5).collect()
+    for r in rows:
+        assert len(r.content_sha) == 64
+        assert r.n_bytes > 0
+        assert len(r.features) == 8
+        assert all(0 <= f <= 1 for f in r.features)
+    meta_rows = with_meta.limit(1).collect()
+    assert meta_rows[0].n_bytes > 0
+
+
+def test_multimodal_real_decode_raises(docs):
+    with pytest.raises(NotImplementedError):
+        extract_features(documents_as_media(docs), decode_stub=False)

@@ -1,0 +1,86 @@
+"""Bind-parameter rendering: all five PEP-249 paramstyles
+(reference: etl.py:596-602; both styles tested at
+test/integration/etl/test_etl_extract.py:72-87)."""
+
+import datetime as dt
+
+import pytest
+
+from etlhelper_spark.exceptions import ETLHelperQueryError
+from etlhelper_spark.parameters import bind_parameters, render_literal
+
+
+def test_qmark():
+    assert (
+        bind_parameters("SELECT * FROM t WHERE a = ? AND b = ?", (1, "x"))
+        == "SELECT * FROM t WHERE a = 1 AND b = 'x'"
+    )
+
+
+def test_numeric():
+    assert (
+        bind_parameters("SELECT * FROM t WHERE a = :1 AND b = :2", (1, "x"))
+        == "SELECT * FROM t WHERE a = 1 AND b = 'x'"
+    )
+
+
+def test_named():
+    assert (
+        bind_parameters("WHERE a = :a AND b = :b", {"a": 1, "b": "x"})
+        == "WHERE a = 1 AND b = 'x'"
+    )
+
+
+def test_format():
+    assert bind_parameters("WHERE a = %s", (1.5,)) == "WHERE a = 1.5"
+
+
+def test_pyformat():
+    assert (
+        bind_parameters("WHERE a = %(a)s", {"a": None}) == "WHERE a = NULL"
+    )
+
+
+def test_string_escaping_blocks_injection():
+    sql = bind_parameters("WHERE name = ?", ("O'Brien'; DROP TABLE x--",))
+    assert sql == "WHERE name = 'O''Brien''; DROP TABLE x--'"
+
+
+def test_placeholder_inside_string_literal_untouched():
+    sql = bind_parameters("WHERE a = 'lit?eral' AND b = ?", (5,))
+    assert sql == "WHERE a = 'lit?eral' AND b = 5"
+
+
+def test_missing_named_param_raises():
+    with pytest.raises(ETLHelperQueryError, match="not supplied"):
+        bind_parameters("WHERE a = :a", {"b": 1})
+
+
+def test_too_few_positional_raises():
+    with pytest.raises(ETLHelperQueryError):
+        bind_parameters("WHERE a = ? AND b = ?", (1,))
+
+
+def test_no_params_passthrough():
+    assert bind_parameters("SELECT 1", ()) == "SELECT 1"
+
+
+@pytest.mark.parametrize(
+    "value,expected",
+    [
+        (None, "NULL"),
+        (True, "TRUE"),
+        (42, "42"),
+        (1.5, "1.5"),
+        ("it's", "'it''s'"),
+        (dt.date(2024, 1, 2), "DATE '2024-01-02'"),
+        (
+            dt.datetime(2024, 1, 2, 3, 4, 5),
+            "TIMESTAMP '2024-01-02 03:04:05.000000'",
+        ),
+        (b"\x01\xff", "X'01ff'"),
+        ([1, 2], "(1, 2)"),
+    ],
+)
+def test_render_literal(value, expected):
+    assert render_literal(value) == expected
