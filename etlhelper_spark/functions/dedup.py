@@ -82,6 +82,9 @@ def shingle_table(
     df: DataFrame, id_col: str, text_col: str, shingle_size: int
 ) -> DataFrame:
     """(id, shingle) exploded table of distinct shingles per doc."""
+    from .util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(_shingles(text_col, shingle_size)).alias("shingle"),
@@ -273,7 +276,9 @@ def simhash(
     explode/groupBy — linear scan, one shuffle on (id, bit), then one
     on id. Hamming-close fingerprints ⇒ near-duplicate documents.
     """
-    tokens = df.select(
+    from .util import ensure_parallelism
+
+    tokens = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
     ).where(F.col("token") != "")
@@ -319,7 +324,9 @@ def embedding_near_duplicates(
     cosine kernel, bucketed candidate generation.
     """
     from .similarity import cosine_similarity
+    from .util import ensure_parallelism
 
+    df = ensure_parallelism(df)
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )

@@ -103,6 +103,10 @@ def extract_features(
 
     import pandas as pd
 
+    from .util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = pd.DataFrame(

@@ -107,8 +107,11 @@ def top_tokens(
     automatic) -> top-k. At 100 TB the groupBy shuffles only one row
     per distinct token per partition.
     """
+    from .util import ensure_parallelism
+
     return (
-        df.select(
+        ensure_parallelism(df)
+        .select(
             F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
                 "token"
             )
