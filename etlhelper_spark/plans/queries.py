@@ -992,6 +992,337 @@ def q35_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_hourly_counts(spark, sf_dir, ckpt)
 
 
+# ======================================================================
+# second-wave relational coverage
+# ======================================================================
+@query(
+    "q36_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (Spark SQL parses and
+    plans it as an expand + single shuffle)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               count(*) AS n
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q37_except_all",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q37_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicity-aware anti difference)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .exceptAll(o.where(F.col("o_orderstatus") == "F").select("o_custkey"))
+    )
+
+
+@query(
+    "q38_percentiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q38_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (Spark `percentile` ≙ DuckDB
+    quantile_cont, both linear-interpolating). At 100 TB swap for
+    percentile_approx — same API shape, bounded memory."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q39_regex",
+    """
+    SELECT regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+           count(*) AS n,
+           round(sum(p_retailprice), 2) AS sum_price
+    FROM part
+    GROUP BY first_word
+    """,
+)
+def q39_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.groupBy(
+            F.regexp_extract("p_name", r"^([a-z]+)", 1).alias("first_word")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q40_date_arithmetic",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dom,
+           date_diff('day', o_orderdate, TIMESTAMP '2002-01-01') AS days_to_2002
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def q40_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.datediff(
+            F.lit("2002-01-01").cast("timestamp_ntz"), F.col("o_orderdate")
+        ).alias("days_to_2002"),
+    )
+
+
+@query(
+    "q41_exists_agg",
+    """
+    SELECT o_orderpriority, count(*) AS late_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q41_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS ≙ semi join, then aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("late_orders")
+    )
+
+
+@query(
+    "q42_pandas_udf",
+    """
+    SELECT price_bucket, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM (
+        SELECT o_totalprice,
+               CASE WHEN o_totalprice < 100000 THEN 'low'
+                    WHEN o_totalprice < 300000 THEN 'mid'
+                    ELSE 'high' END AS price_bucket
+        FROM orders
+    ) GROUP BY price_bucket
+    """,
+)
+def q42_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Arrow-batched pandas UDF (the sanctioned Python hot
+    path — never row-at-a-time) bucketing prices, then a JVM-side agg."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: PEP 563 (future annotations) stringifies them and
+    # pandas_udf can't resolve 'pd.Series'; returnType is explicit
+    @pandas_udf("string")
+    def bucket(price):
+        return pd.cut(
+            price,
+            bins=[float("-inf"), 100000, 300000, float("inf")],
+            labels=["low", "mid", "high"],
+            right=False,
+        ).astype(str)
+
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("price_bucket", bucket("o_totalprice"))
+        .groupBy("price_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q43_union_by_name",
+    """
+    SELECT c_custkey, nm AS name FROM (
+        SELECT c_custkey, c_name AS nm FROM customer WHERE c_mktsegment = 'BUILDING'
+        UNION
+        SELECT c_custkey, c_name AS nm FROM customer WHERE c_acctbal > 9000
+    )
+    """,
+)
+def q43_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: schema-aligned union regardless of column order,
+    then set-distinct."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_name").alias("name"), "c_custkey"
+    )
+    b = c.where(F.col("c_acctbal") > 9000).select(
+        "c_custkey", F.col("c_name").alias("name")
+    )
+    return a.unionByName(b).distinct().select("c_custkey", "name")
+
+
+@query(
+    "q44_range_window",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY epoch(o_orderdate) // 86400
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ), 2) AS sum_30d
+    FROM orders
+    """,
+)
+def q44_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time (trailing 30-day revenue per
+    customer) — value-based window frames, ordered by epoch days."""
+    o = _t(spark, sf_dir, "orders")
+    days = (F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / 86400).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_30d"),
+    )
+
+
+@query(
+    "q45_arg_max",
+    """
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, o_totalprice) AS top_orderkey,
+           round(max(o_totalprice), 2) AS top_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q45_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / arg_max: the key of the extreme row without a window."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("top_orderkey"),
+        F.round(F.max("o_totalprice"), 2).alias("top_price"),
+    )
+
+
+@query(
+    "q46_conditional_agg",
+    """
+    SELECT n_name,
+           count(*) FILTER (WHERE c_acctbal > 5000) AS rich,
+           count(*) FILTER (WHERE c_acctbal < 0) AS debtors,
+           count(*) AS total
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q46_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count_if(F.col("c_acctbal") > 5000).alias("rich"),
+            F.count_if(F.col("c_acctbal") < 0).alias("debtors"),
+            F.count("*").alias("total"),
+        )
+    )
+
+
+@query(
+    "q47_array_ops",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(list_aggregate(embedding::DOUBLE[], 'sum'), 4) AS comp_sum,
+           round(list_min(embedding::DOUBLE[]), 4) AS comp_min,
+           round(list_max(embedding::DOUBLE[]), 4) AS comp_max
+    FROM embeddings WHERE vec_id < 100
+    """,
+)
+def q47_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array column kernels: aggregate/min/max over array<float> —
+    all JVM-side higher-order functions."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.where(F.col("vec_id") < 100).select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("comp_sum"),
+        F.round(F.array_min(vec), 4).alias("comp_min"),
+        F.round(F.array_max(vec), 4).alias("comp_max"),
+    )
+
+
+@query(
+    "q48_string_agg",
+    """
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q48_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list + array_sort +
+    array_join (deterministic regardless of partition order)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            )
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
