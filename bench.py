@@ -45,6 +45,15 @@ HEADLINE = [
     "q31_knn_bruteforce",
     "q33_lsh_topk",
     "q34_multimodal_features",
+    "q36_grouping_sets",
+    "q37_except_all",
+    "q38_percentiles",
+    "q41_exists_agg",
+    "q44_range_window",
+    "q45_arg_max",
+    "q46_conditional_agg",
+    "q47_array_ops",
+    "q48_string_agg",
 ]
 
 

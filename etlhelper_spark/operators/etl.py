@@ -123,6 +123,7 @@ def iter_chunks(
     row_factory: Callable = dict_row_factory,
     transform: Transform | None = None,
     chunk_size: int = CHUNKSIZE,
+    limit: int | None = None,
 ) -> Iterator[Chunk]:
     """Run *select_query* and yield driver-side chunks of rows.
 
@@ -130,7 +131,9 @@ def iter_chunks(
     resident at a time (``toLocalIterator`` streams partitions to the
     driver), row_factory applied per row, transform per chunk, abort
     checked per chunk. The backend executes the query itself —
-    distributed — before rows stream back.
+    distributed — before rows stream back. ``limit`` (internal; used
+    by fetchone) pushes a LIMIT into the plan so the backend stops
+    early instead of computing the full result.
     """
     clear_abort_event()
     _register_session(conn.spark)
@@ -138,6 +141,8 @@ def iter_chunks(
     logger.debug("Fetching:\n\n%s\n\nwith parameters:\n\n%s\n\nagainst\n\n%r",
                  select_query, parameters, conn)
     df = conn.dataframe(select_query, parameters)
+    if limit is not None:
+        df = df.limit(limit)
     create_row = row_factory(df.columns)
 
     first_pass = True
@@ -195,21 +200,24 @@ def fetchone(
     transform: Transform | None = None,
     chunk_size: int = 1,
 ) -> Any | None:
-    """First row or None (reference: etl.py:172-204). Implemented as
-    LIMIT 1 pushdown when no transform can change row count."""
-    try:
-        return next(
-            iter_rows(
-                select_query,
-                conn,
-                parameters=parameters,
-                row_factory=row_factory,
-                transform=transform,
-                chunk_size=chunk_size,
-            )
-        )
-    except StopIteration:
-        return None
+    """First row or None (reference: etl.py:172-204). With no transform
+    the LIMIT 1 is pushed into the plan (the backend stops early);
+    with a transform the full stream is consulted because a transform
+    may drop rows (reference semantics)."""
+    gen = iter_chunks(
+        select_query,
+        conn,
+        parameters=parameters,
+        row_factory=row_factory,
+        transform=transform,
+        chunk_size=chunk_size,
+        limit=1 if transform is None else None,
+    )
+    for chunk in gen:
+        if chunk:
+            gen.close()
+            return chunk[0]
+    return None
 
 
 def fetchall(

@@ -1323,6 +1323,26 @@ def q48_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q49_stateful_stream",
+    """
+    SELECT user_id,
+           round(sum(value), 2) AS total_value,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q49_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals maintained in the state store; final state
+    must equal the batch aggregate."""
+    from ..streaming.stateful import running_user_totals
+
+    configure_session(spark)
+    ckpt = tempfile.mkdtemp(prefix="ehs_state_")
+    return running_user_totals(spark, sf_dir, ckpt)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -1,3 +1,4 @@
+from .stateful import running_user_totals
 from .windows import (
     hourly_counts,
     read_events_stream,
@@ -8,6 +9,7 @@ from .windows import (
 
 __all__ = [
     "hourly_counts",
+    "running_user_totals",
     "read_events_stream",
     "sessionize",
     "sliding_value_avg",
