@@ -158,7 +158,12 @@ class SparkConnection:
                 from .sources import read_parquet_table
 
                 return read_parquet_table(self.spark, self.table_path(table))
-            return self.spark.read.format(self.file_format).load(
+            reader = self.spark.read
+            if self.file_format == "csv":
+                reader = reader.option("header", "true").option(
+                    "inferSchema", "true"
+                )
+            return reader.format(self.file_format).load(
                 self.table_path(table)
             )
         return self.spark.table(table)
@@ -190,11 +195,17 @@ class SparkConnection:
                 writer = writer.option(k, v)
             writer.save()
         else:
-            df.write.format(self.file_format).mode(mode).save(
-                self.table_path(table)
-            )
+            writer = df.write.format(self.file_format).mode(mode)
+            if self.file_format == "csv":
+                writer = writer.option("header", "true")
+            writer.save(self.table_path(table))
             # refresh the temp view so subsequent queries see new data
-            self.spark.read.format(self.file_format).load(
+            reader = self.spark.read
+            if self.file_format == "csv":
+                reader = reader.option("header", "true").option(
+                    "inferSchema", "true"
+                )
+            reader.format(self.file_format).load(
                 self.table_path(table)
             ).createOrReplaceTempView(table)
             self._registered.add(table)

@@ -1343,6 +1343,72 @@ def q49_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_user_totals(spark, sf_dir, ckpt)
 
 
+@query(
+    "q50_udtf_chunks",
+    """
+    SELECT doc_id,
+           array_to_string(t[i:i+9], ' ') AS chunk,
+           (i - 1) // 10 AS chunk_no
+    FROM (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ), unnest(range(1, len(t) + 1, 10)) AS r(i)
+    """,
+)
+def q50_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): split each document into 10-token
+    chunks — the document-chunking primitive of an LLM data pipeline.
+    One input row fans out to N output rows, computed per-partition."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk string, chunk_no int")
+    class ChunkDoc:
+        def eval(self, doc_id, text):
+            tokens = text.strip().split()
+            for n, start in enumerate(range(0, len(tokens), 10)):
+                yield doc_id, " ".join(tokens[start : start + 10]), n
+
+    d = _t(spark, sf_dir, "documents")
+    d.select("doc_id", "text").createOrReplaceTempView("__udtf_docs")
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk, c.chunk_no "
+        "FROM __udtf_docs, LATERAL chunk_doc(doc_id, text) c"
+    )
+
+
+@query(
+    "q51_grouped_map_udaf",
+    """
+    SELECT c_nationkey,
+           round(exp(avg(ln(c_acctbal + 10000))), 2) AS geo_mean_shifted,
+           count(*) AS n
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def q51_grouped_map_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via grouped-map applyInPandas: per-nation geometric
+    mean of shifted account balances (not expressible as a single
+    built-in aggregate). One Arrow batch per group."""
+    import numpy as np
+    import pandas as pd
+
+    def geo_mean(pdf):
+        vals = np.log(pdf["c_acctbal"].to_numpy() + 10000.0)
+        return pd.DataFrame(
+            {
+                "c_nationkey": [int(pdf["c_nationkey"].iloc[0])],
+                "geo_mean_shifted": [round(float(np.exp(vals.mean())), 2)],
+                "n": [len(pdf)],
+            }
+        )
+
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").applyInPandas(
+        geo_mean, "c_nationkey int, geo_mean_shifted double, n long"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
