@@ -64,9 +64,25 @@ def main() -> None:
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers so per-query numbers measure the
-    # queries, not session bootstrap
-    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # warm the JVM (codegen, shuffle, window, Arrow paths) on tiny data
+    # so per-query numbers measure the queries, not JIT/bootstrap
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    warm = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    warm.count()
+    warm.groupBy("r_name").count().count()
+    warm.select(
+        F.row_number()
+        .over(Window.partitionBy("r_name").orderBy("r_regionkey"))
+        .alias("rn")
+    ).count()
+    warm.join(F.broadcast(warm.select("r_regionkey")), "r_regionkey").count()
+
+    def _identity(batches):
+        yield from batches
+
+    warm.mapInPandas(_identity, warm.schema).count()  # Python workers + Arrow
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -174,10 +174,13 @@ class SparkConnection:
         table: str,
         mode: str = "append",
         batchsize: int = 5000,
+        partition_by: list[str] | None = None,
     ) -> None:
         """Batch write. JDBC: Spark's batch INSERT writer with
         ``batchsize`` as the chunk_size analogue (reference
-        executemany, etl.py:298). Files: parquet/csv/json append."""
+        executemany, etl.py:298). Files: parquet/csv/json append;
+        ``partition_by`` produces hive-style partition directories so
+        later reads prune partitions on those columns."""
         validate_identifier(table.rsplit("/", 1)[-1].split(".")[0])
         if self.kind == "jdbc":
             assert self.db_params is not None
@@ -198,6 +201,10 @@ class SparkConnection:
             writer = df.write.format(self.file_format).mode(mode)
             if self.file_format == "csv":
                 writer = writer.option("header", "true")
+            if partition_by:
+                for col in partition_by:
+                    validate_identifier(col)
+                writer = writer.partitionBy(*partition_by)
             writer.save(self.table_path(table))
             # refresh the temp view so subsequent queries see new data
             reader = self.spark.read

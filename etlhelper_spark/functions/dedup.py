@@ -91,6 +91,9 @@ def shingle_table(
     ).where(F.col("shingle") != "")
 
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -98,30 +101,42 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: for each of *num_hashes* seeded
-    hash functions, the min hash over the document's shingles.
+    """MinHash signature per document: min over the document's shingles
+    of *num_hashes* universal-hash functions.
 
-    Output: (id, seed, minhash) — long format keeps the shuffle key
-    small and lets LSH banding regroup without transposes.
+    Each shingle is md5-hashed ONCE (the only expensive hash), then
+    the k seeded hashes derive arithmetically:
+    ``h_i = ((2i+3)·h0 + (5i+7)) mod (2^31-1)``. All k minima compute
+    as k aggregate columns in a single groupBy — no seed explosion, so
+    the shuffle is one row per document instead of k rows per
+    (document, seed). Output: (id, seed, minhash) long format.
     """
     shingles = shingle_table(df, id_col, text_col, shingle_size)
-    seeds = F.explode(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    ).alias("seed")
-    exploded = shingles.select("id", "shingle", seeds)
-    return exploded.select(
+    h0 = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("long")
+        % MINHASH_PRIME
+    )
+    hashed = shingles.select("id", h0.alias("h0"))
+    # large odd multipliers (Knuth constant mixing) decorrelate the
+    # derived hash functions; small coefficients would make band keys
+    # collide together and inflate LSH false positives
+    aggs = [
+        F.min(
+            (
+                ((2654435761 * (i + 1)) % MINHASH_PRIME) * F.col("h0")
+                + (40503 * (i * i + 1)) % MINHASH_PRIME
+            )
+            % MINHASH_PRIME
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    wide = hashed.groupBy("id").agg(*aggs)
+    stack_args = ", ".join(f"{i}, mh_{i}" for i in range(num_hashes))
+    return wide.select(
         "id",
-        "seed",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long").alias("h"),
-    ).groupBy("id", "seed").agg(F.min("h").alias("minhash"))
+        F.expr(f"stack({num_hashes}, {stack_args}) AS (seed, minhash)"),
+    )
 
 
 def minhash_lsh_candidates(
@@ -200,6 +215,8 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard).
     """
+    from pyspark import StorageLevel
+
     sh = shingle_table(df, id_col, text_col, shingle_size)
     # global document frequency per shingle: the canonical order that
     # makes prefixes comparable across documents
@@ -222,6 +239,9 @@ def ngram_jaccard_pairs(
             - F.ceil(F.col("n_shingles") * F.lit(float(threshold))).cast("int")
             + 1,
         )
+        # consumed three times (prefix index + both verify sides);
+        # persist so the shingle pipeline runs once, spill-safe
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     prefixes = ordered.select(
         "id",

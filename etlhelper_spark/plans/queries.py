@@ -810,8 +810,12 @@ _MINHASH_SQL = """
             FROM (SELECT id, t, unnest(range(1, len(t)-1)) AS i FROM toks)
         ) WHERE shingle <> ''
     ), sigs AS (
+        -- h0 = md5(shingle) once; seeded hashes derive arithmetically
+        -- (must mirror etlhelper_spark.functions.dedup.minhash_signatures)
         SELECT id, seed,
-               min(CAST(concat('0x', substr(md5(concat(CAST(seed AS VARCHAR), '|', shingle)), 1, 15)) AS BIGINT)) AS minhash
+               min((((2654435761 * (seed+1)) % 2147483647)
+                      * (CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647)
+                    + (40503 * (seed*seed+1)) % 2147483647) % 2147483647) AS minhash
         FROM sh, (SELECT unnest(range(0, 16)) AS seed)
         GROUP BY id, seed
     )
@@ -1552,6 +1556,24 @@ def q55_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@query(
+    "q56_scd2_history",
+    """
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM events
+    """,
+)
+def q56_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2/CDC emulation: change stream -> validity intervals
+    (valid_from/valid_to, NULL = current version)."""
+    from ..streaming.windows import scd2_history
+
+    e = _t(spark, sf_dir, "events")
+    return scd2_history(e)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,6 +43,9 @@ def get_session(
         # testdata parquet carries TIMESTAMP(NANOS); this reads them as
         # timestamp_ntz (truncated to micros) instead of erroring
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write micros, not deprecated INT96 (which pyarrow reports as
+        # nanos, confusing footer-based type detection)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # At 100 TB these two govern scan parallelism; 128 MB splits are
         # the sweet spot for parquet on object storage.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

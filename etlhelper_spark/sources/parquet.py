@@ -50,8 +50,14 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     truncation of nanos)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    long_cols = {
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"
+    }
     for col in nanos_timestamp_columns(path):
-        if col in df.columns:
+        # only convert when Spark actually surfaced the column as a
+        # long: INT96 timestamps also look like timestamp[ns] to
+        # pyarrow but Spark reads them natively as TIMESTAMP
+        if col in long_cols:
             df = df.withColumn(
                 col,
                 F.expr(f"timestamp_micros(CAST({col} DIV 1000 AS BIGINT))"),

@@ -100,6 +100,27 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def scd2_history(
+    df: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: tuple = ("ts", "event_id"),
+) -> DataFrame:
+    """SCD2-style validity intervals from a change stream: each row
+    becomes a version valid from its timestamp until the key's next
+    change (NULL = current). One shuffle on the key; the lead() frame
+    does the interval stitching (the v1 emulation of MERGE-based CDC,
+    per the common Spark pattern — no Delta required)."""
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    return df.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+    )
+
+
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
