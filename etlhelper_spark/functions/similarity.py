@@ -90,6 +90,84 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    nlist: int = 10,
+    nprobe: int = 2,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k cosine search.
+
+    Index build: *nlist* pivot vectors (the lowest-id corpus rows —
+    deterministic; a k-means step would refine them) are broadcast and
+    every corpus vector is assigned to its nearest pivot. Search: each
+    query probes its *nprobe* nearest pivots and exact cosine runs
+    only within the probed inverted lists.
+
+    Scale story: the corpus shuffles once at index build; each query
+    scans ~nprobe/nlist of the corpus; pivots are a tiny broadcast.
+    Recall tracks how clustered the corpus is — near-random vectors
+    give ≈ nprobe/nlist recall, real embedding corpora (which cluster
+    strongly) far more; identical/near-identical vectors co-assign and
+    are always found.
+    """
+    pivots = (
+        corpus.orderBy(F.col(corpus_id).asc())
+        .limit(nlist)
+        .select(
+            F.col(corpus_id).alias("part"), F.col(vec_col).alias("pivot")
+        )
+    )
+
+    def assign(side: DataFrame, id_alias: str, keep_vec: str) -> DataFrame:
+        scored = side.join(F.broadcast(pivots)).select(
+            F.col(id_alias),
+            F.col(keep_vec),
+            "part",
+            cosine_similarity(F.col(keep_vec), F.col("pivot")).alias("psim"),
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.desc("psim"), F.asc("part")
+        )
+        return scored.withColumn("prank", F.row_number().over(w))
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    c_assigned = (
+        assign(c, "neighbor_id", "cv").where(F.col("prank") == 1).drop(
+            "psim", "prank"
+        )
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    q_probes = (
+        assign(q, "query_id", "qv")
+        .where(F.col("prank") <= nprobe)
+        .drop("psim", "prank")
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_probes), "part")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
 def _hyperplane_sign(vec: Column, seed: int, dim: int) -> Column:
     """Sign of <vec, h_seed> for a deterministic pseudo-random
     hyperplane derived from md5(seed, index) — reproducible everywhere,

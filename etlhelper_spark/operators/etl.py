@@ -416,9 +416,12 @@ def load(
     if isinstance(rows, DataFrame):
         df = apply_transform(rows, transform)
         n = df.count()
+        failed = 0
+        if on_error is not None:
+            df, failed = _quarantine_against_target(df, conn, table, on_error)
         conn.write_dataframe(df, table, batchsize=chunk_size)
         logger.info("%s rows processed in total", n)
-        return n, 0
+        return n, failed
 
     if rows is None:
         return 0, 0
@@ -550,9 +553,40 @@ def copy_rows(
     if columns:
         df = df.select(*columns)
     n = df.count()
+    failed = 0
+    if on_error is not None:
+        df, failed = _quarantine_against_target(
+            df, dest_conn, table, on_error
+        )
     dest_conn.write_dataframe(df, table, batchsize=chunk_size)
-    logger.info("%s rows processed in total", n)
-    return n, 0
+    logger.info("%s rows processed (%s failed)", n, failed)
+    return n, failed
+
+
+def _quarantine_against_target(
+    df: DataFrame, dest_conn: SparkConnection, table: str, on_error
+) -> tuple[DataFrame, int]:
+    """If the destination table already exists, validate rows against
+    its schema executor-side and dead-letter the rejects to on_error
+    as FailedRow pairs (reference on_error contract, etl.py:305-320,
+    distributed via jdbc_sink.validate_rows)."""
+    from .jdbc_sink import validate_rows
+
+    try:
+        target_schema = dest_conn.table_dataframe(table).schema
+    except Exception:
+        return df, 0  # new table: nothing to validate against
+    valid, quarantine = validate_rows(df, target_schema)
+    failed_rows = [
+        FailedRow(
+            {k: v for k, v in row.asDict().items() if k != "__error"},
+            ETLHelperInsertError(row["__error"]),
+        )
+        for row in quarantine.collect()
+    ]
+    if failed_rows:
+        on_error(failed_rows)
+    return valid, len(failed_rows)
 
 
 def copy_table_rows(
@@ -575,6 +609,9 @@ def copy_table_rows(
     df = source_conn.table_dataframe(table)
     df = apply_transform(df, transform)
     n = df.count()
+    failed = 0
+    if on_error is not None:
+        df, failed = _quarantine_against_target(df, dest_conn, target, on_error)
     dest_conn.write_dataframe(df, target, batchsize=chunk_size)
     logger.info("%s rows processed in total", n)
-    return n, 0
+    return n, failed

@@ -1576,6 +1576,19 @@ def q56_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(e)
 
 
+@query("q57_ivf_topk")  # approximate — rows-only check (no SQL oracle)
+def q57_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate ANN: pivot-partitioned inverted lists, nprobe
+    nearest lists scanned per query. Approximate by construction →
+    rows-only check; recall floor pinned in tests."""
+    from ..functions.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e.where(F.col("vec_id") < 10), e, k=5, nlist=16, nprobe=4
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

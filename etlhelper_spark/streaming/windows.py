@@ -100,6 +100,32 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def streaming_dedup_events(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Cross-batch streaming deduplication on event_id:
+    dropDuplicatesWithinWatermark keeps state only for the watermark
+    horizon, so the dedup set is bounded on an unbounded stream (the
+    streaming form of exact dedup). Drained with availableNow."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("deduped_events")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table("deduped_events")
+
+
 def scd2_history(
     df: DataFrame,
     key_col: str = "user_id",
