@@ -135,10 +135,24 @@ class SparkConnection:
             msg = f"SQL query raised an error.\n\n{bound}\n\n{exc}\n"
             raise ETLHelperExtractError(msg) from exc
 
-    def table_dataframe(self, table: str) -> DataFrame:
+    def table_dataframe(
+        self,
+        table: str,
+        partition_column: str | None = None,
+        lower_bound: int | str | None = None,
+        upper_bound: int | str | None = None,
+        num_partitions: int | None = None,
+    ) -> DataFrame:
         """Whole-table scan (reference copy_table_rows' SELECT *,
         etl.py:498) — but expressed as a table read so Catalyst can
-        prune columns and push filters applied downstream."""
+        prune columns and push filters applied downstream.
+
+        For JDBC sources, ``partition_column`` + bounds +
+        ``num_partitions`` split the scan into parallel range queries
+        (one per executor task) — the reference's single cursor becomes
+        N concurrent cursors. Without them the scan is one connection,
+        which on a 1000-executor cluster is the bottleneck; always set
+        them for large tables (a numeric/temporal indexed column)."""
         validate_identifier(table)
         if self.kind == "jdbc":
             assert self.db_params is not None
@@ -147,6 +161,20 @@ class SparkConnection:
                 .option("url", self.db_params.jdbc_url())
                 .option("dbtable", table)
             )
+            if partition_column is not None:
+                validate_identifier(partition_column)
+                reader = (
+                    reader.option("partitionColumn", partition_column)
+                    .option("lowerBound", str(lower_bound))
+                    .option("upperBound", str(upper_bound))
+                    .option(
+                        "numPartitions",
+                        str(
+                            num_partitions
+                            or self.spark.sparkContext.defaultParallelism
+                        ),
+                    )
+                )
             for k, v in {
                 **self.db_params.jdbc_properties(),
                 **self.jdbc_options,

@@ -1589,6 +1589,178 @@ def q57_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q58_unpivot",
+    """
+    SELECT o_orderpriority, status, cnt FROM (
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        FROM orders GROUP BY o_orderpriority
+    ) UNPIVOT (cnt FOR status IN ("F", "O", "P"))
+    """,
+)
+def q58_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot then unpivot (melt) back to long form."""
+    wide = q11_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ["o_orderpriority"], ["F", "O", "P"], "status", "cnt"
+    )
+
+
+@query(
+    "q59_window_battery",
+    """
+    SELECT o_orderkey, o_custkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           rank() OVER w2 AS rnk,
+           dense_rank() OVER w2 AS drnk,
+           ntile(4) OVER w AS quartile,
+           CAST(round(CAST(percent_rank() OVER w2 AS DECIMAL(30,10)), 6) AS DOUBLE) AS pct_rank,
+           CAST(round(CAST(cume_dist() OVER w2 AS DECIMAL(30,10)), 6) AS DOUBLE) AS cdist,
+           first_value(o_orderkey) OVER w AS first_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+    """,
+)
+def q59_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic-window battery in one pass: two window specs
+    over one shuffle each."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w_ord).alias("prev_price"),
+        F.lead("o_totalprice").over(w_ord).alias("next_price"),
+        F.rank().over(w2).alias("rnk"),
+        F.dense_rank().over(w2).alias("drnk"),
+        F.ntile(4).over(w_ord).alias("quartile"),
+        _sround(F.percent_rank().over(w2), 6).alias("pct_rank"),
+        _sround(F.cume_dist().over(w2), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+@query(
+    "q60_string_functions",
+    """
+    SELECT s_suppkey,
+           lpad(s_name, 20, '.') AS padded,
+           replace(s_name, 'SUPP', 'S#') AS replaced,
+           reverse(s_name) AS rev,
+           left(s_name, 4) AS l4,
+           right(s_name, 3) AS r3,
+           repeat('ab', 3) AS rep,
+           strpos(s_name, '_') AS upos,
+           ascii(s_name) AS first_ascii,
+           trim(concat('  ', s_name, '  ')) AS trimmed
+    FROM supplier
+    """,
+)
+def q60_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.lpad("s_name", 20, ".").alias("padded"),
+        F.replace(F.col("s_name"), F.lit("SUPP"), F.lit("S#")).alias("replaced"),
+        F.reverse("s_name").alias("rev"),
+        F.left(F.col("s_name"), F.lit(4)).alias("l4"),
+        F.right(F.col("s_name"), F.lit(3)).alias("r3"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.instr("s_name", "_").alias("upos"),
+        F.ascii("s_name").alias("first_ascii"),
+        F.trim(F.concat(F.lit("  "), F.col("s_name"), F.lit("  "))).alias(
+            "trimmed"
+        ),
+    )
+
+
+@query(
+    "q61_null_semantics",
+    """
+    SELECT e1.event_id,
+           coalesce(v1, v2, -1.0) AS first_non_null,
+           nullif(e1.event_type, 'error') AS type_or_null,
+           (v1 IS NOT DISTINCT FROM v2) AS null_safe_eq,
+           CASE WHEN v1 IS NULL THEN 'missing' ELSE 'present' END AS presence
+    FROM (
+        SELECT event_id, event_type,
+               CASE WHEN value > 50 THEN value END AS v1,
+               CASE WHEN value <= 50 THEN value END AS v2
+        FROM events
+    ) e1
+    """,
+)
+def q61_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null algebra: coalesce, nullif, null-safe equality (<=>)."""
+    e = _t(spark, sf_dir, "events")
+    v1 = F.when(F.col("value") > 50, F.col("value"))
+    v2 = F.when(F.col("value") <= 50, F.col("value"))
+    base = e.select(
+        "event_id", "event_type", v1.alias("v1"), v2.alias("v2")
+    )
+    return base.select(
+        "event_id",
+        F.coalesce("v1", "v2", F.lit(-1.0)).alias("first_non_null"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("type_or_null"),
+        F.col("v1").eqNullSafe(F.col("v2")).alias("null_safe_eq"),
+        F.when(F.col("v1").isNull(), "missing")
+        .otherwise("present")
+        .alias("presence"),
+    )
+
+
+@query(
+    "q62_numeric_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS dev,
+           ceil(l_quantity / 7) AS q_ceil,
+           floor(l_quantity / 7) AS q_floor,
+           round(sqrt(l_extendedprice), 4) AS price_sqrt,
+           round(ln(l_extendedprice + 1), 6) AS price_ln,
+           round(log10(l_extendedprice + 1), 6) AS price_log10,
+           round(pow(l_tax + 1, 2), 6) AS tax_sq,
+           sign(l_discount - 0.05) AS disc_sign,
+           CAST(l_quantity AS BIGINT) % 7 AS q_mod,
+           greatest(l_tax, l_discount) AS gmax,
+           least(l_tax, l_discount) AS lmin
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+)
+def q62_numeric_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q7 = F.col("l_quantity") / 7
+    return li.where(F.col("l_orderkey") <= 200).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("dev"),
+        F.ceil(q7).alias("q_ceil"),
+        F.floor(q7).alias("q_floor"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.log10(F.col("l_extendedprice") + 1), 6).alias("price_log10"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("q_mod"),
+        F.greatest("l_tax", "l_discount").alias("gmax"),
+        F.least("l_tax", "l_discount").alias("lmin"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
