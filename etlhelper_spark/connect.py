@@ -266,6 +266,57 @@ class SparkConnection:
             msg = f"SQL query raised an error.\n\n{bound}\n\n{exc}\n"
             raise ETLHelperQueryError(msg) from exc
 
+    def jdbc_executemany(
+        self, sql: str, chunk: list, commit: bool = True
+    ) -> None:
+        """Driver-side batched statement execution for arbitrary SQL
+        (UPDATE/DELETE/upsert with ``?`` placeholders) via a direct
+        java.sql PreparedStatement — the pass-through path for the
+        reference's 'any statement' executemany contract
+        (reference: etl.py:233-339) when the statement is not an
+        INSERT the distributed writer can handle.
+
+        Driver-side by design: executors run Python and cannot reach
+        JVM JDBC; for bulk custom-SQL writes use
+        operators.jdbc_sink.stage_and_merge (distributed staging + one
+        set-based statement) instead — this method is for modest
+        row-count control statements.
+        """
+        assert self.db_params is not None
+        jvm = self.spark._jvm
+        props = self.db_params.jdbc_properties()
+        conn = jvm.java.sql.DriverManager.getConnection(
+            self.db_params.jdbc_url(),
+            props.get("user", ""),
+            props.get("password", ""),
+        )
+        try:
+            conn.setAutoCommit(False)
+            stmt = conn.prepareStatement(sql)
+            try:
+                for row in chunk:
+                    values = (
+                        list(row.values())
+                        if hasattr(row, "values") and not isinstance(row, (list, tuple))
+                        else list(row)
+                    )
+                    for i, value in enumerate(values):
+                        stmt.setObject(i + 1, value)
+                    stmt.addBatch()
+                stmt.executeBatch()
+                if commit:
+                    conn.commit()
+            finally:
+                stmt.close()
+        except Exception:
+            try:
+                conn.rollback()
+            except Exception:
+                pass
+            raise
+        finally:
+            conn.close()
+
     def _jdbc_execute(self, sql: str) -> None:
         assert self.db_params is not None
         jvm = self.spark._jvm  # py4j gateway

@@ -307,7 +307,18 @@ def executemany(
     logger.info("Executing many (chunk_size=%s)", chunk_size)
     logger.debug("Executing:\n\n%s\n\nagainst\n\n%r", query, conn)
 
-    table, columns = _parse_insert(query)
+    try:
+        table, columns = _parse_insert(query)
+        custom_sql = None
+    except ETLHelperQueryError:
+        if conn.kind != "jdbc":
+            raise
+        # non-INSERT statement (UPDATE/upsert/...): JDBC pass-through
+        # via driver-side PreparedStatement batches
+        from ..parameters import to_qmark
+
+        custom_sql = to_qmark(query)
+        table, columns = "", None
     processed = 0
     failed = 0
     first_pass = True
@@ -323,7 +334,12 @@ def executemany(
             logger.debug("First row: %s", chunk[0])
             first_pass = False
 
-        failed_rows = _write_chunk(conn, table, columns, chunk, on_error)
+        if custom_sql is not None:
+            failed_rows = _execute_custom_chunk(
+                conn, custom_sql, chunk, on_error
+            )
+        else:
+            failed_rows = _write_chunk(conn, table, columns, chunk, on_error)
         processed += len(chunk)
         failed += len(failed_rows)
         if failed_rows and on_error is not None:
@@ -334,6 +350,41 @@ def executemany(
 
     logger.info("%s rows processed in total", processed)
     return processed, failed
+
+
+def _row_values(row: Any, names: list[str] | None) -> list[Any]:
+    if names is not None:
+        return [row[n] for n in names]
+    if isinstance(row, Mapping):
+        return list(row.values())
+    return list(row)
+
+
+def _execute_custom_chunk(
+    conn: SparkConnection,
+    custom_sql: tuple[str, list[str] | None],
+    chunk: list[Any],
+    on_error,
+) -> list[FailedRow]:
+    """Custom-SQL chunk via JDBC PreparedStatement batch; on failure
+    with on_error, retry row by row (reference _execute_by_row,
+    etl.py:342-365)."""
+    sql, names = custom_sql
+    try:
+        conn.jdbc_executemany(sql, [_row_values(r, names) for r in chunk])
+        return []
+    except Exception as exc:
+        if on_error is None:
+            raise ETLHelperInsertError(
+                f"SQL statement raised an error.\n\n{sql}\n\n{exc}\n"
+            ) from exc
+    failed_rows: list[FailedRow] = []
+    for row in chunk:
+        try:
+            conn.jdbc_executemany(sql, [_row_values(row, names)])
+        except Exception as row_exc:
+            failed_rows.append(FailedRow(row, row_exc))
+    return failed_rows
 
 
 def _write_chunk(

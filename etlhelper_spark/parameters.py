@@ -68,6 +68,32 @@ def _sub_outside_strings(sql: str, pattern: re.Pattern, repl) -> str:
     return "".join(out)
 
 
+def to_qmark(sql: str) -> tuple[str, list[str] | None]:
+    """Convert any PEP-249 placeholder style to JDBC ``?`` markers.
+
+    Returns (converted_sql, param_names) where param_names is the
+    ordered list of names for named styles (to pull values from
+    mapping rows) or None for positional styles.
+    """
+    names: list[str] = []
+
+    def collect(m: re.Match) -> str:
+        names.append(m.group(1))
+        return "?"
+
+    out = _sub_outside_strings(sql, _PYFORMAT, collect)
+    if names:
+        return out, names
+    out = _sub_outside_strings(sql, _NAMED, collect)
+    if names:
+        return out, names
+    out = _sub_outside_strings(sql, _NUMERIC, lambda m: "?")
+    if out != sql:
+        return out, None
+    out = _sub_outside_strings(sql, _FORMAT, lambda m: "?")
+    return out, None
+
+
 def bind_parameters(
     sql: str, parameters: Sequence[Any] | Mapping[str, Any] = ()
 ) -> str:

@@ -1761,6 +1761,124 @@ def q62_numeric_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q63_dataprep_pipeline",
+    """
+    WITH stats AS (
+        SELECT doc_id, text, lang,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    ), filtered AS (
+        SELECT * FROM stats WHERE n_tokens >= 10 AND lang IN ('en', 'de', 'fr', 'es')
+    ), deduped AS (
+        SELECT min(doc_id) AS doc_id, fingerprint,
+               min(n_tokens) AS n_tokens
+        FROM filtered GROUP BY fingerprint
+    )
+    SELECT doc_id, fingerprint, n_tokens FROM deduped
+    """,
+)
+def q63_dataprep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep: stats → quality/language filter →
+    exact dedup → clean corpus. The composition stays one lazy plan —
+    Catalyst fuses the stages, filters run before the dedup shuffle."""
+    from ..functions.text import document_fingerprint, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    stats = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        document_fingerprint(F.col("text")).alias("fingerprint"),
+    )
+    filtered = stats.where(
+        (F.col("n_tokens") >= 10)
+        & F.col("lang").isin("en", "de", "fr", "es")
+    )
+    return filtered.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_tokens").alias("n_tokens"),
+    ).select("doc_id", "fingerprint", "n_tokens")
+
+
+@query(
+    "q64_token_histogram",
+    """
+    SELECT least(n_tokens // 5, 20) AS bucket,
+           count(*) AS n_docs,
+           min(n_tokens) AS min_tokens,
+           max(n_tokens) AS max_tokens
+    FROM (
+        SELECT len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ) GROUP BY bucket
+    """,
+)
+def q64_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram: fixed-width buckets, capped tail."""
+    from ..functions.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    n = token_count(F.col("text"))
+    return (
+        d.select(
+            F.least(F.floor(n / 5).cast("long"), F.lit(20).cast("long")).alias(
+                "bucket"
+            ),
+            n.alias("n_tokens"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+@query(
+    "q65_funnel",
+    """
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(*) FILTER (WHERE first_view IS NOT NULL) AS viewed,
+           count(*) FILTER (WHERE first_view IS NOT NULL
+                              AND first_click > first_view) AS then_clicked,
+           count(*) FILTER (WHERE first_view IS NOT NULL
+                              AND first_click > first_view
+                              AND first_purchase > first_click) AS then_purchased
+    FROM per_user
+    """,
+)
+def q65_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase in sequence):
+    conditional-min collapse per user, then one count pass."""
+    e = _t(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    per_user = e.groupBy("user_id").agg(
+        first("view").alias("first_view"),
+        first("click").alias("first_click"),
+        first("purchase").alias("first_purchase"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count_if(viewed).alias("viewed"),
+        F.count_if(clicked).alias("then_clicked"),
+        F.count_if(purchased).alias("then_purchased"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
