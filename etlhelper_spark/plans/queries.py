@@ -1879,6 +1879,80 @@ def q65_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q66_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS days_since
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, days_since, count(*) AS active_users
+    FROM activity
+    WHERE days_since <= 7
+    GROUP BY cohort_day, days_since
+    """,
+)
+def q66_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day,
+    activity counted per day-offset. Two shuffles (first-seen agg +
+    final matrix agg); the join broadcasts the per-user cohort map
+    when small, AQE decides otherwise."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias(
+                "days_since"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.where(F.col("days_since") <= 7)
+        .groupBy("cohort_day", "days_since")
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
+@query(
+    "q67_deterministic_sample",
+    """
+    SELECT count(*) AS n_sampled,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), '-',
+                     CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT) % 10 = 0
+    """,
+)
+def q67_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample via content hashing (md5(key) mod 10):
+    unlike rand()-based TABLESAMPLE, identical across engines, runs,
+    and partitionings — the sampling primitive a training-data
+    pipeline needs for held-out splits."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws(
+        "-",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 10
+    )
+    return li.where(bucket == 0).agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
