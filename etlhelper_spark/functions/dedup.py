@@ -33,19 +33,31 @@ def dedup_exact(
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize: bool = True,
+    keep: str = "first",
 ) -> DataFrame:
-    """Keep one representative row (lowest id) per distinct content.
+    """Keep one representative row per distinct content.
 
-    Single shuffle on the fingerprint; min(id) chooses the survivor
-    deterministically. Scales as a plain hash aggregate.
+    Survivor policy ``keep``:
+    - ``"first"``  — lowest id (deterministic default)
+    - ``"last"``   — highest id (latest-wins, CDC-style)
+    - ``"longest"``— longest text, id as tie-break (keeps the most
+      complete variant when near-identical records normalize equal)
+
+    Single shuffle on the fingerprint; row_number picks the survivor.
+    Scales as a plain hash aggregate.
     """
     fp = (
         document_fingerprint(F.col(text_col))
         if normalize
         else F.md5(F.col(text_col))
     )
+    order = {
+        "first": [F.col(id_col).asc()],
+        "last": [F.col(id_col).desc()],
+        "longest": [F.length(F.col(text_col)).desc(), F.col(id_col).asc()],
+    }[keep]
     keyed = df.withColumn("__fp", fp)
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    w = Window.partitionBy("__fp").orderBy(*order)
     return (
         keyed.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)

@@ -140,7 +140,13 @@ def iter_chunks(
     logger.info("Fetching rows (chunk_size=%s)", chunk_size)
     logger.debug("Fetching:\n\n%s\n\nwith parameters:\n\n%s\n\nagainst\n\n%r",
                  select_query, parameters, conn)
-    df = conn.dataframe(select_query, parameters)
+    try:
+        df = conn.dataframe(select_query, parameters)
+    except Exception:
+        # a set abort event means our own job-group cancellation broke
+        # the plan/view setup — surface the abort, not an extract error
+        raise_for_abort()
+        raise
     if limit is not None:
         df = df.limit(limit)
     create_row = row_factory(df.columns)
@@ -401,6 +407,7 @@ def _write_chunk(
         conn.write_dataframe(df, table, mode="append", batchsize=len(chunk))
         return []
     except Exception as exc:
+        raise_for_abort()
         if on_error is None:
             raise ETLHelperInsertError(
                 f"SQL insert raised an error.\n\nTable: {table}\n\n{exc}\n"

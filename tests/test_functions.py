@@ -50,6 +50,16 @@ def test_dedup_exact_removes_planted_dupes(docs):
     assert all(i < 10_000 for i in ids)  # lowest id survives
 
 
+def test_dedup_exact_keep_policies(docs):
+    doubled = docs.select("doc_id", "text").unionAll(
+        docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    last = dedup_exact(doubled, "text", "doc_id", keep="last")
+    assert all(r.doc_id >= 10_000 for r in last.collect())
+    longest = dedup_exact(doubled, "text", "doc_id", keep="longest")
+    assert longest.count() == docs.count()  # ties -> id tie-break
+
+
 def test_dedup_exact_idempotent(docs):
     once = dedup_exact(docs.select("doc_id", "text"), "text", "doc_id")
     assert once.count() == docs.count()  # sf docs are unique
