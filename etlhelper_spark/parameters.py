@@ -50,6 +50,13 @@ def render_literal(value: Any) -> str:
     if isinstance(value, (bytes, bytearray)):
         return "X'" + value.hex() + "'"
     if isinstance(value, str):
+        if "\x00" in value:
+            # NUL cannot be represented inside a SQL string literal
+            # (engines either reject or truncate at it — both unsafe)
+            raise ETLHelperQueryError(
+                "String bind parameter contains a NUL (\\x00) character, "
+                "which cannot be rendered as a SQL literal"
+            )
         return "'" + value.replace("'", "''") + "'"
     if isinstance(value, (list, tuple)):
         return "(" + ", ".join(render_literal(v) for v in value) + ")"
