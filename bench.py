@@ -54,6 +54,16 @@ HEADLINE = [
     "q46_conditional_agg",
     "q47_array_ops",
     "q48_string_agg",
+    "q52_tpch_q6",
+    "q53_tpch_q3",
+    "q54_tpch_q10",
+    "q55_tpch_q14",
+    "q59_window_battery",
+    "q63_dataprep_pipeline",
+    "q65_funnel",
+    "q66_cohort_retention",
+    "q67_deterministic_sample",
+    "q68_tpch_q7_volume",
 ]
 
 

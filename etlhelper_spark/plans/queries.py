@@ -2016,6 +2016,40 @@ def q68_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q69_correlated_subquery",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(round(CAST(o_totalprice / cust_avg AS DECIMAL(30,10)), 4) AS DOUBLE)
+               AS vs_cust_avg
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg
+        FROM orders
+    )
+    WHERE o_totalprice > cust_avg
+    """,
+)
+def q69_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated per-row comparison against a group aggregate
+    ('orders above the customer's own average') — decorrelated into a
+    window aggregate: one shuffle, no self-join."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cust_avg", F.avg("o_totalprice").over(w))
+        .where(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            _sround(F.col("o_totalprice") / F.col("cust_avg"), 4).alias(
+                "vs_cust_avg"
+            ),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -46,6 +46,41 @@ def test_whole_stage_codegen_active(spark):
     assert "codegen id" in plan
 
 
+def test_streaming_session_window(spark, tmp_path):
+    """session_window in a genuine streaming query (watermark +
+    availableNow) — per-user activity sessions with a 30-min gap."""
+    from pyspark.sql import functions as F
+
+    from etlhelper_spark.streaming.windows import read_events_stream
+
+    stream = read_events_stream(spark, SF)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("sessions_stream")
+    assert out.count() > 0
+    row = out.first()
+    assert row["w"]["end"] >= row["w"]["start"]
+    # session totals must cover every event
+    total = out.agg(F.sum("n_events")).first()[0]
+    batch_n = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert total <= batch_n  # late rows beyond watermark may drop
+    assert total >= int(batch_n * 0.9)
+
+
 def test_streaming_batch_equivalence(spark, tmp_path):
     """The streaming pipeline must produce exactly the batch result."""
     from etlhelper_spark.sources import read_parquet_table
