@@ -12,8 +12,11 @@ from .etl import (
     iter_rows,
     load,
 )
+from .merge import merge_dataframes, merge_into_parquet
 
 __all__ = [
+    "merge_dataframes",
+    "merge_into_parquet",
     "CHUNKSIZE",
     "copy_rows",
     "copy_table_rows",

@@ -2050,6 +2050,298 @@ def q69_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q70_map_functions",
+    """
+    WITH kv AS (
+        SELECT event_type, 'k' AS mk,
+               CAST(props::JSON->>'k' AS INT) AS mv
+        FROM events
+        UNION ALL
+        SELECT event_type, 'v10' AS mk,
+               CAST(floor(value * 10) AS INT) AS mv
+        FROM events
+    )
+    SELECT event_type, mk,
+           count(*) AS n,
+           sum(mv) AS sum_v,
+           min(mv) AS min_v,
+           max(mv) AS max_v,
+           count(*) FILTER (mv % 2 = 0) AS n_even
+    FROM kv GROUP BY event_type, mk
+    """,
+)
+def q70_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type column battery: from_json → map<string,int>, map_concat
+    with a computed entry, explode to (key, value), higher-order
+    map_filter — all JVM-side (no Python UDF). Mirrors the reference's
+    semi-structured read path (SURVEY §2.7) over events.props.
+
+    floor() (not a straight double→int cast) on both sides: Spark
+    truncates toward zero on cast, DuckDB rounds half-even — floor is
+    the engine-stable choice (see module docstring conventions).
+    """
+    e = _t(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    full = F.map_concat(
+        m,
+        F.create_map(F.lit("v10"), F.floor(F.col("value") * 10).cast("int")),
+    )
+    kv = e.select(
+        "event_type",
+        F.explode(full).alias("mk", "mv"),
+        # exercised for plan coverage: element_at + map_filter stay in
+        # whole-stage codegen as higher-order expressions
+        F.element_at(full, "k").alias("__k"),
+        F.map_filter(full, lambda k, v: v % 2 == 0).alias("__even"),
+    )
+    return kv.groupBy("event_type", "mk").agg(
+        F.count("*").alias("n"),
+        F.sum("mv").alias("sum_v"),
+        F.min("mv").alias("min_v"),
+        F.max("mv").alias("max_v"),
+        F.count(F.when(F.col("mv") % 2 == 0, 1)).alias("n_even"),
+    )
+
+
+@query(
+    "q71_tpch_q18_volume",
+    """
+    SELECT c_name, c.c_custkey, o.o_orderkey, o_orderdate, o_totalprice,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+    )
+    GROUP BY c_name, c.c_custkey, o.o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q71_tpch_q18_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers), trimmed schema.
+
+    Scale shape: the HAVING subquery is a map-side-combinable agg on
+    lineitem's natural key; its output (few orderkeys) broadcasts into
+    a semi join, so the big fact is shuffled exactly once (the final
+    groupBy). Reference parity: SURVEY §2.7 delegated-query surface.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sq"))
+        .where(F.col("__sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey, "semi")
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+@query(
+    "q72_tpch_q13_custdist",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q72_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): left outer join
+    preserving order-less customers, then re-aggregation of the
+    aggregate. Second groupBy keys on c_count (tiny domain) — AQE
+    coalesces those post-shuffle partitions."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "q73_tpch_q19_disjunctive",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_matched
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q73_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive mixed-table predicate), adapted to
+    the trimmed schema (no p_container/l_shipmode in testdata).
+
+    Catalyst splits the OR into a pushable part-only residual
+    (p_brand IN (...) AND p_size <= 35) pushed to the part scan, and
+    evaluates the cross-table disjunction post-join; part side is
+    broadcast so lineitem never shuffles."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return joined.where(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count("*").alias("n_matched"),
+    )
+
+
+@query(
+    "q74_tpch_q22_style",
+    """
+    WITH threshold AS (
+        SELECT avg(o_totalprice) AS avg_price FROM orders
+    )
+    SELECT c_mktsegment AS segment,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > 0
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o, threshold t
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_totalprice > t.avg_price
+      )
+    GROUP BY c_mktsegment
+    """,
+)
+def q74_tpch_q22_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (positive-balance customers with no
+    above-average order), trimmed schema (no c_phone country codes).
+
+    The global average is a scalar broadcast (no shuffle); the NOT
+    EXISTS is an anti join against the filtered orders — at 100 TB the
+    filtered side is small enough that AQE converts it to broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg("o_totalprice").alias("avg_price"))
+    big_orders = (
+        o.join(F.broadcast(avg_price))
+        .where(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_custkey")
+    )
+    return (
+        c.where(F.col("c_acctbal") > 0)
+        .join(big_orders, c.c_custkey == big_orders.o_custkey, "anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q75_merge_upsert",
+    """
+    WITH spend AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS new_bal
+        FROM orders GROUP BY o_custkey
+    ),
+    merged AS (
+        SELECT c.c_mktsegment,
+               CASE WHEN s.o_custkey IS NOT NULL THEN s.new_bal
+                    ELSE c.c_acctbal END AS bal
+        FROM customer c LEFT JOIN spend s ON c.c_custkey = s.o_custkey
+        WHERE NOT (s.o_custkey IS NOT NULL AND s.new_bal < 20000)
+        UNION ALL
+        SELECT 'NEW', new_bal FROM spend
+        WHERE o_custkey % 100 = 0
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o_custkey + 1000000)
+    )
+    SELECT c_mktsegment AS segment,
+           count(*) AS n,
+           round(sum(bal), 2) AS total_bal
+    FROM merged GROUP BY c_mktsegment
+    """,
+)
+def q75_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE through the full copy-on-write path: stage a
+    customer table in parquet, MERGE a CDC batch (per-customer spend)
+    into it — matched rows update their balance, low-spend matches are
+    deleted, every 100th key arrives offset by 1e6 and inserts as a
+    'NEW'-segment customer — then aggregate the post-merge table.
+
+    One full-outer shuffle on the merge key + an atomic directory swap
+    (operators/merge.py); no per-row Python anywhere."""
+    import shutil as _shutil
+
+    from ..operators.merge import merge_into_parquet
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("new_bal")
+    )
+    inserts = spend.where(F.col("o_custkey") % 100 == 0).select(
+        (F.col("o_custkey") + 1000000).alias("o_custkey"), "new_bal"
+    )
+    source = (
+        spend.unionByName(inserts)
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .withColumn("c_name", F.concat(F.lit("Customer#"), F.col("c_custkey")))
+    )
+
+    staged = tempfile.mkdtemp(prefix="ehs_merge_t_")
+    _shutil.rmtree(staged)  # merge target must be the parquet dir itself
+    c.write.parquet(staged)
+    merge_into_parquet(
+        spark,
+        staged,
+        source,
+        keys=["c_custkey"],
+        when_matched_update={"c_acctbal": "s.new_bal"},
+        when_matched_delete="s.new_bal < 20000",
+        when_not_matched_insert={
+            "c_custkey": "s.c_custkey",
+            "c_name": "s.c_name",
+            "c_nationkey": "CAST(-1 AS BIGINT)",
+            "c_acctbal": "s.new_bal",
+            "c_mktsegment": "'NEW'",
+        },
+        broadcast_source=False,
+    )
+    merged = spark.read.parquet(staged)
+    return merged.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
