@@ -1,4 +1,8 @@
-from .stateful import running_user_totals
+from .stateful import (
+    running_user_totals,
+    running_user_totals_tws,
+    transform_with_state_available,
+)
 from .windows import (
     hourly_counts,
     read_events_stream,
@@ -10,6 +14,8 @@ from .windows import (
 __all__ = [
     "hourly_counts",
     "running_user_totals",
+    "running_user_totals_tws",
+    "transform_with_state_available",
     "read_events_stream",
     "sessionize",
     "sliding_value_avg",
