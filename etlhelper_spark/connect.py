@@ -162,7 +162,9 @@ class SparkConnection:
                 .option("dbtable", table)
             )
             if partition_column is not None:
-                validate_identifier(partition_column)
+                # may arrive quoted for case-sensitive columns
+                # (Spark's JDBC writer quotes names it creates)
+                validate_identifier(partition_column.strip('"'))
                 reader = (
                     reader.option("partitionColumn", partition_column)
                     .option("lowerBound", str(lower_bound))

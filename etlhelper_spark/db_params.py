@@ -82,8 +82,10 @@ class DbParams(dict):
     def is_reachable(self, timeout: int = 5) -> bool:
         """5-second TCP probe of host:port
         (reference: db_params.py:110-131)."""
-        if self.dbtype == "SQLITE":
-            raise ValueError("SQLITE DbParams have no host to probe")
+        if self.dialect.passwordless:
+            raise ValueError(
+                f"{self.dbtype} DbParams are file-backed: no host to probe"
+            )
         s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         s.settimeout(timeout)
         try:
@@ -127,7 +129,7 @@ class DbParams(dict):
     ) -> dict[str, str]:
         """Options dict for spark.read/write.format('jdbc')."""
         props = self.dialect.jdbc_properties(self)
-        if self.dbtype != "SQLITE":
+        if not self.dialect.passwordless:
             props["user"] = self.get("user", "")
             props["password"] = self.get_password(password_variable)
         props.update(kwargs)
@@ -136,7 +138,8 @@ class DbParams(dict):
     def get_connection_string(self, password_variable: str | None = None) -> str:
         """Native driver connection string (reference: connect.py:22-30)."""
         return self.dialect.connection_string(
-            self, self.get_password(password_variable) if self.dbtype != "SQLITE" else ""
+            self, self.get_password(password_variable)
+            if not self.dialect.passwordless else ""
         )
 
     def get_sqlalchemy_connection_string(
@@ -144,7 +147,8 @@ class DbParams(dict):
     ) -> str:
         """SQLAlchemy URL (reference: connect.py:33-43)."""
         return self.dialect.sqlalchemy_url(
-            self, self.get_password(password_variable) if self.dbtype != "SQLITE" else ""
+            self, self.get_password(password_variable)
+            if not self.dialect.passwordless else ""
         )
 
     def __repr__(self) -> str:

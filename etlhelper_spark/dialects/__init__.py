@@ -13,6 +13,7 @@ JDBC data source instead of DB-API drivers. Each dialect knows:
 from __future__ import annotations
 
 from .base import Dialect
+from .derby import DerbyDialect
 from .mssql import MSSQLDialect
 from .oracle import OracleDialect
 from .postgres import PostgresDialect
@@ -24,6 +25,7 @@ DIALECT_REGISTRY: dict[str, Dialect] = {
     "ORACLE": OracleDialect(),
     "MSSQL": MSSQLDialect(),
     "SQLITE": SQLiteDialect(),
+    "DERBY": DerbyDialect(),
 }
 
 __all__ = [

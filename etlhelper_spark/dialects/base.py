@@ -20,6 +20,9 @@ class Dialect:
     named_paramstyle: str | None = None
     positional_paramstyle: str | None = None
     jdbc_driver: str = ""
+    #: file-backed engines (SQLite, Derby embedded) take no credentials
+    #: and have no host to probe
+    passwordless: bool = False
     #: catalog query template for table_info; {table}/{schema} filled in
     table_info_query: str = ""
 

@@ -9,6 +9,7 @@ class SQLiteDialect(Dialect):
     dbtype = "SQLITE"
     # reference: db_helpers/sqlite.py:32
     required_params = {"filename"}
+    passwordless = True
     paramstyle = "qmark"
     named_paramstyle = "named"
     positional_paramstyle = "qmark"

@@ -435,7 +435,7 @@ def _parse_insert(query: str) -> tuple[str, list[str] | None]:
     import re
 
     m = re.match(
-        r"\s*INSERT\s+INTO\s+([\w\.\$]+)\s*(?:\(([^)]*)\))?",
+        r"\s*INSERT\s+INTO\s+([\w\.\$\"]+)\s*(?:\(([^)]*)\))?",
         query,
         re.IGNORECASE,
     )
@@ -444,9 +444,11 @@ def _parse_insert(query: str) -> tuple[str, list[str] | None]:
             "executemany on the Spark engine supports INSERT statements; "
             f"got: {query[:80]!r}. Use execute() for other statements."
         )
-    table = m.group(1)
+    table = m.group(1).strip('"')
     cols = (
-        [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+        [c.strip().strip('"') for c in m.group(2).split(",")]
+        if m.group(2)
+        else None
     )
     return table, cols
 
