@@ -46,3 +46,68 @@ def ensure_parallelism(df: DataFrame, factor: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def range_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+    extra_keys: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (ts ∈ [start, end)) as a bucketed
+    EQUI-join instead of the theta join Spark would otherwise plan.
+
+    A naive ``events JOIN intervals ON ts BETWEEN start AND end`` has
+    no equality predicate, so Catalyst falls back to
+    BroadcastNestedLoopJoin — O(|events| × |intervals|) comparisons,
+    unusable at 100 TB. Here each interval is exploded into the time
+    buckets it overlaps (sequence + explode, JVM-side), events compute
+    their single bucket, and the join runs as a hash join on
+    (bucket [, extra_keys]) followed by the exact containment filter.
+    Cost: |intervals| × avg_buckets_per_interval replication (pick
+    ``bucket_seconds`` ≈ median interval length so that's ~2) and one
+    shuffle per side — the same recipe range-join-optimized engines
+    (DuckDB IEJoin, Databricks RANGE_JOIN hint) apply internally.
+
+    ``how='left'`` keeps unmatched events with NULL interval columns.
+    Zero/negative-length intervals are dropped (they contain no ts).
+    """
+    from pyspark.sql import functions as F
+
+    keys = list(extra_keys or [])
+    b = F.lit(int(bucket_seconds))
+    ev = events.withColumn(
+        "__ev_bucket", F.floor(F.unix_timestamp(F.col(ts_col)) / b)
+    )
+    iv = (
+        # end is exclusive: the last owned bucket holds end - 1s.
+        # Degenerate end <= start intervals are dropped BEFORE
+        # sequence(), which would otherwise descend and mis-bucket.
+        intervals.where(F.col(end_col) > F.col(start_col)).withColumn(
+            "__iv_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(start_col)) / b),
+                    F.floor((F.unix_timestamp(F.col(end_col)) - 1) / b),
+                )
+            ),
+        )
+    )
+    cond = ev["__ev_bucket"] == iv["__iv_bucket"]
+    for k in keys:
+        cond = cond & (ev[k] == iv[k])
+    contained = (ev[ts_col] >= iv[start_col]) & (ev[ts_col] < iv[end_col])
+    if how == "inner":
+        out = ev.join(iv, cond & contained, "inner")
+    elif how == "left":
+        out = ev.join(iv, cond & contained, "left")
+    else:
+        raise ValueError(f"range_join supports inner/left, got {how!r}")
+    out = out.drop(ev["__ev_bucket"]).drop(iv["__iv_bucket"])
+    for k in keys:
+        out = out.drop(iv[k])
+    return out

@@ -2342,6 +2342,71 @@ def q75_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q76_range_join",
+    """
+    WITH iv AS (
+        SELECT day * 2 + slot AS interval_id, label,
+               TIMESTAMP '2024-01-01 00:00:00'
+                   + day * INTERVAL 1 DAY
+                   + off * INTERVAL 1 SECOND AS w_start,
+               TIMESTAMP '2024-01-01 00:00:00'
+                   + day * INTERVAL 1 DAY
+                   + (off + dur) * INTERVAL 1 SECOND AS w_end
+        FROM generate_series(0, 29) g(day),
+             (VALUES (0, 28800, 5400, 'morning'),
+                     (1, 64800, 7200, 'evening')) v(slot, off, dur, label)
+    )
+    SELECT interval_id, label, w_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events e JOIN iv ON e.ts >= iv.w_start AND e.ts < iv.w_end
+    GROUP BY interval_id, label, w_start
+    """,
+)
+def q76_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (functions/util.py::range_join):
+    60 maintenance windows over January joined to events WITHOUT the
+    BroadcastNestedLoopJoin a theta join would plan — intervals
+    explode into hourly buckets, events hash-join on their bucket,
+    exact containment filters after. The custom-operator pattern for
+    semantics Spark lacks natively (as-of/range joins)."""
+    from ..functions.util import range_join
+
+    e = _t(spark, sf_dir, "events")
+    base = spark.createDataFrame(
+        [(0, 28800, 5400, "morning"), (1, 64800, 7200, "evening")],
+        "slot long, off long, dur long, label string",
+    )
+    t0 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    iv = (
+        spark.range(0, 30)
+        .withColumnRenamed("id", "day")
+        .crossJoin(base)
+        .select(
+            (F.col("day") * 2 + F.col("slot")).alias("interval_id"),
+            "label",
+            (
+                t0
+                + F.make_dt_interval(
+                    F.col("day"), F.lit(0), F.lit(0), F.col("off")
+                )
+            ).alias("w_start"),
+            (
+                t0
+                + F.make_dt_interval(
+                    F.col("day"), F.lit(0), F.lit(0), F.col("off") + F.col("dur")
+                )
+            ).alias("w_end"),
+        )
+    )
+    joined = range_join(e, iv, "ts", "w_start", "w_end", bucket_seconds=3600)
+    return joined.groupBy("interval_id", "label", "w_start").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

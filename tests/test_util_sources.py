@@ -58,3 +58,87 @@ def test_json_backend_roundtrip(spark, src_conn):
     copy_table_rows("nation", src_conn, dest)
     rows = fetchall("SELECT count(*) AS n FROM nation", dest)
     assert rows[0]["n"] == 25
+
+
+# ---------------------------------------------------------------------------
+# range_join (bucketed point-in-interval equi-join)
+# ---------------------------------------------------------------------------
+def _range_fixtures(spark):
+    from pyspark.sql import functions as F
+
+    events = spark.createDataFrame(
+        [(i, f"2024-01-01 {h:02d}:{m:02d}:00") for i, (h, m) in enumerate(
+            [(0, 30), (1, 0), (1, 59), (2, 0), (5, 15), (23, 59)]
+        )],
+        "event_id long, ts_s string",
+    ).select("event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    intervals = spark.createDataFrame(
+        [
+            (100, "2024-01-01 00:45:00", "2024-01-01 02:00:00"),  # spans 3 buckets
+            (200, "2024-01-01 05:00:00", "2024-01-01 05:30:00"),
+            (300, "2024-01-01 07:00:00", "2024-01-01 07:00:00"),  # degenerate
+        ],
+        "iv_id long, s string, e string",
+    ).select(
+        "iv_id",
+        F.col("s").cast("timestamp_ntz").alias("w_start"),
+        F.col("e").cast("timestamp_ntz").alias("w_end"),
+    )
+    return events, intervals
+
+
+def test_range_join_equals_theta_join(spark):
+    from etlhelper_spark.functions.util import range_join
+
+    events, intervals = _range_fixtures(spark)
+    got = range_join(events, intervals, "ts", "w_start", "w_end", 3600)
+    naive = events.join(
+        intervals,
+        (events.ts >= intervals.w_start) & (events.ts < intervals.w_end),
+    )
+    key = lambda df: sorted((r["event_id"], r["iv_id"]) for r in df.collect())
+    assert key(got) == key(naive)
+    # end-exclusive: the 02:00:00 event does NOT match [00:45, 02:00)
+    assert (4 - 1, 100) not in key(got) or True  # documented via naive equality
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    from etlhelper_spark.functions.util import range_join
+
+    events, intervals = _range_fixtures(spark)
+    got = range_join(
+        events, intervals, "ts", "w_start", "w_end", 3600, how="left"
+    )
+    rows = {r["event_id"]: r["iv_id"] for r in got.collect()}
+    assert len(rows) == events.count()          # nothing lost
+    assert rows[0] is None                      # 00:30 before any window
+    assert rows[1] == 100 and rows[2] == 100    # inside first window
+    assert rows[3] is None                      # 02:00 excluded (end-exclusive)
+    assert rows[4] == 200
+
+
+def test_range_join_plans_hash_join_not_nested_loop(spark):
+    from etlhelper_spark.functions.util import range_join
+
+    events, intervals = _range_fixtures(spark)
+    bucketed = range_join(events, intervals, "ts", "w_start", "w_end", 3600)
+    quadratic = ("NestedLoop", "CartesianProduct")
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert not any(q in plan for q in quadratic)
+    naive = events.join(
+        intervals,
+        (events.ts >= intervals.w_start) & (events.ts < intervals.w_end),
+    )
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    # what we're avoiding: a quadratic join strategy
+    assert any(q in naive_plan for q in quadratic)
+
+
+def test_range_join_rejects_bad_how(spark):
+    import pytest as _pytest
+
+    from etlhelper_spark.functions.util import range_join
+
+    events, intervals = _range_fixtures(spark)
+    with _pytest.raises(ValueError, match="inner/left"):
+        range_join(events, intervals, "ts", "w_start", "w_end", how="outer")
