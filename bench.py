@@ -64,6 +64,15 @@ HEADLINE = [
     "q66_cohort_retention",
     "q67_deterministic_sample",
     "q68_tpch_q7_volume",
+    "q70_map_functions",
+    "q71_tpch_q18_volume",
+    "q72_tpch_q13_custdist",
+    "q73_tpch_q19_disjunctive",
+    "q74_tpch_q22_style",
+    "q76_range_join",
+    "q77_cascade_rollup",
+    "q78_stratified_sample",
+    "q79_approx_distinct_bounds",
 ]
 
 
@@ -93,6 +102,20 @@ def main() -> None:
         yield from batches
 
     warm.mapInPandas(_identity, warm.schema).count()  # Python workers + Arrow
+    # temporal/array codegen classes (sequence+explode+interval math +
+    # bucketed range join) used by the range-join/rollup families
+    from etlhelper_spark.functions.util import range_join
+
+    _t0 = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    _ev = spark.range(4).select(
+        F.col("id").alias("k"),
+        (_t0 + F.make_dt_interval(F.lit(0), F.col("id"))).alias("ts"),
+    )
+    _iv = spark.range(2).select(
+        (_t0 + F.make_dt_interval(F.lit(0), F.col("id"))).alias("s"),
+        (_t0 + F.make_dt_interval(F.lit(0), F.col("id") + 1)).alias("e"),
+    )
+    range_join(_ev, _iv, "ts", "s", "e", 3600).groupBy("k").count().count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -2407,6 +2407,114 @@ def q76_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q77_cascade_rollup",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour_start, event_type,
+               count(*) AS n, sum(value) AS sv
+        FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', hour_start) AS DATE) AS day, event_type,
+           sum(n) AS n_events,
+           round(sum(sv), 2) AS sum_value,
+           CAST(round(CAST(sum(sv) / sum(n) AS DECIMAL(30,10)), 4)
+                AS DOUBLE) AS avg_value
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def q77_cascade_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate cascade (hypertable rollup pattern): daily
+    aggregates derived from the HOURLY aggregate, not the raw table —
+    only mergeable partials (sum/count) cascade; avg is re-derived at
+    the coarser grain. At 100 TB the hourly layer is ~10^4× smaller
+    than raw events, so downstream rollups shuffle the small aggregate
+    instead of re-scanning the fact table."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    return hourly.groupBy(
+        F.date_trunc("day", "hour_start").cast("date").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("sv"), 2).alias("sum_value"),
+        _sround(F.sum("sv") / F.sum("n"), 4).alias("avg_value"),
+    )
+
+
+@query(
+    "q78_stratified_sample",
+    """
+    SELECT event_type,
+           count(*) AS n_sampled,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE md5(CAST(event_id AS VARCHAR)) <
+          CASE event_type
+               WHEN 'view' THEN '1'
+               WHEN 'click' THEN '4'
+               ELSE '8'
+          END
+    GROUP BY event_type
+    """,
+)
+def q78_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-stratum rates driven by a
+    content hash of the row key, not a seeded RNG — reproducible across
+    engines/runs/partitionings (unlike sampleBy), and embarrassingly
+    parallel (a pushed-down filter; no shuffle until the audit agg).
+    Hex-prefix thresholds: 'view' keeps md5 < '1' (1/16), 'click' < '4'
+    (1/4), others < '8' (1/2) — the down-weight-the-majority-class
+    recipe of training-data pipelines."""
+    e = _t(spark, sf_dir, "events")
+    rate = (
+        F.when(F.col("event_type") == "view", F.lit("1"))
+        .when(F.col("event_type") == "click", F.lit("4"))
+        .otherwise(F.lit("8"))
+    )
+    return (
+        e.where(F.md5(F.col("event_id").cast("string")) < rate)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "q79_approx_distinct_bounds",
+    """
+    SELECT count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events
+    """,
+)
+def q79_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate distinct with a VERIFIED error bound:
+    the query returns the exact count plus a boolean asserting Spark's
+    HLL++ estimate (approx_count_distinct, rsd=2%) lands within 5% of
+    it — so the oracle check proves the sketch's accuracy contract,
+    not just that it runs. At 100 TB the sketch is the only viable
+    path: fixed ~kB state per group, mergeable map-side, no
+    shuffle-the-world exact distinct."""
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.02)
+                - F.count_distinct("user_id")
+            )
+            / F.count_distinct("user_id")
+            < 0.05
+        ).alias("approx_within_5pct"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
