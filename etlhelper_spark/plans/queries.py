@@ -2515,6 +2515,167 @@ def q79_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q80_python_datasource",
+    """
+    SELECT label, count(*) AS n,
+           round(sum(reading), 3) AS total_reading,
+           max(reading) AS max_reading
+    FROM (
+        SELECT i AS id, 's' || CAST(i % 5 AS VARCHAR) AS label,
+               (i * 31 % 997) / 1000.0 AS reading
+        FROM generate_series(0, 9999) g(i)
+    )
+    GROUP BY label
+    """,
+)
+def q80_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector on the Spark 4 Python DataSource API
+    (sources/pyds.py): partition-parallel reads of a deterministic
+    synthetic source — Spark's native extensibility analogue of the
+    reference's DbHelper subclassing. The oracle regenerates the same
+    rows in SQL, proving read correctness across every partition."""
+    from ..sources.pyds import register_synthetic_source
+
+    configure_session(spark)
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("ehs_synthetic")
+        .option("rows", 10000)
+        .option("partitions", 8)
+        .load()
+    )
+    return df.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("reading"), 3).alias("total_reading"),
+        F.max("reading").alias("max_reading"),
+    )
+
+
+@query(
+    "q81_tfidf",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+                   AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / dfreq.df), 4)
+                   AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tfidf FROM (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q81_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document, all in built-in aggregates
+    (no pyspark.ml): tf = per-(doc,term) count, df = per-term doc
+    count, idf = ln(N/df) with N a broadcast scalar. Two shuffles
+    (doc,term / term); the top-k window re-uses the doc_id
+    partitioning. Ordering ties broken on term so the row_number cut
+    is engine-stable."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@query(
+    "q82_label_centroids",
+    """
+    SELECT label, i - 1 AS dim,
+           count(*) AS n,
+           CAST(round(CAST(avg(embedding[i]) AS DECIMAL(30,10)), 4)
+                AS DOUBLE) AS centroid_val
+    FROM embeddings, generate_series(1, 8) g(i)
+    GROUP BY label, i
+    """,
+)
+def q82_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (first 8 dims): posexplode of a
+    sliced array — one shuffle on (label, dim), map-side combinable.
+    The full-dim version is the k-means update step / class-prototype
+    computation of an embedding pipeline; slicing keeps the oracle
+    comparison tight."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.slice("embedding", 1, 8)).alias("dim", "v"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            _sround(F.avg(F.col("v").cast("double")), 4).alias(
+                "centroid_val"
+            ),
+        )
+    )
+
+
+@query(
+    "q83_variant_type",
+    """
+    SELECT event_type,
+           sum(CAST(props::JSON->>'k' AS INT)) AS sum_k,
+           count(*) FILTER (CAST(props::JSON->>'k' AS INT) > 50)
+               AS n_high,
+           max(CAST(props::JSON->>'k' AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q83_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse_json once into the binary
+    variant encoding, then typed variant_get extraction — the
+    open-schema semi-structured path (vs q15's per-field
+    get_json_object string re-parse). At scale variant decodes the
+    document once and field access is sub-linear, the same reason
+    warehouses store JSON as VARIANT."""
+    e = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high"),
+        F.max(k).alias("max_k"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
