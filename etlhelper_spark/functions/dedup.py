@@ -374,3 +374,76 @@ def embedding_near_duplicates(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Group near-duplicate PAIRS into CLUSTERS via distributed
+    connected components (iterative min-label propagation).
+
+    Pair generators (MinHash LSH, PPJoin) emit edges; survivor
+    selection needs components — A~B and B~C must put A,B,C in ONE
+    cluster even though (A,C) was never emitted. Labels start as each
+    node's own id; each round every node takes the min of its label
+    and its neighbors' labels (one shuffle per round: edge-label join
+    + min-aggregate). Converges in O(log(diameter)) rounds — dup
+    clusters are near-cliques, so 2-3 rounds in practice; driver only
+    ever sees the 1-row convergence count, never the data.
+    localCheckpoint() truncates the growing lineage each round (the
+    standard iterative-algorithm hygiene on Spark).
+
+    Returns (node_id, cluster_id) for every node appearing in pairs,
+    cluster_id = min node id of the component.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst_node"),
+                edges.dst == F.col("dst_node"),
+            )
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels.node == neighbor_min.src, "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("node_id"), F.col("label").alias("cluster_id")
+    )

@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from ..functions.dedup import (
     dedup_exact,
+    duplicate_clusters,
     embedding_near_duplicates,
     minhash_lsh_candidates,
     minhash_signatures,
@@ -2673,6 +2674,59 @@ def q83_variant_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).alias("sum_k"),
         F.count(F.when(k > 50, 1)).alias("n_high"),
         F.max(k).alias("max_k"),
+    )
+
+
+@query(
+    "q84_dup_clusters",
+    """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT id, shingle FROM (
+            SELECT id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM (SELECT id, t, unnest(range(1, len(t)-1)) AS i FROM toks)
+        ) WHERE shingle <> ''
+    ), sizes AS (
+        SELECT id, count(*) AS n_shingles FROM sh GROUP BY id
+    ), shared AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM shared
+        JOIN sizes sa ON id_a = sa.id
+        JOIN sizes sb ON id_b = sb.id
+        WHERE round(shared / (sa.n_shingles + sb.n_shingles - shared), 4)
+              >= 0.5
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lab) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q84_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: exact-jaccard pairs (PPJoin) grouped by
+    distributed connected components (min-label propagation,
+    functions/dedup.py::duplicate_clusters) — the step between pair
+    generation and survivor selection in a real dedup pipeline. The
+    oracle verifies with a recursive-CTE transitive closure, so the
+    iterative Spark algorithm is value-checked, not rows-only."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_size=3, threshold=0.5
+    )
+    clusters = duplicate_clusters(pairs, "id_a", "id_b")
+    return clusters.select(
+        F.col("node_id").alias("doc_id"), "cluster_id"
     )
 
 

@@ -174,3 +174,33 @@ def test_multimodal_plumbing(docs):
 def test_multimodal_real_decode_raises(docs):
     with pytest.raises(NotImplementedError):
         extract_features(documents_as_media(docs), decode_stub=False)
+
+
+def test_duplicate_clusters_transitive(spark):
+    from etlhelper_spark.functions.dedup import duplicate_clusters
+
+    # chain 1-2-3 (1,3 never paired) + island 10-11 + long chain 20..24
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1,          # transitive: 3 reaches 1 via 2
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20, 24: 20,  # diameter 4 converges
+    }
+
+
+def test_duplicate_clusters_ignores_pair_order(spark):
+    from etlhelper_spark.functions.dedup import duplicate_clusters
+
+    fwd = spark.createDataFrame([(5, 9), (9, 7)], "id_a long, id_b long")
+    rev = spark.createDataFrame([(9, 5), (7, 9)], "id_a long, id_b long")
+    as_map = lambda df: {
+        r["node_id"]: r["cluster_id"] for r in duplicate_clusters(df).collect()
+    }
+    assert as_map(fwd) == as_map(rev) == {5: 5, 9: 5, 7: 5}
