@@ -2730,6 +2730,40 @@ def q84_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q85_stream_stream_join",
+    """
+    WITH v AS (
+        SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'
+    ), p AS (
+        SELECT user_id, ts AS purchase_ts, event_id AS purchase_id, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id,
+           count(*) AS n_attributed_views,
+           count(DISTINCT purchase_id) AS n_purchases,
+           round(sum(value), 2) AS attr_value
+    FROM p JOIN v ON p.user_id = v.user_id
+        AND v.view_ts <= p.purchase_ts
+        AND v.view_ts >= p.purchase_ts - INTERVAL 60 MINUTE
+    GROUP BY p.user_id
+    """,
+)
+def q85_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM watermarked join (view→purchase attribution
+    within 60 min): both sides are unbounded streams; the time-bound
+    join condition + watermarks let Spark evict view state past the
+    horizon (bounded state forever). Drained availableNow; equals the
+    batch self-join oracle. attr_value intentionally counts a
+    purchase's value once per attributed view (per-impression
+    credit)."""
+    from ..streaming.windows import stream_stream_view_purchase_join
+
+    configure_session(spark)
+    ckpt = tempfile.mkdtemp(prefix="ehs_ssj_")
+    return stream_stream_view_purchase_join(spark, sf_dir, ckpt)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -222,3 +222,72 @@ def streaming_hourly_counts(
     )
     query.awaitTermination()
     return spark.table("hourly_counts_stream")
+
+
+def stream_stream_view_purchase_join(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    max_gap_minutes: int = 60,
+) -> DataFrame:
+    """Stream-STREAM inner join: each purchase joined to the same
+    user's views in the preceding ``max_gap_minutes`` — attribution,
+    as two unbounded streams.
+
+    Both sides carry watermarks and the join condition bounds
+    purchase.ts - view.ts, so Spark can evict view state once it falls
+    behind the watermark horizon — bounded state on unbounded input
+    (without the time bound the view side would buffer forever).
+    Drained with availableNow into a memory sink; the result equals
+    the batch self-join oracle (the invariant the gate checks).
+    """
+    events = read_events_stream(spark, sf_dir)
+    views = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", f"{max_gap_minutes * 2} minutes")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", f"{max_gap_minutes * 2} minutes")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts")
+            - F.expr(f"INTERVAL {max_gap_minutes} MINUTES")
+        ),
+        "inner",
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    out = spark.table("ss_join")
+    return (
+        out.groupBy("p_user")
+        .agg(
+            F.count("*").alias("n_attributed_views"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+            F.round(F.sum("purchase_value"), 2).alias("attr_value"),
+        )
+        .withColumnRenamed("p_user", "user_id")
+    )
