@@ -73,6 +73,10 @@ HEADLINE = [
     "q77_cascade_rollup",
     "q78_stratified_sample",
     "q79_approx_distinct_bounds",
+    "q81_tfidf",
+    "q84_dup_clusters",
+    "q86_contamination",
+    "q87_repetition",
 ]
 
 

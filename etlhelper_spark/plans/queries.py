@@ -2764,6 +2764,116 @@ def q85_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_view_purchase_join(spark, sf_dir, ckpt)
 
 
+@query(
+    "q86_contamination",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), needles AS (
+        SELECT DISTINCT array_to_string(t[1:5], ' ') AS needle
+        FROM toks WHERE doc_id % 97 = 0 AND len(t) >= 5
+    ), grams AS (
+        SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+              FROM toks WHERE len(t) >= 5)
+    )
+    SELECT doc_id, count(DISTINCT gram) AS n_hits
+    FROM grams JOIN needles ON gram = needle
+    GROUP BY doc_id
+    """,
+)
+def q86_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which documents contain any
+    needle 5-gram (here: the opening 5-gram of every 97th doc, standing
+    in for a benchmark set). Docs explode into word 5-grams ONCE and
+    hash-join against the broadcast needle set — the needle list never
+    shuffles the corpus, so at 100 TB cost is one corpus pass
+    regardless of needle count (the n-gram-overlap decontamination
+    recipe of LLM training pipelines)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    ).where(F.size("t") >= 5)
+    needles = (
+        toks.where(F.col("doc_id") % 97 == 0)
+        .select(F.concat_ws(" ", F.slice("t", 1, 5)).alias("needle"))
+        .distinct()
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 4),
+                lambda i: F.concat_ws(" ", F.slice("t", i, 5)),
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.join(F.broadcast(needles), grams.gram == needles.needle)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_hits"))
+    )
+
+
+@query(
+    "q87_repetition",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 3)
+    ), stats AS (
+        SELECT doc_id, count(*) AS n_grams,
+               count(DISTINCT g) AS n_distinct
+        FROM grams GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_distinct,
+           round(1 - n_distinct / CAST(n_grams AS DOUBLE), 4)
+               AS repetition_ratio,
+           (n_distinct / CAST(n_grams AS DOUBLE)) < 0.8 AS flagged
+    FROM stats WHERE n_grams >= 10
+    """,
+)
+def q87_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition detection (boilerplate/spam filter):
+    1 - distinct/total trigram ratio per doc, flagging docs whose
+    trigram diversity drops below 0.8 — a Gopher/RefinedWeb-style
+    quality rule. One explode + one (doc,gram) agg, map-side
+    combinable; no cross-document shuffle at all."""
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+        )
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, 3)),
+                )
+            ).alias("g"),
+        )
+    )
+    stats = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.count_distinct("g").alias("n_distinct"),
+    )
+    ratio = F.col("n_distinct") / F.col("n_grams").cast("double")
+    return stats.where(F.col("n_grams") >= 10).select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.round(1 - ratio, 4).alias("repetition_ratio"),
+        (ratio < 0.8).alias("flagged"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
