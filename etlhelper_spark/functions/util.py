@@ -57,6 +57,7 @@ def range_join(
     bucket_seconds: int = 3600,
     extra_keys: list[str] | None = None,
     how: str = "inner",
+    broadcast_intervals: bool = False,
 ) -> DataFrame:
     """Point-in-interval join (ts ∈ [start, end)) as a bucketed
     EQUI-join instead of the theta join Spark would otherwise plan.
@@ -75,6 +76,9 @@ def range_join(
 
     ``how='left'`` keeps unmatched events with NULL interval columns.
     Zero/negative-length intervals are dropped (they contain no ts).
+    ``broadcast_intervals=True`` pins a broadcast hash join up front
+    (interval tables are usually tiny post-explode) instead of letting
+    AQE discover that after materializing the first shuffle stage.
     """
     from pyspark.sql import functions as F
 
@@ -97,6 +101,8 @@ def range_join(
             ),
         )
     )
+    if broadcast_intervals:
+        iv = F.broadcast(iv)
     cond = ev["__ev_bucket"] == iv["__iv_bucket"]
     for k in keys:
         cond = cond & (ev[k] == iv[k])

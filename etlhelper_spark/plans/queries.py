@@ -2401,7 +2401,10 @@ def q76_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w_end"),
         )
     )
-    joined = range_join(e, iv, "ts", "w_start", "w_end", bucket_seconds=3600)
+    joined = range_join(
+        e, iv, "ts", "w_start", "w_end", bucket_seconds=3600,
+        broadcast_intervals=True,
+    )
     return joined.groupBy("interval_id", "label", "w_start").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
