@@ -50,6 +50,14 @@ def get_session(
         # the sweet spot for parquet on object storage.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # Runtime filters: big-join probe sides get a bloom filter built
+        # from the small side's join keys — rows that can't match die at
+        # the SCAN, which at 100 TB is the difference between shuffling
+        # the fact table and not.  NOTE: do NOT also enable
+        # spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled —
+        # on Spark 4.1 local mode it deadlocks session-first queries
+        # (verified: even `spark.range(5).count()` never returns).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
