@@ -77,6 +77,11 @@ HEADLINE = [
     "q84_dup_clusters",
     "q86_contamination",
     "q87_repetition",
+    "q88_dedup_survivors",
+    "q89_char_entropy",
+    "q90_sequence_packing",
+    "q91_tpch_q5",
+    "q92_tpch_q17",
 ]
 
 

@@ -447,3 +447,48 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias("node_id"), F.col("label").alias("cluster_id")
     )
+
+
+def select_survivors(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: Column | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Pick ONE survivor per duplicate cluster and map every clustered
+    document to it — the final step of the dedup pipeline (pairs →
+    clusters → survivors → filtered corpus).
+
+    Policy: highest ``quality_col`` wins (default:
+    text.quality_score over ``text_col``), ties broken by smallest id
+    so the choice is deterministic across runs and engines. One
+    window over cluster_id — the per-cluster ranking shuffles only the
+    CLUSTERED docs (a tiny fraction of a 100 TB corpus), never the
+    full table; the kept/dropped verdict then joins back to the corpus
+    on id (broadcastable when dup rate is low, reference parity:
+    etlhelper's transform-then-load filtering, etlhelper/etl.py).
+
+    Returns (id, cluster_id, quality, survivor_id, kept) for every
+    document that appears in ``clusters``.
+    """
+    from .text import quality_score
+
+    if quality_col is None:
+        quality_col = quality_score(F.col(text_col))
+    scored = clusters.join(
+        docs, clusters.node_id == docs[id_col]
+    ).select(
+        docs[id_col].alias("id"),
+        "cluster_id",
+        quality_col.alias("quality"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("id").asc()
+    )
+    return scored.select(
+        "id",
+        "cluster_id",
+        "quality",
+        F.first("id").over(w).alias("survivor_id"),
+    ).withColumn("kept", F.col("id") == F.col("survivor_id"))

@@ -122,3 +122,39 @@ def top_tokens(
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(k)
     )
+
+
+# (pattern, replacement) pairs applied in order by redact_pii.  RE2- and
+# Java-regex-compatible (no lookbehind) so the same patterns run in
+# Spark, DuckDB, and most scrubbing tools.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub emails / IPv4s / phone-ish number runs, JVM-side.
+
+    A chain of ``regexp_replace`` expressions — stays inside
+    whole-stage codegen, no Python worker, so it runs at full scan
+    speed over a 100 TB corpus (the pre-training PII-scrub pass).
+    Order matters: emails before phones so digits inside an address
+    are consumed as <EMAIL>, IPs before phones so dotted quads don't
+    half-match the looser phone run.
+    """
+    out = col
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-category PII match counts (emails, ips, phones) —
+    the audit metric emitted alongside redaction."""
+    return F.struct(
+        F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[0][0]), F.lit(0))).alias("emails"),
+        F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[1][0]), F.lit(0))).alias("ips"),
+        F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[2][0]), F.lit(0))).alias("phones"),
+    )

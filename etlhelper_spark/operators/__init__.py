@@ -12,9 +12,13 @@ from .etl import (
     iter_rows,
     load,
 )
+from .maintenance import clustered_rewrite, compact_parquet_table, morton_code
 from .merge import merge_dataframes, merge_into_parquet
 
 __all__ = [
+    "clustered_rewrite",
+    "compact_parquet_table",
+    "morton_code",
     "merge_dataframes",
     "merge_into_parquet",
     "CHUNKSIZE",

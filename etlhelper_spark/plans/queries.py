@@ -29,6 +29,7 @@ from ..functions.dedup import (
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
+    select_survivors,
     simhash,
 )
 from ..functions.multimodal import documents_as_media, extract_features
@@ -2874,6 +2875,286 @@ def q87_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         F.round(1 - ratio, 4).alias("repetition_ratio"),
         (ratio < 0.8).alias("flagged"),
+    )
+
+
+@query(
+    "q88_dedup_survivors",
+    """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT id, shingle FROM (
+            SELECT id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM (SELECT id, t, unnest(range(1, len(t)-1)) AS i FROM toks)
+        ) WHERE shingle <> ''
+    ), sizes AS (
+        SELECT id, count(*) AS n_shingles FROM sh GROUP BY id
+    ), shared AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM shared
+        JOIN sizes sa ON id_a = sa.id
+        JOIN sizes sb ON id_b = sb.id
+        WHERE round(shared / (sa.n_shingles + sb.n_shingles - shared), 4)
+              >= 0.5
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lab) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id
+    ), clusters AS (
+        SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id
+    ), scored AS (
+        SELECT c.id, c.cluster_id,
+               CAST(round(CAST(
+                   least(len(regexp_split_to_array(trim(d.text), '\\s+')) / 50.0,
+                         1.0)
+                   * (1.0 - length(regexp_replace(d.text, '[^.,;:!?]', '', 'g'))
+                          / greatest(length(d.text), 1))
+                   AS DECIMAL(30,10)), 4) AS DOUBLE) AS quality
+        FROM clusters c JOIN documents d ON d.doc_id = c.id
+    )
+    SELECT id AS doc_id, cluster_id, quality,
+           first_value(id) OVER w AS survivor_id,
+           id = first_value(id) OVER w AS kept
+    FROM scored
+    WINDOW w AS (PARTITION BY cluster_id ORDER BY quality DESC, id ASC)
+    """,
+)
+def q88_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE dedup pipeline: exact-jaccard pairs (PPJoin) →
+    connected-component clusters → quality-policy survivor per cluster
+    (functions/dedup.py::select_survivors).  Highest quality_score
+    wins, ties to smallest doc_id, so the survivor set is
+    deterministic across engines — only clustered docs (a tiny
+    fraction of the corpus) ever reach the ranking window."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_size=3, threshold=0.5
+    )
+    clusters = duplicate_clusters(pairs, "id_a", "id_b")
+    tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    punct = F.length(
+        F.regexp_replace(F.col("text"), r"[^.,;:!?]", "")
+    ) / F.greatest(F.length(F.col("text")), F.lit(1))
+    quality = _sround(
+        F.least(tok / F.lit(50.0), F.lit(1.0)) * (F.lit(1.0) - punct), 4
+    )
+    surv = select_survivors(d, clusters, "doc_id", quality_col=quality)
+    return surv.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        "quality",
+        "survivor_id",
+        "kept",
+    )
+
+
+@query(
+    "q89_char_entropy",
+    """
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents WHERE length(text) > 0
+    ), counts AS (
+        SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+    ), agg AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+               sum(c * log2(c)) AS s
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars,
+           CAST(round(CAST(log2(n_chars) - s / n_chars
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS entropy
+    FROM agg
+    """,
+)
+def q89_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/binary-spill detector in corpus quality pipelines (low
+    entropy = repeated filler, high = random bytes).  Uses the
+    one-pass identity H = log2(N) - Σc·log2(c)/N over per-char counts,
+    so it's explode + two map-side-combinable aggs, no window and no
+    second pass over the text."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.where(F.length("text") > 0)
+        .select("doc_id", F.explode(F.split("text", "")).alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        F.sum(F.col("c") * F.log2("c")).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        _sround(
+            F.log2("n_chars") - F.col("s") / F.col("n_chars"), 4
+        ).alias("entropy"),
+    )
+
+
+@query(
+    "q90_sequence_packing",
+    """
+    WITH toks AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), packed AS (
+        SELECT source, doc_id, tok,
+               (sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - tok) // 4096
+                   AS bin_id
+        FROM toks
+    )
+    SELECT source, bin_id,
+           count(*) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY source, bin_id
+    """,
+)
+def q90_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign documents (in stable doc_id
+    order per source shard) to ~4096-token training bins via running
+    token cumsum — floor(preceding_tokens / 4096).  The deterministic
+    packing used to batch pre-training corpora: one window per shard
+    partition (each shard's docs are co-located, so the window never
+    crosses executors), then a map-side-combinable per-bin rollup."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("tok").over(w) - F.col("tok")) / F.lit(4096)),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok").alias("bin_tokens"),
+    )
+
+
+@query(
+    "q91_tpch_q5",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q91_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-table snowflake with
+    the customer-nation = supplier-nation locality condition.  region
+    → nation → supplier prune BEFORE touching facts and broadcast into
+    the lineitem join; the only big-big shuffle is orders⋈lineitem on
+    orderkey.  The runtime bloom filter on l_orderkey built from the
+    date-filtered orders side kills non-matching lineitem rows at the
+    scan (session.py)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    o = o.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    asia_nations = (
+        n.join(
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            n.n_regionkey == r.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    local_sup = s.join(
+        F.broadcast(asia_nations), s.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(local_sup), li.l_suppkey == F.col("s_suppkey"))
+        .join(
+            c,
+            (o.o_custkey == c.c_custkey)
+            & (F.col("s_nationkey") == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+@query(
+    "q92_tpch_q17",
+    """
+    WITH part_avg AS (
+        SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_limit
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(round(CAST(sum(l_extendedprice) / 7.0
+               AS DECIMAL(30,10)), 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg ON part_avg.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < qty_limit
+    """,
+)
+def q92_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), decorrelated the way
+    Catalyst would: the correlated scalar subquery avg(l_quantity) per
+    part becomes one groupBy over lineitem joined back on partkey —
+    at 100 TB that's a partial-agg + one co-keyed shuffle instead of a
+    per-row subquery.  The Brand#23 part filter broadcasts; pushing it
+    into BOTH the avg side and the probe side would change semantics
+    (the average is over ALL orders of the part), so only the probe is
+    filtered."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_limit")
+    )
+    brand = p.where(F.col("p_brand") == "Brand#23").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), li.l_partkey == F.col("p_partkey"))
+        .join(part_avg, li.l_partkey == F.col("pa_key"))
+        .where(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            _sround(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
+                "avg_yearly"
+            )
+        )
     )
 
 

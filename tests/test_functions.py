@@ -204,3 +204,61 @@ def test_duplicate_clusters_ignores_pair_order(spark):
         r["node_id"]: r["cluster_id"] for r in duplicate_clusters(df).collect()
     }
     assert as_map(fwd) == as_map(rev) == {5: 5, 9: 5, 7: 5}
+
+
+def test_select_survivors_quality_policy(spark):
+    from etlhelper_spark.functions.dedup import select_survivors
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short."),                                   # low quality
+            (2, " ".join(["word"] * 60) + "."),              # high quality
+            (3, " ".join(["word"] * 60) + "."),              # tie with 2
+            (10, "other cluster text here"),
+            (11, "x"),
+        ],
+        "doc_id bigint, text string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "node_id bigint, cluster_id bigint",
+    )
+    out = {
+        r.id: r
+        for r in select_survivors(docs, clusters, "doc_id").collect()
+    }
+    # quality tie between 2 and 3 -> smallest id wins
+    assert out[2].survivor_id == 2 and out[2].kept
+    assert out[3].survivor_id == 2 and not out[3].kept
+    assert out[1].survivor_id == 2 and not out[1].kept
+    # second cluster independent; 10 beats 11 on quality
+    assert out[10].survivor_id == 10 and out[10].kept
+    assert out[11].survivor_id == 10 and not out[11].kept
+
+
+def test_redact_pii_patterns(spark):
+    from pyspark.sql import functions as F
+
+    from etlhelper_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail me at jo.doe+x@example.co.uk thanks",),
+            ("server 10.0.255.3 rebooted",),
+            ("call +44 (0)20 7946-0958 now",),
+            ("clean text, nothing here",),
+        ],
+        "text string",
+    )
+    rows = df.select(
+        redact_pii(F.col("text")).alias("red"),
+        pii_counts(F.col("text")).alias("c"),
+    ).collect()
+    assert "<EMAIL>" in rows[0].red and "@" not in rows[0].red
+    assert rows[0].c.emails == 1
+    assert "<IP>" in rows[1].red and "255" not in rows[1].red
+    assert rows[1].c.ips == 1
+    assert "<PHONE>" in rows[2].red and "7946" not in rows[2].red
+    assert rows[2].c.phones == 1
+    assert rows[3].red == "clean text, nothing here"
+    assert rows[3].c == (0, 0, 0)
