@@ -82,6 +82,9 @@ HEADLINE = [
     "q90_sequence_packing",
     "q91_tpch_q5",
     "q92_tpch_q17",
+    "q93_tpch_q15",
+    "q94_tpch_q8",
+    "q95_embedding_quant",
 ]
 
 

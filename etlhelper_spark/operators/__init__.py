@@ -14,11 +14,15 @@ from .etl import (
 )
 from .maintenance import clustered_rewrite, compact_parquet_table, morton_code
 from .merge import merge_dataframes, merge_into_parquet
+from .observe import observed, row_metrics, run_with_metrics
 
 __all__ = [
     "clustered_rewrite",
     "compact_parquet_table",
     "morton_code",
+    "observed",
+    "row_metrics",
+    "run_with_metrics",
     "merge_dataframes",
     "merge_into_parquet",
     "CHUNKSIZE",

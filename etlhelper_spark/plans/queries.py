@@ -3158,6 +3158,193 @@ def q92_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q93_tpch_q15",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-07-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q93_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the max-of-an-aggregate pattern.  The
+    scalar max is a 1-row DataFrame cross-joined (broadcast) into the
+    per-supplier revenue table — NOT a global window, which would drag
+    every supplier row into one partition at scale.  Revenue rounds to
+    2dp before the equality comparison on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    lo = F.lit("1996-01-01").cast("timestamp_ntz")
+    hi = F.lit("1996-07-01").cast("timestamp_ntz")
+    revenue = (
+        li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q94_tpch_q8",
+    """
+    SELECT o_year,
+           CAST(round(CAST(
+               sum(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+                   / sum(volume) AS DECIMAL(30,10)), 4) AS DOUBLE)
+               AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+    ) GROUP BY o_year
+    """,
+)
+def q94_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): 8-table join where every
+    dimension (part filtered to PROMO, supplier+nation, customer
+    nation restricted to AMERICA via region) broadcasts into the
+    orders⋈lineitem fact spine; the share is a conditional-sum /
+    total-sum ratio per order year."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+
+    o = o.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    promo = p.where(F.col("p_type") == "PROMO").select("p_partkey")
+    america_cust = c.join(
+        F.broadcast(
+            n.join(
+                F.broadcast(r.where(F.col("r_name") == "AMERICA")),
+                n.n_regionkey == r.r_regionkey,
+            ).select("n_nationkey")
+        ),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    sup_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), "n_name")),
+        s.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(promo), li.l_partkey == F.col("p_partkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(america_cust, o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(sup_nation), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            _sround(
+                F.sum(
+                    F.when(F.col("nation") == "NATION_1", F.col("volume"))
+                    .otherwise(F.lit(0.0))
+                )
+                / F.sum("volume"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "q95_embedding_quant",
+    """
+    WITH scaled AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(x))) AS maxabs
+        FROM embeddings
+    )
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           CAST(round(CAST(maxabs / 127.0 AS DECIMAL(30,10)), 6) AS DOUBLE)
+               AS scale,
+           CAST(list_sum(list_transform(embedding,
+               x -> floor(CAST(x * 127.0 / maxabs AS DECIMAL(30,10)) + 0.5)))
+               AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(embedding,
+               x -> CAST(floor(CAST(x * 127.0 / maxabs AS DECIMAL(30,10)) + 0.5)
+                         AS BIGINT)
+                    * floor(CAST(x * 127.0 / maxabs AS DECIMAL(30,10)) + 0.5)))
+               AS BIGINT) AS q_l2
+    FROM scaled WHERE maxabs > 0
+    """,
+)
+def q95_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the vector-index
+    compression step): per-vector scale = max|x|/127, elements
+    round-to-nearest via an engine-stable DECIMAL-cast floor(x+0.5).
+    All higher-order array functions (transform/aggregate) — JVM
+    codegen, no Python worker, no explode: the 100 TB path touches
+    each vector exactly once.  Checksums (q_sum, Σq² as q_l2) stand in
+    for the int8 array so the oracle hash-compares scalars, not float
+    lists."""
+    e = _t(spark, sf_dir, "embeddings")
+    maxabs = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    q = lambda x: F.floor(  # noqa: E731 — engine-stable round-half-up
+        (x * 127.0 / F.col("maxabs")).cast("decimal(30,10)") + F.lit(0.5)
+    )
+    return (
+        e.withColumn("maxabs", maxabs)
+        .where(F.col("maxabs") > 0)
+        .select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            _sround(F.col("maxabs") / F.lit(127.0), 6).alias("scale"),
+            F.aggregate(
+                "embedding",
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + q(x),
+            ).alias("q_sum"),
+            F.aggregate(
+                "embedding",
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + q(x) * q(x),
+            ).alias("q_l2"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -1,0 +1,39 @@
+"""df.observe metrics: in-job audit counters (reference parity: the
+"N rows processed" / FailedRow accounting of etlhelper/etl.py, done
+without a second scan)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlhelper_spark.operators import observed, row_metrics, run_with_metrics
+
+
+def test_run_with_metrics_counts_in_one_job(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id int, v string"
+    )
+    n, metrics = run_with_metrics(df, row_metrics(df, ["v"]))
+    assert n == 4
+    assert metrics == {"n_rows": 4, "nulls_v": 2}
+
+
+def test_observed_custom_aggregates_after_write(spark, tmp_path):
+    df = spark.range(100).withColumn("x", F.col("id") * 2)
+    out, obs = observed(
+        df,
+        {
+            "n": F.count(F.lit(1)),
+            "max_x": F.max("x"),
+            "sum_x": F.sum("x"),
+        },
+    )
+    out.write.mode("overwrite").parquet(str(tmp_path / "t"))
+    got = dict(obs.get)
+    assert got == {"n": 100, "max_x": 198, "sum_x": 9900}
+
+
+def test_observed_rejects_non_aggregate(spark):
+    df = spark.range(5)
+    with pytest.raises(Exception):
+        out, obs = observed(df, {"bad": F.col("id") + 1})
+        out.count()
