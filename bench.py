@@ -85,6 +85,9 @@ HEADLINE = [
     "q93_tpch_q15",
     "q94_tpch_q8",
     "q95_embedding_quant",
+    "q96_tpch_q9_profit",
+    "q97_tpch_q2_mincost",
+    "q98_line_dedup",
 ]
 
 

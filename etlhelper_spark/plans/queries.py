@@ -3345,6 +3345,195 @@ def q95_embedding_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q96_tpch_q9_profit",
+    """
+    SELECT nation, o_year,
+           round(sum(amount), 2) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                   - 0.6 * p_retailprice * l_quantity AS amount
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+    ) GROUP BY nation, o_year
+    """,
+)
+def q96_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: testdata has no
+    partsupp, so supply cost is proxied as 0.6·p_retailprice, and the
+    name filter is '%widget%' (the spec's '%green%' with this data's
+    part vocabulary).  part filters on the substring then broadcasts;
+    profit aggregates by supplier nation × order year."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    green = p.where(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    sup_nat = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("nk"), "n_name")),
+        s.s_nationkey == F.col("nk"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(green), li.l_partkey == green.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sup_nat), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            "nation",
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+@query(
+    "q97_tpch_q2_mincost",
+    """
+    WITH offer AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               CAST(round(CAST(avg(l_extendedprice / l_quantity)
+                    AS DECIMAL(30,10)), 4) AS DOUBLE) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), europe_sup AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ), ranked AS (
+        SELECT p_partkey, p_name, s_name, n_name, s_acctbal, unit_cost,
+               min(unit_cost) OVER (PARTITION BY p_partkey) AS best_cost
+        FROM offer
+        JOIN europe_sup ON suppkey = s_suppkey
+        JOIN part ON p_partkey = partkey
+        WHERE p_size <= 15
+    )
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal, unit_cost
+    FROM ranked WHERE unit_cost = best_cost
+    """,
+)
+def q97_tpch_q2_mincost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: partsupp doesn't
+    exist, so the (part, supplier, cost) relation is DERIVED from
+    lineitem history — avg unit price per (partkey, suppkey) — then
+    the spec's correlated min-subquery becomes a per-part window min
+    (one pass; Catalyst decorrelates the original the same way).
+    Region-filtered suppliers broadcast into the offer table."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    offer = li.groupBy(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).agg(
+        _sround(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4)
+        .alias("unit_cost")
+    )
+    europe_sup = (
+        s.join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+                    n.n_regionkey == r.r_regionkey,
+                ).select("n_nationkey", "n_name")
+            ),
+            s.s_nationkey == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    joined = (
+        offer.join(F.broadcast(europe_sup), F.col("suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(p.where(F.col("p_size") <= 15)),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("best_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("best_cost"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name", "s_acctbal", "unit_cost"
+        )
+    )
+
+
+@query(
+    "q98_line_dedup",
+    """
+    WITH lines AS (
+        SELECT doc_id, trim(line) AS line
+        FROM (SELECT doc_id, unnest(string_split(text, '.')) AS line
+              FROM documents)
+        WHERE trim(line) <> ''
+    ), freq AS (
+        SELECT line, count(DISTINCT doc_id) AS n_docs
+        FROM lines GROUP BY line
+    )
+    SELECT l.doc_id,
+           count(*) AS n_lines,
+           count(*) FILTER (WHERE f.n_docs >= 10) AS boilerplate_lines,
+           CAST(round(CAST(count(*) FILTER (WHERE f.n_docs >= 10)
+                / CAST(count(*) AS DOUBLE) AS DECIMAL(30,10)), 4) AS DOUBLE)
+               AS boilerplate_ratio
+    FROM lines l JOIN freq f ON l.line = f.line
+    GROUP BY l.doc_id
+    """,
+)
+def q98_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level LINE deduplication stats (the C4/RefinedWeb
+    boilerplate-removal pass): split docs into sentences, count how
+    many DISTINCT docs each sentence appears in, flag sentences in
+    ≥10 docs as boilerplate, report the per-doc boilerplate ratio.
+    Two shuffles total — one (line → doc-count) agg and one join back
+    keyed on the line — both map-side combinable; the line-frequency
+    table is the only cross-document state, exactly how the pass runs
+    on a full web crawl."""
+    d = _t(spark, sf_dir, "documents")
+    lines = (
+        d.select(
+            "doc_id", F.explode(F.split("text", r"\.")).alias("raw")
+        )
+        .select("doc_id", F.trim("raw").alias("line"))
+        .where(F.col("line") != "")
+    )
+    freq = lines.groupBy("line").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    flagged = F.sum(F.when(F.col("n_docs") >= 10, 1).otherwise(0))
+    return (
+        lines.join(freq, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            flagged.alias("boilerplate_lines"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "boilerplate_lines",
+            _sround(
+                F.col("boilerplate_lines") / F.col("n_lines").cast("double"),
+                4,
+            ).alias("boilerplate_ratio"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
