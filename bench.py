@@ -88,6 +88,7 @@ HEADLINE = [
     "q96_tpch_q9_profit",
     "q97_tpch_q2_mincost",
     "q98_line_dedup",
+    "q99_quality_filter",
 ]
 
 

@@ -3534,6 +3534,81 @@ def q98_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q99_quality_filter",
+    """
+    WITH feat AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tok,
+               len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')))
+                   AS n_distinct_tok,
+               CAST(round(CAST(
+                   least(len(regexp_split_to_array(trim(text), '\\s+')) / 50.0,
+                         1.0)
+                   * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                          / greatest(length(text), 1))
+                   AS DECIMAL(30,10)), 4) AS DOUBLE) AS quality
+        FROM documents
+    )
+    SELECT doc_id, n_tok,
+           CAST(round(CAST(n_distinct_tok / CAST(n_tok AS DOUBLE)
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS diversity,
+           quality,
+           CASE WHEN n_tok < 10 THEN 'too_short'
+                WHEN n_distinct_tok / CAST(n_tok AS DOUBLE) < 0.5
+                    THEN 'repetitive'
+                WHEN quality < 0.3 THEN 'low_quality'
+                ELSE 'keep' END AS reason,
+           (n_tok >= 10
+            AND n_distinct_tok / CAST(n_tok AS DOUBLE) >= 0.5
+            AND quality >= 0.3) AS kept
+    FROM feat
+    """,
+)
+def q99_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assembled quality-filter pipeline (Gopher/C4-style rule
+    stack): length gate → token-diversity gate → heuristic quality
+    gate, each doc tagged with its FIRST failing rule as the audit
+    reason code.  Pure per-row expressions — no shuffle at all until
+    whatever downstream agg consumes the verdicts; at 100 TB this is
+    a single codegen'd scan pass."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    n_tok = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    diversity = n_distinct / n_tok.cast("double")
+    punct = F.length(
+        F.regexp_replace(F.col("text"), r"[^.,;:!?]", "")
+    ) / F.greatest(F.length(F.col("text")), F.lit(1))
+    raw_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    quality = _sround(
+        F.least(raw_tok / F.lit(50.0), F.lit(1.0)) * (F.lit(1.0) - punct), 4
+    )
+    feat = d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_distinct.alias("n_distinct_tok"),
+        quality.alias("quality"),
+    )
+    dv = F.col("n_distinct_tok") / F.col("n_tok").cast("double")
+    reason = (
+        F.when(F.col("n_tok") < 10, "too_short")
+        .when(dv < 0.5, "repetitive")
+        .when(F.col("quality") < 0.3, "low_quality")
+        .otherwise("keep")
+    )
+    return feat.select(
+        "doc_id",
+        "n_tok",
+        _sround(dv, 4).alias("diversity"),
+        "quality",
+        reason.alias("reason"),
+        (
+            (F.col("n_tok") >= 10) & (dv >= 0.5) & (F.col("quality") >= 0.3)
+        ).alias("kept"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
