@@ -399,11 +399,23 @@ def duplicate_clusters(
     Returns (node_id, cluster_id) for every node appearing in pairs,
     cluster_id = min node id of the component.
     """
+    # both edge directions from ONE pass over pairs — a union of two
+    # selects would evaluate the (expensive) pair-generation subtree
+    # twice, since nothing upstream is materialized yet
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint()
     )
