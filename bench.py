@@ -89,6 +89,8 @@ HEADLINE = [
     "q97_tpch_q2_mincost",
     "q98_line_dedup",
     "q99_quality_filter",
+    "q100_tpch_q4",
+    "q101_bpe_tokens",
 ]
 
 

@@ -3609,6 +3609,107 @@ def q99_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q100_tpch_q4",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q100_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted: the spec's
+    l_commitdate < l_receiptdate late-delivery predicate becomes
+    l_shipdate > o_orderdate (testdata carries neither commit nor
+    receipt dates).  The EXISTS is a LEFT SEMI join on orderkey — the
+    date-filtered orders side is small, so it broadcasts INTO the
+    lineitem probe and no fact shuffle happens at all."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+@query(
+    "q101_bpe_tokens",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_bpe_tokens,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+           len(list_distinct(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS n_vocab
+    FROM documents WHERE length(text) > 0
+    """,
+)
+def q101_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer token accounting (the GPT-2-style regex split:
+    letter runs | digit runs | single punctuation): BPE-proxy count,
+    whitespace count, and per-doc vocabulary size — the token-budget
+    estimate every training-data pipeline runs before mixing.  Pure
+    regexp_extract_all expressions in codegen; identical RE2/Java
+    regex so the oracle executes the same automaton."""
+    d = _t(spark, sf_dir, "documents")
+    bpe_pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    vocab_pat = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+    return d.where(F.length("text") > 0).select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(bpe_pat), F.lit(0))
+        ).alias("n_bpe_tokens"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws_tokens"),
+        F.size(
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(vocab_pat), F.lit(0)
+                )
+            )
+        ).alias("n_vocab"),
+    )
+
+
+@query(
+    "q102_stream_static_join",
+    """
+    SELECT c_mktsegment, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def q102_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC dimension enrichment: events readStream joined to
+    the static customer table (broadcast per micro-batch, no state
+    store, no watermark on the static side) → per-segment rollup,
+    drained availableNow.  Matches the batch join oracle exactly —
+    the standard firehose-enrichment pattern
+    (streaming/windows.py::stream_static_enrichment)."""
+    from ..streaming.windows import stream_static_enrichment
+
+    configure_session(spark)
+    ckpt = tempfile.mkdtemp(prefix="ehs_sse_")
+    return stream_static_enrichment(spark, sf_dir, ckpt)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -291,3 +291,50 @@ def stream_stream_view_purchase_join(
         )
         .withColumnRenamed("p_user", "user_id")
     )
+
+
+def stream_static_enrichment(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Stream-STATIC join: the events stream enriched with the static
+    customer dimension (user_id → customer attributes), aggregated to
+    per-segment event counts.
+
+    The static side needs no watermark and no state store — Spark
+    plans it as a broadcast hash join against each micro-batch, which
+    is THE pattern for dimension enrichment of a 100 TB/day event
+    firehose (re-read per batch, so slowly-changing dims pick up
+    updates between batches; contrast stream-stream joins which buffer
+    both sides in state).  Drained with availableNow into a memory
+    sink; equals the batch join oracle."""
+    from pyspark.sql import functions as F
+
+    customers = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_mktsegment")
+    )
+    stream = read_events_stream(spark, sf_dir)
+    enriched = (
+        stream.join(
+            F.broadcast(customers),
+            stream.user_id == customers.c_custkey,
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    sink_name = f"enrich_{abs(hash(checkpoint_dir)) % 10**8}"
+    q = (
+        enriched.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink_name)
