@@ -91,6 +91,8 @@ HEADLINE = [
     "q99_quality_filter",
     "q100_tpch_q4",
     "q101_bpe_tokens",
+    "q103_mixture_deciles",
+    "q104_fixed_sample",
 ]
 
 
@@ -134,6 +136,15 @@ def main() -> None:
         (_t0 + F.make_dt_interval(F.lit(0), F.col("id") + 1)).alias("e"),
     )
     range_join(_ev, _iv, "ts", "s", "e", 3600).groupBy("k").count().count()
+    # decimal-rounding + ntile codegen classes (quality/mixture family)
+    warm.select(
+        F.ntile(4)
+        .over(Window.partitionBy("r_name").orderBy("r_regionkey"))
+        .alias("nt"),
+        F.round(
+            (F.col("r_regionkey") / F.lit(7.0)).cast("decimal(30,10)"), 4
+        ).cast("double").alias("dec"),
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

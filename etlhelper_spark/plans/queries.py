@@ -3710,6 +3710,94 @@ def q102_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_static_enrichment(spark, sf_dir, ckpt)
 
 
+@query(
+    "q103_mixture_deciles",
+    """
+    WITH feat AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+               CAST(round(CAST(
+                   least(len(regexp_split_to_array(trim(text), '\\s+')) / 50.0,
+                         1.0)
+                   * (1.0 - length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                          / greatest(length(text), 1))
+                   AS DECIMAL(30,10)), 4) AS DOUBLE) AS quality
+        FROM documents
+    ), binned AS (
+        SELECT source, n_tok,
+               ntile(10) OVER (PARTITION BY source
+                               ORDER BY quality DESC, doc_id) AS decile
+        FROM feat
+    )
+    SELECT source, decile,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS decile_tokens
+    FROM binned GROUP BY source, decile
+    """,
+)
+def q103_mixture_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: rank every doc into a
+    per-source quality DECILE (ntile over quality, doc_id tiebreak →
+    deterministic across engines) and report each cell's doc count and
+    token budget — the table a data-mixing recipe samples from
+    ("source A: top 3 deciles at 2 epochs; source B: top decile
+    only").  One window per source partition + a map-side rollup."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.trim("text"), r"\s+"))
+    punct = F.length(
+        F.regexp_replace(F.col("text"), r"[^.,;:!?]", "")
+    ) / F.greatest(F.length(F.col("text")), F.lit(1))
+    quality = _sround(
+        F.least(tok / F.lit(50.0), F.lit(1.0)) * (F.lit(1.0) - punct), 4
+    )
+    feat = d.select(
+        "doc_id", "source", tok.alias("n_tok"), quality.alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        feat.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("source", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("decile_tokens"),
+        )
+    )
+
+
+@query(
+    "q104_fixed_sample",
+    """
+    SELECT doc_id, source, rk
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                           doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def q104_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-source deterministic sample (eval/holdout set
+    construction): order each source's docs by md5(doc_id) — a
+    seedless, engine-reproducible pseudo-random permutation — and keep
+    the first 20.  Unlike fraction sampling (q78) the output size is
+    EXACT; the per-source window tops out at N rows of state and the
+    rank predicate prunes everything else before any downstream
+    operator."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 20)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -93,3 +93,57 @@ def test_streaming_batch_equivalence(spark, tmp_path):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in stream.collect()}
     assert b == s
+
+
+def test_tpch_q5_runtime_bloom_filter(spark):
+    from etlhelper_spark.plans.queries import q91_tpch_q5
+
+    plan = explain_str(q91_tpch_q5(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # bloom injection requires (a) an application-side scan over the
+    # 10 GB threshold and (b) a SHUFFLE join — both false at test
+    # scale where everything broadcasts.  Force both to verify the
+    # session-enabled path injects might_contain at the probe scan,
+    # exactly what happens unforced on a 100 TB lineitem.
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        plan_forced = explain_str(q91_tpch_q5(spark, SF))
+        assert "might_contain" in plan_forced
+        assert "SortMergeJoin" in plan_forced
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_tpch_q4_semi_join_no_fact_shuffle(spark):
+    from etlhelper_spark.plans.queries import q100_tpch_q4
+
+    plan = explain_str(q100_tpch_q4(spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q17_single_lineitem_agg(spark):
+    from etlhelper_spark.plans.queries import q92_tpch_q17
+
+    plan = explain_str(q92_tpch_q17(spark, SF))
+    # decorrelated: no per-row subquery artifacts, partial aggregate
+    # present for the per-part average
+    assert "Subquery" not in plan or "ReusedSubquery" in plan
+    assert "HashAggregate" in plan
+
+
+def test_quality_filter_zero_shuffle(spark):
+    from etlhelper_spark.plans.queries import q99_quality_filter
+
+    plan = explain_str(q99_quality_filter(spark, SF))
+    assert "Exchange" not in plan  # pure scan pass, no shuffle at all
