@@ -93,6 +93,7 @@ HEADLINE = [
     "q101_bpe_tokens",
     "q103_mixture_deciles",
     "q104_fixed_sample",
+    "q105_source_overlap",
 ]
 
 

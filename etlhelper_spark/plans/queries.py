@@ -3798,6 +3798,95 @@ def q104_fixed_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q105_source_overlap",
+    """
+    WITH toks AS (
+        SELECT source, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT source, shingle FROM (
+            SELECT source, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM (SELECT source, t, unnest(range(1, len(t)-1)) AS i FROM toks)
+        ) WHERE shingle <> ''
+    ), sizes AS (
+        SELECT source, count(*) AS n FROM sh GROUP BY source
+    ), shared AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, shared,
+           CAST(round(CAST(shared / (sa.n + sb.n - shared)
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS jaccard
+    FROM shared
+    JOIN sizes sa ON source_a = sa.source
+    JOIN sizes sb ON source_b = sb.source
+    WHERE round(shared / (sa.n + sb.n - shared), 4) >= 0.01
+    """,
+)
+def q105_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE content overlap matrix (dataset-curation dedup at
+    the corpus level: which feeds are re-crawls of each other?):
+    distinct trigram vocabulary per source, then pairwise Jaccard over
+    the |sources|² grid.  The heavy step — per-source distinct
+    shingles — is one map-side-combinable agg over the corpus; the
+    pair join is tiny because source cardinality is tiny (the shingle
+    self-join emits ≤|sources|² rows per shingle).  Scales to 100 TB
+    because cost is O(corpus) + O(|sources|²·vocab-overlap), never
+    O(docs²)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.split(F.lower(F.trim("text")), r"\s+").alias("t")
+    ).where(F.size("t") >= 3)
+    sh = (
+        toks.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.concat_ws(" ", F.slice("t", i, 3)),
+                )
+            ).alias("shingle"),
+        )
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("sa_src"), F.col("n").alias("na")
+    )
+    sb = sizes.select(
+        F.col("source").alias("sb_src"), F.col("n").alias("nb")
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(F.broadcast(sa), F.col("source_a") == F.col("sa_src"))
+        .join(F.broadcast(sb), F.col("source_b") == F.col("sb_src"))
+        .where(F.round(jac, 4) >= 0.01)
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            _sround(jac, 4).alias("jaccard"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -44,12 +44,23 @@ def nanos_timestamp_columns(path: str) -> tuple[str, ...]:
     )
 
 
-def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+def read_parquet_table(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
     """spark.read.parquet with nanosecond-timestamp columns restored to
     TimestampType (micros precision, matching every SQL engine's
-    truncation of nanos)."""
+    truncation of nanos).
+
+    ``merge_schema=True`` reconciles schema evolution across a
+    table's files (columns added over time surface as nulls in old
+    files) by merging every footer — a distributed metadata job, so
+    leave it off for stable-schema tables: at 100 TB the footer sweep
+    alone touches millions of files."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     long_cols = {
         f.name for f in df.schema.fields if f.dataType.simpleString() == "bigint"
     }

@@ -142,3 +142,20 @@ def test_range_join_rejects_bad_how(spark):
     events, intervals = _range_fixtures(spark)
     with _pytest.raises(ValueError, match="inner/left"):
         range_join(events, intervals, "ts", "w_start", "w_end", how="outer")
+
+
+def test_read_parquet_merge_schema_evolution(spark, tmp_path):
+    from etlhelper_spark.sources import read_parquet_table
+
+    path = str(tmp_path / "evolved")
+    spark.range(5).selectExpr("id", "id * 2 AS a").write.parquet(path)
+    spark.range(5, 8).selectExpr(
+        "id", "id * 2 AS a", "'new' AS b"
+    ).write.mode("append").parquet(path)
+
+    # default read may resolve to either footer's schema; merged read
+    # must surface the union with nulls for pre-evolution files
+    df = read_parquet_table(spark, path, merge_schema=True)
+    assert set(df.columns) == {"id", "a", "b"}
+    rows = {r.id: r.b for r in df.collect()}
+    assert rows[6] == "new" and rows[0] is None
