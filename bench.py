@@ -94,6 +94,8 @@ HEADLINE = [
     "q103_mixture_deciles",
     "q104_fixed_sample",
     "q105_source_overlap",
+    "q106_doc_chunking",
+    "q107_table_profile",
 ]
 
 

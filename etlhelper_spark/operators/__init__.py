@@ -15,12 +15,14 @@ from .etl import (
 from .maintenance import clustered_rewrite, compact_parquet_table, morton_code
 from .merge import merge_dataframes, merge_into_parquet
 from .observe import observed, row_metrics, run_with_metrics
+from .profile import profile_table
 
 __all__ = [
     "clustered_rewrite",
     "compact_parquet_table",
     "morton_code",
     "observed",
+    "profile_table",
     "row_metrics",
     "run_with_metrics",
     "merge_dataframes",

@@ -1,0 +1,71 @@
+"""Column profiling: the ANALYZE-style statistics pass.
+
+The reference's ``table_info`` (etlhelper/utils.py:14-40) answers
+"what columns does this table have?"; real pipelines also need "what's
+IN them?" before trusting a load — row counts, null fractions,
+cardinalities, value ranges.  This operator computes all of it in ONE
+aggregate pass per column batch:
+
+- ``exact=True``: ``count(DISTINCT col)`` — verifiable, but a full
+  shuffle per column; use for tests and small dims.
+- ``exact=False`` (the 100 TB default): ``approx_count_distinct``
+  (HyperLogLog++, ~kB of mergeable state per column) — the whole
+  profile becomes a single map-side-combinable scan with NO shuffle of
+  data rows at all.
+
+Output is long-form (one row per column) so profiles of wide tables
+stay readable and unionable across tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_table"]
+
+
+def _round4(col):
+    return F.round(col.cast("decimal(30,10)"), 4).cast("double")
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = False,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-column stats as (col, n_rows, n_nonnull, ndv, min_val,
+    max_val) — numeric min/max cast to double (4dp), others null."""
+    columns = columns or df.columns
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("integer", "long", "short", "byte", "double", "float", "decimal")
+    }
+    profiles = []
+    for c in columns:
+        ndv = (
+            F.count_distinct(F.col(c))
+            if exact
+            else F.approx_count_distinct(c, rsd)
+        )
+        if c in numeric:
+            mn, mx = _round4(F.min(c)), _round4(F.max(c))
+        else:
+            mn = F.lit(None).cast("double")
+            mx = F.lit(None).cast("double")
+        profiles.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(c).alias("n_nonnull"),
+                ndv.alias("ndv"),
+                mn.alias("min_val"),
+                mx.alias("max_val"),
+            ).select(F.lit(c).alias("col"), "*")
+        )
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out

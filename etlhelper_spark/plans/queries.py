@@ -3887,6 +3887,91 @@ def q105_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q106_doc_chunking",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(t[(chunk_id * 24 + 1):(chunk_id * 24 + 32)], ' ')
+               AS chunk_text,
+           least(len(t) - chunk_id * 24, 32) AS chunk_tokens
+    FROM (
+        SELECT doc_id, t,
+               unnest(range(0, CAST(ceil(greatest(len(t) - 8, 1) / 24.0)
+                                    AS BIGINT))) AS chunk_id
+        FROM toks
+    )
+    """,
+)
+def q106_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (the RAG/embedding prep step):
+    32-token windows with 8-token overlap (stride 24), each chunk
+    addressable as (doc_id, chunk_id).  Pure array arithmetic —
+    sequence + transform + explode, no Python, no shuffle; chunk count
+    per doc is ceil((len-overlap)/stride) so the plan's output rows
+    are predictable from token counts alone."""
+    d = _t(spark, sf_dir, "documents")
+    size, overlap = 32, 8
+    stride = size - overlap
+    toks = d.where(F.trim("text") != "").select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    n_chunks = F.ceil(
+        F.greatest(F.size("t") - overlap, F.lit(1)) / F.lit(float(stride))
+    ).cast("bigint")
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)
+        ).alias("chunk_id"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.concat_ws(
+            " ", F.slice("t", (F.col("chunk_id") * stride + 1).cast("int"), size)
+        ).alias("chunk_text"),
+        F.least(
+            F.size("t") - F.col("chunk_id").cast("int") * stride, F.lit(size)
+        ).alias("chunk_tokens"),
+    )
+
+
+@query(
+    "q107_table_profile",
+    """
+    SELECT 'o_custkey' AS col, count(*) AS n_rows,
+           count(o_custkey) AS n_nonnull,
+           count(DISTINCT o_custkey) AS ndv,
+           CAST(round(CAST(min(o_custkey) AS DECIMAL(30,10)), 4) AS DOUBLE)
+               AS min_val,
+           CAST(round(CAST(max(o_custkey) AS DECIMAL(30,10)), 4) AS DOUBLE)
+               AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           CAST(round(CAST(min(o_totalprice) AS DECIMAL(30,10)), 4) AS DOUBLE),
+           CAST(round(CAST(max(o_totalprice) AS DECIMAL(30,10)), 4) AS DOUBLE)
+    FROM orders
+    """,
+)
+def q107_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the data-quality ANALYZE pass the reference's
+    table_info stops short of): per-column row/non-null/distinct
+    counts and value range, emitted as one row per column
+    (operators/profile.py).  Exact NDV here so the oracle can verify;
+    at 100 TB flip exact=False for HLL sketches — same shape, kB of
+    state, one pass."""
+    from ..operators.profile import profile_table
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_table(o, ["o_custkey", "o_totalprice"], exact=True)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

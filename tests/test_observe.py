@@ -37,3 +37,23 @@ def test_observed_rejects_non_aggregate(spark):
     with pytest.raises(Exception):
         out, obs = observed(df, {"bad": F.col("id") + 1})
         out.count()
+
+
+def test_profile_table_exact_and_approx(spark):
+    from etlhelper_spark.operators import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "b"), (2, 30.0, None), (3, 10.0, "a")],
+        "k int, v double, s string",
+    )
+    prof = {r.col: r for r in profile_table(df, exact=True).collect()}
+    assert prof["k"].n_rows == 4 and prof["k"].n_nonnull == 4
+    assert prof["k"].ndv == 3
+    assert prof["k"].min_val == 1.0 and prof["k"].max_val == 3.0
+    assert prof["v"].n_nonnull == 3 and prof["v"].ndv == 2
+    assert prof["s"].n_nonnull == 3
+    assert prof["s"].min_val is None  # non-numeric: no range
+
+    approx = {r.col: r for r in profile_table(df).collect()}
+    # HLL at this cardinality is exact in practice
+    assert approx["k"].ndv == 3
