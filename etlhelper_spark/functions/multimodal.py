@@ -142,3 +142,125 @@ def documents_as_media(df: DataFrame) -> DataFrame:
             F.lit("utf-8").alias("codec"),
         ).alias("meta"),
     )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_ms", LongType(), True),
+        StructField("frame_bytes", BinaryType(), True),
+    ]
+)
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("chunk_idx", IntegerType(), False),
+        StructField("start_ms", LongType(), True),
+        StructField("end_ms", LongType(), True),
+        StructField("chunk_bytes", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Video frame sampling plumbing: one row per sampled frame at a
+    fixed temporal stride, driven by ``meta.duration_ms``.
+
+    The 1→N row expansion, frame addressing, and Arrow batch shapes
+    are the real production machinery; the frame EXTRACTION is stubbed
+    (deterministic byte slices standing in for ffmpeg seeks).  At
+    100 TB the stride bounds output rows to Σ duration/stride
+    regardless of codec, and blobs never shuffle — frames are emitted
+    in the same task that holds the parent asset."""
+    if not decode_stub:
+        raise NotImplementedError(
+            "Real frame extraction requires ffmpeg/PyAV, not available "
+            "in this environment. Use decode_stub=True; the plumbing "
+            "(schema, 1->N expansion, batching) is identical."
+        )
+
+    import pandas as pd
+
+    from .util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+
+    def run(batches):
+        for pdf in batches:
+            rows = {
+                "asset_id": [],
+                "frame_idx": [],
+                "frame_ms": [],
+                "frame_bytes": [],
+            }
+            for aid, content, meta in zip(
+                pdf["asset_id"], pdf["content"], pdf["meta"]
+            ):
+                blob = content or b""
+                duration = (meta or {}).get("duration_ms") or 0
+                n_frames = max(int(duration // every_ms), 1)
+                for i in range(n_frames):
+                    lo = (i * len(blob)) // n_frames
+                    hi = ((i + 1) * len(blob)) // n_frames
+                    rows["asset_id"].append(aid)
+                    rows["frame_idx"].append(i)
+                    rows["frame_ms"].append(i * every_ms)
+                    rows["frame_bytes"].append(blob[lo:hi])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+def chunk_audio(
+    df: DataFrame,
+    chunk_ms: int = 5000,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Audio chunking plumbing: fixed-duration windows addressed as
+    (asset_id, chunk_idx, start_ms, end_ms), byte ranges proportional
+    to time (the constant-bitrate approximation a real resampler
+    replaces).  Same stub contract as sample_frames."""
+    if not decode_stub:
+        raise NotImplementedError(
+            "Real audio decoding requires librosa/soundfile, not "
+            "available in this environment. Use decode_stub=True."
+        )
+
+    import pandas as pd
+
+    from .util import ensure_parallelism
+
+    df = ensure_parallelism(df)
+
+    def run(batches):
+        for pdf in batches:
+            rows = {
+                "asset_id": [],
+                "chunk_idx": [],
+                "start_ms": [],
+                "end_ms": [],
+                "chunk_bytes": [],
+            }
+            for aid, content, meta in zip(
+                pdf["asset_id"], pdf["content"], pdf["meta"]
+            ):
+                blob = content or b""
+                duration = (meta or {}).get("duration_ms") or 0
+                n_chunks = max(-(-int(duration) // chunk_ms), 1)
+                for i in range(n_chunks):
+                    lo = (i * len(blob)) // n_chunks
+                    hi = ((i + 1) * len(blob)) // n_chunks
+                    rows["asset_id"].append(aid)
+                    rows["chunk_idx"].append(i)
+                    rows["start_ms"].append(i * chunk_ms)
+                    rows["end_ms"].append(min((i + 1) * chunk_ms, duration))
+                    rows["chunk_bytes"].append(blob[lo:hi])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, CHUNK_SCHEMA)

@@ -262,3 +262,68 @@ def test_redact_pii_patterns(spark):
     assert rows[2].c.phones == 1
     assert rows[3].red == "clean text, nothing here"
     assert rows[3].c == (0, 0, 0)
+
+
+def _media_df(spark, durations):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, "video", bytes(range(256)) * 4, d) for i, d in enumerate(durations)
+    ]
+    return spark.createDataFrame(
+        rows, "asset_id long, media_type string, content binary, duration_ms long"
+    ).select(
+        "asset_id",
+        "media_type",
+        "content",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("duration_ms").alias("duration_ms"),
+            F.lit("stub").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def test_sample_frames_stride_and_reassembly(spark):
+    from etlhelper_spark.functions.multimodal import sample_frames
+
+    df = _media_df(spark, [3500, 900, 0])
+    frames = sample_frames(df, every_ms=1000).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    # 3500ms at 1000ms stride -> 3 frames; <=1000ms -> single frame
+    assert len(by_asset[0]) == 3 and len(by_asset[1]) == 1
+    assert len(by_asset[2]) == 1
+    # frame addressing and lossless byte partitioning of the blob
+    f0 = sorted(by_asset[0], key=lambda r: r.frame_idx)
+    assert [r.frame_ms for r in f0] == [0, 1000, 2000]
+    assert b"".join(r.frame_bytes for r in f0) == bytes(range(256)) * 4
+
+
+def test_chunk_audio_windows(spark):
+    from etlhelper_spark.functions.multimodal import chunk_audio
+
+    df = _media_df(spark, [12400])
+    chunks = sorted(
+        chunk_audio(df, chunk_ms=5000).collect(), key=lambda r: r.chunk_idx
+    )
+    assert [(r.start_ms, r.end_ms) for r in chunks] == [
+        (0, 5000),
+        (5000, 10000),
+        (10000, 12400),
+    ]
+    assert b"".join(r.chunk_bytes for r in chunks) == bytes(range(256)) * 4
+
+
+def test_media_stub_gate_raises(spark):
+    import pytest as _pytest
+
+    from etlhelper_spark.functions.multimodal import chunk_audio, sample_frames
+
+    df = _media_df(spark, [1000])
+    with _pytest.raises(NotImplementedError):
+        sample_frames(df, decode_stub=False)
+    with _pytest.raises(NotImplementedError):
+        chunk_audio(df, decode_stub=False)
