@@ -96,6 +96,7 @@ HEADLINE = [
     "q105_source_overlap",
     "q106_doc_chunking",
     "q107_table_profile",
+    "q108_zipf_fit",
 ]
 
 

@@ -3972,6 +3972,67 @@ def q107_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(o, ["o_custkey", "o_totalprice"], exact=True)
 
 
+@query(
+    "q108_zipf_fit",
+    """
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ), freq AS (
+        SELECT token, count(*) AS cnt FROM tok WHERE token <> ''
+        GROUP BY token
+    ), ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+        FROM freq
+    )
+    SELECT count(*) AS n_types,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           CAST(round(CAST(regr_slope(log2(cnt), log2(rank))
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS zipf_slope,
+           CAST(round(CAST(regr_intercept(log2(cnt), log2(rank))
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS zipf_intercept,
+           CAST(round(CAST(corr(log2(cnt), log2(rank))
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS loglog_corr
+    FROM ranked WHERE rank <= 1000
+    """,
+)
+def q108_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: least-squares slope of
+    log-frequency vs log-rank over the top 1000 types via the
+    REGRESSION AGGREGATES (regr_slope / regr_intercept / corr) — a
+    natural-corpus sanity check (healthy text ≈ −1 slope, machine spam
+    deviates hard).  The rank window is over the aggregated type table
+    (vocabulary-sized, not corpus-sized); the regression itself is one
+    mergeable aggregate — sums of products — so the whole fit is two
+    map-side-combinable passes at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            F.explode(
+                F.split(F.lower(F.trim("text")), r"\s+")
+            ).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # top-1000 FIRST via orderBy+limit (TakeOrderedAndProject: per-
+    # partition partial top-k, no global sort), THEN rank the 1000
+    # survivors — the rank window never sees the full vocabulary
+    top = freq.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(1000)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    lx, ly = F.log2("rank"), F.log2("cnt")
+    return ranked.agg(
+        F.count("*").alias("n_types"),
+        F.sum("cnt").alias("n_tokens"),
+        _sround(F.regr_slope(ly, lx), 4).alias("zipf_slope"),
+        _sround(F.regr_intercept(ly, lx), 4).alias("zipf_intercept"),
+        _sround(F.corr(ly, lx), 4).alias("loglog_corr"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
