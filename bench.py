@@ -97,6 +97,10 @@ HEADLINE = [
     "q106_doc_chunking",
     "q107_table_profile",
     "q108_zipf_fit",
+    "q109_sketch_rollup",
+    "q110_theta_set_ops",
+    "q111_kll_quantiles",
+    "q112_salted_join",
 ]
 
 

@@ -4033,6 +4033,244 @@ def q108_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q109_sketch_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(DISTINCT user_id) AS exact_users,
+           true AS sketch_ok
+    FROM events GROUP BY 1
+    """,
+)
+def q109_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DISTINCT rollup via persistable HLL sketches
+    (hll_sketch_agg → hll_union_agg → hll_sketch_estimate): hourly
+    user sketches union to daily WITHOUT re-scanning events — the only
+    way distinct-count hierarchies work at 100 TB (count(DISTINCT)
+    partials don't merge; kB sketches do, and can be stored per hour
+    and re-unioned for any date range).  The gate can't compare sketch
+    binaries across engines, so the query verifies itself: the daily
+    sketch estimate must land within 5% of the exact count, and the
+    emitted (day, exact_users, sketch_ok) row set hash-matches the
+    oracle exactly."""
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.select(F.date_trunc("hour", "ts").alias("hour"), "user_id")
+        .groupBy("hour")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    daily = hourly.groupBy(
+        F.to_date(F.date_trunc("day", "hour")).alias("day")
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est"))
+    exact = (
+        e.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return (
+        daily.join(exact, "day")
+        .select(
+            "day",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("sketch_ok"),
+        )
+    )
+
+
+@query(
+    "q110_theta_set_ops",
+    """
+    WITH u AS (
+        SELECT user_id,
+               bool_or(event_type = 'view') AS v,
+               bool_or(event_type = 'purchase') AS p
+        FROM events
+        WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id
+    )
+    SELECT count(*) FILTER (v) AS exact_view,
+           count(*) FILTER (p) AS exact_purchase,
+           count(*) AS exact_union,
+           count(*) FILTER (v AND p) AS exact_inter,
+           count(*) FILTER (v AND NOT p) AS exact_diff,
+           true AS union_ok, true AS inter_ok, true AS diff_ok
+    FROM u
+    """,
+)
+def q110_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set ALGEBRA via Theta sketches (theta_sketch_agg →
+    theta_union_agg → theta_union/intersection/difference): audience
+    overlap between event types without co-shuffling raw ids.  HLL can
+    only union; Theta sketches also intersect and subtract, which is
+    how "viewers who never purchased" is answerable at 100 TB from kB
+    of pre-aggregated per-day state instead of a full re-scan (the
+    per-day sketches here stand in for a persisted sketch table).
+    Self-verifying like q109: each estimate must land within 5% of the
+    exact count (default lgNomEntries=12 ⇒ exact below ~4k distinct),
+    and the emitted exact counts + ok flags hash-match the oracle."""
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    daily = e.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    pair = (
+        daily.groupBy("event_type")
+        .agg(F.theta_union_agg("sk").alias("sk"))
+        .groupBy()
+        .pivot("event_type", ["view", "purchase"])
+        .agg(F.first("sk"))
+    )
+    est = pair.select(
+        F.theta_sketch_estimate(
+            F.theta_union("view", "purchase")
+        ).alias("est_union"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("view", "purchase")
+        ).alias("est_inter"),
+        F.theta_sketch_estimate(
+            F.theta_difference("view", "purchase")
+        ).alias("est_diff"),
+    )
+    exact = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.col("event_type") == "view").alias("v"),
+            F.max(F.col("event_type") == "purchase").alias("p"),
+        )
+        .agg(
+            F.sum(F.col("v").cast("long")).alias("exact_view"),
+            F.sum(F.col("p").cast("long")).alias("exact_purchase"),
+            F.count("*").alias("exact_union"),
+            F.sum((F.col("v") & F.col("p")).cast("long")).alias("exact_inter"),
+            F.sum((F.col("v") & ~F.col("p")).cast("long")).alias("exact_diff"),
+        )
+    )
+
+    def _ok(est_col: str, exact_col: str):
+        # 5% relative + 0.5 absolute slack: a set difference can be
+        # exactly empty (every viewer purchased), where relative error
+        # is undefined — an empty theta sketch estimates 0.0 exactly.
+        return F.abs(F.col(est_col) - F.col(exact_col)) <= (
+            F.col(exact_col) * 0.05 + 0.5
+        )
+
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_view",
+        "exact_purchase",
+        "exact_union",
+        "exact_inter",
+        "exact_diff",
+        _ok("est_union", "exact_union").alias("union_ok"),
+        _ok("est_inter", "exact_inter").alias("inter_ok"),
+        _ok("est_diff", "exact_diff").alias("diff_ok"),
+    )
+
+
+@query(
+    "q111_kll_quantiles",
+    """
+    SELECT count(*) AS n_values,
+           true AS p50_ok, true AS p90_ok, true AS p99_ok
+    FROM events
+    """,
+)
+def q111_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE rollup via KLL sketches
+    (kll_sketch_agg_double per hour → kll_sketch_merge_double →
+    kll_sketch_get_quantile_double): exact percentiles need a full
+    sort or all values on one node; KLL partials are bounded-size,
+    mergeable, and carry a proven rank-error guarantee (~1.65% at the
+    default k=200), so per-hour sketches persisted once answer any
+    date-range percentile later — the same pattern as q109/q110 but
+    for order statistics.  Self-verifying: the empirical CDF rank of
+    each estimated quantile (one scan, no sort) must sit within 3% of
+    its target rank; the emitted row hash-matches the oracle."""
+    e = _t(spark, sf_dir, "events")
+    # kll_sketch_merge_double is a binary scalar (no agg form in
+    # Spark 4.1), so the rollup folds the collected hourly sketches:
+    # seed = first sketch, fold the rest.  ~1 kB per sketch × hours is
+    # driver-trivial even for years of hours; at larger sketch counts
+    # this becomes a tree of pairwise folds.
+    merged = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.kll_sketch_agg_double("value").alias("sk"))
+        .agg(F.collect_list("sk").alias("sks"))
+        .select(
+            F.aggregate(
+                F.slice(
+                    "sks", F.lit(2), F.greatest(F.size("sks") - 1, F.lit(0))
+                ),
+                F.element_at("sks", 1),
+                lambda acc, x: F.kll_sketch_merge_double(acc, x),
+            ).alias("sk")
+        )
+    )
+    est = merged.select(
+        *[
+            F.kll_sketch_get_quantile_double("sk", F.lit(p / 100.0)).alias(
+                f"q{p}"
+            )
+            for p in (50, 90, 99)
+        ]
+    )
+    return (
+        e.crossJoin(F.broadcast(est))
+        .agg(
+            F.count("*").alias("n_values"),
+            *[
+                (
+                    F.abs(
+                        F.avg(
+                            (F.col("value") <= F.col(f"q{p}")).cast("double")
+                        )
+                        - F.lit(p / 100.0)
+                    )
+                    <= 0.03
+                ).alias(f"p{p}_ok")
+                for p in (50, 90, 99)
+            ],
+        )
+    )
+
+
+@query(
+    "q112_salted_join",
+    """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q112_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact×dim join via explicit salting
+    (`functions/util.py::salted_join`): the fact side gets a random
+    salt in [0, 16), the dim side is replicated 16×, and the shuffle
+    key becomes (key, salt) — a power-law hot key's rows spread over
+    16 reducers instead of hot-spotting one.  AQE's skew split handles
+    moderate skew; explicit salting is the lever when ONE key exceeds
+    a single task at 100 TB.  The oracle is the plain join: salting
+    must be result-invariant."""
+    from ..functions.util import salted_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(o, c, "o_custkey", salt=16)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
