@@ -218,12 +218,24 @@ def ngram_jaccard_pairs(
     A naive inverted-index self-join generates Σ df(s)² candidate rows
     (quadratic in corpus size for common shingles). Instead, each
     document's shingles are ordered by ascending global document
-    frequency and only the first ``|S| - ceil(t·|S|) + 1`` (the
-    *prefix* — its rarest shingles) are indexed: two sets with
-    Jaccard ≥ t MUST share at least one prefix shingle under a common
-    global order, so candidate generation joins only on rare shingles
-    while remaining exact (no false negatives). Verification computes
-    the true Jaccard on the full shingle arrays per candidate pair.
+    frequency and only a short *prefix* (its rarest shingles) is
+    joined: two sets with Jaccard ≥ t MUST share at least one prefix
+    shingle under a common global order, so candidate generation joins
+    only on rare shingles while remaining exact (no false negatives).
+
+    PPJoin refinements (Xiao et al., "Efficient Similarity Joins for
+    Near-Duplicate Detection"), both exact:
+    - asymmetric prefixes: the pair is generated with the *smaller*
+      record (by ``(n, id)`` processing order) on the index side,
+      whose prefix only needs ``n - ceil(2t/(1+t)·n) + 1`` shingles
+      (vs the probe side's ``n - ceil(t·n) + 1``) — fewer index rows
+      ⇒ quadratically fewer candidate collisions on common shingles;
+    - length filter: Jaccard ≥ t bounds the size ratio, so the join
+      keeps only ``n_index ≥ ceil(t·n_probe)`` pairs before the
+      expensive verification.
+
+    Verification computes the true Jaccard on the full shingle arrays
+    per surviving candidate pair.
 
     Returns (id_a, id_b, jaccard).
     """
@@ -233,6 +245,7 @@ def ngram_jaccard_pairs(
     # global document frequency per shingle: the canonical order that
     # makes prefixes comparable across documents
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    t = float(threshold)
     ordered = (
         sh.join(dfreq, "shingle")
         .groupBy("id")
@@ -248,27 +261,61 @@ def ngram_jaccard_pairs(
         .withColumn(
             "prefix_len",
             F.col("n_shingles")
-            - F.ceil(F.col("n_shingles") * F.lit(float(threshold))).cast("int")
+            - F.ceil(F.col("n_shingles") * F.lit(t)).cast("int")
             + 1,
         )
-        # consumed three times (prefix index + both verify sides);
-        # persist so the shingle pipeline runs once, spill-safe
+        .withColumn(
+            "index_len",
+            F.col("n_shingles")
+            - F.ceil(
+                F.col("n_shingles") * F.lit(2.0 * t / (1.0 + t))
+            ).cast("int")
+            + 1,
+        )
+        # consumed four times (probe + index prefixes, both verify
+        # sides); persist so the shingle pipeline runs once, spill-safe
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    prefixes = ordered.select(
+    probes = ordered.select(
         "id",
+        F.col("n_shingles").alias("n"),
         F.explode(F.slice("shingles", 1, F.col("prefix_len"))).alias("shingle"),
     )
-    a = prefixes.alias("a")
-    b = prefixes.alias("b")
+    indexed = ordered.select(
+        "id",
+        F.col("n_shingles").alias("n"),
+        F.explode(F.slice("shingles", 1, F.col("index_len"))).alias("shingle"),
+    )
+    a = probes.alias("a")
+    b = indexed.alias("b")
+    # index side strictly earlier in (n, id) processing order, and
+    # within Jaccard's feasible size ratio
     candidates = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (
+                (F.col("b.n") < F.col("a.n"))
+                | (
+                    (F.col("b.n") == F.col("a.n"))
+                    & (F.col("b.id") < F.col("a.id"))
+                )
+            )
+            & (F.col("b.n") >= F.ceil(F.col("a.n") * F.lit(t))),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
         .distinct()
+        # candidate pairs are only a few MB after distinct, so AQE
+        # coalesces them to ONE partition — which serializes the
+        # array_intersect/array_union verification onto one core
+        # (measured 7s of a 9s run). An explicit round-robin spread
+        # keeps verification parallel; at real scale the distinct
+        # output is large and this repartition is a cheap no-op
+        # relative to the verify cost it parallelizes.
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     da = ordered.select(
         F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
