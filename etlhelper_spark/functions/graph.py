@@ -1,0 +1,102 @@
+"""Iterative graph algorithms expressed as DataFrame loops.
+
+The reference has no graph surface (SURVEY §2.7 — its contract is
+"any SQL the backing DB understands"); this module covers the
+iterative-algorithm family a training-data pipeline needs (influence /
+importance scoring over citation, link, or trade graphs), the same way
+`dedup.py::duplicate_clusters` covers iterative connected components.
+
+Design for 100 TB:
+- edges are a DataFrame (src, dst, weight) — at scale this shuffles
+  once onto src and is re-joined per iteration with the (tiny) rank
+  table broadcast; nothing ever collects to the driver.
+- a fixed iteration count (the common production choice for PageRank
+  on enormous graphs) keeps the plan a finite chain — no driver-side
+  convergence check is needed, though one could be added by comparing
+  successive rank tables with an `observe` metric.
+- every iteration ends with an engine-stable decimal rounding of the
+  summed contributions: float addition is order-dependent, so without
+  it no two engines (or two partitionings!) would agree bit-for-bit.
+  Ranks stay deterministic and cross-engine reproducible at any DoP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def weighted_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank over (nodes, edges) for a fixed number of
+    iterations.  Returns (id, rank).
+
+    r_0(v) = 1/N
+    r_{k+1}(v) = (1-d)/N + d · Σ_{u→v} r_k(u) · w(u,v) / outw(u)
+
+    Nodes with no outgoing edges contribute nothing (their mass is not
+    redistributed — the bounded-iterations variant used for relative
+    importance ranking); every node keeps receiving the (1-d)/N base.
+
+    Determinism: *weight* should be integer-valued (counts); then
+    w/outw is an IEEE-exact division of exactly-representable values
+    and identical in any engine, and the per-iteration decimal(30,10)
+    rounding of the contribution sum removes float summation-order
+    dependence — so results are bit-stable across partitionings,
+    engines, and reruns.
+    """
+    n = nodes.count()
+    base = (1.0 - damping) / n
+
+    # out-weight per source, attached to each edge once: share is the
+    # per-edge fraction of the source's outgoing mass
+    outw = edges.groupBy(src_col).agg(F.sum(weight_col).alias("__outw"))
+    shares = (
+        edges.join(outw, src_col)
+        .select(
+            F.col(src_col).alias("__src"),
+            F.col(dst_col).alias("__dst"),
+            (
+                F.col(weight_col).cast("double")
+                / F.col("__outw").cast("double")
+            ).alias("__share"),
+        )
+        .persist()
+    )
+
+    ranks = nodes.select(
+        F.col(id_col).alias("__id"), F.lit(1.0 / n).alias("__rank")
+    )
+    for _ in range(iterations):
+        contribs = (
+            shares.join(ranks, shares["__src"] == ranks["__id"])
+            .groupBy("__dst")
+            .agg(F.sum(F.col("__rank") * F.col("__share")).alias("__in"))
+        )
+        ranks = (
+            nodes.select(F.col(id_col).alias("__id"))
+            .join(contribs, F.col("__id") == F.col("__dst"), "left")
+            .select(
+                "__id",
+                F.round(
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                    ).cast("decimal(30,10)"),
+                    10,
+                )
+                .cast("double")
+                .alias("__rank"),
+            )
+        )
+    return ranks.select(
+        F.col("__id").alias(id_col), F.col("__rank").alias("rank")
+    )

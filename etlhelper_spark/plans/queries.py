@@ -4271,6 +4271,97 @@ def q112_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q113_pagerank",
+    """
+    WITH edges AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(count(*) AS DOUBLE) AS w
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ), outw AS (
+        SELECT src, sum(w) AS ow FROM edges GROUP BY src
+    ), shares AS (
+        SELECT src, dst, w / ow AS share FROM edges JOIN outw USING (src)
+    ), nn AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n FROM nation
+    ), r0 AS (
+        SELECT n_nationkey AS id,
+               CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+        FROM nation
+    ), r1 AS (
+        SELECT x.n_nationkey AS id,
+               CAST(round(CAST(
+                   0.15 / (SELECT n FROM nn)
+                   + 0.85 * coalesce(sum(r.rank * s.share), 0)
+               AS DECIMAL(30,10)), 10) AS DOUBLE) AS rank
+        FROM nation x
+        LEFT JOIN shares s ON s.dst = x.n_nationkey
+        LEFT JOIN r0 r ON r.id = s.src
+        GROUP BY x.n_nationkey
+    ), r2 AS (
+        SELECT x.n_nationkey AS id,
+               CAST(round(CAST(
+                   0.15 / (SELECT n FROM nn)
+                   + 0.85 * coalesce(sum(r.rank * s.share), 0)
+               AS DECIMAL(30,10)), 10) AS DOUBLE) AS rank
+        FROM nation x
+        LEFT JOIN shares s ON s.dst = x.n_nationkey
+        LEFT JOIN r1 r ON r.id = s.src
+        GROUP BY x.n_nationkey
+    ), r3 AS (
+        SELECT x.n_nationkey AS id,
+               CAST(round(CAST(
+                   0.15 / (SELECT n FROM nn)
+                   + 0.85 * coalesce(sum(r.rank * s.share), 0)
+               AS DECIMAL(30,10)), 10) AS DOUBLE) AS rank
+        FROM nation x
+        LEFT JOIN shares s ON s.dst = x.n_nationkey
+        LEFT JOIN r2 r ON r.id = s.src
+        GROUP BY x.n_nationkey
+    )
+    SELECT n_name,
+           CAST(round(CAST(rank AS DECIMAL(30,10)), 6) AS DOUBLE) AS rank
+    FROM r3 JOIN nation ON id = n_nationkey
+    """,
+)
+def q113_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 iterations, d=0.85) over the nation trade
+    graph — customer nation → supplier nation, edge weight = lineitem
+    count (`functions/graph.py::weighted_pagerank`).  The iterative-
+    algorithm family: a driver loop over DataFrame joins, rank table
+    re-joined to a persisted share table per iteration.  Cross-engine
+    determinism comes from integer edge weights (IEEE-exact share
+    division) + per-iteration decimal rounding of the contribution
+    sums; the oracle is the same recurrence as three chained CTEs."""
+    from ..functions.graph import weighted_pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    ranks = weighted_pagerank(
+        n, edges, id_col="n_nationkey", iterations=3, damping=0.85
+    )
+    return ranks.join(F.broadcast(n), "n_nationkey").select(
+        "n_name", _sround(F.col("rank"), 6).alias("rank")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

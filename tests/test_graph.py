@@ -1,0 +1,62 @@
+"""weighted_pagerank: hand-checked ranks, determinism, dangling nodes."""
+
+from __future__ import annotations
+
+import pytest
+
+from etlhelper_spark.functions.graph import weighted_pagerank
+
+
+@pytest.fixture(scope="module")
+def tiny_graph(spark):
+    # A -> B (w2), A -> C (w1), B -> C (w1), C -> A (w1); D dangling
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    edges = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 1.0), (1, 2, 1.0), (2, 0, 1.0)],
+        ["src", "dst", "weight"],
+    )
+    return nodes, edges
+
+
+def test_one_iteration_hand_computed(spark, tiny_graph):
+    nodes, edges = tiny_graph
+    got = {
+        r["id"]: r["rank"]
+        for r in weighted_pagerank(nodes, edges, iterations=1).collect()
+    }
+    base = (1.0 - 0.85) / 4.0
+    # r0 = 0.25 each; shares: A->B 2/3, A->C 1/3, B->C 1, C->A 1
+    exp = {
+        0: round(base + 0.85 * 0.25, 10),                    # from C
+        1: round(base + 0.85 * (0.25 * 2 / 3), 10),          # from A
+        2: round(base + 0.85 * (0.25 * 1 / 3 + 0.25), 10),   # A + B
+        3: round(base, 10),                                  # dangling target
+    }
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-9)
+
+
+def test_ranks_deterministic_across_partitionings(spark, tiny_graph):
+    nodes, edges = tiny_graph
+    a = sorted(
+        (r["id"], r["rank"])
+        for r in weighted_pagerank(nodes, edges, iterations=3).collect()
+    )
+    b = sorted(
+        (r["id"], r["rank"])
+        for r in weighted_pagerank(
+            nodes.repartition(7), edges.repartition(5), iterations=3
+        ).collect()
+    )
+    assert a == b  # bit-identical, not approx: decimal-rounded per iter
+
+
+def test_more_iterations_shift_mass_to_cycle(spark, tiny_graph):
+    nodes, edges = tiny_graph
+    got = {
+        r["id"]: r["rank"]
+        for r in weighted_pagerank(nodes, edges, iterations=3).collect()
+    }
+    # D only ever receives the base mass; cycle members exceed it
+    assert got[3] == pytest.approx((1.0 - 0.85) / 4.0, abs=1e-9)
+    assert all(got[i] > got[3] for i in range(3))
