@@ -4362,6 +4362,81 @@ def q113_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q114_cdc_apply",
+    """
+    WITH snap AS (
+        SELECT user_id, value AS balance, event_type AS last_type
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        ) WHERE rn = 1
+    ), unioned AS (
+        SELECT user_id, balance, last_type, 'I' AS op,
+               CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS BIGINT) AS event_id
+        FROM snap
+        UNION ALL
+        SELECT user_id, value, event_type,
+               CASE WHEN event_type = 'error' THEN 'D'
+                    WHEN event_type = 'signup' THEN 'I'
+                    ELSE 'U' END,
+               ts, event_id
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    )
+    SELECT user_id, balance, last_type
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST
+        ) AS rn
+        FROM unioned
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q114_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feed apply (`operators/cdc.py::apply_changes`): the
+    pre-cutoff latest state per user is the snapshot; post-cutoff
+    events become an insert/update/delete feed ('error' deletes the
+    user, 'signup' inserts, others update), sequenced by (ts,
+    event_id).  One keyed window picks each user's survivor — no join
+    — and users whose LAST op is a delete drop out.  The reference's
+    upsert recipes (etl.py:233-339 executemany + ON CONFLICT docs)
+    fold rows one at a time; this is the same contract as one shuffle."""
+    from ..operators.cdc import apply_changes
+
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp_ntz")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snapshot = (
+        e.where(F.col("ts") < cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("balance"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+    changes = e.where(F.col("ts") >= cutoff).select(
+        "user_id",
+        F.col("value").alias("balance"),
+        F.col("event_type").alias("last_type"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        "ts",
+        "event_id",
+    )
+    return apply_changes(
+        snapshot, changes, key_cols=["user_id"], seq_cols=["ts", "event_id"]
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
