@@ -101,6 +101,9 @@ HEADLINE = [
     "q110_theta_set_ops",
     "q111_kll_quantiles",
     "q112_salted_join",
+    "q114_cdc_apply",
+    "q115_heaps_fit",
+    "q116_skew_profile",
 ]
 
 

@@ -69,3 +69,30 @@ def profile_table(
     for p in profiles[1:]:
         out = out.unionByName(p)
     return out
+
+
+def join_key_skew(df: DataFrame, key_col: str) -> DataFrame:
+    """Key-distribution profile for a prospective join/aggregation key:
+    one row of (col, n_keys, n_rows, max_cnt, avg_cnt, p99_cnt,
+    top1_share, skew_ratio).
+
+    This is the measurement that decides the shuffle strategy BEFORE a
+    100 TB join: skew_ratio (hot key vs mean) ≈ 1 means plain hash
+    partitioning balances; top1_share · n_rows over a task's capacity
+    means AQE skew-split or explicit salting (`util.py::salted_join`).
+    Cost: one map-side-combinable groupBy on the key plus a tiny
+    percentile aggregate over key counts (vocabulary-sized, not
+    row-sized).
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("cnt"))
+    return counts.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        _round4(F.avg("cnt")).alias("avg_cnt"),
+        _round4(F.percentile("cnt", F.lit(0.99))).alias("p99_cnt"),
+        F.round(
+            (F.max("cnt") / F.sum("cnt")).cast("decimal(30,10)"), 6
+        ).cast("double").alias("top1_share"),
+        _round4(F.max("cnt") / F.avg("cnt")).alias("skew_ratio"),
+    ).select(F.lit(key_col).alias("col"), "*")

@@ -4437,6 +4437,135 @@ def q114_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q115_heaps_fit",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+        FROM documents
+    ), tok2 AS (
+        SELECT doc_id, token FROM tok WHERE token <> ''
+    ), per_doc AS (
+        SELECT doc_id, count(*) AS toks FROM tok2 GROUP BY doc_id
+    ), firsts AS (
+        SELECT token, min(doc_id) AS first_doc FROM tok2 GROUP BY token
+    ), newt AS (
+        SELECT first_doc, count(*) AS new_types FROM firsts GROUP BY first_doc
+    ), curve AS (
+        SELECT p.doc_id,
+               sum(p.toks) OVER (ORDER BY p.doc_id) AS cum_n,
+               sum(coalesce(n.new_types, 0)) OVER (ORDER BY p.doc_id) AS cum_v
+        FROM per_doc p LEFT JOIN newt n ON n.first_doc = p.doc_id
+    )
+    SELECT count(*) AS n_docs,
+           CAST(max(cum_n) AS BIGINT) AS n_tokens,
+           CAST(max(cum_v) AS BIGINT) AS vocab,
+           CAST(round(CAST(regr_slope(log2(cum_v), log2(cum_n))
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS heaps_beta,
+           CAST(round(CAST(regr_intercept(log2(cum_v), log2(cum_n))
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS heaps_log2k,
+           CAST(round(CAST(corr(log2(cum_v), log2(cum_n))
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS loglog_corr
+    FROM curve
+    """,
+)
+def q115_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (companion to q108's Zipf fit):
+    V(N) ≈ k·N^β, estimated as the log-log regression of cumulative
+    vocabulary size against cumulative token count over the corpus in
+    doc_id order.  The running DISTINCT count — not windowable
+    directly at any scale — is re-expressed exactly as a running SUM
+    of first-occurrence counts (min(doc_id) per token, then new-types
+    per doc), which IS distributable: two map-side-combinable groupBys
+    plus one prefix sum.  Sub-linear β (~0.4-0.6) is the natural-text
+    signature; β→1 flags synthetic/near-random corpora."""
+    d = _t(spark, sf_dir, "documents")
+    tokens = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    per_doc = tokens.groupBy("doc_id").agg(F.count("*").alias("toks"))
+    new_per_doc = (
+        tokens.groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count("*").alias("new_types"))
+    )
+    w = Window.orderBy("doc_id")
+    curve = (
+        per_doc.join(
+            new_per_doc,
+            per_doc.doc_id == new_per_doc.first_doc,
+            "left",
+        )
+        .select(
+            per_doc.doc_id,
+            F.sum("toks").over(w).alias("cum_n"),
+            F.sum(F.coalesce("new_types", F.lit(0))).over(w).alias("cum_v"),
+        )
+    )
+    lx, ly = F.log2("cum_n"), F.log2("cum_v")
+    return curve.agg(
+        F.count("*").alias("n_docs"),
+        F.max("cum_n").alias("n_tokens"),
+        F.max("cum_v").alias("vocab"),
+        _sround(F.regr_slope(ly, lx), 4).alias("heaps_beta"),
+        _sround(F.regr_intercept(ly, lx), 4).alias("heaps_log2k"),
+        _sround(F.corr(ly, lx), 4).alias("loglog_corr"),
+    )
+
+
+@query(
+    "q116_skew_profile",
+    """
+    WITH c1 AS (
+        SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1
+    ), c2 AS (
+        SELECT l_partkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1
+    )
+    SELECT 'o_custkey' AS col, count(*) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS n_rows, max(cnt) AS max_cnt,
+           CAST(round(CAST(avg(cnt) AS DECIMAL(30,10)), 4) AS DOUBLE)
+               AS avg_cnt,
+           CAST(round(CAST(quantile_cont(cnt, 0.99) AS DECIMAL(30,10)), 4)
+               AS DOUBLE) AS p99_cnt,
+           CAST(round(CAST(max(cnt) / CAST(sum(cnt) AS DOUBLE)
+               AS DECIMAL(30,10)), 6) AS DOUBLE) AS top1_share,
+           CAST(round(CAST(max(cnt) / avg(cnt) AS DECIMAL(30,10)), 4)
+               AS DOUBLE) AS skew_ratio
+    FROM c1
+    UNION ALL
+    SELECT 'l_partkey', count(*), CAST(sum(cnt) AS BIGINT), max(cnt),
+           CAST(round(CAST(avg(cnt) AS DECIMAL(30,10)), 4) AS DOUBLE),
+           CAST(round(CAST(quantile_cont(cnt, 0.99) AS DECIMAL(30,10)), 4)
+               AS DOUBLE),
+           CAST(round(CAST(max(cnt) / CAST(sum(cnt) AS DOUBLE)
+               AS DECIMAL(30,10)), 6) AS DOUBLE),
+           CAST(round(CAST(max(cnt) / avg(cnt) AS DECIMAL(30,10)), 4)
+               AS DOUBLE)
+    FROM c2
+    """,
+)
+def q116_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiling (`operators/profile.py::join_key_skew`):
+    the pre-flight measurement that picks the shuffle strategy for a
+    100 TB join — skew_ratio ≈ 1 ⇒ plain hash partitioning; a hot
+    key's share × table size over one task's capacity ⇒ AQE skew-split
+    or explicit salting (q112).  One map-side-combinable groupBy per
+    key; the stats aggregate sees key counts, not rows."""
+    from ..operators.profile import join_key_skew
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return join_key_skew(o, "o_custkey").unionByName(
+        join_key_skew(li, "l_partkey")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
