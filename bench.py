@@ -104,6 +104,7 @@ HEADLINE = [
     "q114_cdc_apply",
     "q115_heaps_fit",
     "q116_skew_profile",
+    "q117_value_histogram",
 ]
 
 

@@ -4566,6 +4566,57 @@ def q116_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q117_value_histogram",
+    """
+    WITH b AS (
+        SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        FROM lineitem
+    )
+    SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 10.0))
+               AS BIGINT), 9) AS bucket,
+           count(*) AS n,
+           CAST(round(CAST(min(l_extendedprice) AS DECIMAL(30,10)), 2)
+               AS DOUBLE) AS bucket_min,
+           CAST(round(CAST(max(l_extendedprice) AS DECIMAL(30,10)), 2)
+               AS DOUBLE) AS bucket_max
+    FROM lineitem, b
+    GROUP BY 1
+    """,
+)
+def q117_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (10 buckets) over l_extendedprice: the
+    min/max bounds come from a 1-row scalar aggregate broadcast into a
+    second scan pass, bucket assignment is pure arithmetic in codegen,
+    and the histogram itself is a 10-group map-side-combinable
+    aggregate — two linear passes total, the standard profile-pass
+    shape at any scale.  Bucket edges are IEEE-deterministic (same
+    doubles → same floor) so both engines bin identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("l_extendedprice") - F.col("lo")) / width)
+                .cast("bigint"),
+                F.lit(9).cast("bigint"),
+            ).alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            _sround(F.min("l_extendedprice"), 2).alias("bucket_min"),
+            _sround(F.max("l_extendedprice"), 2).alias("bucket_max"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

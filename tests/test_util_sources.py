@@ -60,6 +60,26 @@ def test_json_backend_roundtrip(spark, src_conn):
     assert rows[0]["n"] == 25
 
 
+def test_orc_backend_roundtrip_preserves_types(spark, src_conn):
+    d = tempfile.mkdtemp(prefix="ehs_orc_")
+    dest = connect_files(d, file_format="orc", spark=spark)
+    copy_table_rows("orders", src_conn, dest)
+    src = src_conn.table_dataframe("orders")
+    out = dest.table_dataframe("orders")
+    # ORC keeps the full schema (unlike csv/json round-trips)
+    assert out.schema == src.schema
+    assert out.count() == src.count()
+    a = fetchall(
+        "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 3",
+        dest,
+    )
+    b = fetchall(
+        "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 3",
+        src_conn,
+    )
+    assert a == b
+
+
 # ---------------------------------------------------------------------------
 # range_join (bucketed point-in-interval equi-join)
 # ---------------------------------------------------------------------------
