@@ -105,6 +105,8 @@ HEADLINE = [
     "q115_heaps_fit",
     "q116_skew_profile",
     "q117_value_histogram",
+    "q118_tpch_q11_share",
+    "q119_tpch_q21_waiting",
 ]
 
 

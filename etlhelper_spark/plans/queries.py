@@ -4617,6 +4617,122 @@ def q117_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q118_tpch_q11_share",
+    """
+    WITH pv AS (
+        SELECT l_partkey,
+               CAST(round(CAST(sum(l_extendedprice * (1 - l_discount))
+                    AS DECIMAL(30,10)), 4) AS DOUBLE) AS value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2')
+        GROUP BY l_partkey
+    ), tot AS (
+        SELECT sum(value) AS total FROM pv
+    )
+    SELECT l_partkey,
+           value
+    FROM pv, tot
+    WHERE value > total * 0.001
+    """,
+)
+def q118_tpch_q11_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (no partsupp in the testdata: part 'stock
+    value' proxied by lineitem revenue through NATION_1/NATION_2
+    suppliers).  The shape is the point: a grouped aggregate compared
+    against a SCALAR FRACTION OF ITS OWN TOTAL — the total is a 1-row
+    re-aggregate of the (already small) per-part table broadcast back
+    as a cross join, so the fact table is scanned ONCE.  Per-part
+    values are decimal-rounded before totalling so the threshold
+    comparison is engine-deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    pv = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.where(F.col("n_name").isin("NATION_1", "NATION_2"))),
+            s.s_nationkey == n.n_nationkey,
+        )
+        .groupBy("l_partkey")
+        .agg(
+            _sround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("value")
+        )
+    )
+    tot = pv.agg(F.sum("value").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(F.col("value") > F.col("total") * 0.001)
+        .select("l_partkey", "value")
+    )
+
+
+@query(
+    "q119_tpch_q21_waiting",
+    """
+    WITH ls AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_orderkey, l_suppkey
+    ), per_order AS (
+        SELECT l_orderkey, count(*) AS n_supps, sum(late) AS n_late
+        FROM ls GROUP BY l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM ls
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE late = 1 AND n_supps >= 2 AND n_late = 1
+    GROUP BY s_name
+    """,
+)
+def q119_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (no commitdate/receiptdate: 'late' :=
+    shipped >60 days after the order date).  The original's
+    EXISTS / NOT-EXISTS pair over sibling lineitems decorrelates into
+    per-(order, supplier) flags + one per-order aggregate: the sole
+    late supplier on a multi-supplier order is blamed.  Two co-keyed
+    shuffles on l_orderkey replace a double correlated sub-scan of the
+    fact table — the decorrelation that matters at 100 TB.  All-integer
+    logic: engine-deterministic with no rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    ls = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    per_order = ls.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supps"), F.sum("late").alias("n_late")
+    )
+    return (
+        ls.join(per_order, "l_orderkey")
+        .where(
+            (F.col("late") == 1)
+            & (F.col("n_supps") >= 2)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
