@@ -160,6 +160,17 @@ def main() -> None:
         ).cast("double").alias("dec"),
     ).count()
 
+    # shingle/dedup codegen classes (ObjectHashAggregate collect_list,
+    # array_sort lambda, explode-slice prefix, array_intersect verify)
+    # used by the PPJoin/minhash family — tiny data, warms JIT only
+    from etlhelper_spark.functions.dedup import ngram_jaccard_pairs
+
+    _docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} a b c d e f g h") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    ngram_jaccard_pairs(_docs, "doc_id", "text", 3, 0.5).count()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
