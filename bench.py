@@ -107,6 +107,8 @@ HEADLINE = [
     "q117_value_histogram",
     "q118_tpch_q11_share",
     "q119_tpch_q21_waiting",
+    "q120_ann_recall",
+    "q121_wkt_geo",
 ]
 
 

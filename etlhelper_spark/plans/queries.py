@@ -4797,6 +4797,103 @@ def q120_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q121_wkt_geo",
+    """
+    WITH pts AS (
+        SELECT s_suppkey,
+               CAST((s_suppkey * 7919) % 360 - 180 AS DOUBLE)
+                   + CAST((s_suppkey * 104729) % 1000 AS DOUBLE) / 1000.0
+                   AS lon,
+               CAST((s_suppkey * 7907) % 170 - 85 AS DOUBLE)
+                   + CAST((s_suppkey * 99991) % 1000 AS DOUBLE) / 1000.0
+                   AS lat
+        FROM supplier
+    ), wkt AS (
+        SELECT s_suppkey,
+               'POINT(' || CAST(lon AS VARCHAR) || ' '
+                        || CAST(lat AS VARCHAR) || ')' AS geom
+        FROM pts
+    ), parsed AS (
+        SELECT s_suppkey,
+               CAST(regexp_extract(geom,
+                   'POINT\\(([-0-9.]+) ([-0-9.]+)\\)', 1) AS DOUBLE) AS lon,
+               CAST(regexp_extract(geom,
+                   'POINT\\(([-0-9.]+) ([-0-9.]+)\\)', 2) AS DOUBLE) AS lat
+        FROM wkt
+    )
+    SELECT s_suppkey, lon, lat,
+           CAST(round(CAST(
+               12742.0 * asin(sqrt(
+                   pow(sin(radians(lat - 48.8566) / 2), 2)
+                   + cos(radians(48.8566)) * cos(radians(lat))
+                     * pow(sin(radians(lon - 2.3522) / 2), 2)
+               ))
+           AS DECIMAL(30,10)), 2) AS DOUBLE) AS km_to_paris
+    FROM parsed
+    WHERE lon BETWEEN -20 AND 40 AND lat BETWEEN 30 AND 70
+    """,
+)
+def q121_wkt_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT geometry pass-through (the reference's spatial recipe,
+    docs/recipes/spatial_etl.rst: geometries travel as WKT text and
+    the spatial functions run in the engine).  Deterministic
+    coordinates derived from supplier keys are rendered to
+    'POINT(lon lat)', parsed BACK with a codegen regexp (proving the
+    round-trip), bbox-filtered — sargable, pushable — and ranked by
+    haversine distance, all JVM-side arithmetic.  Spark-first spatial:
+    WKT as strings + math in codegen covers point workloads without a
+    UDF; full geometry ops belong to sedona-style extensions."""
+    s = _t(spark, sf_dir, "supplier")
+    pts = s.select(
+        "s_suppkey",
+        (
+            ((F.col("s_suppkey") * 7919) % 360 - 180).cast("double")
+            + ((F.col("s_suppkey") * 104729) % 1000).cast("double") / 1000.0
+        ).alias("lon"),
+        (
+            ((F.col("s_suppkey") * 7907) % 170 - 85).cast("double")
+            + ((F.col("s_suppkey") * 99991) % 1000).cast("double") / 1000.0
+        ).alias("lat"),
+    )
+    wkt = pts.select(
+        "s_suppkey",
+        F.concat(
+            F.lit("POINT("),
+            F.col("lon").cast("string"),
+            F.lit(" "),
+            F.col("lat").cast("string"),
+            F.lit(")"),
+        ).alias("geom"),
+    )
+    pat = r"POINT\(([-0-9.]+) ([-0-9.]+)\)"
+    parsed = wkt.select(
+        "s_suppkey",
+        F.regexp_extract("geom", pat, 1).cast("double").alias("lon"),
+        F.regexp_extract("geom", pat, 2).cast("double").alias("lat"),
+    )
+    lat0, lon0 = 48.8566, 2.3522
+    hav = 12742.0 * F.asin(
+        F.sqrt(
+            F.pow(F.sin(F.radians(F.col("lat") - lat0) / 2), 2)
+            + F.cos(F.radians(F.lit(lat0)))
+            * F.cos(F.radians(F.col("lat")))
+            * F.pow(F.sin(F.radians(F.col("lon") - lon0) / 2), 2)
+        )
+    )
+    return (
+        parsed.where(
+            F.col("lon").between(-20, 40) & F.col("lat").between(30, 70)
+        )
+        .select(
+            "s_suppkey",
+            "lon",
+            "lat",
+            _sround(hav, 2).alias("km_to_paris"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
