@@ -37,6 +37,7 @@ from .exceptions import (
 )
 from .operators import (
     CHUNKSIZE,
+    apply_changes,
     copy_rows,
     copy_table_rows,
     dataframe_transform,
@@ -48,6 +49,7 @@ from .operators import (
     iter_chunks,
     iter_rows,
     load,
+    stage_and_merge,
 )
 from .row_factories import (
     dict_row_factory,

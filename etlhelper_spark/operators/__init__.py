@@ -12,10 +12,12 @@ from .etl import (
     iter_rows,
     load,
 )
+from .cdc import apply_changes
+from .jdbc_sink import stage_and_merge
 from .maintenance import clustered_rewrite, compact_parquet_table, morton_code
 from .merge import merge_dataframes, merge_into_parquet
 from .observe import observed, row_metrics, run_with_metrics
-from .profile import profile_table
+from .profile import join_key_skew, profile_table
 
 __all__ = [
     "clustered_rewrite",
@@ -39,4 +41,7 @@ __all__ = [
     "iter_chunks",
     "iter_rows",
     "load",
+    "apply_changes",
+    "stage_and_merge",
+    "join_key_skew",
 ]
