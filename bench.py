@@ -109,6 +109,7 @@ HEADLINE = [
     "q119_tpch_q21_waiting",
     "q120_ann_recall",
     "q121_wkt_geo",
+    "q122_table_checksum",
 ]
 
 

@@ -96,3 +96,31 @@ def join_key_skew(df: DataFrame, key_col: str) -> DataFrame:
         ).cast("double").alias("top1_share"),
         _round4(F.max("cnt") / F.avg("cnt")).alias("skew_ratio"),
     ).select(F.lit(key_col).alias("col"), "*")
+
+
+def table_checksum(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Order-insensitive content checksum: one row of (n_rows, checksum).
+
+    Copy validation at 100 TB cannot sort-and-compare; this folds an
+    md5-derived 60-bit value per row into a modular sum — a single
+    map-side-combinable aggregate, no shuffle beyond the 1-row final
+    combine, identical under any partitioning or row order.  The hash
+    is engine-reproducible (md5 of '|'-joined values with an explicit
+    NULL marker), so source and destination engines can each compute
+    their own checksum and compare scalars instead of rows.
+    Collision odds for accidental corruption are ~2^-31 per comparison
+    (sum modulus), plenty for reconciliation alarms; use the row diff
+    (anti joins on the same row hash) to LOCATE a mismatch.
+    """
+    cols = cols or df.columns
+    joined = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols]
+    )
+    row_hash = (
+        F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+        % F.lit(2147483647)
+    )
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        (F.sum(row_hash) % F.lit(2147483647)).alias("checksum"),
+    )

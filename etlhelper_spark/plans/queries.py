@@ -4894,6 +4894,89 @@ def q121_wkt_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q122_table_checksum",
+    """
+    WITH h AS (
+        SELECT CAST('0x' || substr(md5(
+                   CAST(o_orderkey AS VARCHAR) || '|' ||
+                   CAST(o_custkey AS VARCHAR) || '|' ||
+                   coalesce(o_orderstatus, '<NULL>')
+               ), 1, 15) AS BIGINT) % 2147483647 AS rh,
+               o_orderkey
+        FROM orders
+    ), a AS (
+        SELECT count(*) AS n_rows, sum(rh) % 2147483647 AS checksum FROM h
+    ), b AS (
+        -- the 'destination copy' with one row mutated
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN o_orderkey = 1
+                        THEN CAST('0x' || substr(md5(
+                            CAST(o_orderkey AS VARCHAR) || '|' ||
+                            CAST(o_custkey AS VARCHAR) || '|' || 'X'
+                        ), 1, 15) AS BIGINT) % 2147483647
+                        ELSE rh2 END) % 2147483647 AS checksum
+        FROM (
+            SELECT o_orderkey, o_custkey,
+                   CAST('0x' || substr(md5(
+                       CAST(o_orderkey AS VARCHAR) || '|' ||
+                       CAST(o_custkey AS VARCHAR) || '|' ||
+                       coalesce(o_orderstatus, '<NULL>')
+                   ), 1, 15) AS BIGINT) % 2147483647 AS rh2
+            FROM orders
+        )
+    )
+    SELECT a.n_rows AS src_rows, b.n_rows AS dest_rows,
+           a.checksum AS src_checksum,
+           (a.checksum = b.checksum) AS copies_match
+    FROM a, b
+    """,
+)
+def q122_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy reconciliation (`operators/profile.py::table_checksum`):
+    an order-insensitive modular sum of per-row md5 hashes — ONE
+    map-side-combinable aggregate, identical under any partitioning,
+    comparable across engines.  Validating a 100 TB copy becomes a
+    scalar comparison instead of a sorted row diff.  The query
+    checksums orders, then a simulated destination copy with one
+    mutated row, and must detect the mismatch; the oracle recomputes
+    both checksums independently in DuckDB (md5 is engine-identical)."""
+    from ..operators.profile import table_checksum
+
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    src = table_checksum(o, cols)
+    mutated = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == 1, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    dest = table_checksum(mutated, cols)
+    return (
+        src.select(
+            F.col("n_rows").alias("src_rows"),
+            F.col("checksum").alias("src_checksum"),
+        )
+        .crossJoin(
+            F.broadcast(
+                dest.select(
+                    F.col("n_rows").alias("dest_rows"),
+                    F.col("checksum").alias("dest_checksum"),
+                )
+            )
+        )
+        .select(
+            "src_rows",
+            "dest_rows",
+            "src_checksum",
+            (F.col("src_checksum") == F.col("dest_checksum")).alias(
+                "copies_match"
+            ),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
