@@ -110,6 +110,7 @@ HEADLINE = [
     "q120_ann_recall",
     "q121_wkt_geo",
     "q122_table_checksum",
+    "q123_decay_score",
 ]
 
 

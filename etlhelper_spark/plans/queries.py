@@ -4977,6 +4977,56 @@ def q122_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q123_decay_score",
+    """
+    WITH mx AS (
+        SELECT CAST(max(date_trunc('day', ts)) AS DATE) AS max_day
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(round(CAST(
+               sum(value * pow(0.9, date_diff('day',
+                   CAST(date_trunc('day', ts) AS DATE), max_day)))
+           AS DECIMAL(30,10)), 4) AS DOUBLE) AS decayed_value
+    FROM events, mx
+    GROUP BY user_id
+    """,
+)
+def q123_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted activity score (exponential time decay,
+    half-life ≈ 6.6 days): Σ value·0.9^(days before the corpus's last
+    day), the standard freshness feature for ranking/training-data
+    weighting.  No window and no state: the decay anchor is a 1-row
+    scalar max broadcast into the scan, so the whole feature is one
+    map-side-combinable aggregate — at 100 TB this is the same cost
+    as a plain per-user sum.  Integer exponents keep pow deterministic
+    enough for the decimal-rounded hash comparison."""
+    e = _t(spark, sf_dir, "events")
+    mx = e.agg(F.to_date(F.max(F.date_trunc("day", "ts"))).alias("max_day"))
+    return (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            _sround(
+                F.sum(
+                    F.col("value")
+                    * F.pow(
+                        F.lit(0.9),
+                        F.datediff(
+                            F.col("max_day"),
+                            F.to_date(F.date_trunc("day", "ts")),
+                        ),
+                    )
+                ),
+                4,
+            ).alias("decayed_value"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
