@@ -111,6 +111,7 @@ HEADLINE = [
     "q121_wkt_geo",
     "q122_table_checksum",
     "q123_decay_score",
+    "q124_try_functions",
 ]
 
 

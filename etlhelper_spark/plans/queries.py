@@ -5027,6 +5027,61 @@ def q123_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q124_try_functions",
+    """
+    WITH dirty AS (
+        SELECT event_type, value,
+               CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0
+                        THEN 'N/A'
+                    WHEN CAST(json_extract_string(props, '$.k') AS INT) % 5 = 0
+                        THEN json_extract_string(props, '$.k') || 'x'
+                    ELSE json_extract_string(props, '$.k') END AS raw
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_rows,
+           count(TRY_CAST(raw AS INTEGER)) AS n_parsed,
+           count(*) - count(TRY_CAST(raw AS INTEGER)) AS n_unparseable,
+           CAST(round(CAST(avg(value / NULLIF(k - 30, 0))
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_safe_ratio
+    FROM dirty
+    GROUP BY event_type
+    """,
+)
+def q124_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant ingestion under ANSI mode (Spark 4 default): the
+    `try_` function family turns per-row failures into NULLs instead
+    of job aborts — the behavior a dirty-data pipeline needs, and the
+    distributed analogue of the reference's row-level `on_error`
+    dead-lettering (etl.py:342-365): bad rows are COUNTED and skipped,
+    never fatal.  Synthesized junk ('N/A', '69x') exercises try_cast;
+    try_divide survives the k=30 divide-by-zero rows that plain ANSI
+    division would abort the whole 100 TB job on."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    dirty = e.select(
+        "event_type",
+        "value",
+        k.alias("k"),
+        F.when(k % 7 == 0, F.lit("N/A"))
+        .when(k % 5 == 0, F.concat(k.cast("string"), F.lit("x")))
+        .otherwise(k.cast("string"))
+        .alias("raw"),
+    )
+    return dirty.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.col("raw").try_cast("int")).alias("n_parsed"),
+        (
+            F.count("*") - F.count(F.col("raw").try_cast("int"))
+        ).alias("n_unparseable"),
+        _sround(
+            F.avg(F.try_divide(F.col("value"), F.col("k") - 30)), 4
+        ).alias("avg_safe_ratio"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
