@@ -112,6 +112,7 @@ HEADLINE = [
     "q122_table_checksum",
     "q123_decay_score",
     "q124_try_functions",
+    "q125_triangle_count",
 ]
 
 

@@ -5082,6 +5082,65 @@ def q124_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q125_triangle_count",
+    """
+    WITH e AS (
+        SELECT DISTINCT
+               least(c.c_nationkey, s.s_nationkey) AS a,
+               greatest(c.c_nationkey, s.s_nationkey) AS b
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    )
+    SELECT count(*) AS n_triangles,
+           (SELECT count(*) FROM e) AS n_edges
+    FROM e e1
+    JOIN e e2 ON e2.a = e1.b
+    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q125_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the undirected nation-trade graph — the
+    canonical multiway self-join.  Edges are canonicalized a<b, so
+    each triangle {x,y,z} is counted exactly once as (a<b<c): the
+    ordering constraint is THE classic trick that cuts the join's
+    intermediate size 6× and bounds skew by degree rather than
+    degree².  At real graph scale the first join shuffles on the edge
+    endpoint and the closing edge lookup co-partitions on (a,b) —
+    no step is ever quadratic in |V|."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    edges = e.agg(F.count("*").alias("n_edges"))
+    return tri.crossJoin(F.broadcast(edges))
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
