@@ -1,0 +1,87 @@
+"""Properties: checksum order/partitioning invariance; PPJoin = naive."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from etlhelper_spark.functions.dedup import ngram_jaccard_pairs
+from etlhelper_spark.operators.profile import table_checksum
+
+
+def test_checksum_invariant_to_order_and_partitioning(spark):
+    rows = [(i, f"name{i % 7}", None if i % 5 == 0 else float(i)) for i in range(200)]
+    base = spark.createDataFrame(rows, "id long, name string, v double")
+    a = table_checksum(base).collect()[0]
+    shuffled = spark.createDataFrame(
+        random.Random(7).sample(rows, len(rows)),
+        "id long, name string, v double",
+    ).repartition(13)
+    b = table_checksum(shuffled).collect()[0]
+    assert (a["n_rows"], a["checksum"]) == (b["n_rows"], b["checksum"])
+
+
+def test_checksum_detects_single_value_change(spark):
+    rows = [(i, f"x{i}") for i in range(100)]
+    a = table_checksum(
+        spark.createDataFrame(rows, "id long, s string")
+    ).collect()[0]
+    rows[50] = (50, "x50!")
+    b = table_checksum(
+        spark.createDataFrame(rows, "id long, s string")
+    ).collect()[0]
+    assert a["checksum"] != b["checksum"]
+
+
+def test_checksum_distinguishes_null_from_empty(spark):
+    a = table_checksum(
+        spark.createDataFrame([(1, None)], "id long, s string")
+    ).collect()[0]
+    b = table_checksum(
+        spark.createDataFrame([(1, "")], "id long, s string")
+    ).collect()[0]
+    assert a["checksum"] != b["checksum"]
+
+
+def _naive_jaccard_pairs(docs, n, threshold):
+    def shingles(text):
+        toks = text.lower().strip().split()
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        } - {""}
+
+    sets = {i: shingles(t) for i, t in docs}
+    out = set()
+    for (i, si), (j, sj) in itertools.combinations(sorted(sets.items()), 2):
+        if not si or not sj:
+            continue
+        jac = len(si & sj) / len(si | sj)
+        if round(jac, 4) >= threshold:
+            out.add((i, j))
+    return out
+
+
+def test_ppjoin_matches_naive_on_random_corpora(spark):
+    """Prefix/length filters must stay EXACT: same pairs as brute force."""
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(30)]
+    for trial in range(5):
+        docs = []
+        for i in range(30):
+            base = [rng.choice(vocab) for _ in range(rng.randint(6, 14))]
+            docs.append((i, " ".join(base)))
+            if rng.random() < 0.4:  # planted near-dup: mutate one token
+                mutated = base[:]
+                mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+                docs.append((1000 + i, " ".join(mutated)))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", shingle_size=2, threshold=0.5
+            ).collect()
+        }
+        expect = _naive_jaccard_pairs(docs, 2, 0.5)
+        assert got == expect, f"trial {trial}: {got ^ expect}"
