@@ -5141,6 +5141,38 @@ def q125_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.crossJoin(F.broadcast(edges))
 
 
+@query(
+    "q126_streaming_dedup",
+    """
+    SELECT event_id, user_id, event_type,
+           round(value, 4) AS value
+    FROM events
+    """,
+)
+def q126_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch streaming deduplication
+    (`streaming/windows.py::streaming_dedup_events`):
+    dropDuplicatesWithinWatermark keeps dedup state only for the
+    watermark horizon, so exact dedup works on an UNBOUNDED stream
+    with bounded state — the streaming form of q23.  The testdata's
+    event_ids are already unique, so the drained availableNow result
+    must equal the raw table row-for-row; the oracle is that batch
+    identity, which pins the whole readStream→watermark→dedup→sink
+    path (including the nanos→ntz timestamp restoration) to batch
+    semantics."""
+    from ..streaming.windows import streaming_dedup_events
+
+    configure_session(spark)
+    ckpt = tempfile.mkdtemp(prefix="ehs_sdedup_")
+    out = streaming_dedup_events(spark, sf_dir, ckpt)
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
