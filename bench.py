@@ -113,6 +113,7 @@ HEADLINE = [
     "q123_decay_score",
     "q124_try_functions",
     "q125_triangle_count",
+    "q127_nested_structs",
 ]
 
 

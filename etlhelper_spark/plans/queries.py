@@ -5173,6 +5173,57 @@ def q126_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q127_nested_structs",
+    """
+    WITH packed AS (
+        SELECT o_custkey,
+               list_sort(list({'p': o_totalprice, 'k': o_orderkey}))
+                   AS orders_sorted
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           list_transform(
+               list_reverse(
+                   orders_sorted[greatest(len(orders_sorted) - 2, 1)
+                                 :len(orders_sorted)]
+               ),
+               x -> x.k
+           ) AS top3_orderkeys,
+           round(orders_sorted[len(orders_sorted)].p, 2) AS top_price
+    FROM packed
+    """,
+)
+def q127_nested_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested complex-type manipulation: per-customer order history
+    packed into an ARRAY OF STRUCTS, sorted field-wise (price, key),
+    sliced to the top 3, projected back to scalars — all inside
+    whole-stage codegen, no window and no second shuffle: the sort is
+    per-array (bounded by a customer's order count), which at 100 TB
+    beats a row_number window whenever the per-key cardinality is
+    small, because nothing is ranked globally.  Struct comparison
+    semantics (field-wise, ties broken by the next field) match across
+    engines, which the oracle verifies."""
+    o = _t(spark, sf_dir, "orders")
+    packed = o.groupBy("o_custkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("o_totalprice").alias("p"),
+                    F.col("o_orderkey").alias("k"),
+                )
+            )
+        ).alias("orders_sorted")
+    )
+    n = F.size("orders_sorted")
+    top3 = F.reverse(F.slice("orders_sorted", F.greatest(n - 2, F.lit(1)), 3))
+    return packed.select(
+        "o_custkey",
+        F.transform(top3, lambda x: x["k"]).alias("top3_orderkeys"),
+        F.round(F.element_at("orders_sorted", -1)["p"], 2).alias("top_price"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
