@@ -114,6 +114,7 @@ HEADLINE = [
     "q124_try_functions",
     "q125_triangle_count",
     "q127_nested_structs",
+    "q128_recursive_cte",
 ]
 
 

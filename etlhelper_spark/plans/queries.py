@@ -5224,6 +5224,42 @@ def q127_nested_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_REACH_SQL = """
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ), reach(id, hops) AS (
+        SELECT CAST(0 AS BIGINT) AS id, 0 AS hops
+        UNION ALL
+        SELECT e.dst, r.hops + 1
+        FROM reach r JOIN edges e ON e.src = r.id
+        WHERE r.hops < 2
+    )
+    SELECT id, min(hops) AS hops, count(*) AS n_paths
+    FROM reach GROUP BY id
+"""
+
+
+@query("q128_recursive_cte", _RECURSIVE_REACH_SQL)
+def q128_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): BFS reachability from
+    nation 0 over the directed trade graph, capped at 2 hops —
+    shortest hop count and path multiplicity per reachable nation.
+    The SAME SQL text runs on both engines: Catalyst executes the
+    recursion as iterated union steps until the increment is empty
+    (each step one co-keyed join against the frontier), the loop-free
+    declarative form of q113's driver loop.  Depth caps bound the
+    blow-up on dense graphs; at 100 TB the frontier join partitions on
+    the edge source like any equi-join."""
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_RECURSIVE_REACH_SQL)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
