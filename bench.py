@@ -115,6 +115,8 @@ HEADLINE = [
     "q125_triangle_count",
     "q127_nested_structs",
     "q128_recursive_cte",
+    "q129_sql_udf",
+    "q130_pipe_syntax",
 ]
 
 

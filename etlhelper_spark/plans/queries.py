@@ -5260,6 +5260,76 @@ def q128_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RECURSIVE_REACH_SQL)
 
 
+@query(
+    "q129_sql_udf",
+    """
+    SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+                WHEN l_discount < 0.07 THEN 'mid'
+                ELSE 'high' END AS band,
+           count(*) AS n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q129_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative SQL UDF (Spark 4 CREATE FUNCTION … RETURN expr):
+    unlike Python UDFs, the body is INLINED into the plan by Catalyst
+    — full codegen, pushdown through it, zero Python workers — so
+    shared business logic (banding, normalization) is reusable without
+    the serialization tax.  The oracle applies the same expression
+    inline, proving the UDF call compiled away."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION discount_band(d DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN d < 0.03 THEN 'low'
+                    WHEN d < 0.07 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT discount_band(l_discount) AS band,
+               count(*) AS n,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY 1
+        """
+    )
+
+
+@query(
+    "q130_pipe_syntax",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-03-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q130_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the linear
+    FROM → WHERE → AGGREGATE dataflow form.  Same Catalyst plan as the
+    nested form — filters still push to the scan — but composable
+    top-to-bottom like the DataFrame API; the oracle is the classic
+    formulation of the identical query."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1998-03-01'
+        |> AGGREGATE count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
