@@ -117,6 +117,7 @@ HEADLINE = [
     "q128_recursive_cte",
     "q129_sql_udf",
     "q130_pipe_syntax",
+    "q131_lateral_join",
 ]
 
 

@@ -5330,6 +5330,34 @@ def q130_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LATERAL_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment,
+           t2.o_orderkey, round(t2.o_totalprice, 2) AS o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 2
+    ) t2
+    WHERE c.c_custkey < 100
+"""
+
+
+@query("q131_lateral_join", _LATERAL_SQL)
+def q131_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (the
+    SQL-standard form of per-key top-k): identical SQL text on both
+    engines.  Catalyst DECORRELATES the lateral into a window/rank
+    over a single co-keyed join rather than executing the subquery per
+    outer row — the difference between one shuffle and |customers|
+    scans at 100 TB.  Complements q04 (explicit window) and q127
+    (array sort): three formulations, one physical strategy."""
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
