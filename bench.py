@@ -118,6 +118,7 @@ HEADLINE = [
     "q129_sql_udf",
     "q130_pipe_syntax",
     "q131_lateral_join",
+    "q132_not_in_semantics",
 ]
 
 

@@ -5358,6 +5358,43 @@ def q131_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_SQL)
 
 
+_NOT_IN_SQL = """
+    SELECT
+        (SELECT count(*) FROM supplier
+         WHERE s_nationkey NOT IN
+             (SELECT n_nationkey FROM nation WHERE n_nationkey < 10)
+        ) AS plain_not_in,
+        (SELECT count(*) FROM supplier
+         WHERE s_nationkey NOT IN
+             (SELECT CASE WHEN n_nationkey = 5 THEN NULL
+                          ELSE n_nationkey END
+              FROM nation WHERE n_nationkey < 10)
+        ) AS null_poisoned_not_in,
+        (SELECT count(*) FROM supplier s
+         WHERE NOT EXISTS
+             (SELECT 1 FROM nation
+              WHERE n_nationkey < 10 AND n_nationkey = s.s_nationkey)
+        ) AS not_exists
+"""
+
+
+@query("q132_not_in_semantics", _NOT_IN_SQL)
+def q132_not_in_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued NOT IN semantics, pinned: one NULL in the subquery
+    list makes NOT IN never-true (x <> NULL is UNKNOWN), so the
+    poisoned count MUST be 0 while the NOT EXISTS formulation — which
+    ignores NULLs — still returns the real complement.  Catalyst plans
+    NOT IN as null-aware anti join (a broadcast existence check with
+    the null fast-path) vs plain left-anti for NOT EXISTS; both
+    engines execute the identical SQL text.  This is the
+    dirty-dimension trap that silently empties 100 TB exclusion
+    filters — the engine must get it right, and pipelines should
+    prefer NOT EXISTS."""
+    for t in ("supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_NOT_IN_SQL)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
