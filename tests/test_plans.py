@@ -147,3 +147,39 @@ def test_quality_filter_zero_shuffle(spark):
 
     plan = explain_str(q99_quality_filter(spark, SF))
     assert "Exchange" not in plan  # pure scan pass, no shuffle at all
+
+
+def test_distribute_sort_by_partitioning_control(spark, src_conn):
+    """DISTRIBUTE BY hash-partitions without a global sort; SORT BY
+    orders within partitions only — the SQL-level partitioning control
+    for preparing co-located writes."""
+    src_conn.table_dataframe("orders").createOrReplaceTempView(
+        "orders_dsb"
+    )
+    plan = explain_str(
+        spark.sql(
+            "SELECT o_custkey, o_totalprice FROM orders_dsb "
+            "DISTRIBUTE BY o_custkey SORT BY o_totalprice"
+        )
+    )
+    assert "hashpartitioning(o_custkey" in plan
+    assert "Sort" in plan
+    # local sort, not a global ordering: exactly the one repartition
+    # exchange, no rangepartitioning
+    assert "rangepartitioning" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    from etlhelper_spark.plans.queries import q131_lateral_join
+
+    plan = explain_str(q131_lateral_join(spark, SF))
+    assert "WindowGroupLimit" in plan  # rank-limit pushdown, not per-row subquery
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_udf_inlines_no_python_eval(spark):
+    from etlhelper_spark.plans.queries import q129_sql_udf
+
+    plan = explain_str(q129_sql_udf(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CASE WHEN" in plan  # body inlined as an expression
