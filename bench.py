@@ -119,6 +119,7 @@ HEADLINE = [
     "q130_pipe_syntax",
     "q131_lateral_join",
     "q132_not_in_semantics",
+    "q133_group_by_all",
 ]
 
 

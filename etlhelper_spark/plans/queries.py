@@ -5395,6 +5395,29 @@ def q132_not_in_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_NOT_IN_SQL)
 
 
+_GROUP_BY_ALL_SQL = """
+    SELECT n.n_name, r.r_name,
+           count(*) AS n_suppliers,
+           round(sum(s.s_acctbal), 2) AS total_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ALL
+"""
+
+
+@query("q133_group_by_all", _GROUP_BY_ALL_SQL)
+def q133_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (infer grouping keys from the non-aggregate select
+    list) — identical SQL text on both engines; the analyzer resolves
+    it to the explicit grouping, so the plan is byte-for-byte the
+    classic hash aggregate.  Pure SQL-surface parity: the modern
+    dialect users write today runs unmodified."""
+    for t in ("supplier", "nation", "region"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_GROUP_BY_ALL_SQL)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
