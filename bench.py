@@ -120,6 +120,7 @@ HEADLINE = [
     "q131_lateral_join",
     "q132_not_in_semantics",
     "q133_group_by_all",
+    "q134_session_window_batch",
 ]
 
 

@@ -5418,6 +5418,53 @@ def q133_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUP_BY_ALL_SQL)
 
 
+@query(
+    "q134_session_window_batch",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, value,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(max(sid) + 1 AS BIGINT) AS n_sessions,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id
+    """,
+)
+def q134_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch `session_window` (the built-in Spark session assignment,
+    usable outside streaming) verified against the CLASSIC
+    gaps-and-islands SQL (lag → new-session flag → cumulative sum):
+    two utterly different formulations must place every event in the
+    same 10-minute-gap session.  The built-in is one expression + one
+    keyed aggregate — no window function pass at all — which at 100 TB
+    replaces two full window sorts with a single shuffle."""
+    e = _t(spark, sf_dir, "events")
+    per_session = (
+        e.groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("ev"),
+            F.sum("value").alias("val"),
+        )
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("ev").alias("n_events"),
+        F.round(F.sum("val"), 2).alias("total_value"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
