@@ -121,6 +121,7 @@ HEADLINE = [
     "q132_not_in_semantics",
     "q133_group_by_all",
     "q134_session_window_batch",
+    "q135_collation",
 ]
 
 

@@ -5465,6 +5465,53 @@ def q134_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q135_collation",
+    """
+    SELECT lower(CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                      ELSE event_type END) AS et,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q135_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collated grouping (Spark 4 STRING COLLATE UTF8_LCASE): rows
+    whose keys differ only by case — synthesized here by upper-casing
+    half the events — hash-aggregate into ONE group natively, no
+    normalization expression in the aggregation key.  Collation rides
+    the type, so every downstream comparison/join/sort inherits it;
+    the oracle proves equivalence with explicit lower()
+    normalization.  At 100 TB, collation-aware grouping avoids
+    materializing a second normalized key column across the shuffle."""
+    e = _t(spark, sf_dir, "events")
+    mixed = e.select(
+        F.when(
+            F.col("event_id") % 2 == 0, F.upper("event_type")
+        )
+        .otherwise(F.col("event_type"))
+        .alias("et_raw"),
+        "value",
+    )
+    collated = mixed.select(
+        F.expr("CAST(et_raw AS STRING COLLATE UTF8_LCASE)").alias("et"),
+        "value",
+    )
+    return (
+        collated.groupBy("et")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.lower(F.col("et")).cast("string").alias("et"),
+            "n",
+            "total_value",
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
