@@ -122,6 +122,7 @@ HEADLINE = [
     "q133_group_by_all",
     "q134_session_window_batch",
     "q135_collation",
+    "q136_ewma",
 ]
 
 

@@ -5512,6 +5512,66 @@ def q135_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q136_ewma",
+    """
+    WITH ordered AS (
+        SELECT user_id,
+               list_transform(
+                   list_sort(list({'t': ts, 'e': event_id, 'v': value})),
+                   s -> s.v
+               ) AS vals
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           len(vals) AS n_events,
+           CAST(round(CAST(
+               list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc)
+           AS DECIMAL(30,10)), 6) AS DOUBLE) AS ewma
+    FROM ordered
+    """,
+)
+def q136_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (α=0.2) over the
+    time-ordered event stream — the sequential recurrence that has NO
+    window-function form (each state depends on the previous).  It
+    folds per-key: collect the ordered values, reduce with the
+    recurrence in a higher-order function — one shuffle, fold bounded
+    by per-key cardinality, entirely JVM-side codegen.  The naive
+    closed form Σ x_i·(1-α)^(n-i) overflows (0.8^-400 ≈ 1e38) — the
+    fold is also the numerically sane formulation.  Both engines run
+    the identical left fold, so the doubles match bit-for-bit before
+    the safety rounding."""
+    e = _t(spark, sf_dir, "events")
+    ordered = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").alias("t"),
+                        F.col("event_id").alias("e"),
+                        F.col("value").alias("v"),
+                    )
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("vals")
+    )
+    n = F.size("vals")
+    return ordered.select(
+        "user_id",
+        n.alias("n_events"),
+        _sround(
+            F.aggregate(
+                F.slice("vals", F.lit(2), F.greatest(n - 1, F.lit(0))),
+                F.element_at("vals", 1),
+                lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+            ),
+            6,
+        ).alias("ewma"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
