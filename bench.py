@@ -46,14 +46,14 @@ HEADLINE = [
     "q33_lsh_topk",
     "q34_multimodal_features",
     "q36_grouping_sets",
-    "q37_except_all",
+    "q84_except_all",
     "q38_percentiles",
     "q41_exists_agg",
-    "q44_range_window",
+    "q86_range_window",
     "q45_arg_max",
-    "q46_conditional_agg",
+    "q114_conditional_agg",
     "q47_array_ops",
-    "q48_string_agg",
+    "q109_string_agg",
     "q52_tpch_q6",
     "q53_tpch_q3",
     "q54_tpch_q10",
@@ -73,11 +73,11 @@ HEADLINE = [
     "q77_cascade_rollup",
     "q78_stratified_sample",
     "q79_approx_distinct_bounds",
-    "q81_tfidf",
-    "q84_dup_clusters",
-    "q86_contamination",
+    "q43_tfidf",
+    "q37_dup_clusters",
+    "q44_contamination",
     "q87_repetition",
-    "q88_dedup_survivors",
+    "q40_dedup_survivors",
     "q89_char_entropy",
     "q90_sequence_packing",
     "q91_tpch_q5",
@@ -97,17 +97,17 @@ HEADLINE = [
     "q106_doc_chunking",
     "q107_table_profile",
     "q108_zipf_fit",
-    "q109_sketch_rollup",
+    "q48_sketch_rollup",
     "q110_theta_set_ops",
     "q111_kll_quantiles",
     "q112_salted_join",
-    "q114_cdc_apply",
+    "q46_cdc_apply",
     "q115_heaps_fit",
     "q116_skew_profile",
     "q117_value_histogram",
     "q118_tpch_q11_share",
     "q119_tpch_q21_waiting",
-    "q120_ann_recall",
+    "q08b_ann_recall",
     "q121_wkt_geo",
     "q122_table_checksum",
     "q123_decay_score",
@@ -198,14 +198,35 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query map goes to a file; stdout gets ONE COMPACT line
+    # (total + slowest five) so the driver's tail-capture always parses.
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_queries": len(timings),
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(out_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": slowest,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "full": "BENCH_FULL.json",
             }
         )
     )

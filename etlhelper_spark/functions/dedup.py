@@ -395,14 +395,28 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    method: str = "lsh",
+    num_planes: int = 8,
+    num_tables: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Pairs of rows whose embedding cosine similarity ≥ threshold.
 
-    Brute-force pair join with id_a < id_b; at scale swap the join for
-    the LSH-bucketed variant in similarity.lsh_bucket_topk — same
-    cosine kernel, bucketed candidate generation.
+    The declared path (``method='lsh'``) is candidate generation by
+    random-hyperplane LSH — both sides hashed into (table, signature)
+    buckets, candidates from the bucket equi-join, exact cosine verify
+    on candidates only. Shuffle keys are the bucket ids, never all
+    pairs, so the plan survives a 100 TB corpus (candidate volume is
+    sum of squared bucket sizes; raise ``num_planes`` to split hot
+    buckets, raise ``num_tables`` for recall — a pair at cosine 0.95
+    collides with prob ≥ 1-(1-0.9^8)^8 ≈ 0.99, and exact duplicates
+    always collide, in every table).
+
+    ``method='brute'`` keeps the exact all-pairs join (id_a < id_b) as
+    the test oracle — correct at any threshold, quadratic, never the
+    path to run at scale.
     """
-    from .similarity import cosine_similarity
+    from .similarity import _hyperplane_sign, cosine_similarity
     from .util import ensure_parallelism
 
     df = ensure_parallelism(df)
@@ -412,7 +426,43 @@ def embedding_near_duplicates(
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    if method == "brute":
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+
+        def bucketed(side: DataFrame, vec: str) -> DataFrame:
+            # one (table, sig) row per hash table — static explode
+            sigs = F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        F.concat(
+                            *[
+                                _hyperplane_sign(
+                                    F.col(vec), t * num_planes + s, dim
+                                ).cast("string")
+                                for s in range(num_planes)
+                            ]
+                        ).alias("sig"),
+                    )
+                    for t in range(num_tables)
+                ]
+            )
+            return side.select(
+                "*", F.explode(sigs).alias("ts")
+            ).select(*side.columns, "ts.tbl", "ts.sig")
+
+        pairs = (
+            bucketed(a, "va")
+            .join(bucketed(b, "vb"), ["tbl", "sig"])
+            .where(F.col("id_a") < F.col("id_b"))
+            # same pair from several tables — dedup BEFORE the (cheap)
+            # cosine verify so each candidate is scored exactly once
+            .select("id_a", "id_b", "va", "vb")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
     return (
         pairs.select(
             "id_a",

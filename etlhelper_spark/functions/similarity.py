@@ -197,47 +197,77 @@ def lsh_bucket_topk(
     corpus: DataFrame,
     k: int = 5,
     num_planes: int = 8,
+    num_tables: int = 1,
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH signature buckets both
-    sides, candidates are generated by an equi-join on the signature,
-    then exact cosine ranks within candidates.
+    sides, candidates are generated by an equi-join on (table, sig),
+    then exact cosine ranks within the deduplicated candidate set.
+
+    *num_tables* independent hash tables (the standard cosine-LSH
+    construction) trade candidate volume for recall: a true neighbor
+    with per-bit collision probability p = 1 - theta/pi is found with
+    probability 1 - (1 - p^num_planes)^num_tables.  One table keeps
+    the original behavior.
 
     At 1000-executor scale the bucket join replaces the cross join:
-    shuffle keys are the 2^num_planes signatures, so skew is bounded by
-    bucket balance (raise num_planes to split hot buckets).
+    shuffle keys are (table, 2^num_planes signatures), so skew is
+    bounded by bucket balance (raise num_planes to split hot buckets);
+    multi-table candidates are deduplicated on (query_id, neighbor_id,
+    sim) BEFORE ranking so duplicates never reach the top-k window.
     """
 
-    def signature(vec: Column) -> Column:
+    def signature(vec: Column, table: int) -> Column:
+        base = table * num_planes
         bits = [
-            _hyperplane_sign(vec, s, dim).cast("string")
+            _hyperplane_sign(vec, base + s, dim).cast("string")
             for s in range(num_planes)
         ]
         return F.concat(*bits)
 
+    def tabled(side: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        # one (table, sig) row per hash table — a static explode, no RNG
+        sigs = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    signature(F.col(vec_alias), t).alias("sig"),
+                )
+                for t in range(num_tables)
+            ]
+        )
+        return side.select(
+            id_alias, vec_alias, F.explode(sigs).alias("ts")
+        ).select(id_alias, vec_alias, "ts.tbl", "ts.sig")
+
     from .util import ensure_parallelism
 
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        signature(F.col(vec_col)).alias("sig"),
+    q = tabled(
+        queries.select(
+            F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
+        ),
+        "query_id",
+        "qv",
     )
-    c = ensure_parallelism(corpus).select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        signature(F.col(vec_col)).alias("sig"),
+    c = tabled(
+        ensure_parallelism(corpus).select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        ),
+        "neighbor_id",
+        "cv",
     )
     scored = (
-        c.join(q, "sig")
+        c.join(q, ["tbl", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
         )
+        .distinct()  # same pair from several tables: sim is deterministic
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

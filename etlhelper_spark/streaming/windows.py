@@ -180,6 +180,17 @@ def read_events_stream(
             stream = stream.withColumn(
                 col, F.expr(f"timestamp_micros(CAST({col} DIV 1000 AS BIGINT))")
             )
+    # Parquet timestamps without isAdjustedToUTC arrive as TIMESTAMP_NTZ,
+    # which withWatermark rejects; the session timezone is pinned to UTC
+    # (session.py) so the NTZ->LTZ cast preserves wall-clock values and
+    # keeps windows identical to the batch/DuckDB NTZ semantics.
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in stream.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            stream = stream.withColumn(
+                field.name, F.col(field.name).cast("timestamp")
+            )
     return stream
 
 

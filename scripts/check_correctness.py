@@ -101,6 +101,7 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             oracle_cols = [d[0] for d in rel.description]
+            oracle_types = [str(d[1]) for d in rel.description]
             oracle_rows = rel.fetchall()
         except Exception as exc:
             print(f"FAIL {name}: oracle error: {exc}")
@@ -108,6 +109,15 @@ def main() -> int:
             continue
 
         problems = []
+        # DuckDB HUGEINT (int128, e.g. from un-cast integer sum()) hashes
+        # differently in the driver's canonicalizer than Spark BIGINT even
+        # when values agree — treat it as a failure here so the class is
+        # caught before the driver sees it.
+        for c, t in zip(oracle_cols, oracle_types):
+            if "HUGEINT" in t.upper() or "INT128" in t.upper():
+                problems.append(
+                    f"oracle column {c!r} is {t} — CAST it to BIGINT"
+                )
         if len(spark_rows) != len(oracle_rows):
             problems.append(
                 f"rowcount {len(spark_rows)} != {len(oracle_rows)}"

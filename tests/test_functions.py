@@ -131,6 +131,26 @@ def test_embedding_near_duplicates_threshold(vecs):
     assert pairs.count() == vecs.count()
 
 
+def test_embedding_near_duplicates_lsh_matches_brute(vecs):
+    """The declared LSH-bucketed path must recover every pair the exact
+    brute-force oracle finds (exact duplicates collide in every hash
+    table, so recall on this corpus is 1.0 by construction), and its
+    plan must contain no nested-loop cross product."""
+    doubled = vecs.select("vec_id", "embedding").unionAll(
+        vecs.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    )
+    lsh = embedding_near_duplicates(doubled, "vec_id", "embedding", 0.95)
+    brute = embedding_near_duplicates(
+        doubled, "vec_id", "embedding", 0.95, method="brute"
+    )
+    assert sorted(map(tuple, lsh.collect())) == sorted(
+        map(tuple, brute.collect())
+    )
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_lsh_topk_schema_and_ranks(vecs):
     res = lsh_bucket_topk(
         vecs.where(F.col("vec_id") < 3), vecs, k=3, num_planes=2, dim=64
