@@ -50,6 +50,7 @@ class SparkConnection:
         path: str | None = None,
         file_format: str = "parquet",
         jdbc_options: dict[str, str] | None = None,
+        password_variable: str | None = None,
     ) -> None:
         self.spark = spark
         self.kind = kind
@@ -57,6 +58,10 @@ class SparkConnection:
         self.path = path
         self.file_format = file_format
         self.jdbc_options = jdbc_options or {}
+        # the env-var NAME, not the secret: resolved lazily at each
+        # read/write so the reference's connect(db_params, 'X_PASSWORD')
+        # contract holds for every later operation on this connection
+        self.password_variable = password_variable
         self._registered: set[str] = set()
         if kind == "files" and path:
             self.register_tables()
@@ -125,7 +130,7 @@ class SparkConnection:
                     .option("fetchsize", self.jdbc_options.get("fetchsize", "5000"))
                 )
                 for k, v in {
-                    **self.db_params.jdbc_properties(),
+                    **self.db_params.jdbc_properties(self.password_variable),
                     **self.jdbc_options,
                 }.items():
                     reader = reader.option(k, v)
@@ -178,7 +183,7 @@ class SparkConnection:
                     )
                 )
             for k, v in {
-                **self.db_params.jdbc_properties(),
+                **self.db_params.jdbc_properties(self.password_variable),
                 **self.jdbc_options,
             }.items():
                 reader = reader.option(k, v)
@@ -211,7 +216,23 @@ class SparkConnection:
         executemany, etl.py:298). Files: parquet/csv/json append;
         ``partition_by`` produces hive-style partition directories so
         later reads prune partitions on those columns."""
-        validate_identifier(table.rsplit("/", 1)[-1].split(".")[0])
+        # validate the FULL name — checking a stripped fragment would
+        # let '../' traversal reach the files path and unvalidated
+        # strings reach the JDBC dbtable option. JDBC accepts
+        # schema.table; the files backend maps names to file names, so
+        # only a single identifier is valid there.
+        parts = table.split(".")
+        max_parts = 2 if self.kind == "jdbc" else 1
+        if len(parts) > max_parts or "/" in table or "\\" in table:
+            from .exceptions import ETLHelperBadIdentifierError
+
+            raise ETLHelperBadIdentifierError(
+                f"Invalid table name: {table!r} (expected "
+                + ("'table' or 'schema.table')" if self.kind == "jdbc"
+                   else "a single identifier)")
+            )
+        for part in parts:
+            validate_identifier(part)
         if self.kind == "jdbc":
             assert self.db_params is not None
             writer = (
@@ -222,7 +243,7 @@ class SparkConnection:
                 .mode(mode)
             )
             for k, v in {
-                **self.db_params.jdbc_properties(),
+                **self.db_params.jdbc_properties(self.password_variable),
                 **self.jdbc_options,
             }.items():
                 writer = writer.option(k, v)
@@ -286,7 +307,7 @@ class SparkConnection:
         """
         assert self.db_params is not None
         jvm = self.spark._jvm
-        props = self.db_params.jdbc_properties()
+        props = self.db_params.jdbc_properties(self.password_variable)
         conn = jvm.java.sql.DriverManager.getConnection(
             self.db_params.jdbc_url(),
             props.get("user", ""),
@@ -319,10 +340,105 @@ class SparkConnection:
         finally:
             conn.close()
 
+    def execute_returning(self, sql: str) -> tuple[list[str], list[tuple]]:
+        """Run a DML statement driver-side and return the rows it
+        produces — the ``INSERT ... RETURNING id`` round-trip
+        (reference: docs/code_demos/utilities/return_autogenerated.py:5,
+        via fetchone on a RETURNING statement).
+
+        Two JDBC shapes, picked from the SQL text:
+
+        - a ``RETURNING``/``OUTPUT`` clause (PostgreSQL, Oracle,
+          MSSQL): ``Statement.execute`` yields a normal ResultSet;
+        - plain INSERT on engines without RETURNING syntax (Derby):
+          ``prepareStatement(sql, RETURN_GENERATED_KEYS)`` +
+          ``getGeneratedKeys()`` surfaces the autogenerated ids.
+
+        Driver-side by design — Spark's JDBC ``query`` option cannot
+        run DML, and a RETURNING statement returns O(1) rows.
+        """
+        import re as _re
+
+        assert self.db_params is not None
+        jvm = self.spark._jvm
+        props = self.db_params.jdbc_properties(self.password_variable)
+        conn = jvm.java.sql.DriverManager.getConnection(
+            self.db_params.jdbc_url(),
+            props.get("user", ""),
+            props.get("password", ""),
+        )
+        try:
+            has_clause = _re.search(
+                r"\bRETURNING\b|\bOUTPUT\b", sql, _re.IGNORECASE
+            )
+            if has_clause:
+                stmt = conn.createStatement()
+                try:
+                    produced = stmt.execute(sql)
+                    rs = stmt.getResultSet() if produced else None
+                    cols, rows = self._drain_resultset(rs)
+                finally:
+                    stmt.close()
+            elif _re.match(r"\s*INSERT\b", sql, _re.IGNORECASE):
+                key_flag = jvm.java.sql.Statement.RETURN_GENERATED_KEYS
+                stmt = conn.prepareStatement(sql, key_flag)
+                try:
+                    stmt.executeUpdate()
+                    cols, rows = self._drain_resultset(
+                        stmt.getGeneratedKeys()
+                    )
+                    # a table with no identity column yields one all-NULL
+                    # dummy key row on some engines — not a real result
+                    rows = [r for r in rows if any(v is not None for v in r)]
+                finally:
+                    stmt.close()
+            else:
+                # UPDATE/DELETE/MERGE without RETURNING produce no rows
+                stmt = conn.createStatement()
+                try:
+                    stmt.executeUpdate(sql)
+                    cols, rows = [], []
+                finally:
+                    stmt.close()
+            conn.commit()
+            return cols, rows
+        except Exception:
+            try:
+                conn.rollback()
+            except Exception:
+                pass
+            raise
+        finally:
+            conn.close()
+
+    @staticmethod
+    def _drain_resultset(rs) -> tuple[list[str], list[tuple]]:
+        """Materialize a java.sql.ResultSet into (labels, row tuples).
+        py4j auto-converts primitive wrappers; anything else (e.g.
+        BigDecimal) falls back to its string form."""
+        if rs is None:
+            return [], []
+        md = rs.getMetaData()
+        n = md.getColumnCount()
+        cols = [md.getColumnLabel(i + 1) for i in range(n)]
+        rows: list[tuple] = []
+        while rs.next():
+            vals = []
+            for i in range(n):
+                v = rs.getObject(i + 1)
+                if v is not None and not isinstance(
+                    v, (bool, int, float, str, bytes, bytearray)
+                ):
+                    v = str(v)
+                vals.append(v)
+            rows.append(tuple(vals))
+        rs.close()
+        return cols, rows
+
     def _jdbc_execute(self, sql: str) -> None:
         assert self.db_params is not None
         jvm = self.spark._jvm  # py4j gateway
-        props = self.db_params.jdbc_properties()
+        props = self.db_params.jdbc_properties(self.password_variable)
         conn = jvm.java.sql.DriverManager.getConnection(
             self.db_params.jdbc_url(),
             props.get("user", ""),
@@ -356,14 +472,17 @@ def connect(
     from .session import get_session
 
     spark = spark or get_session()
-    try:
-        options = db_params.jdbc_properties(password_variable, **kwargs)
-    except Exception:
-        raise
-    if not options.get("url"):
-        options.pop("url", None)
+    # fail fast on a missing env var, exactly like the reference's
+    # connect() (db_helper.py:75-92) — but keep only the VARIABLE NAME;
+    # each later read/write re-resolves so secrets never sit on the
+    # connection object
+    db_params.jdbc_properties(password_variable, **kwargs)
     return SparkConnection(
-        spark, "jdbc", db_params=db_params, jdbc_options=kwargs or {}
+        spark,
+        "jdbc",
+        db_params=db_params,
+        jdbc_options=kwargs or {},
+        password_variable=password_variable,
     )
 
 

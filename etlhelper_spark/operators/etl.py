@@ -47,6 +47,12 @@ logger = logging.getLogger("etlhelper_spark")
 #: (reference: etl.py:45)
 CHUNKSIZE = 5000
 
+# DML statements routed to the driver-side RETURNING shim on jdbc
+# connections (Spark's JDBC query option cannot execute DML)
+import re as _re
+
+_DML_SHAPE = _re.compile(r"^\s*(INSERT|UPDATE|DELETE|MERGE)\b", _re.IGNORECASE)
+
 
 class dataframe_transform:  # noqa: N801 - decorator-style name
     """Mark a callable as a DataFrame -> DataFrame transform (the fast
@@ -140,6 +146,30 @@ def iter_chunks(
     logger.info("Fetching rows (chunk_size=%s)", chunk_size)
     logger.debug("Fetching:\n\n%s\n\nwith parameters:\n\n%s\n\nagainst\n\n%r",
                  select_query, parameters, conn)
+    if conn.kind == "jdbc" and _DML_SHAPE.match(select_query):
+        # INSERT ... RETURNING id / OUTPUT / generated-key round-trip
+        # (reference: docs/code_demos/utilities/return_autogenerated.py)
+        # — DML cannot run through Spark's JDBC query option, so the
+        # rows come from the driver-side statement shim.
+        from ..parameters import bind_parameters
+
+        bound = bind_parameters(select_query, parameters)
+        try:
+            cols, rows = conn.execute_returning(bound)
+        except Exception as exc:
+            raise ETLHelperExtractError(
+                f"SQL query raised an error.\n\n{bound}\n\n{exc}\n"
+            ) from exc
+        create_row = row_factory(cols)
+        made = [create_row(r) for r in rows]
+        for start in range(0, len(made), chunk_size):
+            chunk = made[start : start + chunk_size]
+            if transform:
+                chunk = transform(chunk)
+            if chunk:
+                yield chunk
+        logger.info("%s rows returned", len(made))
+        return
     try:
         df = conn.dataframe(select_query, parameters)
     except Exception:
@@ -424,8 +454,19 @@ def _write_chunk(
         try:
             df = _rows_to_dataframe(conn.spark, ok_rows, columns)
             conn.write_dataframe(df, table, mode="append", batchsize=len(ok_rows))
-        except Exception as exc:
-            failed_rows.extend(FailedRow(r, exc) for r in ok_rows)
+        except Exception:
+            # a DB-side failure (constraint violation, overflow at the
+            # DB) can be caused by ONE row — write individually so
+            # on_error receives only the genuinely failing rows, like
+            # the reference's _execute_by_row (etl.py:342-365)
+            for row in ok_rows:
+                try:
+                    df = _rows_to_dataframe(conn.spark, [row], columns)
+                    conn.write_dataframe(
+                        df, table, mode="append", batchsize=1
+                    )
+                except Exception as row_exc:
+                    failed_rows.append(FailedRow(row, row_exc))
     return failed_rows
 
 

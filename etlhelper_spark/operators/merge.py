@@ -90,7 +90,14 @@ def merge_dataframes(
     # rows survive only when inserting.
     keep = F.lit(True)
     if when_matched_delete is not None:
-        keep = keep & ~(matched & F.expr(when_matched_delete))
+        # SQL MERGE treats a NULL 'WHEN MATCHED AND cond' as NOT
+        # satisfied (row falls through to the update branch); without
+        # the coalesce, TRUE & ~(TRUE & NULL) = NULL and where() would
+        # silently drop the row
+        keep = keep & ~(
+            matched
+            & F.coalesce(F.expr(when_matched_delete), F.lit(False))
+        )
     if when_not_matched_insert is False:
         keep = keep & (F.col(f"t.{_T_MARK}").isNotNull())
     filtered = joined.where(keep)

@@ -26,8 +26,10 @@ from typing import Any, Mapping, Sequence
 from .exceptions import ETLHelperQueryError
 
 _QMARK = re.compile(r"\?")
-_NUMERIC = re.compile(r":(\d+)")
-_NAMED = re.compile(r":([A-Za-z_][A-Za-z0-9_]*)")
+# negative lookbehind: a ":" directly after another ":" is the SQL
+# cast operator (x::int, supported by Spark 4), not a placeholder
+_NUMERIC = re.compile(r"(?<!:):(\d+)")
+_NAMED = re.compile(r"(?<!:):([A-Za-z_][A-Za-z0-9_]*)")
 _FORMAT = re.compile(r"%s")
 _PYFORMAT = re.compile(r"%\(([A-Za-z_][A-Za-z0-9_]*)\)s")
 # a string literal or quoted identifier — placeholders inside these
@@ -41,9 +43,20 @@ def render_literal(value: Any) -> str:
         return "NULL"
     if isinstance(value, bool):
         return "TRUE" if value else "FALSE"
-    if isinstance(value, (int, float, Decimal)):
+    if isinstance(value, float):
+        if value != value or value in (float("inf"), float("-inf")):
+            # repr() would emit inf/nan — not valid SQL literals
+            raise ETLHelperQueryError(
+                f"Cannot render non-finite float {value!r} as a SQL literal"
+            )
+        return repr(value)
+    if isinstance(value, (int, Decimal)):
         return repr(value) if not isinstance(value, Decimal) else str(value)
     if isinstance(value, _dt.datetime):
+        if value.tzinfo is not None:
+            # keep the offset — silently dropping it would shift the
+            # instant for any non-UTC aware datetime
+            return f"TIMESTAMP '{value.isoformat(sep=' ')}'"
         return f"TIMESTAMP '{value.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
     if isinstance(value, _dt.date):
         return f"DATE '{value.isoformat()}'"

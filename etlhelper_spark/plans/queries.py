@@ -4914,10 +4914,10 @@ def q08b_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pts AS (
         SELECT s_suppkey,
-               CAST((s_suppkey * 7919) % 360 - 180 AS DOUBLE)
+               CAST((s_suppkey * 97) % 360 - 180 AS DOUBLE)
                    + CAST((s_suppkey * 104729) % 1000 AS DOUBLE) / 1000.0
                    AS lon,
-               CAST((s_suppkey * 7907) % 170 - 85 AS DOUBLE)
+               CAST((s_suppkey * 53) % 170 - 85 AS DOUBLE)
                    + CAST((s_suppkey * 99991) % 1000 AS DOUBLE) / 1000.0
                    AS lat
         FROM supplier
@@ -4943,7 +4943,7 @@ def q08b_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                ))
            AS DECIMAL(30,10)), 2) AS DOUBLE) AS km_to_paris
     FROM parsed
-    WHERE lon BETWEEN -20 AND 40 AND lat BETWEEN 30 AND 70
+    WHERE lon BETWEEN -40 AND 60 AND lat BETWEEN 20 AND 75
     """,
 )
 def q121_wkt_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4960,11 +4960,11 @@ def q121_wkt_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = s.select(
         "s_suppkey",
         (
-            ((F.col("s_suppkey") * 7919) % 360 - 180).cast("double")
+            ((F.col("s_suppkey") * 97) % 360 - 180).cast("double")
             + ((F.col("s_suppkey") * 104729) % 1000).cast("double") / 1000.0
         ).alias("lon"),
         (
-            ((F.col("s_suppkey") * 7907) % 170 - 85).cast("double")
+            ((F.col("s_suppkey") * 53) % 170 - 85).cast("double")
             + ((F.col("s_suppkey") * 99991) % 1000).cast("double") / 1000.0
         ).alias("lat"),
     )
@@ -4995,7 +4995,7 @@ def q121_wkt_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         parsed.where(
-            F.col("lon").between(-20, 40) & F.col("lat").between(30, 70)
+            F.col("lon").between(-40, 60) & F.col("lat").between(20, 75)
         )
         .select(
             "s_suppkey",

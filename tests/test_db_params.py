@@ -99,3 +99,42 @@ def test_connection_strings(monkeypatch):
     assert p.get_sqlalchemy_connection_string("TEST_PG_PASSWORD") == (
         "postgresql://admin:pw@localhost:5432/etlhelper"
     )
+
+
+def test_from_conn_dispatch_sqlite():
+    """Reference DB_HELPER_FACTORY.from_conn parity
+    (db_helper_factory.py:46-60): a raw DB-API connection resolves its
+    dialect by str(conn.__class__)."""
+    import sqlite3
+
+    from etlhelper_spark.dialects import SQLiteDialect, from_conn
+
+    conn = sqlite3.connect(":memory:")
+    try:
+        assert isinstance(from_conn(conn), SQLiteDialect)
+    finally:
+        conn.close()
+
+
+def test_from_conn_rejects_non_connection():
+    import pytest as _pytest
+
+    from etlhelper_spark.dialects import from_conn
+    from etlhelper_spark.exceptions import ETLHelperHelperError
+
+    with _pytest.raises(ETLHelperHelperError):
+        from_conn(object())
+
+
+def test_from_conn_unknown_class():
+    import pytest as _pytest
+
+    from etlhelper_spark.dialects import from_conn
+    from etlhelper_spark.exceptions import ETLHelperHelperError
+
+    class FakeConn:
+        def cursor(self):
+            return None
+
+    with _pytest.raises(ETLHelperHelperError):
+        from_conn(FakeConn())

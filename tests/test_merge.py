@@ -124,3 +124,19 @@ def test_merge_into_parquet_swaps_atomically(spark, target_source):
         assert os.listdir(d) == ["tbl"]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_null_delete_predicate_keeps_row(spark):
+    """SQL MERGE treats 'WHEN MATCHED AND cond THEN DELETE' with a NULL
+    cond as NOT satisfied: the row must fall through to the update
+    branch, not vanish."""
+    target = spark.createDataFrame([(1, 100.0), (2, 200.0)], ["id", "bal"])
+    # new_bal NULL for id=1 -> delete predicate evaluates NULL
+    source = spark.createDataFrame([(1, None), (2, 20.0)], "id INT, new_bal DOUBLE")
+    out = merge_dataframes(
+        target, source, ["id"],
+        when_matched_update={"bal": "coalesce(s.new_bal, t.bal)"},
+        when_matched_delete="s.new_bal < 50",
+        when_not_matched_insert=False,
+    )
+    assert _rows(out) == [(1, 100.0)]  # id=2 deleted; id=1 KEPT + updated

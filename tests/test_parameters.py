@@ -84,3 +84,39 @@ def test_no_params_passthrough():
 )
 def test_render_literal(value, expected):
     assert render_literal(value) == expected
+
+
+def test_double_colon_cast_not_a_placeholder():
+    """x::int is the SQL cast operator (Spark 4 supports it) — the
+    named-style regex must not read ':int' as a bind parameter."""
+    assert (
+        bind_parameters("SELECT x::int FROM t WHERE a = :a", {"a": 5})
+        == "SELECT x::int FROM t WHERE a = 5"
+    )
+    # placeholder immediately followed by a cast
+    assert (
+        bind_parameters("SELECT :x::int AS v", {"x": 2})
+        == "SELECT 2::int AS v"
+    )
+    # numeric style too
+    assert (
+        bind_parameters("SELECT x::1 FROM t WHERE a = :1", (7,))
+        == "SELECT x::1 FROM t WHERE a = 7"
+    )
+
+
+@pytest.mark.parametrize("bad", [float("inf"), float("-inf"), float("nan")])
+def test_non_finite_float_rejected(bad):
+    with pytest.raises(ETLHelperQueryError):
+        render_literal(bad)
+
+
+def test_aware_datetime_keeps_offset():
+    aware = dt.datetime(
+        2024, 1, 1, 10, 30, 0, 123456,
+        tzinfo=dt.timezone(dt.timedelta(hours=2)),
+    )
+    assert (
+        render_literal(aware)
+        == "TIMESTAMP '2024-01-01 10:30:00.123456+02:00'"
+    )
