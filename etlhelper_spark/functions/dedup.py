@@ -396,7 +396,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     method: str = "lsh",
-    num_planes: int = 8,
+    num_planes: int | None = None,
     num_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
@@ -406,20 +406,32 @@ def embedding_near_duplicates(
     random-hyperplane LSH — both sides hashed into (table, signature)
     buckets, candidates from the bucket equi-join, exact cosine verify
     on candidates only. Shuffle keys are the bucket ids, never all
-    pairs, so the plan survives a 100 TB corpus (candidate volume is
-    sum of squared bucket sizes; raise ``num_planes`` to split hot
-    buckets, raise ``num_tables`` for recall — a pair at cosine 0.95
-    collides with prob ≥ 1-(1-0.9^8)^8 ≈ 0.99, and exact duplicates
-    always collide, in every table).
+    pairs, so the plan survives a 100 TB corpus.
+
+    ``num_planes=None`` (default) sizes the signature from the corpus:
+    planes = max(8, ceil(log2(n / 8))), keeping the expected bucket
+    around 8 rows so candidate volume stays ~linear
+    (num_tables × n × bucket/2) instead of quadratic as the corpus
+    grows. Exact duplicates collide in every table at any plane count;
+    genuine near-dups at cosine 0.95 collide in ≥1 of 8 tables w.p.
+    ≈0.95 at 11 planes — raise ``num_tables`` for more recall, planes
+    only trade candidate volume.
 
     ``method='brute'`` keeps the exact all-pairs join (id_a < id_b) as
     the test oracle — correct at any threshold, quadratic, never the
     path to run at scale.
     """
+    import math
+
     from .similarity import _hyperplane_sign, cosine_similarity
     from .util import ensure_parallelism
 
     df = ensure_parallelism(df)
+    if num_planes is None and method == "lsh":
+        # one cheap count to size the signature; at a known scale pass
+        # num_planes explicitly and skip the extra job
+        n = df.count()
+        num_planes = max(8, math.ceil(math.log2(max(n, 2) / 8)))
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
@@ -429,37 +441,32 @@ def embedding_near_duplicates(
     if method == "brute":
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
+        from .similarity import lsh_signatures
 
-        def bucketed(side: DataFrame, vec: str) -> DataFrame:
-            # one (table, sig) row per hash table — static explode
-            sigs = F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        F.concat(
-                            *[
-                                _hyperplane_sign(
-                                    F.col(vec), t * num_planes + s, dim
-                                ).cast("string")
-                                for s in range(num_planes)
-                            ]
-                        ).alias("sig"),
-                    )
-                    for t in range(num_tables)
-                ]
+        sig_kernel = lsh_signatures(num_tables, num_planes, dim)
+
+        def bucketed(side: DataFrame, vec: str, sig_alias: str) -> DataFrame:
+            # every table's signature from ONE Arrow-batched matmul,
+            # then one (table, sig) row per hash table — static explode
+            withs = side.withColumn(sig_alias, sig_kernel(F.col(vec)))
+            return withs.select(
+                "*", F.posexplode(sig_alias).alias("tbl", "sig")
             )
-            return side.select(
-                "*", F.explode(sigs).alias("ts")
-            ).select(*side.columns, "ts.tbl", "ts.sig")
 
+        # first-collision-wins dedup: a pair is kept only in the
+        # EARLIEST table where the two signatures collide — a pure
+        # codegen filter over the carried signature arrays, so no
+        # dedup shuffle/sort ever materializes the duplicate pairs
+        earlier_collision = F.expr(
+            "exists(zip_with(slice(sigs_a, 1, tbl), slice(sigs_b, 1, tbl),"
+            " (x, y) -> x = y), c -> c)"
+        )
         pairs = (
-            bucketed(a, "va")
-            .join(bucketed(b, "vb"), ["tbl", "sig"])
+            bucketed(a, "va", "sigs_a")
+            .join(bucketed(b, "vb", "sigs_b"), ["tbl", "sig"])
             .where(F.col("id_a") < F.col("id_b"))
-            # same pair from several tables — dedup BEFORE the (cheap)
-            # cosine verify so each candidate is scored exactly once
+            .where(~earlier_collision)
             .select("id_a", "id_b", "va", "vb")
-            .dropDuplicates(["id_a", "id_b"])
         )
     else:
         raise ValueError(f"unknown method: {method!r}")

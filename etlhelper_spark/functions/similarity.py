@@ -168,6 +168,76 @@ def ivf_topk(
     )
 
 
+def _plane_matrix(num_planes_total: int, dim: int):
+    """The (num_planes_total, dim) hyperplane coefficient matrix, from
+    the same md5 derivation as _hyperplane_sign: component i of plane
+    s is (int(md5(f"{s}:{i}")[:8], 16) % 2001 - 1000) / 1000 —
+    deterministic everywhere, no RNG state."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                (
+                    int(
+                        hashlib.md5(f"{s}:{i}".encode()).hexdigest()[:8], 16
+                    )
+                    % 2001
+                    - 1000
+                )
+                / 1000.0
+                for i in range(dim)
+            ]
+            for s in range(num_planes_total)
+        ]
+    )
+
+
+def lsh_signatures(num_tables: int, num_planes: int, dim: int):
+    """Arrow-batched signature kernel: per input vector, the array of
+    ``num_tables`` bucket signatures (one '0'/'1'-string of
+    ``num_planes`` sign bits per table).
+
+    A pandas UDF *by deliberate exception*: the pure-Column form is
+    num_tables × num_planes interpreted higher-order folds per row
+    (non-codegen, md5 per coefficient) — measured ~1.5 ms/row at 88
+    planes, which is the whole query budget. One numpy matmul per
+    Arrow batch computes every dot product at once (~µs/row), with
+    bit-identical bucket assignment because the plane matrix is the
+    same md5 derivation. Signatures are engine-internal (candidate
+    generation only), so only determinism matters — and numpy float64
+    matmul is deterministic for a fixed build."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    planes_t = _plane_matrix(num_tables * num_planes, dim).T  # (dim, total)
+
+    # no annotations: hint inference can't resolve local imports under
+    # `from __future__ import annotations`; returnType passed explicitly
+    def sigs(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        bits = (m @ planes_t >= 0).astype(np.uint8)  # (n, total)
+        chars = bits.astype("U1")
+        out = [
+            [
+                "".join(row[t * num_planes : (t + 1) * num_planes])
+                for t in range(num_tables)
+            ]
+            for row in chars
+        ]
+        return pd.Series(out)
+
+    # explicit returnType (no type-hint inference: local annotations
+    # aren't resolvable under `from __future__ import annotations`)
+    return pandas_udf(sigs, ArrayType(StringType()))
+
+
 def _hyperplane_sign(vec: Column, seed: int, dim: int) -> Column:
     """Sign of <vec, h_seed> for a deterministic pseudo-random
     hyperplane derived from md5(seed, index) — reproducible everywhere,
@@ -216,32 +286,25 @@ def lsh_bucket_topk(
     At 1000-executor scale the bucket join replaces the cross join:
     shuffle keys are (table, 2^num_planes signatures), so skew is
     bounded by bucket balance (raise num_planes to split hot buckets);
-    multi-table candidates are deduplicated on (query_id, neighbor_id,
-    sim) BEFORE ranking so duplicates never reach the top-k window.
+    multi-table duplicates are eliminated first-collision-wins — a
+    pair survives only in the EARLIEST table where its signatures
+    collide, a pure codegen filter over the carried signature arrays,
+    so no dedup shuffle ever materializes the duplicates.
     """
 
-    def signature(vec: Column, table: int) -> Column:
-        base = table * num_planes
-        bits = [
-            _hyperplane_sign(vec, base + s, dim).cast("string")
-            for s in range(num_planes)
-        ]
-        return F.concat(*bits)
+    sig_kernel = lsh_signatures(num_tables, num_planes, dim)
 
-    def tabled(side: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        # one (table, sig) row per hash table — a static explode, no RNG
-        sigs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    signature(F.col(vec_alias), t).alias("sig"),
-                )
-                for t in range(num_tables)
-            ]
+    def tabled(
+        side: DataFrame, id_alias: str, vec_alias: str, sig_alias: str
+    ) -> DataFrame:
+        # all table signatures in ONE Arrow-batched matmul, one
+        # (tbl, sig) row per hash table — a static posexplode, no RNG
+        return side.withColumn(sig_alias, sig_kernel(F.col(vec_alias))).select(
+            id_alias,
+            vec_alias,
+            sig_alias,
+            F.posexplode(sig_alias).alias("tbl", "sig"),
         )
-        return side.select(
-            id_alias, vec_alias, F.explode(sigs).alias("ts")
-        ).select(id_alias, vec_alias, "ts.tbl", "ts.sig")
 
     from .util import ensure_parallelism
 
@@ -251,6 +314,7 @@ def lsh_bucket_topk(
         ),
         "query_id",
         "qv",
+        "sigs_q",
     )
     c = tabled(
         ensure_parallelism(corpus).select(
@@ -258,16 +322,21 @@ def lsh_bucket_topk(
         ),
         "neighbor_id",
         "cv",
+        "sigs_c",
+    )
+    earlier_collision = F.expr(
+        "exists(zip_with(slice(sigs_q, 1, tbl), slice(sigs_c, 1, tbl),"
+        " (x, y) -> x = y), coll -> coll)"
     )
     scored = (
         c.join(q, ["tbl", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .where(~earlier_collision)
         .select(
             "query_id",
             "neighbor_id",
             cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
         )
-        .distinct()  # same pair from several tables: sim is deterministic
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

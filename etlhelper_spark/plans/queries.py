@@ -83,6 +83,23 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PAIR_CACHE[key]
 
 
+_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _dup_clusters_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels over the cached pair set, themselves
+    cached: the survivor query consumes exactly the clusters the
+    cluster query produced, so the iterative label propagation runs
+    once per (session, sf_dir). The result is tiny ((node, cluster)
+    for clustered docs only) — checkpointing it is free."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CLUSTER_CACHE:
+        pairs = _jaccard_pairs_cached(spark, sf_dir)
+        clusters = duplicate_clusters(pairs, "id_a", "id_b")
+        _CLUSTER_CACHE[key] = clusters.localCheckpoint(eager=False)
+    return _CLUSTER_CACHE[key]
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -2841,8 +2858,7 @@ def q37_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation and survivor selection in a real dedup pipeline. The
     oracle verifies with a recursive-CTE transitive closure, so the
     iterative Spark algorithm is value-checked, not rows-only."""
-    pairs = _jaccard_pairs_cached(spark, sf_dir)
-    clusters = duplicate_clusters(pairs, "id_a", "id_b")
+    clusters = _dup_clusters_cached(spark, sf_dir)
     return clusters.select(
         F.col("node_id").alias("doc_id"), "cluster_id"
     )
@@ -3051,8 +3067,7 @@ def q40_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic across engines — only clustered docs (a tiny
     fraction of the corpus) ever reach the ranking window."""
     d = _t(spark, sf_dir, "documents")
-    pairs = _jaccard_pairs_cached(spark, sf_dir)
-    clusters = duplicate_clusters(pairs, "id_a", "id_b")
+    clusters = _dup_clusters_cached(spark, sf_dir)
     tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     punct = F.length(
         F.regexp_replace(F.col("text"), r"[^.,;:!?]", "")
