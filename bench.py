@@ -123,6 +123,8 @@ HEADLINE = [
     "q134_session_window_batch",
     "q135_collation",
     "q136_ewma",
+    "q137_unigram_surprisal",
+    "q138_streaming_sessions",
 ]
 
 

@@ -158,3 +158,44 @@ def pii_counts(col: Column) -> Column:
         F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[1][0]), F.lit(0))).alias("ips"),
         F.size(F.regexp_extract_all(col, F.lit(PII_PATTERNS[2][0]), F.lit(0))).alias("phones"),
     )
+
+
+def unigram_surprisal(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean token surprisal under the corpus unigram
+    distribution — the cheap end of perplexity-based quality filtering
+    (the LM-scoring step of a web-corpus pipeline, without the LM):
+    documents whose tokens are systematically rare score high and get
+    routed to review/drop.
+
+    Distributed shape: one explode + token-frequency aggregate
+    (map-side combinable), the corpus total as a 1-row broadcast, one
+    re-join on token, one per-doc aggregate. Everything is built-in
+    expressions — linear in corpus size, no vocabulary ever sits on
+    the driver.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n_total"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            (-F.log2(F.col("c").cast("double") / F.col("n_total"))).alias(
+                "surprisal"
+            ),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg("surprisal").cast("decimal(30,10)"), 4)
+        .cast("double")
+        .alias("mean_surprisal"),
+    )

@@ -5699,6 +5699,81 @@ def q136_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q137_unigram_surprisal",
+    """
+    WITH toks AS (
+        SELECT doc_id AS id, tok
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ), freq AS (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), total AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS n_total FROM freq
+    )
+    SELECT id, count(*) AS n_tokens,
+           CAST(round(CAST(avg(-log2(CAST(c AS DOUBLE) / n_total))
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS mean_surprisal
+    FROM toks JOIN freq USING (tok), total
+    GROUP BY id
+    """,
+)
+def q137_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring without the LM: mean token
+    surprisal under the corpus's own unigram distribution (the cheap
+    first pass of LM-based filtering in a web-corpus pipeline).
+    Linear: explode + combinable frequency agg + 1-row broadcast total
+    + re-join on token; no vocabulary on the driver."""
+    from ..functions.text import unigram_surprisal
+
+    d = _t(spark, sf_dir, "documents")
+    return unigram_surprisal(d).select(
+        F.col("id").alias("id"), "n_tokens", "mean_surprisal"
+    )
+
+
+@query(
+    "q138_streaming_sessions",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, value,
+               sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           CAST(max(sid) + 1 AS BIGINT) AS n_sessions,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id
+    """,
+)
+def q138_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows: the data-dependent window whose close
+    time depends on the events themselves (state stays open until the
+    watermark passes each session's gap). readStream → watermark →
+    session_window agg → per-user rollup, drained availableNow; must
+    equal the classic batch gaps-and-islands oracle — the
+    streaming/batch unification contract on the hardest window type."""
+    from ..streaming.windows import streaming_session_totals
+
+    configure_session(spark)
+    ckpt = tempfile.mkdtemp(prefix="ehs_sess_")
+    return streaming_session_totals(spark, sf_dir, ckpt)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

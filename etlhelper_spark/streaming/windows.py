@@ -349,3 +349,52 @@ def stream_static_enrichment(
     )
     q.awaitTermination()
     return spark.table(sink_name)
+
+
+def streaming_session_totals(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    gap: str = "10 minutes",
+) -> DataFrame:
+    """Streaming `session_window` aggregation: readStream → watermark →
+    per-(session, user) agg → per-user rollup, drained availableNow.
+
+    Sessions are the canonical *data-dependent* window — the window
+    close time depends on the events themselves, so state for a
+    session stays open exactly until the watermark passes its gap.
+    Complete output mode materializes every user's totals at drain
+    time; the result must equal the batch gaps-and-islands oracle
+    (the same streaming/batch unification contract as q35)."""
+    stream = read_events_stream(spark, sf_dir)
+    per_session = (
+        stream.withWatermark("ts", gap)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count("*").alias("ev"),
+            F.sum("value").alias("val"),
+        )
+    )
+    # ONE stateful operator in the stream (chaining a second stateful
+    # agg behind a session window trips Spark's global-watermark
+    # correctness check); the per-user rollup is stateless and runs in
+    # batch over the drained sessions — on a live pipeline it would be
+    # the foreachBatch/downstream aggregation.
+    query = (
+        per_session.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table("sessions_stream")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("ev").alias("n_events"),
+            F.round(F.sum("val"), 2).alias("total_value"),
+        )
+    )

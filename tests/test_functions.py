@@ -347,3 +347,26 @@ def test_media_stub_gate_raises(spark):
         sample_frames(df, decode_stub=False)
     with _pytest.raises(NotImplementedError):
         chunk_audio(df, decode_stub=False)
+
+
+def test_unigram_surprisal_rare_tokens_score_higher(spark):
+    """A document of corpus-rare tokens must out-score one made of the
+    corpus's most common token; surprisal of the universally repeated
+    token is exactly -log2(c/N)."""
+    import math
+
+    from etlhelper_spark.functions.text import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common common common"),
+            (3, "rare1 rare2 rare3 rare4"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["id"]: r for r in unigram_surprisal(docs).collect()}
+    assert rows[3]["mean_surprisal"] > rows[1]["mean_surprisal"]
+    # 8 'common' of 12 total tokens -> surprisal -log2(8/12)
+    assert rows[1]["mean_surprisal"] == round(-math.log2(8 / 12), 4)
+    assert rows[1]["n_tokens"] == 4
