@@ -125,6 +125,7 @@ HEADLINE = [
     "q136_ewma",
     "q137_unigram_surprisal",
     "q138_streaming_sessions",
+    "q139_expectations",
 ]
 
 

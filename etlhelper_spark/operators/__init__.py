@@ -14,6 +14,7 @@ from .etl import (
 )
 from .cdc import apply_changes
 from .jdbc_sink import stage_and_merge
+from .expectations import check_expectations
 from .maintenance import clustered_rewrite, compact_parquet_table, morton_code
 from .merge import merge_dataframes, merge_into_parquet
 from .observe import observed, row_metrics, run_with_metrics
@@ -25,6 +26,7 @@ __all__ = [
     "morton_code",
     "observed",
     "profile_table",
+    "check_expectations",
     "row_metrics",
     "run_with_metrics",
     "merge_dataframes",

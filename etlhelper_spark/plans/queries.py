@@ -5774,6 +5774,58 @@ def q138_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_session_totals(spark, sf_dir, ckpt)
 
 
+@query(
+    "q139_expectations",
+    """
+    WITH agg AS (
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+                        THEN 0 ELSE 1 END) AS v_qty,
+               sum(CASE WHEN coalesce(l_discount BETWEEN 0 AND 0.1, FALSE)
+                        THEN 0 ELSE 1 END) AS v_disc,
+               sum(CASE WHEN coalesce(l_extendedprice > 0, FALSE)
+                        THEN 0 ELSE 1 END) AS v_price,
+               sum(CASE WHEN l_shipdate IS NOT NULL
+                        THEN 0 ELSE 1 END) AS v_ship,
+               sum(CASE WHEN coalesce(l_returnflag IN ('A','N','R'), FALSE)
+                        THEN 0 ELSE 1 END) AS v_flag
+        FROM lineitem
+    )
+    SELECT rule, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(round(CAST(n_violations AS DOUBLE)
+                / greatest(n_rows, 1), 4) AS DOUBLE) AS violation_rate,
+           n_violations = 0 AS passed
+    FROM (
+        SELECT 'quantity_in_range' AS rule, n_rows, v_qty AS n_violations FROM agg
+        UNION ALL SELECT 'discount_in_range', n_rows, v_disc FROM agg
+        UNION ALL SELECT 'price_positive', n_rows, v_price FROM agg
+        UNION ALL SELECT 'shipdate_not_null', n_rows, v_ship FROM agg
+        UNION ALL SELECT 'returnflag_valid', n_rows, v_flag FROM agg
+    )
+    """,
+)
+def q139_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract over lineitem: five row-level
+    rules compiled into ONE aggregate scan (conditional counts are
+    map-side combinable — rule count never adds passes over the data).
+    The data-lake replacement for the DB constraints the reference
+    leans on (test_etl_load.py:48-74). NULL rule results count as
+    violations, the quarantine semantics, not SQL CHECK's."""
+    from ..operators.expectations import check_expectations
+
+    li = _t(spark, sf_dir, "lineitem")
+    return check_expectations(
+        li,
+        {
+            "quantity_in_range": "l_quantity BETWEEN 1 AND 50",
+            "discount_in_range": "l_discount BETWEEN 0 AND 0.1",
+            "price_positive": "l_extendedprice > 0",
+            "shipdate_not_null": "l_shipdate IS NOT NULL",
+            "returnflag_valid": "l_returnflag IN ('A','N','R')",
+        },
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -57,3 +57,47 @@ def test_profile_table_exact_and_approx(spark):
     approx = {r.col: r for r in profile_table(df).collect()}
     # HLL at this cardinality is exact in practice
     assert approx["k"].ndv == 3
+
+
+def test_check_expectations_one_scan_and_null_semantics(spark):
+    """Rules with NULL results count as violations (quarantine
+    semantics); the whole rule set runs as a single aggregate —
+    exactly one non-broadcast Exchange in the plan."""
+    from etlhelper_spark.operators import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id INT, amount DOUBLE"
+    )
+    out = check_expectations(
+        df,
+        {
+            "amount_positive": "amount > 0",  # NULL for id=2 -> violation
+            "id_unique_range": "id BETWEEN 1 AND 3",
+        },
+    )
+    rows = {r["rule"]: r for r in out.collect()}
+    assert rows["amount_positive"]["n_violations"] == 2  # NULL + negative
+    assert rows["amount_positive"]["passed"] is False
+    assert rows["id_unique_range"]["n_violations"] == 0
+    assert rows["id_unique_range"]["passed"] is True
+    assert all(r["n_rows"] == 3 for r in rows.values())
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    shuffles = [
+        m for m in re.findall(r"Exchange \w+", plan)
+        if "Broadcast" not in m
+    ]
+    # partial-aggregate merges move ONE row; no data-row shuffle means
+    # every exchange is SinglePartition regardless of rule count
+    assert all("SinglePartition" in s for s in shuffles)
+
+
+def test_check_expectations_empty_rules_raises(spark):
+    import pytest as _pytest
+
+    from etlhelper_spark.operators import check_expectations
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError):
+        check_expectations(df, {})
