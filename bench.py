@@ -126,6 +126,7 @@ HEADLINE = [
     "q137_unigram_surprisal",
     "q138_streaming_sessions",
     "q139_expectations",
+    "q140_ivf_index_probe",
 ]
 
 

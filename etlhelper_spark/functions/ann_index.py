@@ -1,0 +1,134 @@
+"""Persistent IVF index: ANN search as a build-once / probe-many
+pipeline with REAL partition pruning.
+
+`ivf_topk` (similarity.py) computes the inverted lists inline — right
+for one-shot queries, wasteful when the same corpus is probed
+repeatedly. Here the index is a parquet table partitioned by
+`list_id`: probing `nprobe` of `nlist` lists becomes a scan whose
+PartitionFilters eliminate the other directories entirely (asserted in
+tests), so each query batch reads ~nprobe/nlist of a 100 TB corpus —
+the file-layout realization of the IVF idea, built from nothing but
+`partitionBy` + partition pruning.
+
+The probed list ids (≤ |queries| × nprobe ints) are collected to the
+driver deliberately: a literal IN-filter is what lets the file index
+prune directories before any data is read. Pivots live under the
+`_pivots` subdirectory — the leading underscore hides it from Spark's
+file listing, so the index directory stays a clean partitioned table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .similarity import cosine_similarity
+
+__all__ = ["build_ivf_index", "query_ivf_index"]
+
+
+def _nearest_pivots(
+    side: DataFrame, pivots: DataFrame, id_col: str, vec_alias: str
+) -> DataFrame:
+    """Rank all pivots per row by cosine (desc, id asc) — identical
+    ordering to ivf_topk so the persisted index assigns exactly the
+    lists the inline form does."""
+    scored = side.join(F.broadcast(pivots)).select(
+        F.col(id_col),
+        F.col(vec_alias),
+        "list_id",
+        cosine_similarity(F.col(vec_alias), F.col("pivot")).alias("psim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("psim"), F.asc("list_id"))
+    return scored.withColumn("prank", F.row_number().over(w))
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, int]:
+    """Assign every corpus vector to its nearest pivot and persist the
+    inverted lists as a parquet table partitioned by ``list_id``.
+
+    Pivots are the ``nlist`` lowest-id corpus rows (deterministic — a
+    k-means refinement would drop in here without changing the
+    layout). Returns (n_vectors, nlist)."""
+    pivots = (
+        corpus.orderBy(F.col(corpus_id).asc())
+        .limit(nlist)
+        .select(
+            F.col(corpus_id).alias("list_id"), F.col(vec_col).alias("pivot")
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    assigned = (
+        _nearest_pivots(c, pivots, "vec_id", "vec")
+        .where(F.col("prank") == 1)
+        .select("vec_id", "vec", "list_id")
+    )
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(path)
+    pivots.write.mode("overwrite").parquet(os.path.join(path, "_pivots"))
+    spark = corpus.sparkSession
+    n = spark.read.parquet(path).count()
+    return n, nlist
+
+
+def query_ivf_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine search against a persisted IVF index.
+
+    Each query ranks the (tiny, broadcast) pivot set, keeps its
+    ``nprobe`` nearest lists, and the union of probed list ids becomes
+    a literal IN-filter on the partition column — the scan prunes
+    every unprobed directory before reading a byte. Exact cosine +
+    per-query top-k run only within each query's own probed lists."""
+    pivots = spark.read.parquet(os.path.join(path, "_pivots"))
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    q_probes = (
+        _nearest_pivots(q, pivots.withColumnRenamed("pivot", "pivot"), "query_id", "qv")
+        .where(F.col("prank") <= nprobe)
+        .select("query_id", "qv", "list_id")
+    )
+    # ≤ |queries| × nprobe ints — the literal filter that turns probing
+    # into partition pruning
+    probed = sorted(
+        r["list_id"]
+        for r in q_probes.select("list_id").distinct().collect()
+    )
+    index = spark.read.parquet(path).where(F.col("list_id").isin(probed))
+    scored = (
+        index.join(F.broadcast(q_probes), "list_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_similarity(F.col("qv"), F.col("vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim")
+        )
+    )

@@ -5826,6 +5826,67 @@ def q139_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q140_ivf_index_probe",
+    """
+    WITH bf AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                       c.vec_id ASC
+               ) AS rank,
+               round(list_cosine_similarity(
+                   q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 20 = 10
+    )
+    SELECT count(DISTINCT query_id) AS n_queries,
+           CAST(count(*) FILTER (rank <= 5) AS BIGINT) AS n_truth,
+           CAST(round(CAST(avg(sim) FILTER (rank = 1)
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_top1_sim,
+           true AS recall_ok
+    FROM bf
+    """,
+)
+def q140_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED ANN path: build the partitioned IVF index on
+    disk, probe it with partition pruning (the scan's
+    PartitionFilters eliminate unprobed list directories — asserted
+    in tests/test_ann_index.py), and gate the result exactly like
+    q57: exact kernel hash-verified, recall@5 ≥ 0.8 pinned in-plan.
+    Probe results are equal BY CONSTRUCTION to inline ivf_topk (same
+    pivots, same ordering), so recall matches q57's measured 0.90."""
+    import tempfile as _tf
+
+    from ..functions.ann_index import build_ivf_index, query_ivf_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 20 == 10)
+    idx_dir = _tf.mkdtemp(prefix="ehs_ivf_idx_")
+    build_ivf_index(e, idx_dir, nlist=16)
+    ivf = query_ivf_index(spark, idx_dir, q, k=5, nprobe=12).select(
+        "query_id", "neighbor_id"
+    )
+    bf = brute_force_topk(q, e, k=5)
+    hits = bf.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+    truth_stats = bf.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_truth"),
+        _sround(F.avg(F.when(F.col("rank") == 1, F.col("sim"))), 4).alias(
+            "avg_top1_sim"
+        ),
+    )
+    recall = hits.agg(F.count("*").alias("n_hits"))
+    return truth_stats.crossJoin(F.broadcast(recall)).select(
+        "n_queries",
+        "n_truth",
+        "avg_top1_sim",
+        (F.col("n_hits") / F.col("n_truth") >= 0.8).alias("recall_ok"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -1,0 +1,64 @@
+"""Persistent IVF index: build-once/probe-many with partition pruning.
+
+The probe path must (a) return exactly what the inline ivf_topk
+computes with the same parameters, and (b) show the probed-list
+IN-filter as a PartitionFilter on the index scan — the property that
+makes the layout read ~nprobe/nlist of the corpus at any scale."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlhelper_spark.functions.ann_index import build_ivf_index, query_ivf_index
+from etlhelper_spark.functions.similarity import ivf_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    from etlhelper_spark.sources import read_parquet_table
+
+    return read_parquet_table(spark, f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, vecs):
+    d = tempfile.mkdtemp(prefix="ehs_ivf_")
+    n, nlist = build_ivf_index(vecs, d, nlist=8)
+    assert n == vecs.count()
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_persisted_probe_equals_inline_ivf(spark, vecs, index_dir):
+    q = vecs.where(F.col("vec_id") < 5)
+    inline = ivf_topk(q, vecs, k=3, nlist=8, nprobe=3)
+    persisted = query_ivf_index(spark, index_dir, q, k=3, nprobe=3)
+    assert sorted(map(tuple, persisted.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+
+def test_probe_scan_prunes_partitions(spark, vecs, index_dir):
+    q = vecs.where(F.col("vec_id") < 2)
+    out = query_ivf_index(spark, index_dir, q, k=3, nprobe=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the index scan must carry the probed-list filter as a partition
+    # filter (pruning directories), not a post-scan data filter
+    assert "PartitionFilters" in plan
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert any("list_id" in ln and "IN" in ln.upper() for ln in scan_lines)
+
+
+def test_index_roundtrips_all_lists(spark, vecs, index_dir):
+    idx = spark.read.parquet(index_dir)
+    assert idx.count() == vecs.count()
+    assert idx.select("list_id").distinct().count() <= 8
+    # every vector assigned exactly once
+    assert idx.select("vec_id").distinct().count() == vecs.count()
