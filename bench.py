@@ -127,6 +127,7 @@ HEADLINE = [
     "q138_streaming_sessions",
     "q139_expectations",
     "q140_ivf_index_probe",
+    "q141_kmeans_clusters",
 ]
 
 

