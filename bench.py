@@ -128,6 +128,7 @@ HEADLINE = [
     "q139_expectations",
     "q140_ivf_index_probe",
     "q141_kmeans_clusters",
+    "q142_bigram_surprisal",
 ]
 
 

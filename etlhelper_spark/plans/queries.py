@@ -5952,6 +5952,66 @@ def q141_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q142_bigram_surprisal",
+    """
+    WITH arr AS (
+        SELECT doc_id AS id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ), big AS (
+        SELECT id, t[i] AS w1, t[i+1] AS w2
+        FROM arr, (SELECT unnest(range(1, 1001)) AS i)  -- docs cap at ~100 tokens
+        WHERE i < len(t)
+    ), c2 AS (
+        SELECT w1, w2, count(*) AS n12 FROM big GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, count(*) AS n1 FROM big GROUP BY w1
+    )
+    SELECT id, count(*) AS n_bigrams,
+           CAST(round(CAST(avg(-log2(CAST(n12 AS DOUBLE) / n1))
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS mean_surprisal
+    FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY id
+    """,
+)
+def q142_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram surprisal -log2 p(w2|w1) averaged per doc —
+    one LM order above q137's unigram scorer (repetitive/templated
+    text scores near 0, incoherent token salad scores high). Bigrams
+    come from an array slice-zip (NO window pass, no per-doc shuffle);
+    the two count tables are combinable aggregates re-joined on their
+    keys. Linear in corpus size end to end."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.where(F.trim("text") != "").select(
+        F.col("doc_id").alias("id"),
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("t"),
+    )
+    n = F.size("t")
+    big = toks.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+                F.slice("t", 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("b"),
+    ).select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = big.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = big.groupBy("w1").agg(F.count("*").alias("n1"))
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            _sround(
+                F.avg(-F.log2(F.col("n12").cast("double") / F.col("n1"))), 4
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
