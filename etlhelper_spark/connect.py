@@ -368,18 +368,23 @@ class SparkConnection:
             props.get("password", ""),
         )
         try:
+            # JDBC connections default to autoCommit=true, and e.g.
+            # pgjdbc throws on commit() under autocommit — the exact
+            # dialect family RETURNING targets
+            conn.setAutoCommit(False)
+            # search with string literals stripped: a VALUES literal
+            # containing the word 'returning'/'output' must not
+            # reroute a plain INSERT off the generated-keys path
+            bare = _re.sub(r"'(?:[^']|'')*'", "''", sql)
             has_clause = _re.search(
-                r"\bRETURNING\b|\bOUTPUT\b", sql, _re.IGNORECASE
+                r"\bRETURNING\b|\bOUTPUT\b", bare, _re.IGNORECASE
             )
-            if has_clause:
-                stmt = conn.createStatement()
-                try:
-                    produced = stmt.execute(sql)
-                    rs = stmt.getResultSet() if produced else None
-                    cols, rows = self._drain_resultset(rs)
-                finally:
-                    stmt.close()
-            elif _re.match(r"\s*INSERT\b", sql, _re.IGNORECASE):
+            plain_insert = not has_clause and _re.match(
+                r"\s*INSERT\b", bare, _re.IGNORECASE
+            )
+            if plain_insert:
+                # engines without RETURNING syntax (Derby): surface
+                # the autogenerated ids via JDBC generated keys
                 key_flag = jvm.java.sql.Statement.RETURN_GENERATED_KEYS
                 stmt = conn.prepareStatement(sql, key_flag)
                 try:
@@ -393,11 +398,14 @@ class SparkConnection:
                 finally:
                     stmt.close()
             else:
-                # UPDATE/DELETE/MERGE without RETURNING produce no rows
+                # RETURNING/OUTPUT clause, WITH-wrapped DML, or
+                # UPDATE/DELETE/MERGE: generic execute — drain the
+                # ResultSet if one was produced, else no rows
                 stmt = conn.createStatement()
                 try:
-                    stmt.executeUpdate(sql)
-                    cols, rows = [], []
+                    produced = stmt.execute(sql)
+                    rs = stmt.getResultSet() if produced else None
+                    cols, rows = self._drain_resultset(rs)
                 finally:
                     stmt.close()
             conn.commit()

@@ -102,7 +102,7 @@ def query_ivf_index(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
     )
     q_probes = (
-        _nearest_pivots(q, pivots.withColumnRenamed("pivot", "pivot"), "query_id", "qv")
+        _nearest_pivots(q, pivots, "query_id", "qv")
         .where(F.col("prank") <= nprobe)
         .select("query_id", "qv", "list_id")
     )

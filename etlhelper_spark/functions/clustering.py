@@ -44,7 +44,6 @@ def kmeans_assignments(
     vec_col: str = "embedding",
     k: int = 8,
     iterations: int = 2,
-    dim: int = 64,
 ) -> DataFrame:
     """Assign every vector to a cluster after *iterations* Lloyd
     rounds from deterministic seeds (the k lowest-id vectors).

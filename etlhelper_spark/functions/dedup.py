@@ -423,7 +423,7 @@ def embedding_near_duplicates(
     """
     import math
 
-    from .similarity import _hyperplane_sign, cosine_similarity
+    from .similarity import cosine_similarity
     from .util import ensure_parallelism
 
     df = ensure_parallelism(df)

@@ -170,7 +170,7 @@ def ivf_topk(
 
 def _plane_matrix(num_planes_total: int, dim: int):
     """The (num_planes_total, dim) hyperplane coefficient matrix, from
-    the same md5 derivation as _hyperplane_sign: component i of plane
+    the md5 derivation the engine has always used: component i of plane
     s is (int(md5(f"{s}:{i}")[:8], 16) % 2001 - 1000) / 1000 —
     deterministic everywhere, no RNG state."""
     import hashlib
@@ -236,30 +236,6 @@ def lsh_signatures(num_tables: int, num_planes: int, dim: int):
     # explicit returnType (no type-hint inference: local annotations
     # aren't resolvable under `from __future__ import annotations`)
     return pandas_udf(sigs, ArrayType(StringType()))
-
-
-def _hyperplane_sign(vec: Column, seed: int, dim: int) -> Column:
-    """Sign of <vec, h_seed> for a deterministic pseudo-random
-    hyperplane derived from md5(seed, index) — reproducible everywhere,
-    no RNG state on executors."""
-    # component i of hyperplane: (md5-derived int mod 2001 - 1000)/1000
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    h = F.transform(
-        idx,
-        lambda i: (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{seed}:"), i.cast("string"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 2001
-            - 1000
-        ).cast("double")
-        / 1000.0,
-    )
-    return (_dot(vec, h) >= 0).cast("int")
 
 
 def lsh_bucket_topk(

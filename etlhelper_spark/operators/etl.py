@@ -51,7 +51,26 @@ CHUNKSIZE = 5000
 # connections (Spark's JDBC query option cannot execute DML)
 import re as _re
 
-_DML_SHAPE = _re.compile(r"^\s*(INSERT|UPDATE|DELETE|MERGE)\b", _re.IGNORECASE)
+_COMMENTS = _re.compile(r"--[^\n]*|/\*.*?\*/", _re.DOTALL)
+_LITERALS = _re.compile(r"'(?:[^']|'')*'")
+
+
+def _is_dml(sql: str) -> bool:
+    """True when *sql* is a data-modifying statement: leading keyword
+    INSERT/UPDATE/DELETE/MERGE, or a WITH query containing a
+    data-modifying CTE (PostgreSQL `WITH ins AS (INSERT ... RETURNING)
+    SELECT`). Comments and string literals are stripped first so
+    neither a leading `-- note` nor a VALUES literal containing the
+    word 'insert' can misroute the statement."""
+    bare = _LITERALS.sub("''", _COMMENTS.sub(" ", sql)).lstrip()
+    if _re.match(r"(INSERT|UPDATE|DELETE|MERGE)\b", bare, _re.IGNORECASE):
+        return True
+    return bool(
+        _re.match(r"WITH\b", bare, _re.IGNORECASE)
+        and _re.search(
+            r"\b(INSERT|UPDATE|DELETE|MERGE)\b", bare, _re.IGNORECASE
+        )
+    )
 
 
 class dataframe_transform:  # noqa: N801 - decorator-style name
@@ -146,7 +165,7 @@ def iter_chunks(
     logger.info("Fetching rows (chunk_size=%s)", chunk_size)
     logger.debug("Fetching:\n\n%s\n\nwith parameters:\n\n%s\n\nagainst\n\n%r",
                  select_query, parameters, conn)
-    if conn.kind == "jdbc" and _DML_SHAPE.match(select_query):
+    if conn.kind == "jdbc" and _is_dml(select_query):
         # INSERT ... RETURNING id / OUTPUT / generated-key round-trip
         # (reference: docs/code_demos/utilities/return_autogenerated.py)
         # — DML cannot run through Spark's JDBC query option, so the
@@ -431,9 +450,18 @@ def _write_chunk(
     on_error,
 ) -> list[FailedRow]:
     """Write one chunk; on failure with on_error, retry row-by-row and
-    collect rejects (reference _execute_by_row, etl.py:342-365)."""
+    collect rejects (reference _execute_by_row, etl.py:342-365).
+
+    The chunk (a driver-side list, ≤ chunk_size rows) writes as ONE
+    partition: Spark's JDBC writer commits per task, so a multi-task
+    write that fails midway would leave some partitions committed —
+    and the row-level retry below would then duplicate them. One
+    partition = one transaction per chunk, the reference's
+    commit_chunks semantics exactly; bulk throughput comes from the
+    distributed `load(DataFrame)`/`copy_rows` paths, not from
+    parallelizing a single driver chunk."""
     try:
-        df = _rows_to_dataframe(conn.spark, chunk, columns)
+        df = _rows_to_dataframe(conn.spark, chunk, columns).coalesce(1)
         conn.write_dataframe(df, table, mode="append", batchsize=len(chunk))
         return []
     except Exception as exc:

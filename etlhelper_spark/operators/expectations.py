@@ -43,8 +43,14 @@ def check_expectations(
     agg_cols = [F.count("*").alias("__n_rows")]
     for i, (name, cond) in enumerate(exprs.items()):
         agg_cols.append(
-            F.sum(
-                F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+            # outer coalesce: sum over an EMPTY table is NULL — an
+            # empty table has zero violations, and passed must be a
+            # real boolean, never NULL
+            F.coalesce(
+                F.sum(
+                    F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
+                ),
+                F.lit(0),
             ).alias(f"__v_{i}")
         )
     row = df.agg(*agg_cols)

@@ -55,6 +55,29 @@ def _sround(col, d: int):
     return F.round(col.cast("decimal(30,10)"), d).cast("double")
 
 
+
+def _recall_gate(bf: DataFrame, approx: DataFrame, min_recall: float = 0.8) -> DataFrame:
+    """The shared ANN quality-gate tail (q08b/q33/q57/q140): exact
+    brute-force truth stats (hash-verified by the oracle) + recall of
+    the approximate pair set against the truth, pinned as an in-plan
+    boolean. One place to change thresholds/tie-breaks for every gate."""
+    hits = bf.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    truth_stats = bf.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_truth"),
+        _sround(F.avg(F.when(F.col("rank") == 1, F.col("sim"))), 4).alias(
+            "avg_top1_sim"
+        ),
+    )
+    recall = hits.agg(F.count("*").alias("n_hits"))
+    return truth_stats.crossJoin(F.broadcast(recall)).select(
+        "n_queries",
+        "n_truth",
+        "avg_top1_sim",
+        (F.col("n_hits") / F.col("n_truth") >= min_recall).alias("recall_ok"),
+    )
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from ..sources import read_parquet_table
 
@@ -63,6 +86,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_STAGE_CACHE_MAX = 4  # (session, sf_dir) entries per stage cache
+
+
+def _cache_put(cache: dict, key: tuple, df: DataFrame) -> DataFrame:
+    """Insert into a stage cache, evicting (and unpersisting) the
+    oldest entries beyond _STAGE_CACHE_MAX — a long-lived session
+    iterating many sf_dirs must not pin checkpointed blocks forever.
+    Entries assume the underlying parquet is immutable for the
+    session (true for the testdata contract); callers regenerating a
+    table in-place should clear the caches."""
+    while len(cache) >= _STAGE_CACHE_MAX:
+        oldest = next(iter(cache))  # dicts preserve insertion order
+        old = cache.pop(oldest)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    cache[key] = df
+    return df
 
 
 def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,7 +121,7 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = ngram_jaccard_pairs(
             d, "doc_id", "text", shingle_size=3, threshold=0.5
         )
-        _PAIR_CACHE[key] = pairs.localCheckpoint(eager=False)
+        _cache_put(_PAIR_CACHE, key, pairs.localCheckpoint(eager=False))
     return _PAIR_CACHE[key]
 
 
@@ -96,7 +138,9 @@ def _dup_clusters_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _CLUSTER_CACHE:
         pairs = _jaccard_pairs_cached(spark, sf_dir)
         clusters = duplicate_clusters(pairs, "id_a", "id_b")
-        _CLUSTER_CACHE[key] = clusters.localCheckpoint(eager=False)
+        _cache_put(
+            _CLUSTER_CACHE, key, clusters.localCheckpoint(eager=False)
+        )
     return _CLUSTER_CACHE[key]
 
 
@@ -1029,21 +1073,7 @@ def q33_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = lsh_bucket_topk(
         q, e, k=5, num_planes=3, num_tables=12, dim=64
     ).select("query_id", "neighbor_id")
-    hits = bf.join(lsh, ["query_id", "neighbor_id"], "left_semi")
-    truth_stats = bf.agg(
-        F.count_distinct("query_id").alias("n_queries"),
-        F.count("*").alias("n_truth"),
-        _sround(F.avg(F.when(F.col("rank") == 1, F.col("sim"))), 4).alias(
-            "avg_top1_sim"
-        ),
-    )
-    recall = hits.agg(F.count("*").alias("n_hits"))
-    return truth_stats.crossJoin(F.broadcast(recall)).select(
-        "n_queries",
-        "n_truth",
-        "avg_top1_sim",
-        (F.col("n_hits") / F.col("n_truth") >= 0.8).alias("recall_ok"),
-    )
+    return _recall_gate(bf, lsh)
 
 
 # ======================================================================
@@ -1708,21 +1738,7 @@ def q57_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_topk(q, e, k=5, nlist=16, nprobe=12).select(
         "query_id", "neighbor_id"
     )
-    hits = bf.join(ivf, ["query_id", "neighbor_id"], "left_semi")
-    truth_stats = bf.agg(
-        F.count_distinct("query_id").alias("n_queries"),
-        F.count("*").alias("n_truth"),
-        _sround(F.avg(F.when(F.col("rank") == 1, F.col("sim"))), 4).alias(
-            "avg_top1_sim"
-        ),
-    )
-    recall = hits.agg(F.count("*").alias("n_hits"))
-    return truth_stats.crossJoin(F.broadcast(recall)).select(
-        "n_queries",
-        "n_truth",
-        "avg_top1_sim",
-        (F.col("n_hits") / F.col("n_truth") >= 0.8).alias("recall_ok"),
-    )
+    return _recall_gate(bf, ivf)
 
 
 @query(
@@ -2792,7 +2808,7 @@ def q82_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q83_variant_type",
     """
     SELECT event_type,
-           sum(CAST(props::JSON->>'k' AS INT)) AS sum_k,
+           CAST(sum(CAST(props::JSON->>'k' AS INT)) AS BIGINT) AS sum_k,
            count(*) FILTER (CAST(props::JSON->>'k' AS INT) > 50)
                AS n_high,
            max(CAST(props::JSON->>'k' AS INT)) AS max_k
@@ -4902,26 +4918,7 @@ def q08b_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ivf_topk(q, e, k=5, nlist=16, nprobe=4).select(
         "query_id", "neighbor_id"
     )
-    hits = bf.join(ivf, ["query_id", "neighbor_id"], "left_semi")
-    truth_stats = bf.agg(
-        F.count_distinct("query_id").alias("n_queries"),
-        F.count("*").alias("n_truth"),
-        _sround(F.avg(F.when(F.col("rank") == 1, F.col("sim"))), 4).alias(
-            "avg_top1_sim"
-        ),
-    )
-    recall = hits.agg(F.count("*").alias("n_hits"))
-    return (
-        truth_stats.crossJoin(F.broadcast(recall))
-        .select(
-            "n_queries",
-            "n_truth",
-            "avg_top1_sim",
-            (
-                F.col("n_hits") / F.col("n_truth") >= 0.8
-            ).alias("recall_ok"),
-        )
-    )
+    return _recall_gate(bf, ivf)
 
 
 @query(
@@ -5792,8 +5789,8 @@ def q138_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
     )
     SELECT rule, n_rows, CAST(n_violations AS BIGINT) AS n_violations,
-           CAST(round(CAST(n_violations AS DOUBLE)
-                / greatest(n_rows, 1), 4) AS DOUBLE) AS violation_rate,
+           CAST(round(CAST(CAST(n_violations AS DOUBLE) / greatest(n_rows, 1)
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS violation_rate,
            n_violations = 0 AS passed
     FROM (
         SELECT 'quantity_in_range' AS rule, n_rows, v_qty AS n_violations FROM agg
@@ -5870,21 +5867,7 @@ def q140_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     bf = brute_force_topk(q, e, k=5)
-    hits = bf.join(ivf, ["query_id", "neighbor_id"], "left_semi")
-    truth_stats = bf.agg(
-        F.count_distinct("query_id").alias("n_queries"),
-        F.count("*").alias("n_truth"),
-        _sround(F.avg(F.when(F.col("rank") == 1, F.col("sim"))), 4).alias(
-            "avg_top1_sim"
-        ),
-    )
-    recall = hits.agg(F.count("*").alias("n_hits"))
-    return truth_stats.crossJoin(F.broadcast(recall)).select(
-        "n_queries",
-        "n_truth",
-        "avg_top1_sim",
-        (F.col("n_hits") / F.col("n_truth") >= 0.8).alias("recall_ok"),
-    )
+    return _recall_gate(bf, ivf)
 
 
 @query(
@@ -5945,7 +5928,7 @@ def q141_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.clustering import kmeans_assignments
 
     e = _t(spark, sf_dir, "embeddings")
-    assigned = kmeans_assignments(e, k=8, iterations=2, dim=64)
+    assigned = kmeans_assignments(e, k=8, iterations=2)
     return assigned.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),
         _sround(F.avg("sim"), 4).alias("avg_cos"),

@@ -101,7 +101,10 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             oracle_cols = [d[0] for d in rel.description]
-            oracle_types = [str(d[1]) for d in rel.description]
+            # rel.types, not description: the DB-API typecode is the
+            # generic 'NUMBER' for every numeric, which would make the
+            # HUGEINT guard below dead code
+            oracle_types = [str(t) for t in rel.types]
             oracle_rows = rel.fetchall()
         except Exception as exc:
             print(f"FAIL {name}: oracle error: {exc}")

@@ -388,9 +388,7 @@ def test_kmeans_separates_planted_clusters(spark):
     df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
     # seeds = ids 0 and 1 (both in group A) — iteration must still pull
     # a centroid toward group B via reassignment
-    out = kmeans_assignments(
-        df, k=2, iterations=3, dim=dim
-    ).collect()
+    out = kmeans_assignments(df, k=2, iterations=3).collect()
     clusters = {}
     for r in out:
         clusters.setdefault(r["cluster_id"], set()).add(r["id"])

@@ -101,3 +101,13 @@ def test_check_expectations_empty_rules_raises(spark):
     df = spark.range(3)
     with _pytest.raises(ValueError):
         check_expectations(df, {})
+
+
+def test_check_expectations_empty_table_passes(spark):
+    from etlhelper_spark.operators import check_expectations
+
+    df = spark.createDataFrame([], "id INT, amount DOUBLE")
+    rows = check_expectations(df, {"amount_positive": "amount > 0"}).collect()
+    assert rows[0]["n_rows"] == 0
+    assert rows[0]["n_violations"] == 0
+    assert rows[0]["passed"] is True
