@@ -116,3 +116,20 @@ def test_bad_query_raises_extract_error(src_conn):
 def test_bad_table_raises_extract_error(src_conn):
     with pytest.raises(ETLHelperExtractError):
         fetchall("SELECT * FROM no_such_table", src_conn)
+
+
+def test_is_dml_routing_edge_cases():
+    """DML-shim routing: keyword detection must survive comments,
+    literals, and WITH-wrapped data-modifying CTEs — and must NOT
+    trigger on SELECTs whose string data mentions DML words."""
+    from etlhelper_spark.operators.etl import _is_dml
+
+    assert _is_dml("INSERT INTO t VALUES (1)")
+    assert _is_dml("  update t set x = 1")
+    assert _is_dml("-- audit note\nINSERT INTO t VALUES (1) RETURNING id")
+    assert _is_dml("/* hint */ DELETE FROM t WHERE x = 1")
+    assert _is_dml("WITH ins AS (INSERT INTO t VALUES (1) RETURNING id) SELECT * FROM ins")
+    assert not _is_dml("SELECT 'insert me' AS s FROM t")
+    assert not _is_dml("WITH c AS (SELECT 'update' AS w FROM t) SELECT * FROM c")
+    assert not _is_dml("-- insert?\nSELECT 1")
+    assert not _is_dml("SELECT * FROM inserted_rows")

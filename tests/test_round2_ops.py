@@ -74,3 +74,19 @@ def test_copy_rows_on_error_quarantines(spark, src_conn, dest_conn):
     assert all("cannot cast" in str(e.exception) for e in errors)
     # nothing bad written
     assert len(fetchall("SELECT * FROM sink", dest_conn)) == 1
+
+
+def test_stage_cache_bounded_eviction(spark):
+    """The pair/cluster stage caches must evict (and unpersist) oldest
+    entries beyond the cap — a long session over many sf_dirs must not
+    pin checkpointed blocks forever."""
+    from etlhelper_spark.plans.queries import _STAGE_CACHE_MAX, _cache_put
+
+    cache = {}
+    dfs = [spark.range(i + 1) for i in range(_STAGE_CACHE_MAX + 2)]
+    for i, df in enumerate(dfs):
+        _cache_put(cache, ("app", f"sf{i}"), df)
+    assert len(cache) == _STAGE_CACHE_MAX
+    # oldest two evicted, newest retained
+    assert ("app", "sf0") not in cache and ("app", "sf1") not in cache
+    assert ("app", f"sf{_STAGE_CACHE_MAX + 1}") in cache
