@@ -129,6 +129,7 @@ HEADLINE = [
     "q140_ivf_index_probe",
     "q141_kmeans_clusters",
     "q142_bigram_surprisal",
+    "q143_markov_transitions",
 ]
 
 

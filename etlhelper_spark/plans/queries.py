@@ -5995,6 +5995,56 @@ def q142_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q143_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ), trans AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ), totals AS (
+        SELECT from_type, CAST(sum(n) AS DOUBLE) AS n_from
+        FROM trans GROUP BY from_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(round(CAST(CAST(n AS DOUBLE) / n_from
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS p
+    FROM trans JOIN totals USING (from_type)
+    """,
+)
+def q143_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the sequence-mining
+    primitive behind funnel discovery and anomalous-flow detection.
+    One shuffle on user_id for the ordered lead, then combinable
+    counts; the |types|² transition matrix is tiny at any corpus
+    size."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("n").cast("double").alias("n_from")
+    )
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        _sround(F.col("n").cast("double") / F.col("n_from"), 4).alias("p"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -25,7 +25,12 @@ import os
 
 from pyspark.sql import DataFrame
 
-__all__ = ["exactly_once_parquet_sink", "idempotent_batch_writer"]
+__all__ = [
+    "exactly_once_parquet_sink",
+    "idempotent_batch_writer",
+    "exactly_once_jdbc_sink",
+    "idempotent_jdbc_batch_writer",
+]
 
 
 def idempotent_batch_writer(out_dir: str):
@@ -57,6 +62,75 @@ def exactly_once_parquet_sink(
     os.makedirs(out_dir, exist_ok=True)
     q = (
         stream.writeStream.foreachBatch(idempotent_batch_writer(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def idempotent_jdbc_batch_writer(
+    conn, table: str, ledger_table: str = "etl_batch_ledger"
+):
+    """foreachBatch callable writing each micro-batch to a JDBC table
+    exactly once, without requiring a transactional bulk writer.
+
+    The ledger table is the commit marker: a batch is durable iff its
+    id is in the ledger, and the ledger row is written LAST. Replay of
+    a committed batch is a no-op; replay of a half-written batch first
+    deletes its rows (every data row carries ``__batch_id``, so the
+    cleanup is a keyed DELETE) and rewrites. The same pattern the file
+    sink uses (exactly_once_parquet_sink), with the marker file
+    swapped for a ledger insert — reference commit_chunks parity on a
+    real database."""
+    from ..exceptions import ETLHelperQueryError
+    from ..operators.etl import execute, fetchone
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # unquoted identifiers: the ledger is user-DDL (folded to the
+        # engine's canonical case), unlike the Spark-written data table
+        # whose columns are quoted lowercase
+        done = fetchone(
+            f"SELECT batch_id FROM {ledger_table} "
+            f"WHERE batch_id = {int(batch_id)}",
+            conn,
+        )
+        if done is not None:
+            return  # replayed batch: already durable
+        try:
+            execute(
+                f'DELETE FROM {table} WHERE "__batch_id" = {int(batch_id)}',
+                conn,
+            )
+        except ETLHelperQueryError:
+            pass  # first batch: data table not created yet
+        from pyspark.sql import functions as F
+
+        payload = batch_df.withColumn(
+            "__batch_id", F.lit(int(batch_id))
+        ).coalesce(1)
+        conn.write_dataframe(payload, table, mode="append")
+        execute(
+            f"INSERT INTO {ledger_table} VALUES ({int(batch_id)})", conn
+        )
+
+    return write_batch
+
+
+def exactly_once_jdbc_sink(
+    stream: DataFrame,
+    conn,
+    table: str,
+    checkpoint_dir: str,
+    ledger_table: str = "etl_batch_ledger",
+) -> None:
+    """Drain ``stream`` (availableNow) into a JDBC table exactly once:
+    checkpoint prevents re-reading source data across restarts, the
+    batch ledger prevents re-writing replayed batches within one."""
+    q = (
+        stream.writeStream.foreachBatch(
+            idempotent_jdbc_batch_writer(conn, table, ledger_table)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -148,13 +148,20 @@ def scd2_history(
 
 
 def read_events_stream(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int = 1,
+    stream_dir: str | None = None,
 ) -> DataFrame:
     """Structured Streaming source over the events parquet.
 
     TIMESTAMP(NANOS) columns arrive as BIGINT under nanosAsLong; the
     same footer-driven conversion used by the batch reader restores
-    TimestampType before the watermark is applied."""
+    TimestampType before the watermark is applied.
+
+    Pass a stable ``stream_dir`` when the query will RESTART from a
+    checkpoint: source offsets record the path, so a fresh tempdir per
+    call would break resume (Wrong basePath)."""
     import os
     import tempfile
 
@@ -165,9 +172,13 @@ def read_events_stream(
     if os.path.isfile(path):
         # FileStreamSource requires a directory; expose the single
         # file through a symlink dir (read-only testdata untouched)
-        stream_dir = tempfile.mkdtemp(prefix="ehs_stream_")
-        os.symlink(path, os.path.join(stream_dir, "events.parquet"))
-    else:
+        if stream_dir is None:
+            stream_dir = tempfile.mkdtemp(prefix="ehs_stream_")
+        link = os.path.join(stream_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.makedirs(stream_dir, exist_ok=True)
+            os.symlink(path, link)
+    elif stream_dir is None:
         stream_dir = path
     batch = spark.read.parquet(path)
     stream = (
