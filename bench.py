@@ -130,6 +130,7 @@ HEADLINE = [
     "q141_kmeans_clusters",
     "q142_bigram_surprisal",
     "q143_markov_transitions",
+    "q144_interarrival_stats",
 ]
 
 

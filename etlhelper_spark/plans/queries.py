@@ -6045,6 +6045,56 @@ def q143_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q144_interarrival_stats",
+    """
+    WITH gaps AS (
+        SELECT event_type,
+               date_diff('second',
+                         lag(ts) OVER (
+                             PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id
+                         ),
+                         ts) AS gap_s
+        FROM events
+    )
+    SELECT event_type,
+           count(gap_s) AS n_gaps,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(round(CAST(avg(gap_s) AS DECIMAL(30,10)), 2) AS DOUBLE)
+               AS avg_gap_s,
+           CAST(median(gap_s) AS DOUBLE) AS median_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q144_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival statistics over each user's event stream
+    — the rate/burstiness profile behind anomaly detection and
+    capacity planning. One (user, type) shuffle for the ordered lag,
+    then a combinable per-type aggregate (median via exact percentile
+    on the grouped gaps; swap for approx_percentile at 100 TB — the
+    one knob this query trades for hash-verifiability)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = e.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        _sround(F.avg("gap_s"), 2).alias("avg_gap_s"),
+        F.expr("percentile(gap_s, 0.5)").alias("median_gap_s"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
