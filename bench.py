@@ -131,6 +131,7 @@ HEADLINE = [
     "q142_bigram_surprisal",
     "q143_markov_transitions",
     "q144_interarrival_stats",
+    "q145_hourly_correlation",
 ]
 
 

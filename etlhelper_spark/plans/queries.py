@@ -6095,6 +6095,52 @@ def q144_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q145_hourly_correlation",
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               sum(value) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_hours,
+           CAST(round(CAST(corr(a.v, b.v) AS DECIMAL(30,10)), 4)
+                AS DOUBLE) AS pearson_r
+    FROM hourly a JOIN hourly b
+      ON a.h = b.h AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+    """,
+)
+def q145_hourly_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event types' hourly value
+    series — the co-movement scan behind metric-anomaly root-causing.
+    The hourly rollup is a combinable aggregate; the self-join aligns
+    on hour (shuffle keyed by hour, |types|·|hours| rows, tiny);
+    corr() is a mergeable moment sketch, so the whole thing stays one
+    linear pass over events plus a small join."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"),
+        "event_type",
+    ).agg(F.sum("value").alias("v"))
+    a = hourly.select(
+        F.col("h"), F.col("event_type").alias("type_a"), F.col("v").alias("va")
+    )
+    b = hourly.select(
+        F.col("h"), F.col("event_type").alias("type_b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "h")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n_hours"),
+            _sround(F.corr("va", "vb"), 4).alias("pearson_r"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
