@@ -359,6 +359,8 @@ class SparkConnection:
         """
         import re as _re
 
+        from .validation import strip_sql_noise
+
         assert self.db_params is not None
         jvm = self.spark._jvm
         props = self.db_params.jdbc_properties(self.password_variable)
@@ -372,10 +374,11 @@ class SparkConnection:
             # pgjdbc throws on commit() under autocommit — the exact
             # dialect family RETURNING targets
             conn.setAutoCommit(False)
-            # search with string literals stripped: a VALUES literal
-            # containing the word 'returning'/'output' must not
-            # reroute a plain INSERT off the generated-keys path
-            bare = _re.sub(r"'(?:[^']|'')*'", "''", sql)
+            # search with comments AND string literals stripped (same
+            # sanitizer as _is_dml): a `-- returning ids` comment on a
+            # plain INSERT must not reroute it off the generated-keys
+            # path, losing its ids
+            bare = strip_sql_noise(sql)
             has_clause = _re.search(
                 r"\bRETURNING\b|\bOUTPUT\b", bare, _re.IGNORECASE
             )

@@ -395,14 +395,21 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    method: str = "lsh",
+    method: str = "brute",
     num_planes: int | None = None,
     num_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
     """Pairs of rows whose embedding cosine similarity ≥ threshold.
 
-    The declared path (``method='lsh'``) is candidate generation by
+    The default (``method='brute'``) is the exact all-pairs join
+    (id_a < id_b) — correct at any threshold, quadratic, never the
+    path to run at scale. Exactness is the API default because LSH is
+    approximate (docstring below estimates ~0.95+ recall for genuine
+    non-identical near-dups); callers opt into the approximation
+    explicitly when they accept that tradeoff for scale.
+
+    The scale path (``method='lsh'``) is candidate generation by
     random-hyperplane LSH — both sides hashed into (table, signature)
     buckets, candidates from the bucket equi-join, exact cosine verify
     on candidates only. Shuffle keys are the bucket ids, never all
@@ -417,9 +424,6 @@ def embedding_near_duplicates(
     ≈0.95 at 11 planes — raise ``num_tables`` for more recall, planes
     only trade candidate volume.
 
-    ``method='brute'`` keeps the exact all-pairs join (id_a < id_b) as
-    the test oracle — correct at any threshold, quadratic, never the
-    path to run at scale.
     """
     import math
 

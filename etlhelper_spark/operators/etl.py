@@ -51,8 +51,7 @@ CHUNKSIZE = 5000
 # connections (Spark's JDBC query option cannot execute DML)
 import re as _re
 
-_COMMENTS = _re.compile(r"--[^\n]*|/\*.*?\*/", _re.DOTALL)
-_LITERALS = _re.compile(r"'(?:[^']|'')*'")
+from ..validation import strip_sql_noise
 
 
 def _is_dml(sql: str) -> bool:
@@ -62,7 +61,7 @@ def _is_dml(sql: str) -> bool:
     SELECT`). Comments and string literals are stripped first so
     neither a leading `-- note` nor a VALUES literal containing the
     word 'insert' can misroute the statement."""
-    bare = _LITERALS.sub("''", _COMMENTS.sub(" ", sql)).lstrip()
+    bare = strip_sql_noise(sql)
     if _re.match(r"(INSERT|UPDATE|DELETE|MERGE)\b", bare, _re.IGNORECASE):
         return True
     return bool(

@@ -89,20 +89,29 @@ _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 _STAGE_CACHE_MAX = 4  # (session, sf_dir) entries per stage cache
 
 
-def _cache_put(cache: dict, key: tuple, df: DataFrame) -> DataFrame:
-    """Insert into a stage cache, evicting (and unpersisting) the
-    oldest entries beyond _STAGE_CACHE_MAX — a long-lived session
-    iterating many sf_dirs must not pin checkpointed blocks forever.
-    Entries assume the underlying parquet is immutable for the
-    session (true for the testdata contract); callers regenerating a
-    table in-place should clear the caches."""
+def _cache_put(
+    cache: dict, key: tuple, df: DataFrame, also_evict: list[dict] | None = None
+) -> DataFrame:
+    """Insert into a stage cache, evicting the oldest entries beyond
+    _STAGE_CACHE_MAX — a long-lived session iterating many sf_dirs
+    must not pin checkpointed blocks forever.
+
+    Evicted frames are deliberately NOT unpersisted: localCheckpoint
+    blocks are non-recoverable, so an in-flight plan (or a dependent
+    cache entry lazily built on the evicted frame) would die with
+    missing-checkpoint-block errors instead of recomputing. Dropping
+    the reference is enough — Spark's ContextCleaner reclaims the
+    blocks once nothing JVM-side references the RDD. Caches listed in
+    *also_evict* (downstream stages built ON this cache's entries)
+    drop the same key, so a dependent entry can never outlive its
+    upstream. Entries assume the underlying parquet is immutable for
+    the session (true for the testdata contract); callers regenerating
+    a table in-place should clear the caches."""
     while len(cache) >= _STAGE_CACHE_MAX:
         oldest = next(iter(cache))  # dicts preserve insertion order
-        old = cache.pop(oldest)
-        try:
-            old.unpersist()
-        except Exception:
-            pass
+        cache.pop(oldest)
+        for dependent in also_evict or ():
+            dependent.pop(oldest, None)
     cache[key] = df
     return df
 
@@ -121,7 +130,12 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = ngram_jaccard_pairs(
             d, "doc_id", "text", shingle_size=3, threshold=0.5
         )
-        _cache_put(_PAIR_CACHE, key, pairs.localCheckpoint(eager=False))
+        _cache_put(
+            _PAIR_CACHE,
+            key,
+            pairs.localCheckpoint(eager=False),
+            also_evict=[_CLUSTER_CACHE],
+        )
     return _PAIR_CACHE[key]
 
 
@@ -1026,12 +1040,26 @@ def q32_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs join anywhere in the plan — see
     test_embedding_near_duplicates_lsh_matches_brute for the
     no-nested-loop plan assertion); the brute-force variant survives
-    only as the pytest oracle."""
+    only as the pytest oracle and as the library's exactness-first
+    default. Parameters are explicit: num_planes pinned so no sizing
+    count() job runs in the declared plan, num_tables doubled to 16 so
+    a genuine (non-identical) cosine-0.95 pair is missed w.p. ≈0.006
+    instead of ≈0.07 — the replica run (scripts/check_correctness.py,
+    first thing each round) cross-checks LSH against the exact oracle
+    on the round's actual testdata."""
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     doubled = e.unionAll(
         e.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
     )
-    return embedding_near_duplicates(doubled, "vec_id", "embedding", 0.95)
+    return embedding_near_duplicates(
+        doubled,
+        "vec_id",
+        "embedding",
+        0.95,
+        method="lsh",
+        num_planes=12,
+        num_tables=16,
+    )
 
 
 @query(

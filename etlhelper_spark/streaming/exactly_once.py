@@ -69,6 +69,28 @@ def exactly_once_parquet_sink(
     q.awaitTermination()
 
 
+# Missing-table signatures across the dialect family: a cleanup DELETE
+# may only be skipped when the data table does not exist YET — any other
+# failure (lock timeout, permission, network) must re-raise, or a
+# replayed half-written batch would be appended on top of its own
+# leftover rows, silently breaking exactly-once.
+_MISSING_TABLE_MARKS = (
+    "42x05",  # Derby: table does not exist
+    "42p01",  # PostgreSQL: undefined_table
+    "42s02",  # MySQL / MSSQL ODBC: base table not found
+    "ora-00942",  # Oracle: table or view does not exist
+    "invalid object name",  # MSSQL message text
+    "table_or_view_not_found",  # Spark SQL error class
+    "table or view not found",
+    "does not exist",
+)
+
+
+def _is_missing_table(exc: BaseException) -> bool:
+    text = str(exc).lower()
+    return any(mark in text for mark in _MISSING_TABLE_MARKS)
+
+
 def idempotent_jdbc_batch_writer(
     conn, table: str, ledger_table: str = "etl_batch_ledger"
 ):
@@ -82,19 +104,33 @@ def idempotent_jdbc_batch_writer(
     cleanup is a keyed DELETE) and rewrites. The same pattern the file
     sink uses (exactly_once_parquet_sink), with the marker file
     swapped for a ledger insert — reference commit_chunks parity on a
-    real database."""
-    from ..exceptions import ETLHelperQueryError
+    real database.
+
+    The ledger table (single ``batch_id BIGINT`` column) is created on
+    first use if it does not exist. Errors from the cleanup DELETE are
+    re-raised unless they are specifically *missing-table* errors — a
+    transient DELETE failure (lock, timeout) on a replayed batch must
+    abort the batch, not fall through to a duplicating append."""
+    from ..exceptions import ETLHelperExtractError, ETLHelperQueryError
     from ..operators.etl import execute, fetchone
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # unquoted identifiers: the ledger is user-DDL (folded to the
         # engine's canonical case), unlike the Spark-written data table
         # whose columns are quoted lowercase
-        done = fetchone(
-            f"SELECT batch_id FROM {ledger_table} "
-            f"WHERE batch_id = {int(batch_id)}",
-            conn,
-        )
+        try:
+            done = fetchone(
+                f"SELECT batch_id FROM {ledger_table} "
+                f"WHERE batch_id = {int(batch_id)}",
+                conn,
+            )
+        except (ETLHelperExtractError, ETLHelperQueryError) as exc:
+            if not _is_missing_table(exc):
+                raise
+            execute(
+                f"CREATE TABLE {ledger_table} (batch_id BIGINT)", conn
+            )
+            done = None
         if done is not None:
             return  # replayed batch: already durable
         try:
@@ -102,8 +138,10 @@ def idempotent_jdbc_batch_writer(
                 f'DELETE FROM {table} WHERE "__batch_id" = {int(batch_id)}',
                 conn,
             )
-        except ETLHelperQueryError:
-            pass  # first batch: data table not created yet
+        except ETLHelperQueryError as exc:
+            if not _is_missing_table(exc):
+                raise  # transient failure: abort, don't duplicate
+            # first batch: data table not created yet
         from pyspark.sql import functions as F
 
         payload = batch_df.withColumn(

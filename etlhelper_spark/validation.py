@@ -29,3 +29,16 @@ def validate_identifier(identifier: str) -> None:
         raise ETLHelperBadIdentifierError(
             f"'{identifier}' contains invalid characters"
         )
+
+
+# Shared SQL-text sanitizer for keyword routing decisions: neither a
+# `-- returning ids` comment nor a VALUES literal containing the word
+# 'insert' may change how a statement is routed.
+_SQL_COMMENTS = re.compile(r"--[^\n]*|/\*.*?\*/", re.DOTALL)
+_SQL_LITERALS = re.compile(r"'(?:[^']|'')*'")
+
+
+def strip_sql_noise(sql: str) -> str:
+    """Return *sql* with comments removed and string literals collapsed
+    to ``''``, for keyword searches that must ignore both."""
+    return _SQL_LITERALS.sub("''", _SQL_COMMENTS.sub(" ", sql)).lstrip()

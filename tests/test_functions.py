@@ -139,7 +139,10 @@ def test_embedding_near_duplicates_lsh_matches_brute(vecs):
     doubled = vecs.select("vec_id", "embedding").unionAll(
         vecs.select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
     )
-    lsh = embedding_near_duplicates(doubled, "vec_id", "embedding", 0.95)
+    lsh = embedding_near_duplicates(
+        doubled, "vec_id", "embedding", 0.95, method="lsh",
+        num_planes=12, num_tables=16,
+    )
     brute = embedding_near_duplicates(
         doubled, "vec_id", "embedding", 0.95, method="brute"
     )
