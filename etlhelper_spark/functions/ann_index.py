@@ -25,25 +25,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .similarity import cosine_similarity
+from .similarity import (
+    collect_pivot_rows,
+    cosine_similarity,
+    nearest_pivot,
+    nearest_pivots,
+)
 
 __all__ = ["build_ivf_index", "query_ivf_index"]
-
-
-def _nearest_pivots(
-    side: DataFrame, pivots: DataFrame, id_col: str, vec_alias: str
-) -> DataFrame:
-    """Rank all pivots per row by cosine (desc, id asc) — identical
-    ordering to ivf_topk so the persisted index assigns exactly the
-    lists the inline form does."""
-    scored = side.join(F.broadcast(pivots)).select(
-        F.col(id_col),
-        F.col(vec_alias),
-        "list_id",
-        cosine_similarity(F.col(vec_alias), F.col("pivot")).alias("psim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("psim"), F.asc("list_id"))
-    return scored.withColumn("prank", F.row_number().over(w))
 
 
 def build_ivf_index(
@@ -58,7 +47,11 @@ def build_ivf_index(
 
     Pivots are the ``nlist`` lowest-id corpus rows (deterministic — a
     k-means refinement would drop in here without changing the
-    layout). Returns (n_vectors, nlist)."""
+    layout), collected to a literal array so the assignment is a pure
+    codegen argmax projection: the corpus is scanned once and written
+    once, with NO shuffle anywhere in the build (the old
+    broadcast-join + Window form shuffled an nlist×-expanded corpus).
+    Returns (n_vectors, nlist)."""
     pivots = (
         corpus.orderBy(F.col(corpus_id).asc())
         .limit(nlist)
@@ -66,13 +59,14 @@ def build_ivf_index(
             F.col(corpus_id).alias("list_id"), F.col(vec_col).alias("pivot")
         )
     )
+    pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
     c = corpus.select(
         F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("vec")
     )
-    assigned = (
-        _nearest_pivots(c, pivots, "vec_id", "vec")
-        .where(F.col("prank") == 1)
-        .select("vec_id", "vec", "list_id")
+    assigned = c.select(
+        "vec_id",
+        "vec",
+        nearest_pivot(F.col("vec"), pivot_rows)["pid"].alias("list_id"),
     )
     assigned.write.partitionBy("list_id").mode("overwrite").parquet(path)
     pivots.write.mode("overwrite").parquet(os.path.join(path, "_pivots"))
@@ -98,13 +92,16 @@ def query_ivf_index(
     every unprobed directory before reading a byte. Exact cosine +
     per-query top-k run only within each query's own probed lists."""
     pivots = spark.read.parquet(os.path.join(path, "_pivots"))
+    pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    q_probes = (
-        _nearest_pivots(q, pivots, "query_id", "qv")
-        .where(F.col("prank") <= nprobe)
-        .select("query_id", "qv", "list_id")
+    q_probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            nearest_pivots(F.col("qv"), pivot_rows, nprobe)["pid"]
+        ).alias("list_id"),
     )
     # ≤ |queries| × nprobe ints — the literal filter that turns probing
     # into partition pruning

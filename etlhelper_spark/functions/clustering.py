@@ -4,12 +4,18 @@ semantic dedup all start from "group the corpus by embedding".
 
 Spark-first shape per iteration:
 
-- ASSIGN: the k centroids are a k-row broadcast; every vector ranks
-  them (cosine desc, centroid id asc — a total order, so assignment
-  is deterministic) and keeps the top one. No shuffle of the corpus.
+- ASSIGN: the k centroids are bounded, so they are collected and
+  embedded as a LITERAL array; every vector computes its argmax
+  (cosine desc, centroid id asc — a total order, so assignment is
+  deterministic) as a codegen fold. ZERO shuffle and zero expansion
+  of the corpus — the earlier broadcast-join + Window(row_number)
+  form expanded every row k× and shuffled the expanded set per
+  iteration, an avoidable k×-corpus shuffle at 100 TB.
 - RECOMPUTE: element-wise centroid mean via posexplode → (cluster,
   pos) average → re-assemble, i.e. one combinable aggregate over
-  |corpus| × dim value rows, then a k×dim result — tiny.
+  |corpus| × dim value rows, then a k×dim result — tiny. Collecting
+  that k×dim result to the driver per round (to build the next
+  literal) is the same bounded-driver move the IVF probe list makes.
 
 Every centroid component is rounded through DECIMAL(30,10) to 6
 decimals after each recompute: cross-engine float discipline (both
@@ -27,9 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-from .similarity import cosine_similarity
+from .similarity import collect_pivot_rows, nearest_pivot
 
 __all__ = ["kmeans_assignments"]
 
@@ -53,34 +58,32 @@ def kmeans_assignments(
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    centroids = (
+    centroid_rows = collect_pivot_rows(
         vecs.orderBy(F.col("id").asc())
         .limit(k)
         .select(
             F.col("id").alias("cluster_id"),
             F.transform("vec", lambda x: _round6(x)).alias("centroid"),
-        )
+        ),
+        "cluster_id",
+        "centroid",
     )
 
-    def assign(cents: DataFrame) -> DataFrame:
-        scored = vecs.join(F.broadcast(cents)).select(
+    def assign(cent_rows) -> DataFrame:
+        # literal-centroid argmax: a single codegen projection over the
+        # corpus — no join, no window, no shuffle
+        return vecs.withColumn(
+            "best", nearest_pivot(F.col("vec"), cent_rows)
+        ).select(
             "id",
             "vec",
-            "cluster_id",
-            cosine_similarity(F.col("vec"), F.col("centroid")).alias("sim"),
-        )
-        w = Window.partitionBy("id").orderBy(
-            F.desc("sim"), F.asc("cluster_id")
-        )
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
+            F.col("best.pid").alias("cluster_id"),
+            (-F.col("best.nsim")).alias("sim"),
         )
 
     for _ in range(iterations - 1):
-        assigned = assign(centroids)
-        centroids = (
+        assigned = assign(centroid_rows)
+        recomputed = (
             assigned.select(
                 "cluster_id", F.posexplode("vec").alias("pos", "val")
             )
@@ -96,4 +99,7 @@ def kmeans_assignments(
                 ).alias("centroid")
             )
         )
-    return assign(centroids).select("id", "cluster_id", "sim")
+        centroid_rows = collect_pivot_rows(
+            recomputed, "cluster_id", "centroid"
+        )
+    return assign(centroid_rows).select("id", "cluster_id", "sim")

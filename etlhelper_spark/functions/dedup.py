@@ -413,7 +413,12 @@ def embedding_near_duplicates(
     random-hyperplane LSH — both sides hashed into (table, signature)
     buckets, candidates from the bucket equi-join, exact cosine verify
     on candidates only. Shuffle keys are the bucket ids, never all
-    pairs, so the plan survives a 100 TB corpus.
+    pairs, so the plan survives a 100 TB corpus. Bit-identical vectors
+    are collapsed to one representative before hashing (see the inline
+    comment), so a degenerate corpus region — thousands of copies of
+    one vector, which no plane count can split across buckets — costs
+    the bucket join one row instead of a quadratic bucket; the
+    intra-group pairs are emitted exactly by expansion.
 
     ``num_planes=None`` (default) sizes the signature from the corpus:
     planes = max(8, ceil(log2(n / 8))), keeping the expected bucket
@@ -431,57 +436,129 @@ def embedding_near_duplicates(
     from .util import ensure_parallelism
 
     df = ensure_parallelism(df)
-    if num_planes is None and method == "lsh":
+    if method == "brute":
+        a = df.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        )
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    cosine_similarity(F.col("va"), F.col("vb")), 4
+                ).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+        )
+    if method != "lsh":
+        raise ValueError(f"unknown method: {method!r}")
+
+    from .similarity import lsh_signatures
+
+    # Exact-duplicate collapse BEFORE hashing: bit-identical vectors
+    # are grouped (one linear shuffle on the vector) and only one
+    # representative per distinct vector enters the LSH join. Identical
+    # vectors share every signature at any plane count, so without this
+    # a degenerate corpus region (thousands of copies of one vector)
+    # lands in ONE bucket and the bucket join goes quadratic — raising
+    # num_planes cannot split it. With the collapse, the join sees one
+    # row per distinct vector; the (inherently quadratic) intra-group
+    # pair OUTPUT is generated by explode expansion, never by a join.
+    groups = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .groupBy("v")
+        .agg(F.sort_array(F.collect_list("id")).alias("members"))
+    )
+    if num_planes is None:
         # one cheap count to size the signature; at a known scale pass
         # num_planes explicitly and skip the extra job
-        n = df.count()
+        n = groups.count()
         num_planes = max(8, math.ceil(math.log2(max(n, 2) / 8)))
-    a = df.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
-    )
-    if method == "brute":
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    elif method == "lsh":
-        from .similarity import lsh_signatures
 
-        sig_kernel = lsh_signatures(num_tables, num_planes, dim)
-
-        def bucketed(side: DataFrame, vec: str, sig_alias: str) -> DataFrame:
-            # every table's signature from ONE Arrow-batched matmul,
-            # then one (table, sig) row per hash table — static explode
-            withs = side.withColumn(sig_alias, sig_kernel(F.col(vec)))
-            return withs.select(
-                "*", F.posexplode(sig_alias).alias("tbl", "sig")
-            )
-
-        # first-collision-wins dedup: a pair is kept only in the
-        # EARLIEST table where the two signatures collide — a pure
-        # codegen filter over the carried signature arrays, so no
-        # dedup shuffle/sort ever materializes the duplicate pairs
-        earlier_collision = F.expr(
-            "exists(zip_with(slice(sigs_a, 1, tbl), slice(sigs_b, 1, tbl),"
-            " (x, y) -> x = y), c -> c)"
+    # intra-group pairs: exact duplicates by construction — cosine
+    # computed once per group (same kernel, identical value), carried
+    # through the pair expansion
+    intra = (
+        groups.where(F.size("members") >= 2)
+        .select(
+            "members",
+            F.round(cosine_similarity(F.col("v"), F.col("v")), 4).alias(
+                "cosine"
+            ),
+            F.posexplode("members").alias("pos", "id_a"),
         )
-        pairs = (
-            bucketed(a, "va", "sigs_a")
-            .join(bucketed(b, "vb", "sigs_b"), ["tbl", "sig"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .where(~earlier_collision)
-            .select("id_a", "id_b", "va", "vb")
-        )
-    else:
-        raise ValueError(f"unknown method: {method!r}")
-    return (
-        pairs.select(
+        .select(
             "id_a",
-            "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cosine"),
+            F.explode(
+                F.slice("members", F.col("pos") + F.lit(2), F.size("members"))
+            ).alias("id_b"),
+            "cosine",
+        )
+        .select("id_a", "id_b", "cosine")
+        .where(F.col("cosine") >= threshold)
+    )
+
+    reps = groups.select(
+        F.element_at("members", 1).alias("rid"), "v", "members"
+    )
+    sig_kernel = lsh_signatures(num_tables, num_planes, dim)
+
+    def bucketed(side: DataFrame, vec: str, sig_alias: str) -> DataFrame:
+        # every table's signature from ONE Arrow-batched matmul,
+        # then one (table, sig) row per hash table — static explode
+        withs = side.withColumn(sig_alias, sig_kernel(F.col(vec)))
+        return withs.select(
+            "*", F.posexplode(sig_alias).alias("tbl", "sig")
+        )
+
+    a = reps.select(
+        F.col("rid").alias("rid_a"),
+        F.col("v").alias("va"),
+        F.col("members").alias("ma"),
+    )
+    b = reps.select(
+        F.col("rid").alias("rid_b"),
+        F.col("v").alias("vb"),
+        F.col("members").alias("mb"),
+    )
+    # first-collision-wins dedup: a pair is kept only in the
+    # EARLIEST table where the two signatures collide — a pure
+    # codegen filter over the carried signature arrays, so no
+    # dedup shuffle/sort ever materializes the duplicate pairs
+    earlier_collision = F.expr(
+        "exists(zip_with(slice(sigs_a, 1, tbl), slice(sigs_b, 1, tbl),"
+        " (x, y) -> x = y), c -> c)"
+    )
+    cand = (
+        bucketed(a, "va", "sigs_a")
+        .join(bucketed(b, "vb", "sigs_b"), ["tbl", "sig"])
+        .where(F.col("rid_a") < F.col("rid_b"))
+        .where(~earlier_collision)
+        .select(
+            "ma",
+            "mb",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias(
+                "cosine"
+            ),
         )
         .where(F.col("cosine") >= threshold)
     )
+    # cross-group near-dup pairs: verified once per representative
+    # pair, then expanded to every member combination
+    cross = (
+        cand.select(F.explode("ma").alias("ea"), "mb", "cosine")
+        .select("ea", F.explode("mb").alias("eb"), "cosine")
+        .select(
+            F.least("ea", "eb").alias("id_a"),
+            F.greatest("ea", "eb").alias("id_b"),
+            "cosine",
+        )
+    )
+    return intra.unionAll(cross)
 
 
 def duplicate_clusters(

@@ -44,6 +44,67 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# ----------------------------------------------------------------------
+# shuffle-free nearest-pivot assignment
+# ----------------------------------------------------------------------
+# Assigning every corpus row to its nearest pivot/centroid used to be
+# expressed as broadcast-join(row × pivots) + Window(row_number) — the
+# join expands the corpus nlist×, and the window then SHUFFLES AND
+# SORTS the expanded set just to keep rank 1. At 100 TB with nlist=16
+# that is a 16×-corpus shuffle per index build / Lloyd iteration. The
+# pivot set is bounded (nlist/k rows — the same bounded-driver contract
+# as query_ivf_index's probe-id list), so it can be collected and
+# embedded as a LITERAL array of (id, vector) structs; the per-row
+# argmax is then a pure codegen fold — zero expansion, zero shuffle.
+
+
+def collect_pivot_rows(
+    pivots: DataFrame, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """Collect a bounded pivot/centroid set to the driver, ordered by
+    id. Deliberate: ≤ nlist rows × dim floats, the literal form is what
+    eliminates the assignment shuffle."""
+    return [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in pivots.select(id_col, vec_col).orderBy(id_col).collect()
+    ]
+
+
+def _pivot_scores(vec: Column, pivot_rows) -> Column:
+    """Literal pivot array scored against *vec*: array of structs
+    (nsim, pid) where nsim = -cosine, so natural struct ordering
+    (ascending) ranks by similarity DESC, pivot id ASC — the identical
+    total order the Window.orderBy(desc(sim), asc(id)) form used."""
+    pivot_lit = F.array(
+        *[
+            F.struct(
+                F.lit(int(pid)).cast("long").alias("pid"),
+                F.array(*[F.lit(float(x)) for x in pvec]).alias("pivot"),
+            )
+            for pid, pvec in pivot_rows
+        ]
+    )
+    return F.transform(
+        pivot_lit,
+        lambda p: F.struct(
+            (-cosine_similarity(vec, p["pivot"])).alias("nsim"),
+            p["pid"].alias("pid"),
+        ),
+    )
+
+
+def nearest_pivot(vec: Column, pivot_rows) -> Column:
+    """Struct (nsim, pid) of the nearest pivot to *vec* — argmax as
+    array_min over the scored literal array, entirely inside codegen."""
+    return F.array_min(_pivot_scores(vec, pivot_rows))
+
+
+def nearest_pivots(vec: Column, pivot_rows, n: int) -> Column:
+    """The *n* nearest pivots to *vec* as a sorted array of structs
+    (nsim, pid) — the probe-side top-n, also shuffle-free."""
+    return F.slice(F.array_sort(_pivot_scores(vec, pivot_rows)), 1, n)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -108,48 +169,38 @@ def ivf_topk(
     query probes its *nprobe* nearest pivots and exact cosine runs
     only within the probed inverted lists.
 
-    Scale story: the corpus shuffles once at index build; each query
-    scans ~nprobe/nlist of the corpus; pivots are a tiny broadcast.
-    Recall tracks how clustered the corpus is — near-random vectors
-    give ≈ nprobe/nlist recall, real embedding corpora (which cluster
-    strongly) far more; identical/near-identical vectors co-assign and
-    are always found.
+    Scale story: the corpus NEVER shuffles on assignment — the pivot
+    set is bounded, so it is collected and embedded as a literal array
+    and every row's nearest-pivot argmax runs as a codegen fold (see
+    nearest_pivot above; the old broadcast-join + Window form was a
+    nlist×-corpus shuffle). Each query scans ~nprobe/nlist of the
+    corpus. Recall tracks how clustered the corpus is — near-random
+    vectors give ≈ nprobe/nlist recall, real embedding corpora (which
+    cluster strongly) far more; identical/near-identical vectors
+    co-assign and are always found.
     """
-    pivots = (
-        corpus.orderBy(F.col(corpus_id).asc())
-        .limit(nlist)
-        .select(
-            F.col(corpus_id).alias("part"), F.col(vec_col).alias("pivot")
-        )
+    pivot_rows = collect_pivot_rows(
+        corpus.orderBy(F.col(corpus_id).asc()).limit(nlist),
+        corpus_id,
+        vec_col,
     )
-
-    def assign(side: DataFrame, id_alias: str, keep_vec: str) -> DataFrame:
-        scored = side.join(F.broadcast(pivots)).select(
-            F.col(id_alias),
-            F.col(keep_vec),
-            "part",
-            cosine_similarity(F.col(keep_vec), F.col("pivot")).alias("psim"),
-        )
-        w = Window.partitionBy(id_alias).orderBy(
-            F.desc("psim"), F.asc("part")
-        )
-        return scored.withColumn("prank", F.row_number().over(w))
-
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    c_assigned = (
-        assign(c, "neighbor_id", "cv").where(F.col("prank") == 1).drop(
-            "psim", "prank"
-        )
+    c_assigned = c.select(
+        "neighbor_id",
+        "cv",
+        nearest_pivot(F.col("cv"), pivot_rows)["pid"].alias("part"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    q_probes = (
-        assign(q, "query_id", "qv")
-        .where(F.col("prank") <= nprobe)
-        .drop("psim", "prank")
+    q_probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            nearest_pivots(F.col("qv"), pivot_rows, nprobe)["pid"]
+        ).alias("part"),
     )
     scored = (
         c_assigned.join(F.broadcast(q_probes), "part")
@@ -248,6 +299,7 @@ def lsh_bucket_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH signature buckets both
     sides, candidates are generated by an equi-join on (table, sig),
@@ -266,6 +318,20 @@ def lsh_bucket_topk(
     pair survives only in the EARLIEST table where its signatures
     collide, a pure codegen filter over the carried signature arrays,
     so no dedup shuffle ever materializes the duplicates.
+
+    *max_bucket* caps the CORPUS side of every (table, sig) bucket:
+    raising num_planes can't split a bucket of bit-identical
+    signatures (a degenerate corpus region — e.g. thousands of
+    zero/constant vectors — lands in ONE bucket at any plane count and
+    makes the bucket join quadratic). The cap keeps the max_bucket
+    lowest neighbor_ids per bucket, which is deterministic AND exactly
+    the tie-break winners (sim desc, neighbor_id asc) when the bucket
+    is degenerate-identical, so degenerate top-k survives the cap
+    intact; in mixed oversized buckets a true neighbor ranked beyond
+    the cap in every colliding table is lost — the recall/robustness
+    tradeoff, measured in tests/test_lsh_bucket_cap.py. The cap's
+    window partitions by the join key itself, so it reuses the bucket
+    join's exchange — no extra shuffle. ``None`` disables it.
     """
 
     sig_kernel = lsh_signatures(num_tables, num_planes, dim)
@@ -300,6 +366,13 @@ def lsh_bucket_topk(
         "cv",
         "sigs_c",
     )
+    if max_bucket is not None:
+        wb = Window.partitionBy("tbl", "sig").orderBy(F.asc("neighbor_id"))
+        c = (
+            c.withColumn("bpos", F.row_number().over(wb))
+            .where(F.col("bpos") <= max_bucket)
+            .drop("bpos")
+        )
     earlier_collision = F.expr(
         "exists(zip_with(slice(sigs_q, 1, tbl), slice(sigs_c, 1, tbl),"
         " (x, y) -> x = y), coll -> coll)"

@@ -79,6 +79,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    # SPARK_GRAFT_HASH_OUT: write {query: spark-result-hash} for the
+    # determinism sweep (scripts/determinism_sweep.py runs this replica
+    # under different CPU counts and diffs the hash maps)
+    hash_out = os.environ.get("SPARK_GRAFT_HASH_OUT")
+    spark_hashes: dict[str, str] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -91,6 +96,7 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {exc}")
             n_fail += 1
             continue
+        spark_hashes[name] = result_hash(spark_cols, spark_rows)
         if name not in oracles:
             print(
                 f"OK?  {name}: rows-only check, {len(spark_rows)} rows "
@@ -156,6 +162,11 @@ def main() -> int:
             )
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if hash_out:
+        import json
+
+        with open(hash_out, "w") as fh:
+            json.dump(spark_hashes, fh, indent=1, sort_keys=True)
     return 1 if n_fail else 0
 
 

@@ -56,6 +56,38 @@ def test_probe_scan_prunes_partitions(spark, vecs, index_dir):
     assert any("list_id" in ln and "IN" in ln.upper() for ln in scan_lines)
 
 
+def test_assignment_plans_are_shuffle_free(spark, vecs):
+    """Corpus-side nearest-pivot/centroid assignment must be a pure
+    codegen projection: no Exchange, no Window, no join expansion.
+    (The old broadcast-join + row_number form shuffled an
+    nlist×-expanded corpus per build / Lloyd iteration.)"""
+    from etlhelper_spark.functions.clustering import kmeans_assignments
+    from etlhelper_spark.functions.similarity import (
+        collect_pivot_rows,
+        nearest_pivot,
+    )
+
+    pivot_rows = collect_pivot_rows(
+        vecs.orderBy("vec_id").limit(8), "vec_id", "embedding"
+    )
+    assigned = vecs.select(
+        "vec_id",
+        nearest_pivot(F.col("embedding"), pivot_rows)["pid"].alias("list_id"),
+    )
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+    km = kmeans_assignments(vecs, "vec_id", "embedding", k=4, iterations=2)
+    plan = km._jdf.queryExecution().executedPlan().toString()
+    # the final assignment pass: scan + project only (the recompute
+    # aggregates ran eagerly while building the literal centroids)
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
 def test_index_roundtrips_all_lists(spark, vecs, index_dir):
     idx = spark.read.parquet(index_dir)
     assert idx.count() == vecs.count()

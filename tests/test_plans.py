@@ -183,3 +183,12 @@ def test_sql_udf_inlines_no_python_eval(spark):
     plan = explain_str(q129_sql_udf(spark, SF))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CASE WHEN" in plan  # body inlined as an expression
+
+
+def test_corpus_count_pinned():
+    """One corpus number everywhere: every declared query has an
+    oracle, and the documented count can't silently drift from the
+    registry (VERDICT r2: COVERAGE/README/commit messages disagreed)."""
+    from etlhelper_spark.plans import ORACLES, QUERIES
+
+    assert len(QUERIES) == len(ORACLES) == 146
