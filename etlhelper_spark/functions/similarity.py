@@ -70,20 +70,34 @@ def collect_pivot_rows(
     ]
 
 
+def _dlit(x: float) -> str:
+    """An exact double literal for SQL text: repr() is Python's
+    shortest round-trip form, and a string→double CAST re-parses it to
+    the identical IEEE-754 value on the JVM side."""
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        return f"CAST('{x}' AS DOUBLE)"
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
 def _pivot_scores(vec: Column, pivot_rows) -> Column:
     """Literal pivot array scored against *vec*: array of structs
     (nsim, pid) where nsim = -cosine, so natural struct ordering
     (ascending) ranks by similarity DESC, pivot id ASC — the identical
-    total order the Window.orderBy(desc(sim), asc(id)) form used."""
-    pivot_lit = F.array(
-        *[
-            F.struct(
-                F.lit(int(pid)).cast("long").alias("pid"),
-                F.array(*[F.lit(float(x)) for x in pvec]).alias("pivot"),
-            )
-            for pid, pvec in pivot_rows
-        ]
+    total order the Window.orderBy(desc(sim), asc(id)) form used.
+
+    The literal is built as ONE parsed SQL expression, not per-element
+    Column objects: nlist × dim F.lit() calls each cost a py4j round
+    trip (~2s of driver time for 16×64 at every query build), while
+    one expr() string parses in milliseconds and constant-folds to the
+    same literal array."""
+    elems = ", ".join(
+        "named_struct('pid', {pid}L, 'pivot', array({vals}))".format(
+            pid=int(pid), vals=", ".join(_dlit(x) for x in pvec)
+        )
+        for pid, pvec in pivot_rows
     )
+    pivot_lit = F.expr(f"array({elems})")
     return F.transform(
         pivot_lit,
         lambda p: F.struct(
