@@ -132,6 +132,15 @@ HEADLINE = [
     "q143_markov_transitions",
     "q144_interarrival_stats",
     "q145_hourly_correlation",
+    "q146_tpch_q16_suppcnt",
+    "q147_tpch_q20_promo",
+    "q148_tpch_q12_priority",
+    "q149_pii_redaction",
+    "q150_source_cap",
+    "q151_winnow_fingerprint",
+    "q152_semantic_dedup",
+    "q153_quality_logit",
+    "q154_runtime_filter",
 ]
 
 

@@ -689,3 +689,55 @@ def select_survivors(
         "quality",
         F.first("id").over(w).alias("survivor_id"),
     ).withColumn("kept", F.col("id") == F.col("survivor_id"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding corpus with k-means,
+    then run EXACT pairwise cosine only WITHIN each cluster and drop
+    the higher-id member of every pair above *threshold*.
+
+    This is the scale story that makes semantic dedup tractable: the
+    all-pairs O(n^2) comparison is bounded to O(sum c_i^2) by the
+    clustering — with balanced clusters that's n^2/k, and in practice
+    the within-cluster join is an equi-join on cluster_id that
+    shuffles each side once. At 100 TB you raise k so the largest
+    cluster fits a task (and re-shard giant clusters the same way
+    lsh_bucket_topk caps degenerate buckets); the pairwise stage never
+    sees a cross-cluster pair.
+
+    Returns (cluster_id, id_a, id_b, sim) pairs with id_a < id_b and
+    sim rounded to 4dp >= threshold; the caller drops id_b (keep-first
+    policy) or feeds the pairs to duplicate_clusters for transitive
+    clustering.
+    """
+    from .clustering import kmeans_assignments
+    from .similarity import cosine_similarity
+
+    assigned = kmeans_assignments(df, id_col, vec_col, k, iterations)
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    members = assigned.select("id", "cluster_id").join(vecs, "id")
+    a = members.select(
+        "cluster_id", F.col("id").alias("id_a"), F.col("vec").alias("va")
+    )
+    b = members.select(
+        "cluster_id", F.col("id").alias("id_b"), F.col("vec").alias("vb")
+    )
+    sim = F.round(
+        cosine_similarity(F.col("va"), F.col("vb")).cast("decimal(30,10)"), 4
+    ).cast("double")
+    return (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("cluster_id", "id_a", "id_b", sim.alias("sim"))
+        .where(F.col("sim") >= threshold)
+    )

@@ -117,3 +117,43 @@ def range_join(
     for k in keys:
         out = out.drop(iv[k])
     return out
+
+
+def in_filter_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str | None = None,
+    max_keys: int = 10_000,
+) -> DataFrame:
+    """Semi-join *fact* against *dim*'s key set by pushing the keys
+    into the fact-side SCAN as an IN predicate — the manual form of
+    Spark's runtime filtering / dynamic partition pruning, for when
+    the dimension side is known-small after its own filters.
+
+    Where a broadcast left-semi join still reads every fact row and
+    filters post-scan, the collected IN list reaches the parquet
+    reader as ``PushedFilters: In(key, ...)`` (plan-asserted in
+    tests/test_util_ops.py), so row groups whose min/max stats exclude
+    the whole list are skipped WITHOUT being read — and on a
+    partitioned-by-key layout, whole directories are pruned. At 100 TB
+    that is the difference between scanning the fact table and
+    scanning the few percent of it the dimension filter selects.
+
+    The driver-side collect is bounded by contract: if the distinct
+    key count exceeds *max_keys* the function falls back to a
+    broadcast left-semi join (same result, scan-side pruning lost).
+    Result is exactly the left-semi join of fact with dim.
+    """
+    from pyspark.sql import functions as F
+
+    dim_key = dim_key or fact_key
+    keys_df = dim.select(F.col(dim_key).alias("k")).distinct()
+    keys = [r["k"] for r in keys_df.limit(max_keys + 1).collect()]
+    if len(keys) > max_keys:
+        return fact.join(
+            F.broadcast(keys_df),
+            fact[fact_key] == keys_df["k"],
+            "left_semi",
+        )
+    return fact.where(F.col(fact_key).isin(keys))

@@ -6189,6 +6189,525 @@ def q145_hourly_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q146_tpch_q16_suppcnt",
+    """
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+        FROM lineitem
+    ), good AS (
+        SELECT * FROM ps WHERE suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+        )
+    )
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT suppkey) AS supplier_cnt
+    FROM good JOIN part ON p_partkey = partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 7, 10, 15, 23, 45, 49)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q146_tpch_q16_suppcnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: the partsupp
+    relation is derived as DISTINCT (l_partkey, l_suppkey) from
+    lineitem history, and "suppliers with complaints" becomes
+    s_acctbal < 0. Shape preserved from the spec: NOT IN
+    anti-join on the supplier blacklist, selective part-dimension
+    filter broadcast into the fact side, count(DISTINCT supp) per
+    (brand, type, size). The distinct projection and the countDistinct
+    both partial-aggregate map-side; the only full shuffle is on the
+    (partkey, suppkey) pair — |pairs|, not |lineitem|."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("l_suppkey").alias("suppkey"),
+    ).distinct()
+    bad = s.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("suppkey")
+    )
+    pf = p.where(
+        (F.col("p_brand") != "Brand#5")
+        & ~F.col("p_type").startswith("MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 49)
+    )
+    return (
+        ps.join(F.broadcast(bad), "suppkey", "left_anti")
+        .join(F.broadcast(pf), ps["partkey"] == pf["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q147_tpch_q20_promo",
+    """
+    WITH red_parts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+    ), shipped AS (
+        SELECT l_suppkey AS suppkey,
+               CAST(round(CAST(sum(l_quantity) AS DECIMAL(30,10)), 2)
+                    AS DOUBLE) AS red_qty
+        FROM lineitem JOIN red_parts ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey
+    ), thresh AS (
+        SELECT CAST(round(CAST(avg(red_qty) AS DECIMAL(30,10)), 2)
+                    AS DOUBLE) AS avg_qty
+        FROM shipped
+    )
+    SELECT s_name, n_name, red_qty
+    FROM shipped, thresh
+    JOIN supplier ON s_suppkey = suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE red_qty > avg_qty
+    """,
+)
+def q147_tpch_q20_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: with no partsupp
+    availqty, the spec's "stock exceeds half of shipped quantity"
+    becomes "1997 shipments of red parts exceed the per-supplier
+    average" — same plan skeleton: a selective part filter broadcast
+    into a date-pruned lineitem scan, a per-supplier aggregate, a
+    scalar subquery threshold, and a final broadcast join to the
+    supplier/nation dimensions. The scalar average is a 1-row
+    broadcast, so nothing re-shuffles after the one l_suppkey agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    red = p.where(F.col("p_name").like("%red%")).select("p_partkey")
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red), li["l_partkey"] == red["p_partkey"])
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(_sround(F.sum("l_quantity"), 2).alias("red_qty"))
+    )
+    thresh = shipped.agg(_sround(F.avg("red_qty"), 2).alias("avg_qty"))
+    return (
+        shipped.crossJoin(F.broadcast(thresh))
+        .where(F.col("red_qty") > F.col("avg_qty"))
+        .join(F.broadcast(s), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "red_qty")
+    )
+
+
+@query(
+    "q148_tpch_q12_priority",
+    """
+    SELECT l_returnflag AS ship_mode,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def q148_tpch_q12_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), adapted: with no
+    l_shipmode/commitdate/receiptdate, the mode dimension becomes
+    l_returnflag and the spec's "received late" predicate becomes
+    "shipped more than 60 days after the order date". Plan shape
+    preserved: one fact-fact equi-join on orderkey (the one real
+    shuffle), conditional aggregation partial-applied map-side, tiny
+    output. At 100 TB both sides bucket/co-partition on orderkey so
+    the join is shuffle-free under bucketed layouts."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q149_pii_redaction",
+    """
+    WITH contact AS (
+        SELECT event_type,
+               printf('uid %d mail u%d@ex%d.com tel +1 (555) %03d-%04d ip 10.0.%d.%d',
+                      user_id, user_id, event_id % 10, event_id % 1000,
+                      (event_id * 7) % 10000, user_id % 256, event_id % 256)
+                   AS txt
+        FROM events
+    ), staged AS (
+        SELECT event_type, txt,
+               len(regexp_extract_all(txt,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                   AS n_emails,
+               regexp_replace(txt,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g') AS s1
+        FROM contact
+    ), staged2 AS (
+        SELECT event_type, txt, n_emails,
+               len(regexp_extract_all(s1,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                   AS n_ips,
+               regexp_replace(s1,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                   '<IP>', 'g') AS s2
+        FROM staged
+    ), staged3 AS (
+        SELECT event_type, txt, n_emails, n_ips,
+               len(regexp_extract_all(s2, '\\+?\\d[\\d\\s().-]{7,}\\d'))
+                   AS n_phones,
+               regexp_replace(s2, '\\+?\\d[\\d\\s().-]{7,}\\d',
+                   '<PHONE>', 'g') AS red
+        FROM staged2
+    )
+    SELECT event_type, count(*) AS n_rows,
+           CAST(sum(n_emails) AS BIGINT) AS emails,
+           CAST(sum(n_ips) AS BIGINT) AS ips,
+           CAST(sum(n_phones) AS BIGINT) AS phones,
+           CAST(sum(length(txt) - length(red)) AS BIGINT) AS chars_delta
+    FROM staged3 GROUP BY event_type
+    """,
+)
+def q149_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit — the redaction pass every pre-training corpus
+    runs (C4/Dolma-style): per event type, how many emails / IPv4s /
+    phone numbers were found and how many characters redaction
+    changed. The scanned text is deterministically synthesized from
+    event fields (the test corpus carries no organic PII), which
+    exercises every pattern in the library's chain for real. Counting
+    is STAGED — each pattern counts on the previous stage's redacted
+    text — so a dotted quad never double-counts as a phone run.
+    Pure regexp codegen expressions: scan-speed over 100 TB, no
+    Python, no shuffle before the final tiny aggregate."""
+    from ..functions.text import PII_PATTERNS
+
+    e = _t(spark, sf_dir, "events")
+    txt = F.format_string(
+        "uid %d mail u%d@ex%d.com tel +1 (555) %03d-%04d ip 10.0.%d.%d",
+        F.col("user_id"),
+        F.col("user_id"),
+        F.pmod(F.col("event_id"), F.lit(10)),
+        F.pmod(F.col("event_id"), F.lit(1000)),
+        F.pmod(F.col("event_id") * 7, F.lit(10000)),
+        F.pmod(F.col("user_id"), F.lit(256)),
+        F.pmod(F.col("event_id"), F.lit(256)),
+    )
+    (em_pat, em_tok), (ip_pat, ip_tok), (ph_pat, ph_tok) = PII_PATTERNS
+    s0 = F.col("txt")
+    s1 = F.regexp_replace(s0, em_pat, em_tok)
+    s2 = F.regexp_replace(s1, ip_pat, ip_tok)
+    red = F.regexp_replace(s2, ph_pat, ph_tok)
+    staged = e.select("event_type", txt.alias("txt")).select(
+        "event_type",
+        "txt",
+        F.size(F.regexp_extract_all(s0, F.lit(em_pat), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(s1, F.lit(ip_pat), F.lit(0))).alias(
+            "n_ips"
+        ),
+        F.size(F.regexp_extract_all(s2, F.lit(ph_pat), F.lit(0))).alias(
+            "n_phones"
+        ),
+        (F.length(s0) - F.length(red)).alias("delta"),
+    )
+    return staged.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_emails").alias("emails"),
+        F.sum("n_ips").alias("ips"),
+        F.sum("n_phones").alias("phones"),
+        F.sum("delta").alias("chars_delta"),
+    )
+
+
+@query(
+    "q150_source_cap",
+    """
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC
+               ) AS rn
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN rn <= 20 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY source
+    """,
+)
+def q150_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the domain-balancing step of a
+    pre-training mixture (cap any one crawl source/domain at N docs,
+    keeping the longest first): rank within source by (n_chars desc,
+    doc_id) and keep the top 20, reporting kept/dropped volume per
+    source. One shuffle on source for the window; at 100 TB a
+    power-law source (one domain = half the corpus) is the skew risk —
+    the mitigation is a two-level cap (hash-salt the source into S
+    shards, cap each at N/S, re-cap the union) which this operator's
+    deterministic ordering makes exact."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    kept = F.col("rn") <= 20
+    return (
+        d.select("source", "n_chars", F.row_number().over(w).alias("rn"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+    )
+
+
+@query(
+    "q151_winnow_fingerprint",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN len(text) >= 8
+                 THEN [substr(md5(substr(text, i, 8)), 1, 8)
+                       FOR i IN range(1, len(text) - 8 + 2)]
+                 ELSE [] END AS hashes
+        FROM documents
+    ), w AS (
+        SELECT doc_id, len(hashes) AS n_kgrams,
+               CASE WHEN len(hashes) >= 1
+                 THEN [list_aggregate(hashes[i:i+3], 'min')
+                       FOR i IN range(1, greatest(len(hashes) - 3, 1) + 1)]
+                 ELSE [] END AS wins
+        FROM g
+    )
+    SELECT doc_id, n_kgrams,
+           len(list_distinct(wins)) AS n_fps,
+           list_sort(list_distinct(wins)) AS fps
+    FROM w
+    """,
+)
+def q151_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS; Schleimer et al., SIGMOD 2003)
+    per document: md5-hash every 8-char shingle, keep the min hash of
+    each sliding window of 4 — any shared substring of length >= 11
+    between two documents is then guaranteed to share a fingerprint.
+    The whole computation is a single codegen'd projection built from
+    higher-order array functions (transform/slice/array_min): no
+    explode, no shuffle, no Python — scan-speed fingerprinting at
+    100 TB, with a downstream explode+groupBy on fingerprint (not run
+    here) giving the cross-doc match join at |fingerprints| ≈
+    corpus/w cost."""
+    from ..functions.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(F.col("text"), k=8, w=4)
+    return d.select(
+        "doc_id",
+        F.greatest(F.length("text") - F.lit(7), F.lit(0)).alias("n_kgrams"),
+        F.size(fps).alias("n_fps"),
+        fps.alias("fps"),
+    )
+
+
+@query(
+    "q152_semantic_dedup",
+    """
+    WITH c0 AS (
+        SELECT vec_id AS cluster_id,
+               [CAST(round(CAST(x AS DECIMAL(30,10)), 6) AS DOUBLE)
+                FOR x IN embedding::DOUBLE[]] AS centroid
+        FROM embeddings WHERE vec_id < 8
+    ), a1 AS (
+        SELECT vec_id, embedding, cluster_id FROM (
+            SELECT e.vec_id, e.embedding, c.cluster_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.centroid) DESC,
+                           c.cluster_id ASC
+                   ) AS rn
+            FROM embeddings e, c0 c
+        ) WHERE rn = 1
+    ), c1 AS (
+        SELECT cluster_id, list(rv ORDER BY pos) AS centroid FROM (
+            SELECT cluster_id, pos,
+                   CAST(round(CAST(avg(embedding[pos])
+                        AS DECIMAL(30,10)), 6) AS DOUBLE) AS rv
+            FROM a1, (SELECT unnest(range(1, 65)) AS pos)
+            GROUP BY cluster_id, pos
+        ) GROUP BY cluster_id
+    ), a2 AS (
+        SELECT vec_id, cluster_id FROM (
+            SELECT e.vec_id, c.cluster_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], c.centroid) DESC,
+                           c.cluster_id ASC
+                   ) AS rn
+            FROM embeddings e, c1 c
+        ) WHERE rn = 1
+    ), pairs AS (
+        SELECT a.cluster_id,
+               a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(round(CAST(list_cosine_similarity(
+                   ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+                   AS DECIMAL(30,10)), 4) AS DOUBLE) AS sim
+        FROM a2 a
+        JOIN a2 b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+    )
+    SELECT cluster_id, count(*) AS n_pairs,
+           count(DISTINCT id_b) AS n_dropped,
+           max(sim) AS max_sim
+    FROM pairs WHERE sim >= 0.3 GROUP BY cluster_id
+    """,
+)
+def q152_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the embedding corpus:
+    k-means (2 Lloyd rounds, deterministic — identical to q141's
+    clustering, which the oracle unrolls in SQL) bounds the exact
+    pairwise-cosine comparison to WITHIN clusters, turning the O(n²)
+    all-pairs scan into an equi-join on cluster_id with O(Σ cᵢ²)
+    compare work — the move that makes semantic dedup feasible at
+    100 TB (raise k until the largest cluster fits a task). Reports
+    per cluster how many above-threshold pairs exist and how many
+    docs a keep-lowest-id policy would drop."""
+    from ..functions.dedup import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = semantic_dedup(
+        e, "vec_id", "embedding", k=8, iterations=2, threshold=0.3
+    )
+    return pairs.groupBy("cluster_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("id_b").alias("n_dropped"),
+        F.max("sim").alias("max_sim"),
+    )
+
+
+@query(
+    "q153_quality_logit",
+    """
+    WITH feat AS (
+        SELECT source,
+               length(text) AS n_chars,
+               greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')), 1)
+                   AS n_tok,
+               len(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')))
+                   AS n_distinct,
+               length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+               length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                   / greatest(length(text), 1) AS punct
+        FROM documents
+    ), scored AS (
+        SELECT source,
+               CAST(round(CAST(1.0 / (1.0 + exp(-(
+                   -3.0 + 0.45 * ln(greatest(n_chars, 1))
+                   + 2.0 * (n_distinct / CAST(n_tok AS DOUBLE))
+                   - 4.0 * punct
+                   - 0.05 * (n_nonspace / CAST(n_tok AS DOUBLE))
+               ))) AS DECIMAL(30,10)), 4) AS DOUBLE) AS score
+        FROM feat
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(round(CAST(avg(score) AS DECIMAL(30,10)), 4) AS DOUBLE)
+               AS avg_score,
+           CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM scored GROUP BY source
+    """,
+)
+def q153_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-shaped quality filtering (the CCNet/DCLM linear-classifier
+    step with fixed, published-heuristic weights instead of a model
+    artifact): a logistic score over log-length, token diversity,
+    punctuation ratio and mean token length, aggregated per source as
+    the mixture-weighting signal. One codegen scan + one tiny
+    aggregate; swapping in real learned weights keeps the exact same
+    plan, which is the point — quality scoring at 100 TB is
+    scan-bound, not model-bound, when the featurizer stays JVM-side."""
+    from ..functions.text import quality_logit
+
+    d = _t(spark, sf_dir, "documents")
+    score = F.round(quality_logit(F.col("text")).cast("decimal(30,10)"), 4).cast(
+        "double"
+    )
+    return (
+        d.select("source", score.alias("score"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            _sround(F.avg("score"), 4).alias("avg_score"),
+            F.sum(F.when(F.col("score") >= 0.5, 1).otherwise(0)).alias(
+                "n_pass"
+            ),
+        )
+    )
+
+
+@query(
+    "q154_runtime_filter",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(round(CAST(sum(o_totalprice) AS DECIMAL(30,10)), 2)
+                AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def q154_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime IN-filter pushdown — the manual form of dynamic
+    partition pruning: the (post-filter, known-small) customer key set
+    is collected and pushed into the orders SCAN as an IN predicate,
+    so parquet row groups whose o_custkey min/max excludes the whole
+    list are skipped without being read (and on a layout partitioned
+    by custkey, whole directories are pruned). Result is exactly the
+    left-semi join the oracle states; the fallback above the
+    max_keys bound is a broadcast semi join. Plan-asserted in
+    tests/test_util_ops.py: `PushedFilters: [In(o_custkey, ...)]`."""
+    from ..functions.util import in_filter_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    dim = c.where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000)
+    )
+    return (
+        in_filter_join(o, dim, "o_custkey", "c_custkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _sround(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

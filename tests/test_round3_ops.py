@@ -1,0 +1,184 @@
+"""Round-3 operator tests: winnowing fingerprints, SemDeDup pairs,
+runtime IN-filter join, and the quality-logit scorer.
+
+Each new operator gets (a) a semantic property check against a plain
+Python reference on small data and (b) where the scale story depends
+on the plan shape, a plan assertion.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- winnowing
+def _py_winnow(text: str, k: int = 8, w: int = 4) -> list[str]:
+    """Plain-Python reference implementation of winnow_fingerprints."""
+    if len(text) < k:
+        return []
+    hashes = [
+        hashlib.md5(text[i : i + k].encode()).hexdigest()[:8]
+        for i in range(len(text) - k + 1)
+    ]
+    n_windows = max(len(hashes) - w + 1, 1)
+    wins = {min(hashes[i : i + w]) for i in range(n_windows)}
+    return sorted(wins)
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "",
+        "short",
+        "exactly8",
+        "just over the k",
+        "the quick brown fox jumps over the lazy dog " * 5,
+        "aaaaaaaaaaaaaaaaaaaaaa",  # degenerate: identical shingles
+    ],
+)
+def test_winnow_matches_python_reference(spark, text):
+    from etlhelper_spark.functions.text import winnow_fingerprints
+
+    row = (
+        spark.createDataFrame([(text,)], ["text"])
+        .select(winnow_fingerprints(F.col("text")).alias("fps"))
+        .first()
+    )
+    assert row["fps"] == _py_winnow(text)
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Any shared substring of length >= k + w - 1 (= 11) must yield at
+    least one shared fingerprint — the winnowing paper's guarantee."""
+    from etlhelper_spark.functions.text import winnow_fingerprints
+
+    shared = "COMMONSEGMENT"  # 13 chars >= 11
+    docs = [(1, f"left padding {shared} and tail one"),
+            (2, f"{shared} completely different suffix here")]
+    rows = (
+        spark.createDataFrame(docs, ["doc_id", "text"])
+        .select("doc_id", winnow_fingerprints(F.col("text")).alias("fps"))
+        .collect()
+    )
+    fps = {r["doc_id"]: set(r["fps"]) for r in rows}
+    assert fps[1] & fps[2], "shared substring produced no shared fingerprint"
+
+
+def test_winnow_plan_has_no_shuffle_or_python(spark):
+    from etlhelper_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame([("abcdefghij",)], ["text"]).select(
+        winnow_fingerprints(F.col("text")).alias("fps")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no fallback to Python UDF
+
+
+# ---------------------------------------------------------------- semdedup
+def test_semantic_dedup_finds_within_cluster_pairs(spark):
+    from etlhelper_spark.functions.dedup import semantic_dedup
+
+    # Two tight groups around orthogonal axes plus one isolated vector.
+    # k=2 seeds from the two lowest ids, one per group.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+        (3, [0.0, 0.995, 0.05, 0.0]),   # near-dup of 1
+        (4, [0.0, 0.0, 1.0, 0.0]),      # isolated
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = semantic_dedup(
+        df, "vec_id", "embedding", k=2, iterations=1, threshold=0.9
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 2) in got
+    assert (1, 3) in got
+    # cross-cluster pair (0,1) must never be compared/reported
+    assert all(a != 0 or b != 1 for a, b in got)
+    for r in pairs:
+        assert r["sim"] >= 0.9
+
+
+def test_semantic_dedup_never_crosses_clusters(spark):
+    """Even identical vectors in different clusters are not paired —
+    the comparison is bounded to within-cluster by construction."""
+    from etlhelper_spark.functions.dedup import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [-1.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = semantic_dedup(
+        df, "vec_id", "embedding", k=2, iterations=1, threshold=0.99
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(0, 2), (1, 3)}
+
+
+# ------------------------------------------------------ runtime IN filter
+def test_in_filter_join_matches_semi_join(spark):
+    from etlhelper_spark.functions.util import in_filter_join
+
+    fact = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dim = spark.range(0, 100, 7).select(F.col("id").alias("dk"))
+    got = in_filter_join(fact, dim, "k", "dk")
+    expected = fact.join(dim, fact["k"] == dim["dk"], "left_semi")
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in expected.collect()
+    )
+
+
+def test_in_filter_join_pushes_in_predicate(spark, tmp_path):
+    from etlhelper_spark.functions.util import in_filter_join
+
+    path = str(tmp_path / "fact")
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.range(0, 50, 5).select(F.col("id").alias("dk"))
+    plan = (
+        in_filter_join(fact, dim, "k", "dk")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "In(k" in plan, plan
+
+
+def test_in_filter_join_falls_back_above_max_keys(spark):
+    from etlhelper_spark.functions.util import in_filter_join
+
+    fact = spark.range(0, 100).select(F.col("id").alias("k"))
+    dim = spark.range(0, 60).select(F.col("id").alias("dk"))
+    got = in_filter_join(fact, dim, "k", "dk", max_keys=10)
+    assert got.count() == 60  # broadcast-semi fallback, same result
+
+
+# ------------------------------------------------------------ quality logit
+def test_quality_logit_bounded_and_ordered(spark):
+    from etlhelper_spark.functions.text import quality_logit
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "a a a a a a a a a a a a"),       # low diversity
+        (3, "!!!.,;;;???...,,,"),              # punctuation noise
+    ]
+    rows = (
+        spark.createDataFrame(docs, ["doc_id", "text"])
+        .select("doc_id", quality_logit(F.col("text")).alias("s"))
+        .collect()
+    )
+    scores = {r["doc_id"]: r["s"] for r in rows}
+    assert all(0.0 <= s <= 1.0 for s in scores.values())
+    assert scores[1] > scores[2] > scores[3]
