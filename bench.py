@@ -141,6 +141,10 @@ HEADLINE = [
     "q152_semantic_dedup",
     "q153_quality_logit",
     "q154_runtime_filter",
+    "q155_winnow_matches",
+    "q156_winsorize",
+    "q157_trend_fit",
+    "q158_zscore_outliers",
 ]
 
 

@@ -9,7 +9,7 @@ pairs a SparkSession with a *backend*:
   (pushdown parity with reference etl.py:95), writes go through the
   JDBC batch writer, and DDL/DML pass-through uses a driver-side
   ``java.sql.DriverManager`` statement (Spark has no JDBC DDL API).
-- **files** — a directory of parquet/csv/json/orc tables registered as
+- **files** — a directory of parquet/csv/json/orc/xml tables registered as
   temp views; queries run on Spark SQL itself. This is the backend the
   test harness and the 100 TB data-lake path use.
 
@@ -36,7 +36,7 @@ from .exceptions import (
 from .parameters import bind_parameters
 from .validation import validate_identifier
 
-_FILE_FORMATS = ("parquet", "csv", "json", "orc")
+_FILE_FORMATS = ("parquet", "csv", "json", "orc", "xml")
 
 
 class SparkConnection:
@@ -89,12 +89,7 @@ class SparkConnection:
 
                     df = read_parquet_table(self.spark, p)
                 else:
-                    reader = self.spark.read
-                    if ext == "csv":
-                        reader = reader.option("header", "true").option(
-                            "inferSchema", "true"
-                        )
-                    df = reader.format(ext).load(p)
+                    df = self._format_reader(ext).load(p)
                 df.createOrReplaceTempView(name)
                 self._registered.add(name)
                 tables.append(name)
@@ -103,6 +98,19 @@ class SparkConnection:
     def table_path(self, table: str) -> str:
         assert self.path is not None
         return os.path.join(self.path, f"{table}.{self.file_format}")
+
+    def _format_reader(self, fmt: str):
+        """Reader configured with the per-format options every read
+        site needs (header/schema inference for csv, the row tag for
+        Spark 4's built-in XML source)."""
+        reader = self.spark.read
+        if fmt == "csv":
+            reader = reader.option("header", "true").option(
+                "inferSchema", "true"
+            )
+        elif fmt == "xml":
+            reader = reader.option("rowTag", "row")
+        return reader.format(fmt)
 
     # ------------------------------------------------------------------
     # common primitives
@@ -193,12 +201,7 @@ class SparkConnection:
                 from .sources import read_parquet_table
 
                 return read_parquet_table(self.spark, self.table_path(table))
-            reader = self.spark.read
-            if self.file_format == "csv":
-                reader = reader.option("header", "true").option(
-                    "inferSchema", "true"
-                )
-            return reader.format(self.file_format).load(
+            return self._format_reader(self.file_format).load(
                 self.table_path(table)
             )
         return self.spark.table(table)
@@ -252,18 +255,17 @@ class SparkConnection:
             writer = df.write.format(self.file_format).mode(mode)
             if self.file_format == "csv":
                 writer = writer.option("header", "true")
+            elif self.file_format == "xml":
+                writer = writer.option("rowTag", "row").option(
+                    "rootTag", "rows"
+                )
             if partition_by:
                 for col in partition_by:
                     validate_identifier(col)
                 writer = writer.partitionBy(*partition_by)
             writer.save(self.table_path(table))
             # refresh the temp view so subsequent queries see new data
-            reader = self.spark.read
-            if self.file_format == "csv":
-                reader = reader.option("header", "true").option(
-                    "inferSchema", "true"
-                )
-            reader.format(self.file_format).load(
+            self._format_reader(self.file_format).load(
                 self.table_path(table)
             ).createOrReplaceTempView(table)
             self._registered.add(table)

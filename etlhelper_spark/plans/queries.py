@@ -6708,6 +6708,247 @@ def q154_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q155_winnow_matches",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               CASE WHEN len(text) >= 8
+                 THEN [substr(md5(substr(text, i, 8)), 1, 8)
+                       FOR i IN range(1, len(text) - 8 + 2)]
+                 ELSE [] END AS hashes
+        FROM documents
+    ), w AS (
+        SELECT doc_id,
+               CASE WHEN len(hashes) >= 1
+                 THEN list_distinct([list_aggregate(hashes[i:i+3], 'min')
+                       FOR i IN range(1, greatest(len(hashes) - 3, 1) + 1)])
+                 ELSE [] END AS fps
+        FROM g
+    ), fp AS (
+        SELECT doc_id, unnest(fps) AS f FROM w
+    ), rare AS (
+        SELECT f FROM fp GROUP BY f HAVING count(*) <= 10
+    ), filtered AS (
+        SELECT fp.doc_id, fp.f FROM fp JOIN rare USING (f)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM filtered a JOIN filtered b
+      ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def q155_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document winnowing match join (the MOSS detection step):
+    documents sharing >= 2 rare winnowed fingerprints are flagged as
+    containing copied passages. The scale mechanics mirror PPJoin:
+    explode each doc's (already deduplicated) fingerprint set, DROP
+    stop-fingerprints (document frequency > 10 — boilerplate shingles
+    that would otherwise create quadratic hub buckets, exactly the
+    degenerate-bucket hazard lsh_bucket_topk caps), then a fingerprint
+    equi-join whose per-key fan-out is bounded by the df cap — never
+    an all-pairs comparison. One explode + two key-partitioned
+    aggregates + one bounded join: linear in corpus size at 100 TB."""
+    from ..functions.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.util import ensure_parallelism
+
+    fp = (
+        ensure_parallelism(d)
+        .select(
+            "doc_id",
+            F.explode(winnow_fingerprints(F.col("text"), k=8, w=4)).alias(
+                "f"
+            ),
+        )
+    )
+    rare = fp.groupBy("f").agg(F.count("*").alias("df")).where(
+        F.col("df") <= 10
+    )
+    filtered = fp.join(rare.select("f"), "f")
+    a = filtered.select(F.col("f"), F.col("doc_id").alias("doc_a"))
+    b = filtered.select(F.col("f"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "f")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= 2)
+    )
+
+
+@query(
+    "q156_winsorize",
+    """
+    WITH b AS (
+        SELECT o_orderstatus,
+               CAST(round(CAST(quantile_cont(o_totalprice, 0.05)
+                    AS DECIMAL(30,10)), 2) AS DOUBLE) AS lo,
+               CAST(round(CAST(quantile_cont(o_totalprice, 0.95)
+                    AS DECIMAL(30,10)), 2) AS DOUBLE) AS hi
+        FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(CAST(sum(o_totalprice) AS DECIMAL(30,10)), 2)
+                AS DOUBLE) AS sum_raw,
+           CAST(round(CAST(sum(least(greatest(o_totalprice, lo), hi))
+                AS DECIMAL(30,10)), 2) AS DOUBLE) AS sum_winsor,
+           CAST(sum(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_high
+    FROM orders o JOIN b USING (o_orderstatus)
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q156_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (outlier clipping at the 5th/95th
+    percentile) — the robust-statistics step of metric pipelines and
+    reward-model score normalization. Two passes: a tiny per-group
+    percentile aggregate (|groups| rows, broadcast back), then one
+    clipping scan. Exact percentile is fine at any scale because the
+    FIRST aggregate is per-group mergeable; swap percentile ->
+    approx_percentile to make it single-pass mergeable sketches if
+    groups are huge."""
+    o = _t(spark, sf_dir, "orders")
+    bounds = o.groupBy("o_orderstatus").agg(
+        _sround(F.expr("percentile(o_totalprice, 0.05)"), 2).alias("lo"),
+        _sround(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")
+    )
+    return (
+        o.join(F.broadcast(bounds), "o_orderstatus")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _sround(F.sum("o_totalprice"), 2).alias("sum_raw"),
+            _sround(F.sum(clipped), 2).alias("sum_winsor"),
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col("lo"), 1).otherwise(0)
+            ).alias("n_clipped_low"),
+            F.sum(
+                F.when(F.col("o_totalprice") > F.col("hi"), 1).otherwise(0)
+            ).alias("n_clipped_high"),
+        )
+    )
+
+
+@query(
+    "q157_trend_fit",
+    """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               sum(value) AS v
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), x AS (
+        SELECT event_type, v,
+               CAST(epoch(h) / 3600
+                    - min(epoch(h) / 3600) OVER (PARTITION BY event_type)
+                    AS DOUBLE) AS xs
+        FROM hourly
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(round(CAST(regr_slope(v, xs) AS DECIMAL(30,10)), 4)
+                AS DOUBLE) AS slope,
+           CAST(round(CAST(regr_intercept(v, xs) AS DECIMAL(30,10)), 4)
+                AS DOUBLE) AS intercept,
+           CAST(round(CAST(regr_r2(v, xs) AS DECIMAL(30,10)), 4)
+                AS DOUBLE) AS r2
+    FROM x GROUP BY event_type
+    """,
+)
+def q157_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series least-squares trend fit over hourly rollups — the
+    drift detector behind capacity planning and metric alerting, as a
+    pure aggregate: regr_slope/intercept/r2 are mergeable moment
+    aggregates (sum, sum x, sum x², sum xy), so the whole fit
+    partial-aggregates map-side and shuffles |series| rows regardless
+    of corpus size. The x origin is shifted per series (window min)
+    for numeric conditioning; that window rides the same event_type
+    partitioning as the final aggregate."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("event_type")
+    xs = (
+        F.unix_timestamp("h") / 3600
+        - F.min(F.unix_timestamp("h") / 3600).over(w)
+    ).cast("double")
+    x = hourly.select("event_type", "v", xs.alias("xs"))
+    return x.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        _sround(F.regr_slope("v", "xs"), 4).alias("slope"),
+        _sround(F.regr_intercept("v", "xs"), 4).alias("intercept"),
+        _sround(F.regr_r2("v", "xs"), 4).alias("r2"),
+    )
+
+
+@query(
+    "q158_zscore_outliers",
+    """
+    WITH s AS (
+        SELECT event_type,
+               CAST(round(CAST(avg(value) AS DECIMAL(30,10)), 6)
+                    AS DOUBLE) AS mu,
+               CAST(round(CAST(stddev_samp(value) AS DECIMAL(30,10)), 6)
+                    AS DOUBLE) AS sd
+        FROM events GROUP BY event_type
+    ), z AS (
+        SELECT e.event_type,
+               CAST(round(CAST(abs((value - mu) / sd) AS DECIMAL(30,10)), 4)
+                    AS DOUBLE) AS az
+        FROM events e JOIN s USING (event_type)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN az > 2.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           max(az) AS max_z
+    FROM z GROUP BY event_type
+    """,
+)
+def q158_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series z-score outlier scan: one tiny per-type moment
+    aggregate (mu, sd — rounded through DECIMAL at 6dp so both engines
+    standardize against the identical constants), broadcast back into
+    a second scan that counts |z| > 2.5 exceedances and tracks the
+    max. Two linear passes, no wide shuffle: the stats side is
+    |event_types| rows. This is the anomaly-flagging shape that scales
+    to 100 TB because the join side is always broadcastable."""
+    e = _t(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.round(F.avg("value").cast("decimal(30,10)"), 6)
+        .cast("double")
+        .alias("mu"),
+        F.round(F.stddev_samp("value").cast("decimal(30,10)"), 6)
+        .cast("double")
+        .alias("sd"),
+    )
+    az = F.round(
+        F.abs((F.col("value") - F.col("mu")) / F.col("sd")).cast(
+            "decimal(30,10)"
+        ),
+        4,
+    ).cast("double")
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .select("event_type", az.alias("az"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("az") > 2.5, 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+            F.max("az").alias("max_z"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
