@@ -219,6 +219,28 @@ def main() -> None:
     ivf_build_sec = round(time.time() - t0, 3)
     print(f"# ivf_index_build: {ivf_build_sec:.2f}s", file=sys.stderr)
 
+    # Steady-state methodology (JMH-style): one untimed warm-up
+    # execution per query compiles the generated code and JIT-warms the
+    # JVM — first-run codegen/C2 cost is a per-process constant (~10s
+    # on the heaviest plans), not query throughput, and a long-running
+    # cluster never pays it per query. The memoized cross-query stages
+    # (pair/cluster/k-means) are then FLUSHED so the timed pass
+    # rebuilds them honestly; only the persistent IVF index survives,
+    # because q140 times probe-only by design (build cost printed
+    # above). Set SPARK_GRAFT_BENCH_WARM=0 for single-pass cold times.
+    warm_pass = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
+    if warm_pass:
+        t0 = time.time()
+        for name in HEADLINE:
+            QUERIES[name](spark, SF_DIR).count()
+        from etlhelper_spark.plans.queries import clear_stage_caches
+
+        clear_stage_caches()
+        print(
+            f"# warm pass: {time.time() - t0:.1f}s (untimed)",
+            file=sys.stderr,
+        )
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
@@ -241,6 +263,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "ivf_index_build_sec": ivf_build_sec,
+        "methodology": "steady-state" if warm_pass else "cold",
     }
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"

@@ -698,6 +698,7 @@ def semantic_dedup(
     k: int = 8,
     iterations: int = 2,
     threshold: float = 0.3,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): partition the embedding corpus with k-means,
@@ -719,21 +720,47 @@ def semantic_dedup(
     clustering.
     """
     from .clustering import kmeans_assignments
-    from .similarity import cosine_similarity
+    from .similarity import _dot, _norm
 
-    assigned = kmeans_assignments(df, id_col, vec_col, k, iterations)
+    # *assignments* (columns id, cluster_id) lets a caller inject a
+    # cached/persisted clustering so the Lloyd rounds don't rerun per
+    # consumer — the production shape, where clustering is a shared
+    # upstream stage.
+    assigned = (
+        assignments
+        if assignments is not None
+        else kmeans_assignments(df, id_col, vec_col, k, iterations)
+    )
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    members = assigned.select("id", "cluster_id").join(vecs, "id")
+    # Norms are computed ONCE per vector here, not once per pair: the
+    # pairwise stage then evaluates a single dot-product fold instead
+    # of three (dot + 2 norms) — same floating-point operations in the
+    # same order as cosine_similarity (dot / (na * nb)), so results
+    # are bit-identical, at ~3x less per-pair work.
+    members = (
+        assigned.select("id", "cluster_id")
+        .join(vecs, "id")
+        .select("id", "cluster_id", "vec", _norm(F.col("vec")).alias("nrm"))
+    )
     a = members.select(
-        "cluster_id", F.col("id").alias("id_a"), F.col("vec").alias("va")
+        "cluster_id",
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
     )
     b = members.select(
-        "cluster_id", F.col("id").alias("id_b"), F.col("vec").alias("vb")
+        "cluster_id",
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
     sim = F.round(
-        cosine_similarity(F.col("va"), F.col("vb")).cast("decimal(30,10)"), 4
+        (
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        ).cast("decimal(30,10)"),
+        4,
     ).cast("double")
     return (
         a.join(b, "cluster_id")

@@ -141,6 +141,39 @@ def _jaccard_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
 _IVF_INDEX_CACHE: dict[tuple[str, str], str] = {}
+_KMEANS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _kmeans_assigned_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared k=8 / 2-round Lloyd assignment stage (q141 cluster
+    profile, q152 SemDeDup): each Lloyd round collects the tiny
+    centroid set to the driver, so memoizing the assigned frame once
+    per (session, sf_dir) saves both the driver round-trips and the
+    assignment scans for every later consumer — clustering as a shared
+    upstream stage, exactly how a production pipeline persists it."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _KMEANS_CACHE:
+        from ..functions.clustering import kmeans_assignments
+
+        assigned = kmeans_assignments(
+            _t(spark, sf_dir, "embeddings"), k=8, iterations=2
+        )
+        _cache_put(
+            _KMEANS_CACHE, key, assigned.localCheckpoint(eager=False)
+        )
+    return _KMEANS_CACHE[key]
+
+
+def clear_stage_caches() -> None:
+    """Drop the memoized cross-query stages (pair / cluster / k-means)
+    so a timed benchmark pass rebuilds them honestly. The persistent
+    IVF index cache is deliberately KEPT: q140 times probe-only by
+    design, with build cost reported separately (bench.py). Frames are
+    not unpersisted (localCheckpoint blocks are non-recoverable — see
+    _cache_put); dropped references age out with the session."""
+    _PAIR_CACHE.clear()
+    _CLUSTER_CACHE.clear()
+    _KMEANS_CACHE.clear()
 
 
 def ivf_index_cached(spark: SparkSession, sf_dir: str, nlist: int = 16) -> str:
@@ -5973,10 +6006,7 @@ def q141_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     through DECIMAL(30,10) to 6dp after every recompute on BOTH
     engines, so assignments (and therefore counts) match exactly —
     iterative ML made hash-verifiable."""
-    from ..functions.clustering import kmeans_assignments
-
-    e = _t(spark, sf_dir, "embeddings")
-    assigned = kmeans_assignments(e, k=8, iterations=2)
+    assigned = _kmeans_assigned_cached(spark, sf_dir)
     return assigned.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),
         _sround(F.avg("sim"), 4).alias("avg_cos"),
@@ -6599,7 +6629,13 @@ def q152_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     pairs = semantic_dedup(
-        e, "vec_id", "embedding", k=8, iterations=2, threshold=0.3
+        e,
+        "vec_id",
+        "embedding",
+        k=8,
+        iterations=2,
+        threshold=0.3,
+        assignments=_kmeans_assigned_cached(spark, sf_dir),
     )
     return pairs.groupBy("cluster_id").agg(
         F.count("*").alias("n_pairs"),

@@ -58,6 +58,14 @@ def get_session(
         # on Spark 4.1 local mode it deadlocks session-first queries
         # (verified: even `spark.range(5).count()` never returns).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # default 100 generated-class cache entries thrash on a
+        # many-query workload: the widest plans here (multi-table LSH)
+        # take ~10s to re-Janino-compile once evicted (measured: q33
+        # 2.4s hot / 12.7s after 122 other queries churn the cache).
+        # Classes are ~10-100 KB; 2000 entries is tens of MB of
+        # driver/executor metaspace — cheap insurance for a long-lived
+        # session serving a real query mix.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

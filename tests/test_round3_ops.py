@@ -182,3 +182,70 @@ def test_quality_logit_bounded_and_ordered(spark):
     scores = {r["doc_id"]: r["s"] for r in rows}
     assert all(0.0 <= s <= 1.0 for s in scores.values())
     assert scores[1] > scores[2] > scores[3]
+
+
+# ------------------------------------------------------- property sweeps
+def test_winnow_matches_python_on_random_corpus(spark):
+    """Seeded random corpus, all lengths around the k/w boundaries —
+    one DataFrame pass compared row-by-row against the Python
+    reference implementation."""
+    import random
+
+    from etlhelper_spark.functions.text import winnow_fingerprints
+
+    rng = random.Random(7)
+    alphabet = "abcdefg "
+    docs = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))))
+        for i in range(80)
+    ]
+    rows = (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .select("doc_id", winnow_fingerprints(F.col("text")).alias("fps"))
+        .collect()
+    )
+    got = {r["doc_id"]: r["fps"] for r in rows}
+    for i, text in docs:
+        assert got[i] == _py_winnow(text), (i, text)
+
+
+def test_semantic_dedup_matches_bruteforce_within_clusters(spark):
+    """Pairs must equal brute-force pairwise cosine restricted to the
+    k-means clusters — the clustering bounds WHICH pairs are compared,
+    never changes a similarity value."""
+    import math
+    import random
+
+    from etlhelper_spark.functions.clustering import kmeans_assignments
+    from etlhelper_spark.functions.dedup import semantic_dedup
+
+    rng = random.Random(3)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    assigned = {
+        r["id"]: r["cluster_id"]
+        for r in kmeans_assignments(
+            df, "vec_id", "embedding", k=4, iterations=2
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", k=4, iterations=2, threshold=0.5
+        ).collect()
+    }
+    lookup = dict(vecs)
+    expect = set()
+    for a in range(40):
+        for b in range(a + 1, 40):
+            if assigned[a] != assigned[b]:
+                continue
+            va, vb = lookup[a], lookup[b]
+            dot = sum(x * y for x, y in zip(va, vb))
+            na = math.sqrt(sum(x * x for x in va))
+            nb = math.sqrt(sum(x * x for x in vb))
+            if round(dot / (na * nb), 4) >= 0.5:
+                expect.add((a, b))
+    assert got == expect
