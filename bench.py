@@ -145,6 +145,9 @@ HEADLINE = [
     "q156_winsorize",
     "q157_trend_fit",
     "q158_zscore_outliers",
+    "q159_session_paths",
+    "q160_inverted_index",
+    "q161_cogroup_merge",
 ]
 
 

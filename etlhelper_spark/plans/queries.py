@@ -6985,6 +6985,227 @@ def q158_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q159_session_paths",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ids AS (
+        SELECT user_id, ts, event_id, event_type,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS session_seq
+        FROM gaps
+    ), seqs AS (
+        SELECT user_id, session_seq,
+               list(event_type ORDER BY ts, event_id) AS types
+        FROM ids GROUP BY user_id, session_seq
+    ), paths AS (
+        SELECT unnest([types[i] || '>' || types[i+1] || '>' || types[i+2]
+                       FOR i IN range(1, len(types) - 2 + 1)]) AS path
+        FROM seqs WHERE len(types) >= 3
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions_path
+    FROM paths GROUP BY path
+    ORDER BY n_sessions_path DESC, path ASC LIMIT 10
+    """,
+)
+def q159_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: sessionize (30-min idle gap, q17 semantics
+    with a (ts, event_id) total order so paths are deterministic),
+    collect each session's ordered event-type sequence, slide a
+    3-gram over it, and rank the paths corpus-wide — the product-
+    analytics "common flows" query. One user_id shuffle for the
+    session window, one (user, session) aggregate whose state is the
+    session's events (bounded by session length, not corpus), one
+    combinable path count. The 3-gram expansion is an in-row array
+    transform — no second explode-join pass."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ids = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .over(w)
+        .alias("session_seq"),
+    )
+    seqs = (
+        ids.groupBy("user_id", "session_seq")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda s: s["event_type"],
+            ).alias("types")
+        )
+        .where(F.size("types") >= 3)
+    )
+    paths = seqs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("types") - 2),
+                lambda i: F.concat_ws(
+                    ">",
+                    F.element_at(F.col("types"), i),
+                    F.element_at(F.col("types"), i + 1),
+                    F.element_at(F.col("types"), i + 2),
+                ),
+            )
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions_path"))
+        .orderBy(F.desc("n_sessions_path"), F.asc("path"))
+        .limit(10)
+    )
+
+
+@query(
+    "q160_inverted_index",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS token
+        FROM documents
+    ), per_doc AS (
+        SELECT token, doc_id, count(*) AS n
+        FROM tok WHERE token <> '' GROUP BY token, doc_id
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(n) AS BIGINT) AS cf,
+           (list(doc_id ORDER BY doc_id))[1:20] AS postings
+    FROM per_doc GROUP BY token
+    ORDER BY df DESC, token ASC LIMIT 50
+    """,
+)
+def q160_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the IR/search side of a corpus pipeline):
+    token -> document frequency, collection frequency, and the first
+    20 postings (sorted doc ids). Two key-partitioned aggregates, both
+    map-side combinable: (token, doc) dedup+count first — so the
+    token-level state is per-DOCUMENT postings, never per-occurrence —
+    then the token rollup whose collect_list is bounded to the sample
+    cap. At 100 TB the full postings would go to a partitioned sink
+    instead of a driver-facing top-k; the plan shape (explode + two
+    combinable aggs) is the same."""
+    from ..functions.util import ensure_parallelism
+
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        ensure_parallelism(d)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    per_doc = tok.groupBy("token", "doc_id").agg(F.count("*").alias("n"))
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("n").alias("cf"),
+            F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20).alias(
+                "postings"
+            ),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@query(
+    "q161_cogroup_merge",
+    """
+    WITH o AS (
+        SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS order_cents
+        FROM orders GROUP BY o_custkey
+    ), e AS (
+        SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT))
+                    AS BIGINT) AS value_cents
+        FROM events GROUP BY user_id
+    )
+    SELECT COALESCE(o.key, e.key) AS key,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(order_cents, 0) AS order_cents,
+           COALESCE(value_cents, 0) AS value_cents
+    FROM o FULL OUTER JOIN e ON o.key = e.key
+    """,
+)
+def q161_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas merge — the applyInPandas-on-cogroup API
+    surface: orders and events grouped on the same key arrive as two
+    aligned pandas frames per key, and arbitrary Python reconciliation
+    runs once per key (here: order/event volume per customer, in
+    integer cents so the Python-side arithmetic is exact and
+    order-insensitive). This is the escape hatch for per-key logic
+    that genuinely needs two tables side by side (statement matching,
+    ledger reconciliation); both inputs shuffle once on the key, the
+    Python stage is Arrow-batched, and state is bounded by the
+    per-key group sizes. The oracle states the relational equivalent:
+    FULL OUTER JOIN of the two per-key aggregates."""
+    import pandas as pd
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    e = _t(spark, sf_dir, "events").select("user_id", "value")
+
+    def merge(key, orders_pdf, events_pdf):
+        (k,) = key
+        order_cents = (
+            int(orders_pdf["o_totalprice"].mul(100).round().sum())
+            if len(orders_pdf)
+            else 0
+        )
+        value_cents = (
+            int(events_pdf["value"].mul(100).round().sum())
+            if len(events_pdf)
+            else 0
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "key": k,
+                    "n_orders": len(orders_pdf),
+                    "n_events": len(events_pdf),
+                    "order_cents": order_cents,
+                    "value_cents": value_cents,
+                }
+            ]
+        )
+
+    return (
+        o.groupBy("o_custkey")
+        .cogroup(e.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "key long, n_orders long, n_events long, "
+            "order_cents long, value_cents long",
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -191,4 +191,4 @@ def test_corpus_count_pinned():
     registry (VERDICT r2: COVERAGE/README/commit messages disagreed)."""
     from etlhelper_spark.plans import ORACLES, QUERIES
 
-    assert len(QUERIES) == len(ORACLES) == 159
+    assert len(QUERIES) == len(ORACLES) == 162
