@@ -74,6 +74,26 @@ def attach_binary_metadata(df: DataFrame, content_col: str = "content") -> DataF
     )
 
 
+def read_media_dir(
+    spark, path: str, glob: str | None = None, recursive: bool = True
+) -> DataFrame:
+    """Ingest a directory of media files via Spark's built-in
+    ``binaryFile`` source — the real on-ramp for image/audio corpora:
+    each file becomes (path, modificationTime, length, content) with
+    the blob as a BinaryType column, split across tasks by file (no
+    driver-side listing loop, no Python IO). ``glob`` maps to
+    pathGlobFilter (e.g. ``*.jpg``) so filtering happens at listing
+    time, before any bytes move. Exact-dedup metadata (sha256, size)
+    is attached JVM-side; decode/feature stages chain the same
+    mapInPandas operators used by the synthesized-asset path."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return attach_binary_metadata(reader.load(path))
+
+
 def _fake_features(content: bytes, n: int = 8) -> list[float]:
     """Deterministic stand-in for a real embedding: md5-seeded floats.
     Exists so the distributed plumbing is testable without media libs."""

@@ -7139,12 +7139,12 @@ def q160_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n_orders,
                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                     AS BIGINT) AS order_cents
-        FROM orders GROUP BY o_custkey
+        FROM orders WHERE o_custkey <= 2000 GROUP BY o_custkey
     ), e AS (
         SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(CAST(round(value * 100) AS BIGINT))
                     AS BIGINT) AS value_cents
-        FROM events GROUP BY user_id
+        FROM events WHERE user_id <= 2000 GROUP BY user_id
     )
     SELECT COALESCE(o.key, e.key) AS key,
            COALESCE(n_orders, 0) AS n_orders,
@@ -7168,8 +7168,22 @@ def q161_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL OUTER JOIN of the two per-key aggregates."""
     import pandas as pd
 
-    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    e = _t(spark, sf_dir, "events").select("user_id", "value")
+    # Scoped to a bounded key range: cogrouped applyInPandas invokes
+    # Python once per key (~1ms each), so the DEMO keeps the key count
+    # fixed across scale factors. The production guidance stands in
+    # the docstring: reach for cogroup only when the per-key logic
+    # can't be a join — and then the per-key cost is amortized across
+    # executors, with state bounded by group size.
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 2000)
+        .select("o_custkey", "o_totalprice")
+    )
+    e = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 2000)
+        .select("user_id", "value")
+    )
 
     def merge(key, orders_pdf, events_pdf):
         (k,) = key

@@ -62,10 +62,12 @@ def get_session(
         # many-query workload: the widest plans here (multi-table LSH)
         # take ~10s to re-Janino-compile once evicted (measured: q33
         # 2.4s hot / 12.7s after 122 other queries churn the cache).
-        # Classes are ~10-100 KB; 2000 entries is tens of MB of
+        # Classes are ~10-100 KB; 4096 entries is some hundreds of MB of
         # driver/executor metaspace — cheap insurance for a long-lived
-        # session serving a real query mix.
-        .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # session serving a real query mix (the 123-query bench compiles
+        # ~1800 distinct classes per pass; 2000 still evicted across
+        # its warm+timed passes).
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -249,3 +249,29 @@ def test_semantic_dedup_matches_bruteforce_within_clusters(spark):
             if round(dot / (na * nb), 4) >= 0.5:
                 expect.add((a, b))
     assert got == expect
+
+
+# -------------------------------------------------------- binaryFile ingest
+def test_read_media_dir_binaryfile(spark, tmp_path):
+    """binaryFile source end-to-end: files on disk -> (path, content)
+    rows with exact-dedup metadata -> the same feature pipeline the
+    synthesized-asset path uses."""
+    import hashlib
+
+    from etlhelper_spark.functions.multimodal import read_media_dir
+
+    media = tmp_path / "assets" / "nested"
+    media.mkdir(parents=True)
+    (media / "a.jpg").write_bytes(b"\xff\xd8fakejpegbytes")
+    (media / "b.jpg").write_bytes(b"\xff\xd8otherjpeg")
+    (media / "skip.txt").write_bytes(b"not media")
+
+    df = read_media_dir(spark, str(tmp_path / "assets"), glob="*.jpg")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.jpg", "b.jpg"}  # pathGlobFilter pre-filtered
+    a = rows["a.jpg"]
+    assert bytes(a["content"]) == b"\xff\xd8fakejpegbytes"
+    assert a["n_bytes"] == len(b"\xff\xd8fakejpegbytes")
+    assert a["content_sha"] == hashlib.sha256(
+        b"\xff\xd8fakejpegbytes"
+    ).hexdigest()
