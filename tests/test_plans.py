@@ -192,3 +192,47 @@ def test_corpus_count_pinned():
     from etlhelper_spark.plans import ORACLES, QUERIES
 
     assert len(QUERIES) == len(ORACLES) == 162
+
+
+def test_round3_plan_shapes(spark):
+    """Scale-critical shapes of the round-3 queries, asserted on real
+    plans: q148 one fact-fact shuffle-join; q156/q158 broadcast the
+    tiny stats side back; q157 partial-aggregates map-side; q160's
+    token-level state built from the per-(token, doc) rollup."""
+    from etlhelper_spark.plans.queries import (
+        q148_tpch_q12_priority,
+        q156_winsorize,
+        q157_trend_fit,
+        q158_zscore_outliers,
+        q160_inverted_index,
+    )
+
+    plan = explain_str(q148_tpch_q12_priority(spark, SF))
+    # both fact tables shuffle once each on orderkey, plus the
+    # two-phase aggregate exchange (4 total; a bucketed layout removes
+    # the two join exchanges — see tests/test_bucketing.py)
+    assert plan.count("Exchange") <= 4
+
+    plan = explain_str(q156_winsorize(spark, SF))
+    assert "BroadcastHashJoin" in plan  # percentile bounds broadcast
+
+    plan = explain_str(q158_zscore_outliers(spark, SF))
+    assert "BroadcastHashJoin" in plan  # mu/sd stats broadcast
+
+    plan = explain_str(q157_trend_fit(spark, SF))
+    # regr_* moments partial-aggregate before the shuffle
+    assert "partial_regr_slope" in plan or "partial" in plan.lower()
+
+    plan = explain_str(q160_inverted_index(spark, SF))
+    # two-stage aggregate: (token, doc) rollup feeds the token rollup
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_winnow_query_zero_exchange_scan(spark):
+    """q151 is a pure projection over the documents scan: no shuffle,
+    no Python stage anywhere in the executed plan."""
+    from etlhelper_spark.plans.queries import q151_winnow_fingerprint
+
+    plan = explain_str(q151_winnow_fingerprint(spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
