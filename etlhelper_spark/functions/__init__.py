@@ -8,20 +8,35 @@ whole-stage codegen); Python only appears in clearly-marked stubs.
 
 from .dedup import (
     dedup_exact,
+    duplicate_clusters,
     embedding_near_duplicates,
     minhash_signatures,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
+    select_survivors,
+    semantic_dedup,
     simhash,
 )
-from .similarity import brute_force_topk, cosine_similarity, lsh_bucket_topk
+from .clustering import kmeans_assignments
+from .multimodal import read_media_dir
+from .similarity import (
+    brute_force_topk,
+    cosine_similarity,
+    ivf_topk,
+    lsh_bucket_topk,
+)
+from .util import in_filter_join, range_join, salted_join
 from .text import (
     document_fingerprint,
     language_id,
+    quality_logit,
     quality_score,
+    redact_pii,
     text_stats,
     token_count,
     top_tokens,
+    unigram_surprisal,
+    winnow_fingerprints,
 )
 
 __all__ = [
@@ -29,15 +44,28 @@ __all__ = [
     "cosine_similarity",
     "dedup_exact",
     "document_fingerprint",
+    "duplicate_clusters",
     "embedding_near_duplicates",
+    "in_filter_join",
+    "ivf_topk",
+    "kmeans_assignments",
     "language_id",
     "lsh_bucket_topk",
     "minhash_lsh_candidates",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "quality_logit",
     "quality_score",
+    "range_join",
+    "read_media_dir",
+    "redact_pii",
+    "salted_join",
+    "select_survivors",
+    "semantic_dedup",
     "simhash",
     "text_stats",
     "token_count",
     "top_tokens",
+    "unigram_surprisal",
+    "winnow_fingerprints",
 ]
