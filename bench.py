@@ -148,6 +148,7 @@ HEADLINE = [
     "q159_session_paths",
     "q160_inverted_index",
     "q161_cogroup_merge",
+    "q162_incremental_rollup",
 ]
 
 

@@ -7220,6 +7220,44 @@ def q161_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q162_incremental_rollup",
+    """
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def q162_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py): the stored
+    daily rollup is built from the "historical" 80% of events, then
+    the remaining 20% arrives as a batch whose PARTIAL aggregate
+    merges in — history is never re-scanned; the per-batch cost is
+    O(batch) plus a |groups|-sized outer join. Measures are integer
+    cents, so partial+merge is exact and the oracle can simply state
+    the semantic contract: the incrementally-maintained view EQUALS
+    the full recompute over all events. This is the
+    dashboard-freshness pattern at 100 TB — the same mergeable-partial
+    property Spark uses for map-side combine, lifted to cross-batch
+    persistence."""
+    from ..operators.ivm import merge_rollup, rollup_partial
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    hist = e.where(F.pmod("event_id", F.lit(10)) < 8)
+    delta = e.where(F.pmod("event_id", F.lit(10)) >= 8)
+    keys = ["event_type", "day"]
+    base = rollup_partial(hist, keys, {"value_cents": "cents"})
+    delta_p = rollup_partial(delta, keys, {"value_cents": "cents"})
+    return merge_rollup(base, delta_p, keys)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -275,3 +275,36 @@ def test_read_media_dir_binaryfile(spark, tmp_path):
     assert a["content_sha"] == hashlib.sha256(
         b"\xff\xd8fakejpegbytes"
     ).hexdigest()
+
+
+# --------------------------------------------------------------- IVM merge
+def test_merge_rollup_equals_full_recompute(spark):
+    from etlhelper_spark.operators.ivm import merge_rollup, rollup_partial
+
+    rows = [(i, f"g{i % 3}", i * 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    hist = df.where(F.col("id") < 40)
+    delta = df.where(F.col("id") >= 40)
+    base = rollup_partial(hist, ["g"], {"sv": "v"})
+    merged = merge_rollup(
+        base, rollup_partial(delta, ["g"], {"sv": "v"}), ["g"]
+    )
+    full = rollup_partial(df, ["g"], {"sv": "v"})
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_merge_rollup_retraction_drops_group(spark):
+    """A delete arrives as a negative delta; a fully-retracted group
+    disappears from the view instead of lingering at n=0."""
+    from etlhelper_spark.operators.ivm import merge_rollup
+
+    base = spark.createDataFrame(
+        [("a", 2, 30), ("b", 1, 5)], "g string, n long, sv long"
+    )
+    delta = spark.createDataFrame(
+        [("a", -2, -30), ("b", 1, 7)], "g string, n long, sv long"
+    )
+    out = {r["g"]: (r["n"], r["sv"]) for r in merge_rollup(base, delta, ["g"]).collect()}
+    assert out == {"b": (2, 12)}
