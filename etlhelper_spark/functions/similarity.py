@@ -351,13 +351,21 @@ def lsh_bucket_topk(
     sig_kernel = lsh_signatures(num_tables, num_planes, dim)
 
     def tabled(
-        side: DataFrame, id_alias: str, vec_alias: str, sig_alias: str
+        side: DataFrame, id_alias: str, sig_alias: str, extra: list[str]
     ) -> DataFrame:
         # all table signatures in ONE Arrow-batched matmul, one
-        # (tbl, sig) row per hash table — a static posexplode, no RNG
-        return side.withColumn(sig_alias, sig_kernel(F.col(vec_alias))).select(
+        # (tbl, sig) row per hash table — a static posexplode, no RNG.
+        # The CORPUS side deliberately drops its vector column here:
+        # the bucket join and cap window then shuffle ~30-byte
+        # (tbl, sig, id, sigs) rows instead of num_tables copies of a
+        # 512-byte vector — the vectors shuffle exactly ONCE, at the
+        # rerank join below (measured 3.4x at 200k x 8 tables,
+        # scripts/scale_probe.py).
+        return side.withColumn(
+            sig_alias, sig_kernel(F.col("__vec"))
+        ).select(
             id_alias,
-            vec_alias,
+            *extra,
             sig_alias,
             F.posexplode(sig_alias).alias("tbl", "sig"),
         )
@@ -366,19 +374,22 @@ def lsh_bucket_topk(
 
     q = tabled(
         queries.select(
-            F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
+            F.col(query_id).alias("query_id"), F.col(vec_col).alias("__vec")
         ),
         "query_id",
-        "qv",
         "sigs_q",
+        extra=[F.col("__vec").alias("qv")],  # query side is bounded
+    )
+    corpus_vecs = ensure_parallelism(corpus).select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     c = tabled(
-        ensure_parallelism(corpus).select(
-            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        corpus_vecs.select(
+            "neighbor_id", F.col("cv").alias("__vec")
         ),
         "neighbor_id",
-        "cv",
         "sigs_c",
+        extra=[],
     )
     if max_bucket is not None:
         wb = Window.partitionBy("tbl", "sig").orderBy(F.asc("neighbor_id"))
@@ -391,15 +402,16 @@ def lsh_bucket_topk(
         "exists(zip_with(slice(sigs_q, 1, tbl), slice(sigs_c, 1, tbl),"
         " (x, y) -> x = y), coll -> coll)"
     )
-    scored = (
+    pairs = (
         c.join(q, ["tbl", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .where(~earlier_collision)
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
-        )
+        .select("query_id", "qv", "neighbor_id")
+    )
+    scored = pairs.join(corpus_vecs, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
