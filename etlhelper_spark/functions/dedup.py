@@ -123,6 +123,28 @@ def minhash_signatures(
     the shuffle is one row per document instead of k rows per
     (document, seed). Output: (id, seed, minhash) long format.
     """
+    wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_size)
+    stack_args = ", ".join(f"{i}, mh_{i}" for i in range(num_hashes))
+    return wide.select(
+        "id",
+        F.expr(f"stack({num_hashes}, {stack_args}) AS (seed, minhash)"),
+    )
+
+
+def _minhash_wide(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    shingle_size: int,
+) -> DataFrame:
+    """Wide minhash intermediate: one row per doc, mh_0..mh_{k-1}.
+
+    All k minima compute as k aggregate columns in a single groupBy —
+    no seed explosion, so the shuffle is one row per (doc, shingle)
+    instead of k rows per (doc, shingle, seed). Both the long-format
+    public signatures and the banding stage project off this, so band
+    keys never pay a second shuffle."""
     shingles = shingle_table(df, id_col, text_col, shingle_size)
     h0 = (
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
@@ -143,12 +165,7 @@ def minhash_signatures(
         ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
-    wide = hashed.groupBy("id").agg(*aggs)
-    stack_args = ", ".join(f"{i}, mh_{i}" for i in range(num_hashes))
-    return wide.select(
-        "id",
-        F.expr(f"stack({num_hashes}, {stack_args}) AS (seed, minhash)"),
-    )
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -168,23 +185,38 @@ def minhash_lsh_candidates(
     viable on billions of documents.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
-    band_keys = (
-        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "minhash"))
-                        ),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                    ",",
-                )
-            ).alias("band_key")
-        )
+    # Band keys project straight off the wide (one-row-per-doc)
+    # minhash aggregate: md5 over the band's minhashes in seed order —
+    # byte-identical to hashing the sorted long-format rows, but
+    # without stacking to num_hashes rows per doc and re-shuffling
+    # them back together (at 1M docs x 32 hashes that second shuffle
+    # was 32M rows for zero information gain).
+    wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_size)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(
+                                f"mh_{b * rows_per_band + j}"
+                            ).cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    band_keys = wide.select(
+        "id", F.explode(band_structs).alias("bk")
+    ).select(
+        "id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
     )
     a = band_keys.alias("a")
     b = band_keys.alias("b")
