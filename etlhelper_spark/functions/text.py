@@ -201,7 +201,9 @@ def unigram_surprisal(
     )
 
 
-def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
+def winnow_fingerprints(
+    col: Column, k: int = 8, w: int = 4, hash_fn: str = "md5"
+) -> Column:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every k-char shingle, then
     keep the minimum hash of each sliding window of *w* consecutive
@@ -222,11 +224,30 @@ def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
     window over all shingles; fewer than k chars -> empty array.
     """
     n_grams = F.length(col) - F.lit(k - 1)
+    if hash_fn == "md5":
+        # cross-engine reproducible (the DuckDB oracle computes the
+        # identical set) — the default, and the slow path: md5 costs
+        # ~75k docs/s/32 cores at 50-char docs (SCALE_PROBE.md)
+        def shingle_hash(i):
+            return F.substring(F.md5(F.substring(col, i, k)), 1, 8)
+
+    elif hash_fn == "xxhash64":
+        # production scan path: JVM xxhash64 intrinsic, no md5 bignum —
+        # same winnowing guarantees (any consistent hash works), NOT
+        # comparable across engines; zero-padded hex keeps min() order
+        # equivalent to numeric order
+        def shingle_hash(i):
+            return F.lpad(
+                F.hex(F.xxhash64(F.substring(col, i, k))), 16, "0"
+            )
+
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
     hashes = F.transform(
         F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams)).otherwise(
             F.array().cast("array<int>")
         ),
-        lambda i: F.substring(F.md5(F.substring(col, i, k)), 1, 8),
+        shingle_hash,
     )
 
     def _winnow(h):

@@ -119,6 +119,17 @@ def main() -> None:
         ).first()["s"],
     )
     probe(
+        "winnow_fingerprints scan (xxhash64)",
+        n_docs,
+        lambda: docs.select(
+            F.sum(
+                F.size(
+                    winnow_fingerprints(F.col("text"), hash_fn="xxhash64")
+                )
+            ).alias("s")
+        ).first()["s"],
+    )
+    probe(
         "quality_logit scan",
         n_docs,
         lambda: docs.select(

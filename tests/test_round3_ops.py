@@ -308,3 +308,26 @@ def test_merge_rollup_retraction_drops_group(spark):
     )
     out = {r["g"]: (r["n"], r["sv"]) for r in merge_rollup(base, delta, ["g"]).collect()}
     assert out == {"b": (2, 12)}
+
+
+def test_winnow_xxhash64_fast_path(spark):
+    """The production hash variant keeps the winnowing guarantee and
+    fingerprint-count shape; only the hash values differ from md5."""
+    from etlhelper_spark.functions.text import winnow_fingerprints
+
+    shared = "COMMONSEGMENT"
+    docs = [(1, f"prefix padding {shared} tail one"),
+            (2, f"{shared} very different suffix two")]
+    rows = (
+        spark.createDataFrame(docs, ["doc_id", "text"])
+        .select(
+            "doc_id",
+            winnow_fingerprints(F.col("text"), hash_fn="xxhash64").alias("x"),
+            winnow_fingerprints(F.col("text")).alias("m"),
+        )
+        .collect()
+    )
+    by_id = {r["doc_id"]: r for r in rows}
+    assert set(by_id[1]["x"]) & set(by_id[2]["x"])  # guarantee holds
+    for r in rows:  # similar density: counts within 2x of the md5 set
+        assert 0 < len(r["x"]) <= 2 * len(r["m"]) + 2
