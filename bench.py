@@ -149,6 +149,7 @@ HEADLINE = [
     "q160_inverted_index",
     "q161_cogroup_merge",
     "q162_incremental_rollup",
+    "q163_stream_ivm",
 ]
 
 

@@ -65,3 +65,80 @@ def merge_rollup(
         ],
     )
     return merged.where(F.col("n") != 0)
+
+
+def streaming_incremental_rollup(
+    spark,
+    sf_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    source_files: int = 4,
+) -> DataFrame:
+    """Streaming form of the rollup maintenance: each micro-batch's
+    partial aggregate merges into parquet state via foreachBatch —
+    the continuously-fresh dashboard table.
+
+    State is versioned per batch (``state_dir/v{batch_id}``) and the
+    merge reads the latest prior version, so a replayed batch
+    overwrites its own version instead of double-counting — idempotent
+    under foreachBatch's at-least-once contract, same ledger idea as
+    the exactly-once JDBC sink. The events table is re-split into
+    *source_files* files so availableNow genuinely exercises multiple
+    incremental merges (one file per trigger).
+
+    Returns the final state DataFrame; equals the batch rollup over
+    all events (q163's oracle)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..sources import read_parquet_table
+
+    split_dir = os.path.join(state_dir, "_source")
+    read_parquet_table(
+        spark, os.path.join(sf_dir, "events.parquet")
+    ).repartition(source_files).write.mode("overwrite").parquet(split_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(split_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split_dir)
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    keys = ["event_type", "day"]
+
+    def upsert(batch_df, batch_id: int) -> None:
+        partial = rollup_partial(batch_df, keys, {"value_cents": "cents"})
+        prior = [
+            int(os.path.basename(p)[1:])
+            for p in glob.glob(os.path.join(state_dir, "v*"))
+            if int(os.path.basename(p)[1:]) < batch_id
+        ]
+        if prior:
+            base = batch_df.sparkSession.read.parquet(
+                os.path.join(state_dir, f"v{max(prior)}")
+            )
+            merged = merge_rollup(base, partial, keys)
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions = [
+        int(os.path.basename(p)[1:])
+        for p in glob.glob(os.path.join(state_dir, "v*"))
+    ]
+    return spark.read.parquet(os.path.join(state_dir, f"v{max(versions)}"))

@@ -7258,6 +7258,34 @@ def q162_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_rollup(base, delta_p, keys)
 
 
+@query(
+    "q163_stream_ivm",
+    """
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def q163_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental view maintenance
+    (operators/ivm.py::streaming_incremental_rollup): the events feed
+    is drained as four availableNow micro-batches, each one's partial
+    aggregate merged into versioned parquet state via foreachBatch —
+    replayed batches overwrite their own version, so the maintenance
+    is idempotent under at-least-once delivery. The oracle states the
+    freshness contract: after the drain, the maintained table EQUALS
+    the batch rollup over everything — the end-to-end form of q162's
+    merge, now with the streaming machinery in the loop."""
+    from ..operators.ivm import streaming_incremental_rollup
+
+    configure_session(spark)
+    ckpt = tempfile.mkdtemp(prefix="ehs_ivm_ckpt_")
+    state = tempfile.mkdtemp(prefix="ehs_ivm_state_")
+    return streaming_incremental_rollup(spark, sf_dir, ckpt, state)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
