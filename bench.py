@@ -150,6 +150,7 @@ HEADLINE = [
     "q161_cogroup_merge",
     "q162_incremental_rollup",
     "q163_stream_ivm",
+    "q164_skyline",
 ]
 
 

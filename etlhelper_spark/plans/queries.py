@@ -7286,6 +7286,65 @@ def q163_stream_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_incremental_rollup(spark, sf_dir, ckpt, state)
 
 
+@query(
+    "q164_skyline",
+    """
+    WITH pts AS (
+        SELECT p_retailprice AS price, p_size AS size,
+               CAST(min(p_partkey) AS BIGINT) AS part_id
+        FROM part GROUP BY p_retailprice, p_size
+    )
+    SELECT price, size, part_id FROM pts d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts e
+        WHERE e.price <= d.price AND e.size <= d.size
+          AND (e.price < d.price OR e.size < d.size)
+    )
+    """,
+)
+def q164_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto front) over (price, size) — the preference
+    query: keep the parts no other part beats on both dimensions.
+    The naive plan is the oracle's NOT-EXISTS theta self-join
+    (quadratic, BroadcastNestedLoop); the declared plan is the
+    scalable decomposition: distinct points bucket by price range,
+    in-bucket domination is a cumulative size-min window PARALLEL per
+    bucket (bucket boundaries guarantee earlier buckets are strictly
+    cheaper), and cross-bucket domination needs only each bucket's
+    min size — a |buckets|-row summary whose running min broadcasts
+    back. One hash shuffle on bucket + one broadcast: no O(n²)
+    comparisons anywhere, and the single-partition window runs over
+    the tiny bucket summary, never the data."""
+    p = _t(spark, sf_dir, "part")
+    pts = p.groupBy(
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+    ).agg(F.min("p_partkey").alias("part_id"))
+    b = pts.withColumn(
+        "bucket", F.floor(F.col("price") / 10).cast("long")
+    )
+    w_in = Window.partitionBy("bucket").orderBy("price", "size").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bmins = b.groupBy("bucket").agg(F.min("size").alias("bmin"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bprev = bmins.select(
+        "bucket", F.min("bmin").over(wb).alias("prev_min")
+    )
+    return (
+        b.withColumn("min_prev", F.min("size").over(w_in))
+        .join(F.broadcast(bprev), "bucket")
+        .where(
+            (F.col("min_prev").isNull() | (F.col("min_prev") > F.col("size")))
+            & (
+                F.col("prev_min").isNull()
+                | (F.col("prev_min") > F.col("size"))
+            )
+        )
+        .select("price", "size", "part_id")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -331,3 +331,30 @@ def test_winnow_xxhash64_fast_path(spark):
     assert set(by_id[1]["x"]) & set(by_id[2]["x"])  # guarantee holds
     for r in rows:  # similar density: counts within 2x of the md5 set
         assert 0 < len(r["x"]) <= 2 * len(r["m"]) + 2
+
+
+def test_skyline_matches_bruteforce(spark):
+    """Bucketed skyline equals the O(n^2) definition on random points."""
+    import random
+
+    from etlhelper_spark.plans.queries import q164_skyline  # noqa: F401
+
+    rng = random.Random(5)
+    pts = [(i, round(900 + rng.random() * 100, 2), rng.randint(1, 50))
+           for i in range(300)]
+    df = spark.createDataFrame(pts, "p_partkey long, p_retailprice double, p_size int")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(d, "part.parquet"))
+    got = {(r["price"], r["size"]) for r in q164_skyline(spark, d).collect()}
+    dedup = {}
+    for i, pr, sz in pts:
+        dedup.setdefault((pr, sz), i)
+    expect = set()
+    for (pr, sz) in dedup:
+        if not any(
+            (epr <= pr and esz <= sz and (epr < pr or esz < sz))
+            for (epr, esz) in dedup
+        ):
+            expect.add((pr, sz))
+    assert got == expect
