@@ -151,6 +151,7 @@ HEADLINE = [
     "q162_incremental_rollup",
     "q163_stream_ivm",
     "q164_skyline",
+    "q165_mixture_sample",
 ]
 
 

@@ -7345,6 +7345,66 @@ def q164_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q165_mixture_sample",
+    """
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(ceil(sqrt(count(*)) * 4) AS BIGINT) AS n_target
+        FROM documents GROUP BY source
+    ), kept AS (
+        SELECT d.source, d.n_chars
+        FROM documents d JOIN counts c USING (source)
+        WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % c.n_docs < c.n_target
+    )
+    SELECT c.source, c.n_docs, c.n_target,
+           CAST(count(k.source) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(k.n_chars), 0) AS BIGINT) AS kept_chars
+    FROM counts c LEFT JOIN kept k ON c.source = k.source
+    GROUP BY c.source, c.n_docs, c.n_target
+    """,
+)
+def q165_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mixture construction — the multilingual/multi-domain
+    rebalancing rule (sample ∝ sqrt of source size, the temperature-
+    sampling shape): per-source targets derive from the source counts,
+    and selection is the engine-stable hash test ``md5(id) mod n <
+    target`` — pure INTEGER arithmetic, so the sample is identical
+    across engines, runs, and partitionings, and the acceptance rate
+    tracks target/n with no RNG state. Plan shape: one tiny per-source
+    count aggregate broadcast back into a single filter scan — the
+    same two-pass broadcast pattern as winsorize/z-score, linear at
+    any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.ceil(F.sqrt(F.count("*")) * 4).cast("long").alias("n_target"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    kept = (
+        d.join(F.broadcast(counts), "source")
+        .where(F.pmod(h, F.col("n_docs")) < F.col("n_target"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+    return (
+        counts.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_target",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("kept_chars"), F.lit(0)).alias("kept_chars"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
