@@ -152,6 +152,8 @@ HEADLINE = [
     "q163_stream_ivm",
     "q164_skyline",
     "q165_mixture_sample",
+    "q166_rfm_segments",
+    "q167_mad_outliers",
 ]
 
 

@@ -7405,6 +7405,129 @@ def q165_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q166_rfm_segments",
+    """
+    WITH rfm AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(round(CAST(sum(o_totalprice) AS DECIMAL(30,10)), 2)
+                    AS DOUBLE) AS monetary
+        FROM orders GROUP BY o_custkey
+    ), scored AS (
+        SELECT o_custkey,
+               ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+               ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+               ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+        FROM rfm
+    )
+    SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def q166_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency/frequency/monetary quartiles) — the
+    standard customer-value grid: one per-customer aggregate, three
+    global ntile windows (each deterministic via customer-key
+    tie-break), a tiny 4x4x4 segment count. The global ntile is the
+    scale caveat: it single-partitions |customers| rows, fine for a
+    dimension-sized table; at fact scale swap ntile for
+    approx-percentile bucket edges computed map-side (the q103
+    mixture-decile pattern) and the plan loses the global sort."""
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        _sround(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = rfm.select(
+        "o_custkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+        .alias("r"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("freq"), F.asc("o_custkey")))
+        .alias("f"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+@query(
+    "q167_mad_outliers",
+    """
+    WITH med AS (
+        SELECT event_type,
+               CAST(round(CAST(median(value) AS DECIMAL(30,10)), 6)
+                    AS DOUBLE) AS med
+        FROM events GROUP BY event_type
+    ), mad AS (
+        SELECT e.event_type, m.med,
+               CAST(round(CAST(median(abs(value - med))
+                    AS DECIMAL(30,10)), 6) AS DOUBLE) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN abs(value - med) > 3 * mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           med, mad
+    FROM events e JOIN mad USING (event_type)
+    GROUP BY e.event_type, med, mad
+    """,
+)
+def q167_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    companion to q158's z-score that heavy-tailed metrics need (mean
+    and stddev are themselves dragged by the outliers; medians are
+    not). Three passes, each a tiny per-type aggregate broadcast into
+    the next linear scan: median, MAD, exceedance count. Exact
+    median keeps the oracle hash-tight; at fact scale each median
+    swaps for approx_percentile and the shape is unchanged."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.round(
+            F.expr("percentile(value, 0.5)").cast("decimal(30,10)"), 6
+        )
+        .cast("double")
+        .alias("med")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(
+            F.round(
+                F.expr("percentile(abs(value - med), 0.5)").cast(
+                    "decimal(30,10)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("mad")
+        )
+    )
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "n_events", "n_outliers", "med", "mad")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
