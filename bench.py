@@ -154,6 +154,7 @@ HEADLINE = [
     "q165_mixture_sample",
     "q166_rfm_segments",
     "q167_mad_outliers",
+    "q168_bm25_search",
 ]
 
 

@@ -7528,6 +7528,106 @@ def q167_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q168_bm25_search",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS token
+        FROM documents
+    ), doclen AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok
+        WHERE token <> '' GROUP BY doc_id
+    ), stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(round(CAST(avg(dl) AS DECIMAL(30,10)), 6) AS DOUBLE)
+                   AS avg_dl
+        FROM doclen
+    ), tf AS (
+        SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        FROM tok WHERE token IN ('table', 'scan', 'value')
+        GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
+        GROUP BY token
+    ), scored AS (
+        SELECT tf.doc_id,
+               sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * 2.2)
+                   / (tf + 1.2 * (0.25 + 0.75 * dl / avg_dl))) AS score
+        FROM tf
+        JOIN df USING (token)
+        JOIN doclen USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id,
+           CAST(round(CAST(score AS DECIMAL(30,10)), 4) AS DOUBLE)
+               AS bm25
+    FROM scored
+    ORDER BY round(CAST(score AS DECIMAL(30,10)), 4) DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def q168_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) for the query
+    {table, scan, value} — the ranking layer over q160's inverted
+    index. Every statistic is a mergeable aggregate: doc lengths and
+    term frequencies partial-combine map-side, document frequencies
+    and the corpus stats are tiny broadcasts, and the final score is
+    one per-doc sum over at most |query| terms. No corpus-sized state
+    anywhere except the (doc, query-term) tf table, which the IN
+    filter prunes during the explode — at 100 TB this is one scan +
+    three broadcast joins."""
+    from ..functions.util import ensure_parallelism
+
+    d = _t(spark, sf_dir, "documents")
+    tok = (
+        ensure_parallelism(d)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("dl").cast("decimal(30,10)"), 6)
+        .cast("double")
+        .alias("avg_dl"),
+    )
+    tf = (
+        tok.where(F.col("token").isin("table", "scan", "value"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score_term = idf * (F.col("tf") * 2.2) / (
+        F.col("tf")
+        + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avg_dl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(score_term).alias("score"))
+    )
+    bm25 = F.round(F.col("score").cast("decimal(30,10)"), 4).cast("double")
+    return (
+        scored.select("doc_id", bm25.alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
