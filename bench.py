@@ -155,6 +155,7 @@ HEADLINE = [
     "q166_rfm_segments",
     "q167_mad_outliers",
     "q168_bm25_search",
+    "q169_chi_square",
 ]
 
 

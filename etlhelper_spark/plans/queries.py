@@ -7628,6 +7628,68 @@ def q168_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q169_chi_square",
+    """
+    WITH obs AS (
+        SELECT event_type, dayofweek(ts) AS dow,
+               CAST(count(*) AS BIGINT) AS o
+        FROM events GROUP BY event_type, dayofweek(ts)
+    ), rowt AS (
+        SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM obs
+        GROUP BY event_type
+    ), colt AS (
+        SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY dow
+    ), tot AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n FROM obs
+    )
+    SELECT obs.event_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(round(CAST(sum(
+               (o - (rt * ct / CAST(n AS DOUBLE)))
+               * (o - (rt * ct / CAST(n AS DOUBLE)))
+               / (rt * ct / CAST(n AS DOUBLE))
+           ) AS DECIMAL(30,10)), 4) AS DOUBLE) AS chi2_contrib
+    FROM obs
+    JOIN rowt USING (event_type)
+    JOIN colt USING (dow)
+    CROSS JOIN tot
+    GROUP BY obs.event_type
+    """,
+)
+def q169_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence scan: is event-type activity uniform
+    across weekdays, per type? The contingency table is one combinable
+    (type, dow) count; marginals and the grand total are aggregates OF
+    that tiny table (|types|·7 cells), so nothing after the first scan
+    touches the corpus. Per-type chi² contributions come from joining
+    the cell table to its own marginals — the A/B-test and
+    drift-detection primitive, in one linear pass plus toy-sized
+    joins. Spark's dayofweek is 1-based Sunday; the oracle's is
+    0-based, aligned by subtracting 1 JVM-side."""
+    e = _t(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    ).agg(F.count("*").alias("o"))
+    rowt = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    colt = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    expected = (
+        F.col("rt") * F.col("ct") / F.col("n").cast("double")
+    )
+    contrib = (F.col("o") - expected) * (F.col("o") - expected) / expected
+    return (
+        obs.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "dow")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_cells"),
+            _sround(F.sum(contrib), 4).alias("chi2_contrib"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
