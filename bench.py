@@ -222,9 +222,22 @@ def main() -> None:
 
     # IVF index build timed separately from the probe (q140): the
     # persistent index is build-once/probe-many, so the headline entry
-    # measures the probe and this measures the build.
+    # measures the probe and this measures the build. One throwaway
+    # build first compiles the assignment/write codegen, so the timed
+    # number is steady-state like every other entry in the report.
+    import shutil
+    import tempfile
+
+    from etlhelper_spark.functions.ann_index import build_ivf_index
     from etlhelper_spark.plans.queries import ivf_index_cached
 
+    _warm_idx = tempfile.mkdtemp(prefix="ehs_ivf_warm_")
+    build_ivf_index(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(512),
+        os.path.join(_warm_idx, "idx"),
+        nlist=16,
+    )
+    shutil.rmtree(_warm_idx, ignore_errors=True)
     t0 = time.time()
     ivf_index_cached(spark, SF_DIR, nlist=16)
     ivf_build_sec = round(time.time() - t0, 3)

@@ -191,7 +191,15 @@ def minhash_lsh_candidates(
     # without stacking to num_hashes rows per doc and re-shuffling
     # them back together (at 1M docs x 32 hashes that second shuffle
     # was 32M rows for zero information gain).
+    # Indivisible num_hashes/bands leaves a FINAL PARTIAL band of the
+    # leftover seeds (seed // rows_per_band groups them under band
+    # index == bands), matching the long-format banding — silently
+    # dropping those seeds would cost the recall they pay for.
     wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_size)
+    band_seeds = [
+        (b, list(range(b * rows_per_band, min((b + 1) * rows_per_band, num_hashes))))
+        for b in range(bands + (1 if num_hashes % bands else 0))
+    ]
     band_structs = F.array(
         *[
             F.struct(
@@ -200,15 +208,13 @@ def minhash_lsh_candidates(
                     F.concat_ws(
                         ",",
                         *[
-                            F.col(
-                                f"mh_{b * rows_per_band + j}"
-                            ).cast("string")
-                            for j in range(rows_per_band)
+                            F.col(f"mh_{j}").cast("string")
+                            for j in seeds
                         ],
                     )
                 ).alias("band_key"),
             )
-            for b in range(bands)
+            for b, seeds in band_seeds
         ]
     )
     band_keys = wide.select(

@@ -40,8 +40,18 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine similarity between two array<numeric> columns."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity between two array<numeric> columns.
+
+    A zero vector yields -1.0 (minimal similarity — it matches
+    nothing) instead of an ANSI divide-by-zero error: DuckDB's
+    list_cosine_similarity returns -1.0 for the same input, so the
+    oracles agree, and degenerate corpus rows lose every
+    argmax/top-k instead of killing the job. The CASE branch is
+    evaluated lazily, so non-degenerate rows never pay for it."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == 0.0, F.lit(-1.0)).otherwise(
+        _dot(a, b) / denom
+    )
 
 
 # ----------------------------------------------------------------------
@@ -398,16 +408,41 @@ def lsh_bucket_topk(
             .where(F.col("bpos") <= max_bucket)
             .drop("bpos")
         )
-    earlier_collision = F.expr(
-        "exists(zip_with(slice(sigs_q, 1, tbl), slice(sigs_c, 1, tbl),"
-        " (x, y) -> x = y), coll -> coll)"
-    )
-    pairs = (
-        c.join(q, ["tbl", "sig"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .where(~earlier_collision)
-        .select("query_id", "qv", "neighbor_id")
-    )
+        # First-collision-wins must be SURVIVAL-aware under the cap: a
+        # signature collision in an earlier table only produced a join
+        # row if the neighbor survived that table's bucket cap — a
+        # neighbor capped out of its earliest colliding bucket but
+        # alive in a later one would otherwise be dropped in BOTH
+        # (earlier row never exists, later row filtered by the bare
+        # signature test), losing the pair entirely. alive_tbls is a
+        # light per-neighbor aggregate of the capped exploded rows.
+        alive = c.groupBy("neighbor_id").agg(
+            F.collect_set("tbl").alias("alive_tbls")
+        )
+        earlier_collision = F.expr(
+            "CASE WHEN tbl = 0 THEN false ELSE"
+            " exists(sequence(0, tbl - 1),"
+            "  t -> element_at(sigs_q, t + 1) = element_at(sigs_c, t + 1)"
+            "   AND array_contains(alive_tbls, t)) END"
+        )
+        pairs = (
+            c.join(q, ["tbl", "sig"])
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .join(alive, "neighbor_id")
+            .where(~earlier_collision)
+            .select("query_id", "qv", "neighbor_id")
+        )
+    else:
+        earlier_collision = F.expr(
+            "exists(zip_with(slice(sigs_q, 1, tbl), slice(sigs_c, 1, tbl),"
+            " (x, y) -> x = y), coll -> coll)"
+        )
+        pairs = (
+            c.join(q, ["tbl", "sig"])
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .where(~earlier_collision)
+            .select("query_id", "qv", "neighbor_id")
+        )
     scored = pairs.join(corpus_vecs, "neighbor_id").select(
         "query_id",
         "neighbor_id",

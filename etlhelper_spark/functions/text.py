@@ -293,3 +293,24 @@ def quality_logit(col: Column) -> Column:
         - F.lit(0.05) * mean_tok_len
     )
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def tokens_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, token) exploded table under THE tokenization rule
+    (lower → trim → split on whitespace → drop empties) that links the
+    inverted index to every ranking/statistics layer built on it —
+    one definition so the index and its consumers can never diverge."""
+    from .util import ensure_parallelism
+
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )

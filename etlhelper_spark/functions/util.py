@@ -134,7 +134,7 @@ def in_filter_join(
     Where a broadcast left-semi join still reads every fact row and
     filters post-scan, the collected IN list reaches the parquet
     reader as ``PushedFilters: In(key, ...)`` (plan-asserted in
-    tests/test_util_ops.py), so row groups whose min/max stats exclude
+    tests/test_round3_ops.py), so row groups whose min/max stats exclude
     the whole list are skipped WITHOUT being read — and on a
     partitioned-by-key layout, whole directories are pruned. At 100 TB
     that is the difference between scanning the fact table and

@@ -6726,7 +6726,7 @@ def q154_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     by custkey, whole directories are pruned). Result is exactly the
     left-semi join the oracle states; the fallback above the
     max_keys bound is a broadcast semi join. Plan-asserted in
-    tests/test_util_ops.py: `PushedFilters: [In(o_custkey, ...)]`."""
+    tests/test_round3_ops.py: `PushedFilters: [In(o_custkey, ...)]`."""
     from ..functions.util import in_filter_join
 
     o = _t(spark, sf_dir, "orders")
@@ -7104,19 +7104,10 @@ def q160_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap. At 100 TB the full postings would go to a partitioned sink
     instead of a driver-facing top-k; the plan shape (explode + two
     combinable aggs) is the same."""
-    from ..functions.util import ensure_parallelism
+    from ..functions.text import tokens_table
 
     d = _t(spark, sf_dir, "documents")
-    tok = (
-        ensure_parallelism(d)
-        .select(
-            "doc_id",
-            F.explode(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-            ).alias("token"),
-        )
-        .where(F.col("token") != "")
-    )
+    tok = tokens_table(d, "doc_id", "text")
     per_doc = tok.groupBy("token", "doc_id").agg(F.count("*").alias("n"))
     return (
         per_doc.groupBy("token")
@@ -7580,19 +7571,10 @@ def q168_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere except the (doc, query-term) tf table, which the IN
     filter prunes during the explode — at 100 TB this is one scan +
     three broadcast joins."""
-    from ..functions.util import ensure_parallelism
+    from ..functions.text import tokens_table
 
     d = _t(spark, sf_dir, "documents")
-    tok = (
-        ensure_parallelism(d)
-        .select(
-            "doc_id",
-            F.explode(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-            ).alias("token"),
-        )
-        .where(F.col("token") != "")
-    )
+    tok = tokens_table(d, "doc_id", "text")
     doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = doclen.agg(
         F.count("*").alias("n_docs"),

@@ -22,6 +22,7 @@ protection the reference's sequential writer doesn't need.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame
 
@@ -82,13 +83,22 @@ _MISSING_TABLE_MARKS = (
     "invalid object name",  # MSSQL message text
     "table_or_view_not_found",  # Spark SQL error class
     "table or view not found",
-    "does not exist",
+)
+# generic fallback: the phrase must mention a table-like entity — a
+# bare "does not exist" also matches missing COLUMNS (e.g. a data
+# table pre-created without __batch_id), and swallowing that error
+# lets a replayed half-written batch append on top of its leftovers,
+# silently breaking exactly-once. Column/schema errors must raise.
+_MISSING_TABLE_RE = re.compile(
+    r"(table|relation|view)\s+\S{0,130}\s*(does not exist|doesn't exist|not found)"
 )
 
 
 def _is_missing_table(exc: BaseException) -> bool:
     text = str(exc).lower()
-    return any(mark in text for mark in _MISSING_TABLE_MARKS)
+    return any(mark in text for mark in _MISSING_TABLE_MARKS) or bool(
+        _MISSING_TABLE_RE.search(text)
+    )
 
 
 def idempotent_jdbc_batch_writer(

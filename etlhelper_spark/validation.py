@@ -34,11 +34,47 @@ def validate_identifier(identifier: str) -> None:
 # Shared SQL-text sanitizer for keyword routing decisions: neither a
 # `-- returning ids` comment nor a VALUES literal containing the word
 # 'insert' may change how a statement is routed.
-_SQL_COMMENTS = re.compile(r"--[^\n]*|/\*.*?\*/", re.DOTALL)
-_SQL_LITERALS = re.compile(r"'(?:[^']|'')*'")
 
 
 def strip_sql_noise(sql: str) -> str:
-    """Return *sql* with comments removed and string literals collapsed
-    to ``''``, for keyword searches that must ignore both."""
-    return _SQL_LITERALS.sub("''", _SQL_COMMENTS.sub(" ", sql)).lstrip()
+    """Return *sql* with comments removed, string literals collapsed to
+    ``''`` and quoted identifiers to ``""``, for keyword searches that
+    must ignore all three.
+
+    Single left-to-right scan, NOT regex passes: ordered regexes get
+    either nesting wrong — a literal containing ``--`` (``'a--b'``)
+    must not start a comment, and a comment containing a quote
+    (``-- don't``) must not open a literal. The scanner tracks which
+    construct opened first, the only correct rule.
+    """
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":  # string literal; '' is the escaped quote
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append("''")
+            i = j + 1
+        elif ch == '"':  # quoted identifier (may contain keywords)
+            j = sql.find('"', i + 1)
+            out.append('""')
+            i = n if j == -1 else j + 1
+        elif ch == "-" and sql.startswith("--", i):
+            j = sql.find("\n", i)
+            out.append(" ")
+            i = n if j == -1 else j  # keep the newline itself
+        elif ch == "/" and sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            out.append(" ")
+            i = n if j == -1 else j + 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out).lstrip()

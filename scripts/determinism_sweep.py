@@ -51,9 +51,19 @@ def main() -> int:
         rc, tail = run_replica(cpus, hp)
         rc_total |= rc
         lines.append(f"local[{cpus}]: {tail} (rc={rc})")
-        with open(hp) as fh:
-            hashes[cpus] = json.load(fh)
-        os.unlink(hp)
+        # a replica that died before writing its hash file must still
+        # produce a diagnosable REPORT (with the failure recorded and
+        # a non-zero exit), not an unhandled traceback
+        if os.path.exists(hp):
+            with open(hp) as fh:
+                hashes[cpus] = json.load(fh)
+            os.unlink(hp)
+        else:
+            hashes[cpus] = {}
+            lines.append(
+                f"local[{cpus}]: replica wrote no hash file — run failed"
+            )
+            rc_total |= 4
     names = sorted(set(hashes["4"]) | set(hashes["32"]))
     diverged = [
         n

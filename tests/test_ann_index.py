@@ -94,3 +94,28 @@ def test_index_roundtrips_all_lists(spark, vecs, index_dir):
     assert idx.select("list_id").distinct().count() <= 8
     # every vector assigned exactly once
     assert idx.select("vec_id").distinct().count() == vecs.count()
+
+
+def test_zero_vector_cosine_matches_duckdb(spark):
+    """A zero vector yields cosine -1.0 (DuckDB's behavior for
+    list_cosine_similarity) instead of an ANSI divide-by-zero error,
+    so degenerate rows lose every argmax/top-k on BOTH engines."""
+    from pyspark.sql import functions as F
+
+    from etlhelper_spark.functions.similarity import (
+        cosine_similarity,
+        nearest_pivot,
+    )
+
+    df = spark.createDataFrame([([0.5, 0.5],)], "embedding array<double>")
+    sim = df.select(
+        cosine_similarity(
+            F.col("embedding"), F.array(F.lit(0.0), F.lit(0.0))
+        ).alias("s")
+    ).first()["s"]
+    assert sim == -1.0
+    pivots = [(0, [0.0, 0.0]), (1, [1.0, 0.0])]
+    row = df.select(
+        nearest_pivot(F.col("embedding"), pivots).alias("p")
+    ).first()
+    assert row["p"]["pid"] == 1  # zero pivot loses, real pivot wins

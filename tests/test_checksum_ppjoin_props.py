@@ -85,3 +85,54 @@ def test_ppjoin_matches_naive_on_random_corpora(spark):
         }
         expect = _naive_jaccard_pairs(docs, 2, 0.5)
         assert got == expect, f"trial {trial}: {got ^ expect}"
+
+
+def test_minhash_banding_uses_leftover_seeds(spark):
+    """Indivisible num_hashes/bands: the leftover seeds form a final
+    partial band (seed // rows_per_band grouping), not silently drop —
+    candidates must match banding computed from the long-format
+    signatures."""
+    import hashlib
+
+    from etlhelper_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(8)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            df, "doc_id", "text", num_hashes=10, bands=4, shingle_size=2
+        ).collect()
+    }
+    sigs = minhash_signatures(
+        df, "doc_id", "text", num_hashes=10, shingle_size=2
+    ).collect()
+    per_doc: dict = {}
+    for r in sigs:
+        per_doc.setdefault(r["id"], {})[r["seed"]] = r["minhash"]
+    rows_per_band = 10 // 4
+    buckets: dict = {}
+    for doc, mh in per_doc.items():
+        for band in range(5):  # 4 full + 1 leftover
+            seeds = [s for s in sorted(mh) if s // rows_per_band == band]
+            if not seeds:
+                continue
+            key = hashlib.md5(
+                ",".join(str(mh[s]) for s in seeds).encode()
+            ).hexdigest()
+            buckets.setdefault((band, key), []).append(doc)
+    expect = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                expect.add((ms[i], ms[j]))
+    assert got == expect
