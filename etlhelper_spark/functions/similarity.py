@@ -46,11 +46,13 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     nothing) instead of an ANSI divide-by-zero error: DuckDB's
     list_cosine_similarity returns -1.0 for the same input, so the
     oracles agree, and degenerate corpus rows lose every
-    argmax/top-k instead of killing the job. The CASE branch is
-    evaluated lazily, so non-degenerate rows never pay for it."""
-    denom = _norm(a) * _norm(b)
-    return F.when(denom == 0.0, F.lit(-1.0)).otherwise(
-        _dot(a, b) / denom
+    argmax/top-k instead of killing the job. try_divide (NULL on zero
+    divisor) + coalesce, NOT a CASE on the divisor: a CASE mentions
+    the norm product twice (condition and division), and inside the
+    argmax fold that doubled the per-pivot work — measured 6x on the
+    k-means assignment scan."""
+    return F.coalesce(
+        F.try_divide(_dot(a, b), _norm(a) * _norm(b)), F.lit(-1.0)
     )
 
 
