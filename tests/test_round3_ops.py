@@ -358,3 +358,89 @@ def test_skyline_matches_bruteforce(spark):
         ):
             expect.add((pr, sz))
     assert got == expect
+
+
+# ------------------------------------------------------------ edge cases
+def test_in_filter_join_null_keys_match_semi_join(spark):
+    """NULL dim keys must not change semantics: neither IN nor a semi
+    join matches NULL, so results agree with and without NULLs."""
+    from pyspark.sql import Row
+
+    from etlhelper_spark.functions.util import in_filter_join
+
+    fact = spark.createDataFrame(
+        [Row(k=1), Row(k=2), Row(k=None)], "k int"
+    )
+    dim = spark.createDataFrame(
+        [Row(dk=1), Row(dk=None)], "dk int"
+    )
+    got = sorted(
+        r["k"] for r in in_filter_join(fact, dim, "k", "dk").collect()
+    )
+    expected = sorted(
+        r["k"]
+        for r in fact.join(
+            dim, fact["k"] == dim["dk"], "left_semi"
+        ).collect()
+    )
+    assert got == expected == [1]
+
+
+def test_rollup_partial_empty_delta_is_identity(spark):
+    from etlhelper_spark.operators.ivm import merge_rollup, rollup_partial
+
+    base = spark.createDataFrame(
+        [("a", 2, 30)], "g string, n long, sv long"
+    )
+    empty = rollup_partial(
+        spark.createDataFrame([], "g string, v long"), ["g"], {"sv": "v"}
+    )
+    out = merge_rollup(base, empty, ["g"]).collect()
+    assert [(r["g"], r["n"], r["sv"]) for r in out] == [("a", 2, 30)]
+
+
+def test_winnow_unicode_char_semantics(spark):
+    """substring/length are CHARACTER-based in Spark, DuckDB, and
+    Python alike — multi-byte text must produce the same fingerprints
+    as the Python reference."""
+    from etlhelper_spark.functions.text import winnow_fingerprints
+
+    text = "héllo wörld ünïcode tëxt päyload"
+    row = (
+        spark.createDataFrame([(text,)], ["text"])
+        .select(winnow_fingerprints(F.col("text")).alias("fps"))
+        .first()
+    )
+    assert row["fps"] == _py_winnow(text)
+
+
+def test_strip_sql_noise_nesting_property():
+    """Random interleavings of literals/comments/identifiers: the
+    scanner never leaks literal or comment CONTENT into the output,
+    and keywords outside them always survive."""
+    import random
+
+    from etlhelper_spark.validation import strip_sql_noise
+
+    rng = random.Random(99)
+    pieces = [
+        "SELECT x",
+        "'lit--with comment'",
+        "-- line don't\n",
+        "/* block 'q' */",
+        '"quoted--ident"',
+        "RETURNING id",
+        "'it''s'",
+    ]
+    for _ in range(200):
+        parts = [rng.choice(pieces) for _ in range(rng.randint(1, 8))]
+        sql = " ".join(parts)
+        out = strip_sql_noise(sql)
+        assert "lit--with comment" not in out
+        assert "don't" not in out
+        assert "block 'q'" not in out
+        assert "quoted--ident" not in out
+        assert "it''s" not in out and "it's" not in out
+        # keyword outside noise survives iff it was present outside
+        if "RETURNING id" in parts:
+            assert "RETURNING" in out
