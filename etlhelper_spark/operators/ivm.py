@@ -142,3 +142,74 @@ def streaming_incremental_rollup(
         for p in glob.glob(os.path.join(state_dir, "v*"))
     ]
     return spark.read.parquet(os.path.join(state_dir, f"v{max(versions)}"))
+
+
+def rollup_partial_monotonic(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str] | None = None,
+    min_cols: dict[str, str] | None = None,
+    max_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Partial aggregate extended with min/max measures.
+
+    min/max are mergeable but NOT retraction-safe (deleting the
+    current minimum cannot be undone from the aggregate alone), so
+    views maintained with them accept APPEND-ONLY feeds — enforced by
+    merge_rollup_monotonic rejecting negative counts."""
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(src).alias(dst) for dst, src in (sum_cols or {}).items()]
+    aggs += [F.min(src).alias(dst) for dst, src in (min_cols or {}).items()]
+    aggs += [F.max(src).alias(dst) for dst, src in (max_cols or {}).items()]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_rollup_monotonic(
+    base: DataFrame,
+    delta_partial: DataFrame,
+    keys: list[str],
+    min_cols: list[str] = (),
+    max_cols: list[str] = (),
+) -> DataFrame:
+    """Append-only merge for rollups carrying min/max measures:
+    additive columns add, min/max columns combine with least/greatest.
+    Raises at plan-execution time on retractions (negative delta
+    counts) via an ANSI assert — min/max cannot honor deletes, and a
+    silent wrong answer is worse than a failed batch."""
+    measures = [c for c in base.columns if c not in keys]
+    additive = [
+        c for c in measures if c not in min_cols and c not in max_cols
+    ]
+    b = base.select(
+        *keys, *[F.col(c).alias(f"__b_{c}") for c in measures]
+    )
+    guarded = delta_partial.withColumn(
+        "n",
+        F.when(
+            F.col("n") < 0,
+            F.raise_error(
+                F.lit("merge_rollup_monotonic: retraction (n < 0) "
+                      "not supported with min/max measures")
+            ).cast("long"),
+        ).otherwise(F.col("n")),
+    )
+    d = guarded.select(
+        *keys, *[F.col(c).alias(f"__d_{c}") for c in measures]
+    )
+    merged = b.join(d, keys, "full_outer").select(
+        *keys,
+        *[
+            (
+                F.least(F.col(f"__b_{c}"), F.col(f"__d_{c}"))
+                if c in min_cols
+                else F.greatest(F.col(f"__b_{c}"), F.col(f"__d_{c}"))
+                if c in max_cols
+                else (
+                    F.coalesce(F.col(f"__b_{c}"), F.lit(0))
+                    + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+                )
+            ).alias(c)
+            for c in measures
+        ],
+    )
+    return merged.where(F.col("n") != 0)

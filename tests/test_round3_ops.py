@@ -444,3 +444,49 @@ def test_strip_sql_noise_nesting_property():
         # keyword outside noise survives iff it was present outside
         if "RETURNING id" in parts:
             assert "RETURNING" in out
+
+
+def test_monotonic_rollup_minmax_merge(spark):
+    from etlhelper_spark.operators.ivm import (
+        merge_rollup_monotonic,
+        rollup_partial_monotonic,
+    )
+
+    rows = [(i, "a" if i < 6 else "b", i * 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    base = rollup_partial_monotonic(
+        df.where("id < 7"), ["g"], {"sv": "v"}, {"mn": "v"}, {"mx": "v"}
+    )
+    delta = rollup_partial_monotonic(
+        df.where("id >= 7"), ["g"], {"sv": "v"}, {"mn": "v"}, {"mx": "v"}
+    )
+    merged = {
+        r["g"]: (r["n"], r["sv"], r["mn"], r["mx"])
+        for r in merge_rollup_monotonic(
+            base, delta, ["g"], min_cols=["mn"], max_cols=["mx"]
+        ).collect()
+    }
+    full = {
+        r["g"]: (r["n"], r["sv"], r["mn"], r["mx"])
+        for r in rollup_partial_monotonic(
+            df, ["g"], {"sv": "v"}, {"mn": "v"}, {"mx": "v"}
+        ).collect()
+    }
+    assert merged == full
+
+
+def test_monotonic_rollup_rejects_retraction(spark):
+    import pytest as _pytest
+
+    from etlhelper_spark.operators.ivm import merge_rollup_monotonic
+
+    base = spark.createDataFrame(
+        [("a", 2, 30, 10, 20)], "g string, n long, sv long, mn long, mx long"
+    )
+    delta = spark.createDataFrame(
+        [("a", -1, -10, 10, 20)], "g string, n long, sv long, mn long, mx long"
+    )
+    with _pytest.raises(Exception, match="retraction"):
+        merge_rollup_monotonic(
+            base, delta, ["g"], min_cols=["mn"], max_cols=["mx"]
+        ).collect()
