@@ -156,6 +156,7 @@ HEADLINE = [
     "q167_mad_outliers",
     "q168_bm25_search",
     "q169_chi_square",
+    "q170_ivm_retraction",
 ]
 
 

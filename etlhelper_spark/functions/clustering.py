@@ -49,12 +49,25 @@ def kmeans_assignments(
     vec_col: str = "embedding",
     k: int = 8,
     iterations: int = 2,
+    literal_max: int = 64,
 ) -> DataFrame:
     """Assign every vector to a cluster after *iterations* Lloyd
     rounds from deterministic seeds (the k lowest-id vectors).
 
+    Up to *literal_max* centroids the assignment is the shuffle-free
+    literal-pivot codegen argmax; past it (k derived from corpus size
+    can reach the thousands — see semantic_dedup) the same argmax runs
+    as one numpy matmul per Arrow batch (nearest_pivot_batched):
+    the k×dim literal expression would otherwise grow into a
+    megabyte-scale parse with k×dim interpreted fold ops per row.
+    Both paths are shuffle-free over the corpus and share the
+    (sim desc, pid asc) tie order; oracle-checked queries keep
+    k ≤ literal_max so the bit-exact literal path decides.
+
     Returns (id, cluster_id, sim) where sim is the cosine to the final
     centroid the row is assigned to."""
+    from .similarity import nearest_pivot_batched
+
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
@@ -70,15 +83,25 @@ def kmeans_assignments(
     )
 
     def assign(cent_rows) -> DataFrame:
-        # literal-centroid argmax: a single codegen projection over the
-        # corpus — no join, no window, no shuffle
+        if len(cent_rows) <= literal_max:
+            # literal-centroid argmax: a single codegen projection over
+            # the corpus — no join, no window, no shuffle
+            return vecs.withColumn(
+                "best", nearest_pivot(F.col("vec"), cent_rows)
+            ).select(
+                "id",
+                "vec",
+                F.col("best.pid").alias("cluster_id"),
+                (-F.col("best.nsim")).alias("sim"),
+            )
+        # large-k path: Arrow-batched numpy argmax, still shuffle-free
         return vecs.withColumn(
-            "best", nearest_pivot(F.col("vec"), cent_rows)
+            "best", nearest_pivot_batched(cent_rows)(F.col("vec"))
         ).select(
             "id",
             "vec",
             F.col("best.pid").alias("cluster_id"),
-            (-F.col("best.nsim")).alias("sim"),
+            F.col("best.sim").alias("sim"),
         )
 
     for _ in range(iterations - 1):

@@ -733,37 +733,72 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 8,
+    k: int | None = None,
     iterations: int = 2,
     threshold: float = 0.3,
     assignments: DataFrame | None = None,
+    target_cluster_size: int = 256,
+    max_cluster: int | None = 4096,
+    n: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): partition the embedding corpus with k-means,
     then run EXACT pairwise cosine only WITHIN each cluster and drop
     the higher-id member of every pair above *threshold*.
 
-    This is the scale story that makes semantic dedup tractable: the
-    all-pairs O(n^2) comparison is bounded to O(sum c_i^2) by the
-    clustering — with balanced clusters that's n^2/k, and in practice
-    the within-cluster join is an equi-join on cluster_id that
-    shuffles each side once. At 100 TB you raise k so the largest
-    cluster fits a task (and re-shard giant clusters the same way
-    lsh_bucket_topk caps degenerate buckets); the pairwise stage never
-    sees a cross-cluster pair.
+    Scale contract — the two knobs that keep the within-cluster work
+    O(n · target_cluster_size) instead of quadratic:
+
+    - ``k`` defaults to ``max(8, ceil(n / target_cluster_size))`` so
+      the EXPECTED cluster size stays fixed as the corpus grows (at
+      fixed k the within-cluster compare work O(Σ cᵢ²) is quadratic in
+      n). ``n`` is taken from a parquet-metadata count when not passed
+      by the caller.
+    - ``max_cluster`` bounds the WORST CASE: a cluster larger than it
+      (skewed seeds, near-duplicate-heavy corpora) is re-sharded into
+      ``ceil(c / max_cluster)`` deterministic salted sub-shards
+      (xxhash64 of the id) and pairs are generated within sub-shards
+      only — the same degenerate-bucket cap lsh_bucket_topk applies
+      via ``max_bucket``, and like it this trades bounded recall
+      (cross-shard pairs of an OVERSIZED cluster are skipped; clusters
+      within the cap are exhaustive and exact) for a hard per-task
+      ceiling. ``max_cluster=None`` disables the cap.
+
+    The pairwise stage runs as one numpy matmul per (cluster, shard)
+    group inside applyInPandas — the Arrow-batched kernel move made
+    for lsh_signatures — in row blocks so peak memory is
+    O(block × max_cluster), emitting only pairs whose RAW cosine
+    clears ``threshold`` minus a 1e-3 guard band. The declared sim is
+    then computed JVM-side from the emitted dot product and the
+    once-per-vector norms with the corpus-wide contract:
+    round(coalesce(try_divide(dot, na*nb), -1.0) :: decimal(30,10), 4)
+    — zero-norm vectors score -1.0 exactly like cosine_similarity, and
+    the 4dp guard band is ~20× the largest shift rounding can induce,
+    so the survivor set equals the unfiltered computation's.
 
     Returns (cluster_id, id_a, id_b, sim) pairs with id_a < id_b and
-    sim rounded to 4dp >= threshold; the caller drops id_b (keep-first
-    policy) or feeds the pairs to duplicate_clusters for transitive
-    clustering.
-    """
-    from .clustering import kmeans_assignments
-    from .similarity import _dot, _norm
+    sim >= threshold; the caller drops id_b (keep-first policy) or
+    feeds the pairs to duplicate_clusters for transitive clustering.
 
-    # *assignments* (columns id, cluster_id) lets a caller inject a
-    # cached/persisted clustering so the Lloyd rounds don't rerun per
-    # consumer — the production shape, where clustering is a shared
-    # upstream stage.
+    *assignments* (columns id, cluster_id) lets a caller inject a
+    cached/persisted clustering so the Lloyd rounds don't rerun per
+    consumer — the production shape, where clustering is a shared
+    upstream stage (build it with a k compatible with this one).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from .clustering import kmeans_assignments
+    from .similarity import _norm
+
+    if k is None:
+        if n is None:
+            n = df.count()
+        k = max(8, math.ceil(n / target_cluster_size))
+
     assigned = (
         assignments
         if assignments is not None
@@ -772,37 +807,114 @@ def semantic_dedup(
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    # Norms are computed ONCE per vector here, not once per pair: the
-    # pairwise stage then evaluates a single dot-product fold instead
-    # of three (dot + 2 norms) — same floating-point operations in the
-    # same order as cosine_similarity (dot / (na * nb)), so results
-    # are bit-identical, at ~3x less per-pair work.
+    # Norms are computed ONCE per vector here, not once per pair, and
+    # ride through the pairwise stage so the final sim is one division
+    # per emitted pair.
     members = (
         assigned.select("id", "cluster_id")
         .join(vecs, "id")
         .select("id", "cluster_id", "vec", _norm(F.col("vec")).alias("nrm"))
     )
-    a = members.select(
-        "cluster_id",
-        F.col("id").alias("id_a"),
-        F.col("vec").alias("va"),
-        F.col("nrm").alias("na"),
+    if max_cluster is not None:
+        # worst-case cap: the size aggregate is |clusters| rows (tiny,
+        # map-side combinable) and broadcasts back; in-cap clusters
+        # keep shard 0 so the common path is untouched.
+        sizes = members.groupBy("cluster_id").agg(
+            F.count("*").alias("__csz")
+        )
+        members = (
+            members.join(F.broadcast(sizes), "cluster_id")
+            .withColumn(
+                "shard",
+                F.when(F.col("__csz") <= max_cluster, F.lit(0)).otherwise(
+                    F.pmod(
+                        F.xxhash64("id"),
+                        F.ceil(F.col("__csz") / max_cluster).cast("int"),
+                    ).cast("int")
+                ),
+            )
+            .drop("__csz")
+        )
+    else:
+        members = members.withColumn("shard", F.lit(0))
+
+    # raw-cosine guard band: JVM-side rounding moves a sim by at most
+    # 5.0001e-5 (4dp half-up through a 10dp decimal), so any pair whose
+    # ROUNDED sim can reach threshold has raw >= threshold - 1e-3.
+    pre = float(threshold) - 1e-3
+
+    id_type = members.schema["id"].dataType
+    cid_type = members.schema["cluster_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("cluster_id", cid_type),
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("dot", DoubleType()),
+            StructField("na", DoubleType()),
+            StructField("nb", DoubleType()),
+        ]
     )
-    b = members.select(
-        "cluster_id",
-        F.col("id").alias("id_b"),
-        F.col("vec").alias("vb"),
-        F.col("nrm").alias("nb"),
+    empty = {
+        "cluster_id": pd.Series([], dtype=object),
+        "id_a": pd.Series([], dtype=object),
+        "id_b": pd.Series([], dtype=object),
+        "dot": pd.Series([], dtype="float64"),
+        "na": pd.Series([], dtype="float64"),
+        "nb": pd.Series([], dtype="float64"),
+    }
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(empty)
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        M = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        ids = pdf["id"].to_numpy()
+        cid = pdf["cluster_id"].iloc[0]
+        cols = np.arange(m)[None, :]
+        out: list[pd.DataFrame] = []
+        # row blocks bound peak memory at O(block × m) regardless of
+        # cluster size (m itself is bounded by max_cluster + skew of
+        # the salted split)
+        block = 1024
+        for s in range(0, m, block):
+            e = min(s + block, m)
+            D = M[s:e] @ M.T  # (b, m) dot products
+            P = nrm[s:e, None] * nrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                R = np.where(P > 0.0, D / P, -1.0)
+            mask = (cols > np.arange(s, e)[:, None]) & (R >= pre)
+            ai, bj = np.nonzero(mask)
+            if len(ai):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "cluster_id": cid,
+                            "id_a": ids[ai + s],
+                            "id_b": ids[bj],
+                            "dot": D[ai, bj],
+                            "na": nrm[ai + s],
+                            "nb": nrm[bj],
+                        }
+                    )
+                )
+        if not out:
+            return pd.DataFrame(empty)
+        return pd.concat(out, ignore_index=True)
+
+    pairs = members.groupBy("cluster_id", "shard").applyInPandas(
+        cluster_pairs, out_schema
     )
     sim = F.round(
-        (
-            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        F.coalesce(
+            F.try_divide(F.col("dot"), F.col("na") * F.col("nb")),
+            F.lit(-1.0),
         ).cast("decimal(30,10)"),
         4,
     ).cast("double")
     return (
-        a.join(b, "cluster_id")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("cluster_id", "id_a", "id_b", sim.alias("sim"))
+        pairs.select("cluster_id", "id_a", "id_b", sim.alias("sim"))
         .where(F.col("sim") >= threshold)
     )

@@ -131,6 +131,70 @@ def nearest_pivots(vec: Column, pivot_rows, n: int) -> Column:
     return F.slice(F.array_sort(_pivot_scores(vec, pivot_rows)), 1, n)
 
 
+def nearest_pivot_batched(pivot_rows):
+    """Arrow-batched numpy form of :func:`nearest_pivot` for LARGE
+    pivot sets: returns a pandas UDF mapping a vector column to a
+    struct (pid long, sim double) of the nearest pivot.
+
+    The literal-codegen argmax is the right plan up to a few dozen
+    pivots; past that the k×dim literal expression grows into a
+    megabyte-scale parse and the per-row fold does k×dim interpreted
+    higher-order ops (k=782, dim=64 → 50k ops/row). Here the pivot
+    matrix rides along as a closure (a broadcast-sized constant — same
+    bounded-driver contract as collect_pivot_rows) and one numpy
+    matmul per Arrow batch scores every (row, pivot) pair at once —
+    the identical move lsh_signatures makes, ~µs/row.
+
+    Tie-break parity: pivot_rows arrive sorted by pid ascending and
+    np.argmax returns the FIRST maximum, so ties resolve to the lowest
+    pid — the same (sim desc, pid asc) total order the literal path's
+    struct ordering encodes. Zero vectors (either side) score -1.0,
+    matching cosine_similarity's try_divide/coalesce contract. The two
+    paths may differ by one ulp on near-exact ties (fold vs pairwise
+    summation); oracle-checked queries pin k small enough to stay on
+    the literal path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pids = np.array([int(p) for p, _ in pivot_rows], dtype=np.int64)
+    C = np.array([v for _, v in pivot_rows], dtype=np.float64)  # (k, dim)
+    cn = np.sqrt((C * C).sum(axis=1))  # (k,)
+
+    # no annotations: returnType passed explicitly (hint inference
+    # can't resolve struct returns under `from __future__ import
+    # annotations` — same posture as lsh_signatures)
+    def assign(v):
+        if len(v) == 0:
+            return pd.DataFrame({"pid": pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="float64")})
+        M = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        mn = np.sqrt((M * M).sum(axis=1))  # (n,)
+        denom = mn[:, None] * cn[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom > 0.0, (M @ C.T) / denom, -1.0)
+        best = sims.argmax(axis=1)
+        return pd.DataFrame(
+            {"pid": pids[best], "sim": sims[np.arange(len(best)), best]}
+        )
+
+    return pandas_udf(
+        assign,
+        StructType(
+            [
+                StructField("pid", LongType()),
+                StructField("sim", DoubleType()),
+            ]
+        ),
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -90,7 +90,13 @@ _MISSING_TABLE_MARKS = (
 # lets a replayed half-written batch append on top of its leftovers,
 # silently breaking exactly-once. Column/schema errors must raise.
 _MISSING_TABLE_RE = re.compile(
-    r"(table|relation|view)\s+\S{0,130}\s*(does not exist|doesn't exist|not found)"
+    # (?<!of ): Postgres phrases a missing COLUMN as
+    # 'column "c" of relation "t" does not exist' — the embedded
+    # 'relation "t" does not exist' must NOT read as a missing table,
+    # or a half-written batch's cleanup would be skipped on a schema
+    # error. \b keeps 'mytable ...' from matching via the suffix.
+    r"(?<!of )\b(table|relation|view)\s+\S{0,130}\s*"
+    r"(does not exist|doesn't exist|not found)"
 )
 
 

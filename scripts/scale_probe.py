@@ -176,6 +176,40 @@ def main() -> None:
         ).count(),
     )
 
+    # semantic dedup (round-4 fix): derived k keeps expected cluster
+    # size fixed, so the within-cluster pairwise stage is
+    # O(n × target_cluster_size) — must hold its rows/sec at 100× the
+    # bench vector count. End-to-end including the Lloyd rounds (which
+    # take the Arrow-batched argmax path at the derived k ≈ n/256).
+    from etlhelper_spark.functions.dedup import semantic_dedup
+
+    probe(
+        "semantic dedup (derived k, end-to-end)",
+        n_vecs,
+        lambda: semantic_dedup(
+            vecs, "vec_id", "embedding", threshold=0.95, n=n_vecs
+        ).count(),
+    )
+    # worst case: EVERY vector in one planted cluster — the
+    # max_cluster cap must re-shard it into bounded sub-tasks instead
+    # of one quadratic task (the round-3 scale-killer, reproduced then
+    # capped).
+    planted = vecs.select(
+        F.col("vec_id").alias("id"), F.lit(0).alias("cluster_id")
+    )
+    probe(
+        "semantic dedup (planted degenerate cluster, capped)",
+        n_vecs,
+        lambda: semantic_dedup(
+            vecs,
+            "vec_id",
+            "embedding",
+            threshold=0.95,
+            assignments=planted,
+            max_cluster=4096,
+        ).count(),
+    )
+
     lines = [
         "# SCALE PROBE — measured operator scaling beyond bench SF",
         "",

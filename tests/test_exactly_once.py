@@ -75,3 +75,31 @@ def test_uncommitted_batch_is_overwritten(spark, tmp_path):
     writer(spark.range(20).withColumn("v", F.lit(1)), 1)
     assert spark.read.parquet(os.path.join(out, "batch_id=1")).count() == 20
     assert os.path.exists(os.path.join(out, "_committed_1"))
+
+
+def test_missing_table_matcher_rejects_missing_column_messages():
+    """Round-3 ADVICE: Postgres phrases a missing COLUMN as
+    'column "c" of relation "t" does not exist' — the embedded
+    relation clause must NOT classify as a missing TABLE, or the
+    cleanup DELETE's failure would be swallowed and a replayed
+    half-written batch appended on top of its own leftovers."""
+    from etlhelper_spark.streaming.exactly_once import _is_missing_table
+
+    # must RAISE (column/schema errors)
+    for msg in (
+        'column "__batch_id" of relation "events_sink" does not exist',
+        'column "value" of relation "t" does not exist',
+        'column "__batch_id" does not exist',
+    ):
+        assert not _is_missing_table(Exception(msg))
+
+    # must still SKIP (genuinely missing tables, across dialects)
+    for msg in (
+        'relation "events_sink" does not exist',
+        "Table/View 'LEDGER' does not exist.",
+        "ORA-00942: table or view does not exist",
+        "Invalid object name 'dbo.ledger'",
+        "[TABLE_OR_VIEW_NOT_FOUND] The table or view `t` cannot be found",
+        'table "t" does not exist',
+    ):
+        assert _is_missing_table(Exception(msg))
