@@ -157,6 +157,8 @@ HEADLINE = [
     "q168_bm25_search",
     "q169_chi_square",
     "q170_ivm_retraction",
+    "q171_ivm_minmax_rescan",
+    "q172_stream_cdc_rollup",
 ]
 
 

@@ -816,9 +816,11 @@ def semantic_dedup(
         .select("id", "cluster_id", "vec", _norm(F.col("vec")).alias("nrm"))
     )
     if max_cluster is not None:
-        # worst-case cap: the size aggregate is |clusters| rows (tiny,
-        # map-side combinable) and broadcasts back; in-cap clusters
-        # keep shard 0 so the common path is untouched.
+        # worst-case cap: the size aggregate is |clusters| rows
+        # (map-side combinable; |clusters| ≈ n/target_cluster_size, so
+        # ~4M rows / tens of MB even at 10^9 vectors — comfortably
+        # broadcastable) and joins back as a broadcast; in-cap
+        # clusters keep shard 0 so the common path is untouched.
         sizes = members.groupBy("cluster_id").agg(
             F.count("*").alias("__csz")
         )

@@ -167,21 +167,41 @@ def nearest_pivot_batched(pivot_rows):
     C = np.array([v for _, v in pivot_rows], dtype=np.float64)  # (k, dim)
     cn = np.sqrt((C * C).sum(axis=1))  # (k,)
 
+    # ship the pivot matrix as a Spark broadcast, not a pickled
+    # closure: a closure is re-serialized into every task launch,
+    # and at derived-k scale (k ≈ n/256 × dim doubles) that is tens
+    # of MB per task; a broadcast moves it once per executor.
+    from pyspark.sql import SparkSession
+
+    _sess = SparkSession.getActiveSession()
+    if _sess is not None:
+        _bc = _sess.sparkContext.broadcast((pids, C, cn))
+
+        def _pivots():
+            return _bc.value
+
+    else:  # no active session (unit use): plain closure capture
+        _local = (pids, C, cn)
+
+        def _pivots():
+            return _local
+
     # no annotations: returnType passed explicitly (hint inference
     # can't resolve struct returns under `from __future__ import
     # annotations` — same posture as lsh_signatures)
     def assign(v):
+        p, cm, cnm = _pivots()
         if len(v) == 0:
             return pd.DataFrame({"pid": pd.Series([], dtype="int64"),
                                  "sim": pd.Series([], dtype="float64")})
         M = np.vstack(v.to_numpy()).astype(np.float64)  # (n, dim)
         mn = np.sqrt((M * M).sum(axis=1))  # (n,)
-        denom = mn[:, None] * cn[None, :]
+        denom = mn[:, None] * cnm[None, :]
         with np.errstate(divide="ignore", invalid="ignore"):
-            sims = np.where(denom > 0.0, (M @ C.T) / denom, -1.0)
+            sims = np.where(denom > 0.0, (M @ cm.T) / denom, -1.0)
         best = sims.argmax(axis=1)
         return pd.DataFrame(
-            {"pid": pids[best], "sim": sims[np.arange(len(best)), best]}
+            {"pid": p[best], "sim": sims[np.arange(len(best)), best]}
         )
 
     return pandas_udf(

@@ -213,3 +213,187 @@ def merge_rollup_monotonic(
         ],
     )
     return merged.where(F.col("n") != 0)
+
+
+def maintain_rollup_rescan(
+    base: DataFrame,
+    appends: DataFrame,
+    retractions: DataFrame,
+    keys: list[str],
+    source: DataFrame,
+    sum_cols: dict[str, str] | None = None,
+    min_cols: dict[str, str] | None = None,
+    max_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """Delete-capable maintenance for rollups carrying NON-INVERTIBLE
+    (min/max) measures — the case merge_rollup_monotonic refuses.
+
+    Algebra per measure class:
+
+    - count/sum: invertible — appends add, retractions subtract, pure
+      partial-merge arithmetic, history never read.
+    - min/max under APPEND: mergeable — least/greatest(base, batch).
+    - min/max under RETRACTION: not maintainable from the aggregate
+      alone (deleting the current minimum cannot be undone), so the
+      groups the retraction batch TOUCHES — and only those — are
+      recomputed by a targeted scan of the post-delete *source*
+      bounded to those keys. The affected-key set is batch-sized, so
+      it broadcasts into the source scan where partition pruning /
+      row-group stats keep the rescan near the affected data; the
+      per-batch cost is O(batch) + O(history of affected groups), not
+      O(history).
+
+    This is the standard IVM treatment for non-distributive aggregates
+    (partial recompute on affected groups); *source* must reflect the
+    post-batch state (appends applied, retractions removed). Groups
+    whose merged count reaches 0 are dropped, so delete-everything
+    round-trips to absence.
+    """
+    sum_cols = sum_cols or {}
+    min_cols = min_cols or {}
+    max_cols = max_cols or {}
+    mm_cols = {**min_cols, **max_cols}
+    measures = ["n", *sum_cols, *mm_cols]
+
+    app_p = rollup_partial_monotonic(
+        appends, keys, sum_cols, min_cols, max_cols
+    )
+    ret_p = rollup_partial(retractions, keys, sum_cols)
+
+    b = base.select(
+        *keys, *[F.col(c).alias(f"__b_{c}") for c in measures]
+    )
+    a = app_p.select(
+        *keys, *[F.col(c).alias(f"__a_{c}") for c in measures]
+    )
+    r = ret_p.select(
+        *keys,
+        *[F.col(c).alias(f"__r_{c}") for c in ["n", *sum_cols]],
+        F.lit(True).alias("__retracted"),
+    )
+    merged = b.join(a, keys, "full_outer").join(r, keys, "full_outer")
+
+    additive = [
+        (
+            F.coalesce(F.col(f"__b_{c}"), F.lit(0))
+            + F.coalesce(F.col(f"__a_{c}"), F.lit(0))
+            - F.coalesce(F.col(f"__r_{c}"), F.lit(0))
+        ).alias(c)
+        for c in ["n", *sum_cols]
+    ]
+    # append-side combine is always safe for min/max
+    combined_mm = {
+        c: (F.least if c in min_cols else F.greatest)(
+            F.col(f"__b_{c}"), F.col(f"__a_{c}")
+        )
+        for c in mm_cols
+    }
+
+    affected = ret_p.select(*keys).distinct()
+    rescan = (
+        source.join(F.broadcast(affected), keys)
+        .groupBy(*keys)
+        .agg(
+            *[
+                F.min(src).alias(f"__s_{dst}")
+                for dst, src in min_cols.items()
+            ],
+            *[
+                F.max(src).alias(f"__s_{dst}")
+                for dst, src in max_cols.items()
+            ],
+        )
+    )
+    out = merged.join(rescan, keys, "left_outer").select(
+        *keys,
+        *additive,
+        *[
+            F.when(
+                F.col("__retracted").isNotNull(), F.col(f"__s_{c}")
+            )
+            .otherwise(combined_mm[c])
+            .alias(c)
+            for c in mm_cols
+        ],
+    )
+    return out.where(F.col("n") != 0)
+
+
+def streaming_cdc_rollup(
+    stream: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    state_dir: str,
+    checkpoint_dir: str,
+    op_col: str = "op",
+) -> None:
+    """Streaming IVM over a CDC feed: each micro-batch carries inserts
+    AND deletes (``op_col`` in {'I', 'D'}), and its NET partial
+    aggregate — inserts positive, deletes negated, combined in one
+    map-side-combinable aggregate per batch — merges into versioned
+    parquet state exactly like streaming_incremental_rollup.
+
+    The sign trick keeps retraction on the streaming path free: a
+    delete contributes (-1, -x) to the same groupBy the insert
+    contributes (+1, +x), so the per-batch shuffle is one |batch-group|
+    aggregate regardless of the insert/delete mix, and merge_rollup's
+    n=0 drop gives insert-then-delete round-trip-to-absence across
+    batches. State is versioned per batch id (a replayed batch
+    overwrites its own version — idempotent under at-least-once).
+    Additive measures only; min/max under streaming deletes need the
+    batch-side maintain_rollup_rescan against a queryable source.
+
+    Starts and drains an availableNow foreachBatch query; read the
+    final state with ``read_rollup_state``.
+    """
+    import glob
+    import os
+
+    sign = F.when(F.col(op_col) == "D", F.lit(-1)).otherwise(F.lit(1))
+    signed = stream.withColumn("__sign", sign)
+
+    def net_partial(batch_df):
+        aggs = [F.sum("__sign").cast("long").alias("n")]
+        aggs += [
+            F.sum(F.col(src) * F.col("__sign")).alias(dst)
+            for dst, src in sum_cols.items()
+        ]
+        return batch_df.groupBy(*keys).agg(*aggs)
+
+    def upsert(batch_df, batch_id: int) -> None:
+        partial = net_partial(batch_df)
+        prior = [
+            int(os.path.basename(p)[1:])
+            for p in glob.glob(os.path.join(state_dir, "v*"))
+            if int(os.path.basename(p)[1:]) < batch_id
+        ]
+        if prior:
+            base = batch_df.sparkSession.read.parquet(
+                os.path.join(state_dir, f"v{max(prior)}")
+            )
+            merged = merge_rollup(base, partial, keys)
+        else:
+            merged = partial.where(F.col("n") != 0)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
+        )
+
+    q = (
+        signed.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_rollup_state(spark, state_dir: str) -> DataFrame:
+    """Latest version of a versioned rollup state directory."""
+    import glob
+    import os
+
+    versions = [
+        int(os.path.basename(p)[1:])
+        for p in glob.glob(os.path.join(state_dir, "v*"))
+    ]
+    return spark.read.parquet(os.path.join(state_dir, f"v{max(versions)}"))

@@ -7759,6 +7759,145 @@ def q170_ivm_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_rollup(base, retract, keys)
 
 
+@query(
+    "q171_ivm_minmax_rescan",
+    """
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS min_cents,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM events
+    WHERE NOT (event_id % 7 = 0 OR event_type = 'error')
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def q171_ivm_minmax_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVM for NON-INVERTIBLE measures under deletes — the case the
+    append-only merge (merge_rollup_monotonic) refuses outright:
+    a view carrying min/max cannot undo the deletion of its current
+    extremum from the aggregate alone. maintain_rollup_rescan's
+    treatment, oracle-verified here: count/sum maintain algebraically
+    (appends add, retractions subtract — history untouched); min/max
+    combine with least/greatest for the append batch; and ONLY the
+    groups the delete batch touches are recomputed, by a targeted scan
+    of the post-delete source bounded to the batch-sized affected-key
+    set (broadcast into the scan, where partition pruning keeps the
+    rescan near the affected data). The stored view starts from 80% of
+    events, the remaining 20% arrives as the append batch, and every
+    7th event plus ALL 'error' events (entire groups draining to zero,
+    proving drop-to-absence holds for min/max views too) arrive as the
+    delete batch. Oracle = full recompute over the surviving rows —
+    per-batch cost O(batch) + O(history of affected groups), never
+    O(history)."""
+    from ..operators.ivm import (
+        maintain_rollup_rescan,
+        rollup_partial_monotonic,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    keys = ["event_type", "day"]
+    hist = e.where(F.pmod("event_id", F.lit(10)) < 8)
+    appends = e.where(F.pmod("event_id", F.lit(10)) >= 8)
+    deleted = e.where(
+        (F.pmod("event_id", F.lit(7)) == 0)
+        | (F.col("event_type") == "error")
+    )
+    source = e.where(
+        ~((F.pmod("event_id", F.lit(7)) == 0)
+          | (F.col("event_type") == "error"))
+    )
+    base = rollup_partial_monotonic(
+        hist,
+        keys,
+        {"value_cents": "cents"},
+        {"min_cents": "cents"},
+        {"max_cents": "cents"},
+    )
+    return maintain_rollup_rescan(
+        base,
+        appends,
+        deleted,
+        keys,
+        source,
+        {"value_cents": "cents"},
+        {"min_cents": "cents"},
+        {"max_cents": "cents"},
+    )
+
+
+@query(
+    "q172_stream_cdc_rollup",
+    """
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events
+    WHERE event_id % 7 <> 0
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def q172_stream_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVM over a CDC feed
+    (operators/ivm.py::streaming_cdc_rollup) — q163's maintenance loop
+    with DELETES in the stream: the events table arrives as 'I' rows
+    across multiple availableNow micro-batches, interleaved with 'D'
+    rows for every 7th event. Each batch's NET partial (inserts +1/+x,
+    deletes −1/−x in ONE map-side-combinable aggregate — retraction
+    costs no extra shuffle) merges into versioned parquet state;
+    groups netting to zero vanish. Delete-before-insert across batch
+    boundaries is immaterial: the merge algebra is commutative, so
+    the drained state equals the recompute over surviving rows — the
+    oracle's contract. At 100 TB this is the Debezium-style
+    change-feed dashboard: per-batch cost O(batch) + |groups|, history
+    never re-read, deletes first-class."""
+    import os
+
+    from ..operators.ivm import read_rollup_state, streaming_cdc_rollup
+
+    configure_session(spark)
+    work = tempfile.mkdtemp(prefix="ehs_cdc_")
+    src_dir = os.path.join(work, "feed")
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    inserts = e.withColumn("op", F.lit("I"))
+    deletes = e.where(F.pmod("event_id", F.lit(7)) == 0).withColumn(
+        "op", F.lit("D")
+    )
+    inserts.unionByName(deletes).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    state = os.path.join(work, "state")
+    os.makedirs(state, exist_ok=True)
+    streaming_cdc_rollup(
+        stream,
+        ["event_type", "day"],
+        {"value_cents": "cents"},
+        state,
+        os.path.join(work, "ckpt"),
+    )
+    return read_rollup_state(spark, state)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

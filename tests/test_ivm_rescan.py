@@ -1,0 +1,180 @@
+"""maintain_rollup_rescan (operators/ivm.py): delete-capable IVM for
+views carrying non-invertible (min/max) measures.
+
+The append-only merge (merge_rollup_monotonic) REFUSES retractions
+because deleting the current extremum cannot be undone from the
+aggregate alone. The rescan merge handles them by recomputing min/max
+for exactly the retraction-touched groups from the post-delete source.
+These tests pin the cases that distinguish it from naive merges:
+
+- deleting the current minimum must RAISE the stored min (a
+  least/greatest merge would keep the stale value forever);
+- untouched groups must not be rescanned (their min/max comes from
+  the pure append-side combine);
+- a group deleted in full must vanish;
+- count/sum stay exact under mixed append+delete batches.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlhelper_spark.operators.ivm import (
+    maintain_rollup_rescan,
+    rollup_partial_monotonic,
+)
+
+KEYS = ["g"]
+SUMS = {"sv": "v"}
+MINS = {"mn": "v"}
+MAXS = {"mx": "v"}
+
+
+def _maintain(spark, hist_rows, append_rows, delete_rows):
+    hist = spark.createDataFrame(hist_rows, ["g", "v"])
+    appends = spark.createDataFrame(
+        append_rows or [], "g string, v long"
+    )
+    deletes = spark.createDataFrame(
+        delete_rows or [], "g string, v long"
+    )
+    survivors = [
+        r for r in hist_rows + (append_rows or [])
+        if not _consume(delete_rows, r)
+    ]
+    source = spark.createDataFrame(survivors or [], "g string, v long")
+    base = rollup_partial_monotonic(hist, KEYS, SUMS, MINS, MAXS)
+    out = maintain_rollup_rescan(
+        base, appends, deletes, KEYS, source, SUMS, MINS, MAXS
+    )
+    return {
+        r["g"]: (r["n"], r["sv"], r["mn"], r["mx"]) for r in out.collect()
+    }, survivors
+
+
+def _consume(delete_rows, row):
+    """Multiset membership: each delete row removes ONE matching
+    source row (bag semantics, like a real CDC delete)."""
+    if not delete_rows:
+        return False
+    try:
+        delete_rows.remove(row)
+        return True
+    except ValueError:
+        return False
+
+
+def _expected(survivors):
+    agg: dict = {}
+    for g, v in survivors:
+        n, sv, mn, mx = agg.get(g, (0, 0, None, None))
+        agg[g] = (
+            n + 1,
+            sv + v,
+            v if mn is None else min(mn, v),
+            v if mx is None else max(mx, v),
+        )
+    return agg
+
+
+def test_deleting_current_min_raises_stored_min(spark):
+    got, survivors = _maintain(
+        spark,
+        hist_rows=[("a", 1), ("a", 5), ("a", 9)],
+        append_rows=[],
+        delete_rows=[("a", 1)],
+    )
+    assert got == _expected(survivors)
+    assert got["a"][2] == 5  # min rose from 1 to 5 — the rescan case
+
+
+def test_deleting_current_max_lowers_stored_max(spark):
+    got, survivors = _maintain(
+        spark,
+        hist_rows=[("a", 1), ("a", 5), ("a", 9)],
+        append_rows=[("a", 2)],
+        delete_rows=[("a", 9)],
+    )
+    assert got == _expected(survivors)
+    assert got["a"][3] == 5
+
+
+def test_untouched_group_keeps_append_combine(spark):
+    got, survivors = _maintain(
+        spark,
+        hist_rows=[("a", 4), ("b", 7)],
+        append_rows=[("b", 2), ("b", 11)],
+        delete_rows=[("a", 4)],
+    )
+    assert got == _expected(survivors)
+    assert "a" not in got  # fully deleted group vanished
+    assert got["b"] == (3, 20, 2, 11)
+
+
+def test_group_born_in_append_batch(spark):
+    got, survivors = _maintain(
+        spark,
+        hist_rows=[("a", 4)],
+        append_rows=[("c", 3), ("c", 8)],
+        delete_rows=[],
+    )
+    assert got == _expected(survivors)
+    assert got["c"] == (2, 11, 3, 8)
+
+
+def test_mixed_batch_matches_recompute(spark):
+    hist = [("a", i) for i in range(10)] + [("b", i * 3) for i in range(6)]
+    appends = [("a", 100), ("b", -50), ("c", 7)]
+    deletes = [("a", 0), ("a", 9), ("b", 0), ("b", 15)]
+    got, survivors = _maintain(spark, hist, appends, deletes)
+    assert got == _expected(survivors)
+    # the interesting assertions: both extrema of 'a' were deleted,
+    # and 'b' gained a new min from the append while losing its max
+    assert got["a"][2] == 1 and got["a"][3] == 100
+    assert got["b"][2] == -50 and got["b"][3] == 12
+
+
+def test_streaming_cdc_rollup_equals_recompute(spark, tmp_path):
+    """End-to-end streaming CDC maintenance: a 3-file feed of mixed
+    inserts/deletes drained availableNow must leave state equal to the
+    recompute over net-surviving rows, with fully-deleted groups
+    absent."""
+    import os
+
+    from etlhelper_spark.operators.ivm import (
+        read_rollup_state,
+        streaming_cdc_rollup,
+    )
+
+    feed = [
+        # batch-ish thirds: inserts for a,b; delete one of a's rows
+        # later; c inserted then fully deleted
+        ("I", "a", 10), ("I", "a", 20), ("I", "b", 5),
+        ("I", "c", 7), ("I", "b", 6), ("D", "a", 10),
+        ("D", "c", 7), ("I", "a", 30), ("D", "b", 5),
+    ]
+    src_dir = str(tmp_path / "cdc_src")
+    for i in range(3):
+        spark.createDataFrame(
+            feed[i * 3 : (i + 1) * 3], ["op", "g", "v"]
+        ).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("op string, g string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    streaming_cdc_rollup(
+        stream, ["g"], {"sv": "v"}, state, str(tmp_path / "ckpt")
+    )
+    got = {
+        r["g"]: (r["n"], r["sv"])
+        for r in read_rollup_state(spark, state).collect()
+    }
+    assert got == {"a": (2, 50), "b": (1, 6)}
+    assert "c" not in got  # insert-then-delete round-trips to absence

@@ -229,3 +229,55 @@ def test_q152_plan_shape(spark):
     assert re.search(
         r"Exchange hashpartitioning\(cluster_id#\d+L?, shard#\d+", plan
     )
+
+
+def test_randomized_corpus_matches_reference_per_cluster(spark):
+    """Seeded random corpus — negative components, exact duplicates,
+    zero vectors, uneven clusters — uncapped plan must equal the
+    quadratic reference within every cluster."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(150):
+        if i % 29 == 0:
+            v = [0.0] * DIM  # zero vectors sprinkled in
+        elif i % 7 == 0:
+            v = [float(x) for x in rng.randint(-5, 6, DIM)]
+            rows.append((1000 + i, v))  # exact duplicate pair
+        else:
+            v = [float(np.round(x, 3)) for x in rng.randn(DIM)]
+        rows.append((i, v))
+    df = _corpus(spark, rows)
+    assigned = df.select(
+        F.col("vec_id").alias("id"),
+        F.pmod("vec_id", F.lit(3)).alias("cluster_id"),
+    )
+    got = {}
+    for r in semantic_dedup(
+        df, threshold=0.2, assignments=assigned, max_cluster=None
+    ).collect():
+        got.setdefault(r.cluster_id, set()).add((r.id_a, r.id_b, r.sim))
+    want = {}
+    by_cluster: dict = {}
+    for ident, v in rows:
+        by_cluster.setdefault(ident % 3, []).append((ident, v))
+    for cid, members in by_cluster.items():
+        ref = _quadratic_reference(members, 0.2)
+        if ref:
+            want[cid] = ref
+    assert got == want
+
+
+def test_singleton_and_empty_clusters(spark):
+    """Clusters with one member must contribute no pairs and not
+    trip the empty-frame Arrow conversion in the pandas kernel."""
+    rows = [(0, _vec(1)), (1, _vec(2)), (2, _vec(2)), (3, _vec(9))]
+    df = _corpus(spark, rows)
+    assigned = spark.createDataFrame(
+        [(0, 10), (1, 11), (2, 11), (3, 12)], ["id", "cluster_id"]
+    )
+    got = semantic_dedup(
+        df, threshold=-1.0, assignments=assigned
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
