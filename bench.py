@@ -159,6 +159,8 @@ HEADLINE = [
     "q170_ivm_retraction",
     "q171_ivm_minmax_rescan",
     "q172_stream_cdc_rollup",
+    "q173_embedding_covariance",
+    "q174_mahalanobis_ood",
 ]
 
 

@@ -22,8 +22,11 @@ from .multimodal import read_media_dir
 from .similarity import (
     brute_force_topk,
     cosine_similarity,
+    embedding_covariance,
     ivf_topk,
     lsh_bucket_topk,
+    mahalanobis_scores,
+    whiten_embeddings,
 )
 from .util import in_filter_join, range_join, salted_join
 from .text import (
@@ -42,6 +45,9 @@ from .text import (
 __all__ = [
     "brute_force_topk",
     "cosine_similarity",
+    "embedding_covariance",
+    "mahalanobis_scores",
+    "whiten_embeddings",
     "dedup_exact",
     "document_fingerprint",
     "duplicate_clusters",

@@ -140,10 +140,10 @@ def nearest_pivot_batched(pivot_rows):
     pivots; past that the k×dim literal expression grows into a
     megabyte-scale parse and the per-row fold does k×dim interpreted
     higher-order ops (k=782, dim=64 → 50k ops/row). Here the pivot
-    matrix rides along as a closure (a broadcast-sized constant — same
-    bounded-driver contract as collect_pivot_rows) and one numpy
-    matmul per Arrow batch scores every (row, pivot) pair at once —
-    the identical move lsh_signatures makes, ~µs/row.
+    matrix ships as a SparkContext broadcast (once per executor, not
+    per task — same bounded-driver contract as collect_pivot_rows) and
+    one numpy matmul per Arrow batch scores every (row, pivot) pair at
+    once — the identical move lsh_signatures makes, ~µs/row.
 
     Tie-break parity: pivot_rows arrive sorted by pid ascending and
     np.argmax returns the FIRST maximum, so ties resolve to the lowest
@@ -539,4 +539,247 @@ def lsh_bucket_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim"))
+    )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: list[int] | None = None,
+) -> DataFrame:
+    """Distributed covariance over an embedding column — the
+    second-moment aggregation behind PCA / ZCA whitening / Mahalanobis
+    OOD scoring at corpus scale.
+
+    Spark-first shape (the treeAggregate-of-Gram-matrices design, cf.
+    Spark MLlib's RowMatrix): each partition folds its vectors into
+    ONE (count, Σx, XᵀX) partial inside an Arrow-batched numpy kernel
+    — d and d² doubles per PARTITION, not per row — and the partials
+    merge through a tiny posexplode + sum (≤ partitions × d² rows,
+    ~131k for d=64 at 32 partitions; the corpus itself never
+    shuffles). Covariance then assembles JVM-side:
+    cov(i,j) = (G_ij − S_i·S_j / n) / (n − 1), rounded through
+    DECIMAL(30,10) to 6dp — the corpus-wide cross-engine float
+    discipline (well above the ~1e-13 accumulation-order noise vs a
+    single-pass covar_samp). try_divide keeps the degenerate n ≤ 1
+    corpus NULL (covar_samp's contract) instead of an ANSI abort.
+
+    *dims* are 1-based vector positions (default: every dimension,
+    discovered from the first row). Returns the upper triangle:
+    (i, j, n, cov) with i <= j, both 1-based.
+
+    The d×d result is bounded (d ≤ a few thousand), so downstream
+    eigendecomposition for PCA/whitening is a driver-side numpy step
+    on the collected matrix — same bounded-driver contract as the
+    pivot collection above.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dims is None:
+        d0 = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dims = list(range(1, int(d0["d"]) + 1))
+    idx = np.array([p - 1 for p in dims], dtype=np.int64)
+    d = len(idx)
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(d, dtype=np.float64)
+        g = np.zeros((d, d), dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)[
+                :, idx
+            ]
+            n += X.shape[0]
+            s += X.sum(axis=0)
+            g += X.T @ X
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        partials, "n long, s array<double>, g array<double>"
+    )
+    # the merge operates on partition-count-sized data — every frame
+    # below is tiny and broadcasts
+    n_tot = parts.agg(F.sum("n").alias("n"))
+    s_agg = (
+        parts.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"))
+    )
+    g_agg = (
+        parts.select(F.posexplode("g").alias("p", "v"))
+        .groupBy("p")
+        .agg(F.sum("v").alias("g"))
+    )
+    pairs = g_agg.select(
+        (F.col("p") / d).cast("int").alias("ii"),
+        F.pmod("p", F.lit(d)).cast("int").alias("jj"),
+        "g",
+    ).where(F.col("ii") <= F.col("jj"))
+    si = s_agg.select(F.col("i").alias("ii"), F.col("s").alias("s_i"))
+    sj = s_agg.select(F.col("i").alias("jj"), F.col("s").alias("s_j"))
+    dim_lit = F.array(*[F.lit(int(p)) for p in dims])
+    cov = F.try_divide(
+        F.col("g") - F.col("s_i") * F.col("s_j") / F.col("n"),
+        F.col("n") - 1,
+    )
+    return (
+        pairs.join(F.broadcast(si), "ii")
+        .join(F.broadcast(sj), "jj")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            F.element_at(dim_lit, F.col("ii") + 1).alias("i"),
+            F.element_at(dim_lit, F.col("jj") + 1).alias("j"),
+            "n",
+            F.round(cov.cast("decimal(30,10)"), 6)
+            .cast("double")
+            .alias("cov"),
+        )
+    )
+
+
+def whiten_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: list[int] | None = None,
+    eps: float = 1e-9,
+    out_col: str = "whitened",
+) -> DataFrame:
+    """ZCA-whiten an embedding column: W = Σ^(−1/2) from the
+    distributed covariance (embedding_covariance), applied per row as
+    one numpy matvec per Arrow batch.
+
+    The split of work IS the design: the only corpus-sized passes are
+    the Gram aggregation (no shuffle, no expansion) and the final
+    projection scan; the eigendecomposition of the bounded d×d matrix
+    happens driver-side (numpy.linalg.eigh, symmetric), and W ships to
+    executors as a broadcast. Eigenvalues are floored at *eps* so a
+    rank-deficient corpus (duplicated dims, n < d) whitens the
+    spanned subspace instead of exploding. Output keeps every input
+    column and appends *out_col* (array<double>, centered and
+    whitened: cov(out) ≈ I on the spanned subspace)."""
+    import numpy as np
+
+    rows = embedding_covariance(df, vec_col, dims).collect()
+    if not rows:
+        raise ValueError("whiten_embeddings: empty corpus")
+    pos = sorted({r["i"] for r in rows} | {r["j"] for r in rows})
+    d = len(pos)
+    pidx = {p: k for k, p in enumerate(pos)}
+    S = np.zeros((d, d))
+    for r in rows:
+        if r["cov"] is None:
+            raise ValueError(
+                "whiten_embeddings: covariance undefined (n <= 1)"
+            )
+        S[pidx[r["i"]], pidx[r["j"]]] = r["cov"]
+        S[pidx[r["j"]], pidx[r["i"]]] = r["cov"]
+    # means for centering: Σx/n via the same Gram partial machinery
+    # would round-trip another job; one tiny agg on the sliced dims
+    mean_row = df.select(
+        *[
+            F.avg(F.element_at(F.col(vec_col), int(p))).alias(f"m{p}")
+            for p in pos
+        ]
+    ).first()
+    mu = np.array([float(mean_row[f"m{p}"]) for p in pos])
+    w_eig, V = np.linalg.eigh(S)
+    W = V @ np.diag(1.0 / np.sqrt(np.maximum(w_eig, eps))) @ V.T
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    sess = SparkSession.getActiveSession()
+    bc = sess.sparkContext.broadcast((np.array(pos) - 1, mu, W))
+
+    def project(v):
+        import pandas as pd
+
+        idx, mu_, W_ = bc.value
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.vstack(v.to_numpy()).astype(np.float64)[:, idx]
+        Y = (X - mu_) @ W_.T
+        return pd.Series(list(Y))
+
+    return df.withColumn(
+        out_col, pandas_udf(project, ArrayType(DoubleType()))(F.col(vec_col))
+    )
+
+
+def mahalanobis_scores(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dims: list[int] | None = None,
+    eps: float = 1e-9,
+    out_col: str = "md2",
+) -> DataFrame:
+    """Squared Mahalanobis distance of every row to the corpus
+    distribution — the covariance-aware OOD / anomaly score:
+    md² = (x − μ)ᵀ Σ⁻¹ (x − μ).
+
+    Same decomposition as whiten_embeddings: Σ from the shuffle-free
+    Gram aggregation, inverted driver-side (eigendecomposition with
+    eigenvalues floored at *eps* — a pseudo-inverse on rank-deficient
+    corpora), broadcast, then one quadratic form per row inside an
+    Arrow batch. Two corpus scans total, no shuffle, no expansion.
+    The 2-dim closed form of the same quantity is oracle-verified in
+    q174; this generic-d kernel is pinned against it in tests."""
+    import numpy as np
+
+    rows = embedding_covariance(df, vec_col, dims).collect()
+    if not rows:
+        raise ValueError("mahalanobis_scores: empty corpus")
+    pos = sorted({r["i"] for r in rows} | {r["j"] for r in rows})
+    d = len(pos)
+    pidx = {p: k for k, p in enumerate(pos)}
+    S = np.zeros((d, d))
+    for r in rows:
+        if r["cov"] is None:
+            raise ValueError(
+                "mahalanobis_scores: covariance undefined (n <= 1)"
+            )
+        S[pidx[r["i"]], pidx[r["j"]]] = r["cov"]
+        S[pidx[r["j"]], pidx[r["i"]]] = r["cov"]
+    mean_row = df.select(
+        *[
+            F.round(
+                F.avg(F.element_at(F.col(vec_col), int(p))).cast(
+                    "decimal(30,10)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias(f"m{p}")
+            for p in pos
+        ]
+    ).first()
+    mu = np.array([float(mean_row[f"m{p}"]) for p in pos])
+    w_eig, V = np.linalg.eigh(S)
+    P = V @ np.diag(1.0 / np.maximum(w_eig, eps)) @ V.T  # Σ^-1
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    sess = SparkSession.getActiveSession()
+    bc = sess.sparkContext.broadcast((np.array(pos) - 1, mu, P))
+
+    def score(v):
+        import pandas as pd
+
+        idx, mu_, P_ = bc.value
+        if len(v) == 0:
+            return pd.Series([], dtype="float64")
+        X = np.vstack(v.to_numpy()).astype(np.float64)[:, idx] - mu_
+        return pd.Series(np.einsum("ij,jk,ik->i", X, P_, X))
+
+    return df.withColumn(
+        out_col, pandas_udf(score, DoubleType())(F.col(vec_col))
     )

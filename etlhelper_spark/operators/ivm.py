@@ -35,7 +35,10 @@ def rollup_partial(
 
 
 def merge_rollup(
-    base: DataFrame, delta_partial: DataFrame, keys: list[str]
+    base: DataFrame,
+    delta_partial: DataFrame,
+    keys: list[str],
+    drop_zero: bool = True,
 ) -> DataFrame:
     """Merge a delta's partial aggregate into the stored rollup.
 
@@ -46,6 +49,16 @@ def merge_rollup(
     absence. The result is exactly ``rollup_partial`` over the unioned
     inputs — asserted against a full recompute in the oracle of
     q162_incremental_rollup and in tests/test_round3_ops.py.
+
+    ``drop_zero=False`` keeps zero-count groups: required when the
+    result is INTERMEDIATE state of a mixed insert/delete feed, where
+    one batch can legitimately net a group to count 0 with a NONZERO
+    sum (delete of value x + insert of value y in the same batch) and
+    a later batch revives it — dropping the group there silently loses
+    y−x (caught by the sf0.001 gate replica; regression-tested in
+    test_ivm_rescan.py). Drop only where count 0 implies all-zero
+    measures: a FINAL state of a consistent feed, or a pure-retraction
+    delta of previously-inserted rows.
     """
     measures = [c for c in base.columns if c not in keys]
     b = base.select(
@@ -64,7 +77,7 @@ def merge_rollup(
             for c in measures
         ],
     )
-    return merged.where(F.col("n") != 0)
+    return merged.where(F.col("n") != 0) if drop_zero else merged
 
 
 def streaming_incremental_rollup(
@@ -336,12 +349,17 @@ def streaming_cdc_rollup(
     The sign trick keeps retraction on the streaming path free: a
     delete contributes (-1, -x) to the same groupBy the insert
     contributes (+1, +x), so the per-batch shuffle is one |batch-group|
-    aggregate regardless of the insert/delete mix, and merge_rollup's
-    n=0 drop gives insert-then-delete round-trip-to-absence across
-    batches. State is versioned per batch id (a replayed batch
-    overwrites its own version — idempotent under at-least-once).
-    Additive measures only; min/max under streaming deletes need the
-    batch-side maintain_rollup_rescan against a queryable source.
+    aggregate regardless of the insert/delete mix. INTERMEDIATE state
+    keeps zero-count groups (drop_zero=False): a single batch can net
+    a group to count 0 with a nonzero sum (delete x + insert y) and a
+    later batch revives it — dropping there loses y−x. Fully-deleted
+    groups disappear at READ time (read_rollup_state), where a
+    consistent feed guarantees count 0 implies all-zero measures —
+    insert-then-delete still round-trips to absence. State is
+    versioned per batch id (a replayed batch overwrites its own
+    version — idempotent under at-least-once). Additive measures only;
+    min/max under streaming deletes need the batch-side
+    maintain_rollup_rescan against a queryable source.
 
     Starts and drains an availableNow foreachBatch query; read the
     final state with ``read_rollup_state``.
@@ -371,9 +389,9 @@ def streaming_cdc_rollup(
             base = batch_df.sparkSession.read.parquet(
                 os.path.join(state_dir, f"v{max(prior)}")
             )
-            merged = merge_rollup(base, partial, keys)
+            merged = merge_rollup(base, partial, keys, drop_zero=False)
         else:
-            merged = partial.where(F.col("n") != 0)
+            merged = partial
         merged.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"v{batch_id}")
         )
@@ -388,7 +406,10 @@ def streaming_cdc_rollup(
 
 
 def read_rollup_state(spark, state_dir: str) -> DataFrame:
-    """Latest version of a versioned rollup state directory."""
+    """Latest version of a versioned rollup state directory, with
+    fully-retracted (count 0) groups dropped — the view-read
+    semantic; intermediate versions keep them (see merge_rollup
+    drop_zero)."""
     import glob
     import os
 
@@ -396,4 +417,5 @@ def read_rollup_state(spark, state_dir: str) -> DataFrame:
         int(os.path.basename(p)[1:])
         for p in glob.glob(os.path.join(state_dir, "v*"))
     ]
-    return spark.read.parquet(os.path.join(state_dir, f"v{max(versions)}"))
+    latest = spark.read.parquet(os.path.join(state_dir, f"v{max(versions)}"))
+    return latest.where(F.col("n") != 0)

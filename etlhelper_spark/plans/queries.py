@@ -7898,6 +7898,131 @@ def q172_stream_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_rollup_state(spark, state)
 
 
+@query(
+    "q173_embedding_covariance",
+    """
+    WITH pos AS (SELECT unnest(range(1, 9)) AS p),
+    u AS (
+        SELECT e.vec_id, p.p AS p, e.embedding[p.p]::DOUBLE AS x
+        FROM embeddings e, pos p
+    )
+    SELECT a.p AS i, b.p AS j,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(CAST(covar_samp(a.x, b.x) AS DECIMAL(30,10)), 6)
+                AS DOUBLE) AS cov
+    FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.p <= b.p
+    GROUP BY a.p, b.p
+    """,
+)
+def q173_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance over the embedding corpus (first 8
+    dimensions) — the second-moment aggregation behind PCA / ZCA
+    whitening / Mahalanobis OOD scoring. The DECLARED plan is the
+    scale path: one (count, Σx, XᵀX) Gram partial per PARTITION from
+    an Arrow-batched numpy fold, merged through a partitions×d²-row
+    posexplode+sum — the corpus never shuffles and never expands,
+    where the oracle's relational form (self-join on vec_id after a
+    d-way unnest) expands every row d× and shuffles the expansion.
+    Both reduce to cov(i,j) = (G_ij − S_i·S_j/n)/(n−1) at 6dp. The
+    d×d result is bounded, so the eigendecomposition that turns it
+    into a whitening transform is a driver-side numpy step — the same
+    bounded-driver contract as the IVF pivot collection."""
+    from ..functions.similarity import embedding_covariance
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(e, "embedding", dims=list(range(1, 9)))
+
+
+@query(
+    "q174_mahalanobis_ood",
+    """
+    WITH s AS (
+        SELECT
+            CAST(round(CAST(avg(embedding[1]::DOUBLE)
+                 AS DECIMAL(30,10)), 6) AS DOUBLE) AS m1,
+            CAST(round(CAST(avg(embedding[2]::DOUBLE)
+                 AS DECIMAL(30,10)), 6) AS DOUBLE) AS m2,
+            CAST(round(CAST(covar_samp(embedding[1]::DOUBLE,
+                 embedding[1]::DOUBLE) AS DECIMAL(30,10)), 6)
+                 AS DOUBLE) AS s11,
+            CAST(round(CAST(covar_samp(embedding[1]::DOUBLE,
+                 embedding[2]::DOUBLE) AS DECIMAL(30,10)), 6)
+                 AS DOUBLE) AS s12,
+            CAST(round(CAST(covar_samp(embedding[2]::DOUBLE,
+                 embedding[2]::DOUBLE) AS DECIMAL(30,10)), 6)
+                 AS DOUBLE) AS s22
+        FROM embeddings
+    ), scored AS (
+        SELECT vec_id,
+               CAST(round(CAST(
+                   (s22 * (embedding[1]::DOUBLE - m1)
+                        * (embedding[1]::DOUBLE - m1)
+                    - 2 * s12 * (embedding[1]::DOUBLE - m1)
+                        * (embedding[2]::DOUBLE - m2)
+                    + s11 * (embedding[2]::DOUBLE - m2)
+                        * (embedding[2]::DOUBLE - m2))
+                   / (s11 * s22 - s12 * s12)
+               AS DECIMAL(30,10)), 4) AS DOUBLE) AS md2
+        FROM embeddings, s
+    )
+    SELECT vec_id, md2 FROM scored ORDER BY md2 DESC, vec_id LIMIT 20
+    """,
+)
+def q174_mahalanobis_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance-aware OOD scoring: squared Mahalanobis distance of
+    every embedding to the corpus distribution over dims (1,2), top-20
+    outliers. The moment scalars (means + covariances, both rounded
+    through DECIMAL at 6dp so the engines score against IDENTICAL
+    constants) come from the shuffle-free Gram aggregation
+    (embedding_covariance — 3 numbers collected, the bounded-driver
+    contract) and are folded as literals into ONE scoring scan using
+    the 2-dim closed-form inverse — the same expression tree the
+    oracle states, so md² matches bit-for-bit at 4dp. The generic-d
+    operator (mahalanobis_scores: driver-side eigen-inverse broadcast
+    into an Arrow-batched quadratic form) is pinned against this
+    closed form in tests. Top-k by score is the usual window-free
+    orderBy+limit on a (id, score) projection."""
+    from ..functions.similarity import embedding_covariance
+
+    e = _t(spark, sf_dir, "embeddings")
+    cov = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(e, "embedding", dims=[1, 2]).collect()
+    }
+    m = e.select(
+        *[
+            F.round(
+                F.avg(F.element_at("embedding", p).cast("double")).cast(
+                    "decimal(30,10)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias(f"m{p}")
+            for p in (1, 2)
+        ]
+    ).first()
+    s11, s12, s22 = (
+        F.lit(float(cov[(1, 1)])),
+        F.lit(float(cov[(1, 2)])),
+        F.lit(float(cov[(2, 2)])),
+    )
+    dx1 = F.element_at("embedding", 1).cast("double") - F.lit(float(m["m1"]))
+    dx2 = F.element_at("embedding", 2).cast("double") - F.lit(float(m["m2"]))
+    md2 = F.round(
+        (
+            (s22 * dx1 * dx1 - F.lit(2) * s12 * dx1 * dx2 + s11 * dx2 * dx2)
+            / (s11 * s22 - s12 * s12)
+        ).cast("decimal(30,10)"),
+        4,
+    ).cast("double")
+    return (
+        e.select("vec_id", md2.alias("md2"))
+        .orderBy(F.desc("md2"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -178,3 +178,45 @@ def test_streaming_cdc_rollup_equals_recompute(spark, tmp_path):
     }
     assert got == {"a": (2, 50), "b": (1, 6)}
     assert "c" not in got  # insert-then-delete round-trips to absence
+
+
+def test_streaming_cdc_intermediate_zero_count_not_lost(spark, tmp_path):
+    """Regression (caught by the sf0.001 replica): a batch that nets a
+    group to count 0 with a NONZERO sum — delete of value x plus
+    insert of value y — must not drop the group from intermediate
+    state, or a later batch silently loses y−x."""
+    import os
+
+    from etlhelper_spark.operators.ivm import (
+        read_rollup_state,
+        streaming_cdc_rollup,
+    )
+
+    batches = [
+        [("I", "g", 100)],
+        # net n = 0 for 'g' but sum moves by +150-100 = +50
+        [("D", "g", 100), ("I", "g", 150)],
+        [("I", "g", 25)],
+    ]
+    src_dir = str(tmp_path / "src")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, ["op", "g", "v"]).coalesce(
+            1
+        ).write.mode("append" if i else "overwrite").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("op string, g string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    streaming_cdc_rollup(
+        stream, ["g"], {"sv": "v"}, state, str(tmp_path / "ckpt")
+    )
+    got = {
+        r["g"]: (r["n"], r["sv"])
+        for r in read_rollup_state(spark, state).collect()
+    }
+    # survivors: 150 and 25 -> n=2, sum=175 (the buggy drop gave 125)
+    assert got == {"g": (2, 175)}

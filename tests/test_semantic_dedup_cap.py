@@ -281,3 +281,111 @@ def test_singleton_and_empty_clusters(spark):
         df, threshold=-1.0, assignments=assigned
     ).collect()
     assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Gram-partial covariance must equal numpy's two-pass reference
+    at the 6dp contract, for a multi-partition input, and feed a valid
+    driver-side whitening step (eigenvalues of a covariance are
+    non-negative)."""
+    import numpy as np
+
+    from etlhelper_spark.functions.similarity import embedding_covariance
+
+    rng = np.random.RandomState(7)
+    X = np.round(rng.randn(500, 6), 3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(500)],
+        ["vec_id", "embedding"],
+    ).repartition(8)
+    got = {
+        (r.i, r.j): (r.n, r.cov)
+        for r in embedding_covariance(df, "embedding").collect()
+    }
+    ref = np.cov(X, rowvar=False, ddof=1)
+    assert len(got) == 21  # upper triangle of 6x6
+    M = np.zeros((6, 6))
+    for (i, j), (n, cov) in got.items():
+        assert n == 500
+        assert abs(cov - ref[i - 1, j - 1]) < 1e-6
+        M[i - 1, j - 1] = M[j - 1, i - 1] = cov
+    # bounded-driver PCA/whitening step on the collected matrix
+    w, _ = np.linalg.eigh(M)
+    assert (w > -1e-9).all()
+
+
+def test_embedding_covariance_dims_subset_and_degenerate(spark):
+    """dims selects 1-based positions; a single-row corpus yields NULL
+    covariance (covar_samp contract) instead of an ANSI abort."""
+    from etlhelper_spark.functions.similarity import embedding_covariance
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [2.0, 4.0, 7.0])],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        (r.i, r.j): r.cov
+        for r in embedding_covariance(df, "embedding", dims=[1, 3]).collect()
+    }
+    assert got == {(1, 1): 0.5, (1, 3): 2.0, (3, 3): 8.0}
+
+    one = spark.createDataFrame([(0, [1.0, 2.0])], ["vec_id", "embedding"])
+    rows = embedding_covariance(one, "embedding").collect()
+    assert all(r.cov is None for r in rows)
+
+
+def test_whiten_embeddings_identity_covariance(spark):
+    """Whitened output must have ~identity covariance on the spanned
+    subspace (the operator's whole contract)."""
+    import numpy as np
+
+    from etlhelper_spark.functions.similarity import whiten_embeddings
+
+    rng = np.random.RandomState(3)
+    A = rng.randn(4, 4)
+    X = rng.randn(400, 4) @ A  # correlated dims
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(400)],
+        ["vec_id", "embedding"],
+    ).repartition(4)
+    out = whiten_embeddings(df, "embedding")
+    Y = np.vstack(
+        [r.whitened for r in out.orderBy("vec_id").collect()]
+    )
+    C = np.cov(Y, rowvar=False, ddof=1)
+    assert np.abs(C - np.eye(4)).max() < 0.05
+
+
+def test_mahalanobis_generic_matches_closed_form_2d(spark):
+    """The generic eigen-inverse kernel must agree with q174's 2-dim
+    closed form to float tolerance on the same corpus."""
+    import numpy as np
+
+    from etlhelper_spark.functions.similarity import (
+        embedding_covariance,
+        mahalanobis_scores,
+    )
+
+    rng = np.random.RandomState(11)
+    X = np.round(rng.randn(300, 2) @ np.array([[2.0, 0.5], [0.5, 1.0]]), 3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        ["vec_id", "embedding"],
+    ).repartition(4)
+    got = {
+        r.vec_id: r.md2
+        for r in mahalanobis_scores(df, "embedding").collect()
+    }
+    cov = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_covariance(df, "embedding").collect()
+    }
+    S = np.array(
+        [[cov[(1, 1)], cov[(1, 2)]], [cov[(1, 2)], cov[(2, 2)]]]
+    )
+    mu = np.round(X.mean(axis=0), 6)
+    Pm = np.linalg.inv(S)
+    for i in range(0, 300, 37):
+        d = X[i] - mu
+        ref = float(d @ Pm @ d)
+        assert abs(got[i] - ref) < 1e-6
