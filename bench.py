@@ -161,6 +161,7 @@ HEADLINE = [
     "q172_stream_cdc_rollup",
     "q173_embedding_covariance",
     "q174_mahalanobis_ood",
+    "q175_ivm_multiset_minmax",
 ]
 
 

@@ -419,3 +419,32 @@ def read_rollup_state(spark, state_dir: str) -> DataFrame:
     ]
     latest = spark.read.parquet(os.path.join(state_dir, f"v{max(versions)}"))
     return latest.where(F.col("n") != 0)
+
+
+def multiset_minmax_view(
+    state: DataFrame, keys: list[str], value_col: str = "v"
+) -> DataFrame:
+    """Read min/max (plus count/sum) per group from VALUE-LEVEL rollup
+    state — the third maintenance strategy for non-invertible
+    aggregates, complementing the append-only merge and the targeted
+    rescan: keep the additive rollup at (keys, value) granularity and
+    min/max become DERIVED, fully retraction-safe reads.
+
+    The state is just ``rollup_partial`` / ``merge_rollup`` over
+    ``keys + [value_col]`` — deletes are ordinary negative deltas at
+    that granularity, no rescan and no append-only restriction,
+    because counting a multiset IS invertible. The trade is state
+    size: O(|groups| x |distinct values per group|) instead of
+    O(|groups|) — the right strategy when the value domain is bounded
+    (status codes, bucketed measures, prices in cents), while
+    unbounded domains take maintain_rollup_rescan. The read is one
+    |state|-sized aggregate: min/max over values with surviving
+    count > 0, count/sum re-derived from the per-value counts.
+    """
+    alive = state.where(F.col("n") > 0)
+    return alive.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum(F.col(value_col) * F.col("n")).alias("sum_v"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    )

@@ -8023,6 +8023,70 @@ def q174_mahalanobis_ood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q175_ivm_multiset_minmax",
+    """
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_v,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS min_v,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS max_v
+    FROM events
+    WHERE NOT (event_id % 5 = 0 OR event_type = 'signup')
+    GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def q175_ivm_multiset_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max under deletes WITHOUT a rescan — the multiset
+    strategy (operators/ivm.py::multiset_minmax_view): the stored
+    rollup keeps (keys, value)-granularity counts, so a delete is an
+    ordinary negative delta (counting a multiset IS invertible) and
+    min/max become derived reads over values with surviving count > 0.
+    Here the value-level state is built over all events, a delete
+    batch (every 5th event + ALL 'signup' events — extrema included,
+    whole groups included) merges as negated partials through the SAME
+    merge_rollup as every other delta, and the view read yields
+    count/sum/min/max per group. Oracle = recompute over survivors.
+    The trade vs maintain_rollup_rescan is stated in the docstring:
+    state O(|groups| x |distinct values|) — right for bounded value
+    domains (cents here), while unbounded domains take the targeted
+    rescan. Per-batch cost O(batch) + |state| merge join; read is one
+    |state| aggregate; history never re-read."""
+    from ..operators.ivm import (
+        merge_rollup,
+        multiset_minmax_view,
+        rollup_partial,
+    )
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    keys = ["event_type", "day"]
+    vkeys = keys + ["cents"]
+    base = rollup_partial(e, vkeys, {})
+    deleted = e.where(
+        (F.pmod("event_id", F.lit(5)) == 0)
+        | (F.col("event_type") == "signup")
+    )
+    retract = rollup_partial(deleted, vkeys, {}).select(
+        *vkeys, (-F.col("n")).alias("n")
+    )
+    state = merge_rollup(base, retract, vkeys)
+    return multiset_minmax_view(state, keys, "cents").select(
+        *keys,
+        "n",
+        "sum_v",
+        "min_v",
+        "max_v",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -220,3 +220,35 @@ def test_streaming_cdc_intermediate_zero_count_not_lost(spark, tmp_path):
     }
     # survivors: 150 and 25 -> n=2, sum=175 (the buggy drop gave 125)
     assert got == {"g": (2, 175)}
+
+
+def test_multiset_minmax_survives_extremum_delete(spark):
+    """Value-level state: deleting the current min (as a negative
+    delta at (keys, value) granularity) must surface the next value,
+    with no rescan and no append-only restriction; duplicated values
+    survive partial deletion."""
+    from etlhelper_spark.operators.ivm import (
+        merge_rollup,
+        multiset_minmax_view,
+        rollup_partial,
+    )
+
+    rows = [("a", 1), ("a", 1), ("a", 5), ("a", 9), ("b", 3)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    base = rollup_partial(df, ["g", "v"], {})
+    deletes = spark.createDataFrame(
+        [("a", 1), ("a", 9), ("b", 3)], ["g", "v"]
+    )
+    retract = rollup_partial(deletes, ["g", "v"], {}).select(
+        "g", "v", (-F.col("n")).alias("n")
+    )
+    state = merge_rollup(base, retract, ["g", "v"])
+    got = {
+        r["g"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+        for r in multiset_minmax_view(state, ["g"]).collect()
+    }
+    # one of the two 1s survives (multiset!), 9 is gone -> max 5;
+    # survivors of a = [1, 5]
+    assert got == {"a": (2, 6, 1, 5)}
+    # 'b' fully deleted -> absent from the view read
+    assert "b" not in got
