@@ -389,3 +389,29 @@ def test_mahalanobis_generic_matches_closed_form_2d(spark):
         d = X[i] - mu
         ref = float(d @ Pm @ d)
         assert abs(got[i] - ref) < 1e-6
+
+
+def test_whiten_embeddings_rank_deficient_corpus(spark):
+    """A constant dimension (zero variance) must not explode: the eps
+    eigenvalue floor whitens the spanned subspace and leaves the
+    degenerate direction bounded."""
+    import numpy as np
+
+    from etlhelper_spark.functions.similarity import whiten_embeddings
+
+    rng = np.random.RandomState(5)
+    X = np.column_stack(
+        [rng.randn(200), np.full(200, 3.25), rng.randn(200)]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    out = whiten_embeddings(df, "embedding", eps=1e-6)
+    Y = np.vstack([r.whitened for r in out.collect()])
+    assert np.isfinite(Y).all()
+    # constant dim centers to ~0 and stays ~0 after whitening
+    assert np.abs(Y[:, 1]).max() < 1e-2
+    C = np.cov(Y, rowvar=False, ddof=1)
+    # live dims whiten to ~unit variance
+    assert abs(C[0, 0] - 1) < 0.1 and abs(C[2, 2] - 1) < 0.1
