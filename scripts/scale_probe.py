@@ -210,6 +210,57 @@ def main() -> None:
         ).count(),
     )
 
+    # embedding covariance (round-4): full 64x64 Gram aggregation —
+    # one partial per partition, corpus never shuffles; must scale
+    # like a plain scan.
+    from etlhelper_spark.functions.similarity import embedding_covariance
+
+    probe(
+        "embedding covariance (64 dims, Gram partials)",
+        n_vecs,
+        lambda: embedding_covariance(vecs, "embedding").count(),
+    )
+
+    # streaming CDC rollup (round-4): 1M-row insert/delete feed
+    # drained as 4 micro-batches into versioned state — the per-batch
+    # merge is O(batch) + |state|, so rows/sec must hold.
+    import os as _os
+
+    from etlhelper_spark.operators.ivm import (
+        read_rollup_state,
+        streaming_cdc_rollup,
+    )
+
+    def _cdc_probe():
+        feed_dir = _os.path.join(tmp, "cdc_feed")
+        state_dir = _os.path.join(tmp, "cdc_state")
+        ckpt_dir = _os.path.join(tmp, "cdc_ckpt")
+        n_ev = 1_000_000
+        ev = spark.range(n_ev).select(
+            F.col("id").alias("event_id"),
+            F.pmod(F.xxhash64("id"), F.lit(200)).alias("g"),
+            F.pmod(F.xxhash64(F.col("id") + 7), F.lit(10_000)).alias("v"),
+        )
+        feed = ev.withColumn("op", F.lit("I")).unionByName(
+            ev.where(F.pmod("event_id", F.lit(7)) == 0).withColumn(
+                "op", F.lit("D")
+            )
+        )
+        feed.repartition(4).write.mode("overwrite").parquet(feed_dir)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(feed_dir).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        _os.makedirs(state_dir, exist_ok=True)
+        streaming_cdc_rollup(
+            stream, ["g"], {"sum_v": "v"}, state_dir, ckpt_dir
+        )
+        return read_rollup_state(spark, state_dir).count()
+
+    probe("streaming CDC rollup (1M events, 4 batches)", 1_000_000,
+          _cdc_probe)
+
     lines = [
         "# SCALE PROBE — measured operator scaling beyond bench SF",
         "",
