@@ -821,7 +821,11 @@ def semantic_dedup(
         # ~4M rows / tens of MB even at 10^9 vectors — comfortably
         # broadcastable) and joins back as a broadcast; in-cap
         # clusters keep shard 0 so the common path is untouched.
-        sizes = members.groupBy("cluster_id").agg(
+        # Sizes come from the ASSIGNMENTS frame alone — counting per
+        # cluster needs no vectors, so the assignments⋈vectors join
+        # (the corpus-sized work) runs exactly once, for the pairwise
+        # input, not twice.
+        sizes = assigned.groupBy("cluster_id").agg(
             F.count("*").alias("__csz")
         )
         members = (
