@@ -16,9 +16,16 @@ no UDF serialization, vectorizable over 100 TB.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# broadcast memo for nearest_pivot_batched: (appId, pivot digest) ->
+# Broadcast. Bounded; eviction unpersists (see nearest_pivot_batched).
+_PIVOT_BC_CACHE: OrderedDict = OrderedDict()
+_PIVOT_BC_CACHE_MAX = 8
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -171,11 +178,32 @@ def nearest_pivot_batched(pivot_rows):
     # closure: a closure is re-serialized into every task launch,
     # and at derived-k scale (k ≈ n/256 × dim doubles) that is tens
     # of MB per task; a broadcast moves it once per executor.
+    # MEMOIZED per (session, pivot-content digest): kmeans calls this
+    # once per Lloyd iteration with recomputed (usually different)
+    # centroids, and an unbounded stream of broadcasts would pin
+    # executor memory for the session's lifetime — repeated identical
+    # pivot sets reuse one broadcast, and eviction unpersists the
+    # oldest entries past a small cap.
     from pyspark.sql import SparkSession
 
     _sess = SparkSession.getActiveSession()
     if _sess is not None:
-        _bc = _sess.sparkContext.broadcast((pids, C, cn))
+        import hashlib
+
+        key = (
+            _sess.sparkContext.applicationId,
+            hashlib.md5(pids.tobytes() + C.tobytes()).hexdigest(),
+        )
+        _bc = _PIVOT_BC_CACHE.get(key)
+        if _bc is None:
+            _bc = _sess.sparkContext.broadcast((pids, C, cn))
+            _PIVOT_BC_CACHE[key] = _bc
+            while len(_PIVOT_BC_CACHE) > _PIVOT_BC_CACHE_MAX:
+                _, old = _PIVOT_BC_CACHE.popitem(last=False)
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass  # session torn down: nothing to release
 
         def _pivots():
             return _bc.value
@@ -573,14 +601,34 @@ def embedding_covariance(
     on the collected matrix — same bounded-driver contract as the
     pivot collection above.
     """
+    dims, idx, d = _resolve_dims(df, vec_col, dims)
+    parts = _gram_parts(df, vec_col, idx, d)
+    return _covariance_from_parts(parts, dims, d)
+
+
+def _resolve_dims(df: DataFrame, vec_col: str, dims: list[int] | None):
+    """(dims, 0-based index array, d) with dims defaulting to every
+    vector position, discovered from the first row."""
     import numpy as np
-    import pandas as pd
 
     if dims is None:
         d0 = df.select(F.size(F.col(vec_col)).alias("d")).first()
         dims = list(range(1, int(d0["d"]) + 1))
     idx = np.array([p - 1 for p in dims], dtype=np.int64)
-    d = len(idx)
+    return dims, idx, len(idx)
+
+
+def _gram_parts(df: DataFrame, vec_col: str, idx, d: int) -> DataFrame:
+    """One (count, Σx, XᵀX) Gram partial per partition, CACHED.
+
+    The frame is tiny (|partitions| rows of 1 + d + d² doubles), but
+    every moment consumer (n, Σx, Gram — and in whiten/mahalanobis the
+    means too) hangs a separate aggregation off it; without the cache
+    Spark re-executes the full corpus scan + matmul once per subtree
+    (measured 3-4 corpus scans per invocation). The cache pins a few
+    hundred KB per call and drops with the session."""
+    import numpy as np
+    import pandas as pd
 
     def partials(batches):
         n = 0
@@ -600,9 +648,16 @@ def embedding_covariance(
                 {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
             )
 
-    parts = df.select(vec_col).mapInPandas(
+    return df.select(vec_col).mapInPandas(
         partials, "n long, s array<double>, g array<double>"
-    )
+    ).cache()
+
+
+def _covariance_from_parts(
+    parts: DataFrame, dims: list[int], d: int
+) -> DataFrame:
+    """JVM-side assembly of the upper-triangle covariance from the
+    cached Gram partials (the decimal-rounded cross-engine contract)."""
     # the merge operates on partition-count-sized data — every frame
     # below is tiny and broadcasts
     n_tot = parts.agg(F.sum("n").alias("n"))
@@ -643,6 +698,69 @@ def embedding_covariance(
     )
 
 
+def _corpus_moments(
+    df: DataFrame,
+    vec_col: str,
+    dims: list[int] | None,
+    round_means: bool,
+):
+    """Driver-side (pos, n, mu, S) from ONE cached Gram pass: the
+    covariance matrix S assembles through the decimal-rounded JVM
+    contract (_covariance_from_parts — identical values to
+    embedding_covariance, q173's oracle-proven path), and the means
+    derive as Σx/n from the SAME partials instead of a second corpus
+    scan — two corpus scans total for whiten/mahalanobis (moments +
+    projection), as designed. ``round_means`` applies the 6dp decimal
+    contract to the means (the cross-engine literal discipline);
+    unrounded means keep full precision for engine-internal use."""
+    import numpy as np
+
+    dims, idx, d = _resolve_dims(df, vec_col, dims)
+    parts = _gram_parts(df, vec_col, idx, d)
+    rows = _covariance_from_parts(parts, dims, d).collect()
+    if not rows:
+        parts.unpersist()
+        raise ValueError("corpus moments: empty corpus")
+    pos = sorted({r["i"] for r in rows} | {r["j"] for r in rows})
+    pidx = {p: k for k, p in enumerate(pos)}
+    S = np.zeros((d, d))
+    for r in rows:
+        if r["cov"] is None:
+            parts.unpersist()
+            raise ValueError("corpus moments: covariance undefined (n <= 1)")
+        S[pidx[r["i"]], pidx[r["j"]]] = r["cov"]
+        S[pidx[r["j"]], pidx[r["i"]]] = r["cov"]
+    sums = (
+        parts.select(F.posexplode("s").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    n = parts.agg(F.sum("n")).first()[0]
+    parts.unpersist()
+    s_vec = np.zeros(d)
+    for r in sums:
+        s_vec[r["i"]] = r["s"]
+    mu = s_vec / n
+    if round_means:
+        mu = np.array([_round6_py(m) for m in mu])
+    return pos, int(n), mu, S
+
+
+def _round6_py(x: float) -> float:
+    """Driver-side mirror of the corpus-wide 6dp contract
+    ``round(CAST(x AS DECIMAL(30,10)), 6)``: quantize to 10dp
+    HALF_UP (the double→DECIMAL(30,10) cast), then to 6dp HALF_UP —
+    the same two-step rounding, so a literal computed here matches
+    the JVM/DuckDB value bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q10 = Decimal(repr(float(x))).quantize(
+        Decimal("0.0000000001"), rounding=ROUND_HALF_UP
+    )
+    return float(q10.quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
 def whiten_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -665,29 +783,7 @@ def whiten_embeddings(
     whitened: cov(out) ≈ I on the spanned subspace)."""
     import numpy as np
 
-    rows = embedding_covariance(df, vec_col, dims).collect()
-    if not rows:
-        raise ValueError("whiten_embeddings: empty corpus")
-    pos = sorted({r["i"] for r in rows} | {r["j"] for r in rows})
-    d = len(pos)
-    pidx = {p: k for k, p in enumerate(pos)}
-    S = np.zeros((d, d))
-    for r in rows:
-        if r["cov"] is None:
-            raise ValueError(
-                "whiten_embeddings: covariance undefined (n <= 1)"
-            )
-        S[pidx[r["i"]], pidx[r["j"]]] = r["cov"]
-        S[pidx[r["j"]], pidx[r["i"]]] = r["cov"]
-    # means for centering: Σx/n via the same Gram partial machinery
-    # would round-trip another job; one tiny agg on the sliced dims
-    mean_row = df.select(
-        *[
-            F.avg(F.element_at(F.col(vec_col), int(p))).alias(f"m{p}")
-            for p in pos
-        ]
-    ).first()
-    mu = np.array([float(mean_row[f"m{p}"]) for p in pos])
+    pos, _n, mu, S = _corpus_moments(df, vec_col, dims, round_means=False)
     w_eig, V = np.linalg.eigh(S)
     W = V @ np.diag(1.0 / np.sqrt(np.maximum(w_eig, eps))) @ V.T
 
@@ -733,34 +829,7 @@ def mahalanobis_scores(
     q174; this generic-d kernel is pinned against it in tests."""
     import numpy as np
 
-    rows = embedding_covariance(df, vec_col, dims).collect()
-    if not rows:
-        raise ValueError("mahalanobis_scores: empty corpus")
-    pos = sorted({r["i"] for r in rows} | {r["j"] for r in rows})
-    d = len(pos)
-    pidx = {p: k for k, p in enumerate(pos)}
-    S = np.zeros((d, d))
-    for r in rows:
-        if r["cov"] is None:
-            raise ValueError(
-                "mahalanobis_scores: covariance undefined (n <= 1)"
-            )
-        S[pidx[r["i"]], pidx[r["j"]]] = r["cov"]
-        S[pidx[r["j"]], pidx[r["i"]]] = r["cov"]
-    mean_row = df.select(
-        *[
-            F.round(
-                F.avg(F.element_at(F.col(vec_col), int(p))).cast(
-                    "decimal(30,10)"
-                ),
-                6,
-            )
-            .cast("double")
-            .alias(f"m{p}")
-            for p in pos
-        ]
-    ).first()
-    mu = np.array([float(mean_row[f"m{p}"]) for p in pos])
+    pos, _n, mu, S = _corpus_moments(df, vec_col, dims, round_means=True)
     w_eig, V = np.linalg.eigh(S)
     P = V @ np.diag(1.0 / np.maximum(w_eig, eps)) @ V.T  # Σ^-1
 

@@ -405,11 +405,21 @@ def streaming_cdc_rollup(
     q.awaitTermination()
 
 
-def read_rollup_state(spark, state_dir: str) -> DataFrame:
+def read_rollup_state(
+    spark, state_dir: str, check_cols: list[str] | None = None
+) -> DataFrame:
     """Latest version of a versioned rollup state directory, with
     fully-retracted (count 0) groups dropped — the view-read
     semantic; intermediate versions keep them (see merge_rollup
-    drop_zero)."""
+    drop_zero).
+
+    ``check_cols`` names the additive measure columns whose value a
+    consistent feed guarantees to be zero whenever a group's count has
+    netted to zero. When given, a dropped n=0 group carrying a NONZERO
+    named measure raises at read time instead of being silently
+    discarded — an inconsistent CDC feed (delete without its matching
+    prior insert, or mismatched delete values) becomes a detectable
+    error rather than silent data loss."""
     import glob
     import os
 
@@ -418,6 +428,32 @@ def read_rollup_state(spark, state_dir: str) -> DataFrame:
         for p in glob.glob(os.path.join(state_dir, "v*"))
     ]
     latest = spark.read.parquet(os.path.join(state_dir, f"v{max(versions)}"))
+    if check_cols:
+        bad = F.lit(False)
+        for c in check_cols:
+            bad = bad | (F.col(c) != 0)
+        guard = F.when(
+            (F.col("n") == 0) & bad,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "read_rollup_state: inconsistent CDC feed — "
+                        "group with count 0 carries nonzero measures ("
+                    ),
+                    F.concat_ws(
+                        ", ",
+                        *[
+                            F.concat(
+                                F.lit(f"{c}="), F.col(c).cast("string")
+                            )
+                            for c in check_cols
+                        ],
+                    ),
+                    F.lit(")"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("n"))
+        latest = latest.withColumn("n", guard)
     return latest.where(F.col("n") != 0)
 
 

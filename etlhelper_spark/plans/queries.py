@@ -6644,6 +6644,32 @@ def q152_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     # parquet-metadata count — the "cheap n" the derivation needs
     k = max(8, math.ceil(e.count() / 256))
+    # Oracle-soundness guards: the SQL oracle (a) ranks centroids with
+    # the literal-path argmax (derived k past literal_max would switch
+    # the engine to the numpy argmax, whose ulp-level sums can diverge
+    # from SQL on near-ties) and (b) enumerates ALL within-cluster
+    # pairs (an over-cap cluster would be salt-re-sharded engine-side,
+    # silently dropping cross-shard pairs). Both are structural at
+    # driver testdata scales; if a larger SF ever crosses either
+    # limit, fail loudly here instead of hash-mismatching downstream.
+    max_cluster = 4096
+    if k > 64:
+        raise AssertionError(
+            f"q152: derived k={k} exceeds the literal argmax path "
+            "(literal_max=64) — oracle comparison would be unsound"
+        )
+    assignments = _kmeans_assigned_cached(spark, sf_dir, k)
+    biggest = (
+        assignments.groupBy("cluster_id")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    if biggest is not None and biggest > max_cluster:
+        raise AssertionError(
+            f"q152: cluster of {biggest} rows exceeds max_cluster="
+            f"{max_cluster} — re-shard would drop oracle pairs"
+        )
     pairs = semantic_dedup(
         e,
         "vec_id",
@@ -6651,7 +6677,8 @@ def q152_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=k,
         iterations=2,
         threshold=0.3,
-        assignments=_kmeans_assigned_cached(spark, sf_dir, k),
+        max_cluster=max_cluster,
+        assignments=assignments,
     )
     return pairs.groupBy("cluster_id").agg(
         F.count("*").alias("n_pairs"),
@@ -7895,7 +7922,10 @@ def q172_stream_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         state,
         os.path.join(work, "ckpt"),
     )
-    return read_rollup_state(spark, state)
+    # check_cols: this feed is consistent by construction (deletes
+    # mirror prior inserts), so the read-time corruption guard is a
+    # free assertion — a nonzero sum on a drained group would raise.
+    return read_rollup_state(spark, state, check_cols=["value_cents"])
 
 
 @query(
