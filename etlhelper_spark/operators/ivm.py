@@ -85,7 +85,8 @@ def streaming_incremental_rollup(
     sf_dir: str,
     checkpoint_dir: str,
     state_dir: str,
-    source_files: int = 4,
+    source_files: int = 2,
+    state_partitions: int = 1,
 ) -> DataFrame:
     """Streaming form of the rollup maintenance: each micro-batch's
     partial aggregate merges into parquet state via foreachBatch —
@@ -97,7 +98,16 @@ def streaming_incremental_rollup(
     under foreachBatch's at-least-once contract, same ledger idea as
     the exactly-once JDBC sink. The events table is re-split into
     *source_files* files so availableNow genuinely exercises multiple
-    incremental merges (one file per trigger).
+    incremental merges (one file per trigger); two files already prove
+    a real cross-batch merge, and every extra batch is pure fixed
+    streaming overhead (~0.5s of checkpoint/commit machinery), so the
+    default stays minimal — raise it to stress more merge rounds.
+
+    *state_partitions* sizes each state version's file count: state is
+    |groups| rows (tiny relative to history — even millions of groups
+    fit a handful of files), and writing it at the session's shuffle
+    parallelism scatters it into dozens of near-empty parquet files
+    whose per-batch commit+reread overhead dominates at bench scale.
 
     Returns the final state DataFrame; equals the batch rollup over
     all events (q163's oracle)."""
@@ -139,9 +149,9 @@ def streaming_incremental_rollup(
             merged = merge_rollup(base, partial, keys)
         else:
             merged = partial
-        merged.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v{batch_id}")
-        )
+        merged.repartition(state_partitions).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"v{batch_id}"))
 
     q = (
         stream.writeStream.foreachBatch(upsert)
@@ -339,6 +349,7 @@ def streaming_cdc_rollup(
     state_dir: str,
     checkpoint_dir: str,
     op_col: str = "op",
+    state_partitions: int = 1,
 ) -> None:
     """Streaming IVM over a CDC feed: each micro-batch carries inserts
     AND deletes (``op_col`` in {'I', 'D'}), and its NET partial
@@ -360,6 +371,9 @@ def streaming_cdc_rollup(
     version — idempotent under at-least-once). Additive measures only;
     min/max under streaming deletes need the batch-side
     maintain_rollup_rescan against a queryable source.
+    *state_partitions* sizes each version's file count — state is
+    |groups| rows, so the default single file avoids per-batch
+    tiny-file commit overhead (see streaming_incremental_rollup).
 
     Starts and drains an availableNow foreachBatch query; read the
     final state with ``read_rollup_state``.
@@ -392,9 +406,9 @@ def streaming_cdc_rollup(
             merged = merge_rollup(base, partial, keys, drop_zero=False)
         else:
             merged = partial
-        merged.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v{batch_id}")
-        )
+        merged.repartition(state_partitions).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(state_dir, f"v{batch_id}"))
 
     q = (
         signed.writeStream.foreachBatch(upsert)

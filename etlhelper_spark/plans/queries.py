@@ -7202,31 +7202,41 @@ def q161_cogroup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     that genuinely needs two tables side by side (statement matching,
     ledger reconciliation). Cogrouping happens on a HASH BUCKET of the
     key, not the key itself: Spark invokes Python once per cogroup
-    (~1ms fixed cost), so one-group-per-key pays 2,001 invocations for
-    ~keys×µs of real work — bucketing to 64 composite groups amortizes
-    the invocation cost ~30× while the per-key reconciliation runs
-    vectorized inside each bucket. Both inputs still shuffle exactly
-    once, state stays bounded by bucket size (keys/64 × rows-per-key),
-    and at 100 TB the bucket count scales with the cluster, not the
-    key count. The oracle states the relational equivalent: FULL OUTER
-    JOIN of the two per-key aggregates — reach for cogroup only when
-    the per-key logic can't be that join."""
+    (~1ms fixed cost), so one-group-per-key pays one invocation per
+    key for ~keys×µs of real work. The bucket count is DERIVED from an
+    estimated key count (ceil(keys/32), clamped) — a constant is wrong
+    at both ends: at 100× the keys one fixed bucket goes fat (python
+    state balloons), at 0.01× most buckets are empty Python
+    invocations. The estimate is a parquet-metadata row count (the
+    customer table bounds the ≤2000-key domain), so deriving it costs
+    no scan. Both inputs still shuffle exactly once, state stays
+    bounded by bucket size (~32 keys × rows-per-key), and bucketing
+    (pmod) never changes the answer — only the invocation/state
+    granularity. The oracle states the relational equivalent: FULL
+    OUTER JOIN of the two per-key aggregates — reach for cogroup only
+    when the per-key logic can't be that join."""
     import pandas as pd
 
+    # derived bucket count: ~32 keys per Python invocation, key count
+    # estimated from bounded metadata (|customer| caps the ≤2000 key
+    # domain); clamp keeps degenerate estimates sane at both ends
+    keys_est = min(2000, _t(spark, sf_dir, "customer").count())
+    buckets = int(max(4, min(4096, -(-keys_est // 32))))
     o = (
         _t(spark, sf_dir, "orders")
         .where(F.col("o_custkey") <= 2000)
         .select(
             "o_custkey",
             "o_totalprice",
-            F.pmod("o_custkey", F.lit(64)).alias("bkt"),
+            F.pmod("o_custkey", F.lit(buckets)).alias("bkt"),
         )
     )
     e = (
         _t(spark, sf_dir, "events")
         .where(F.col("user_id") <= 2000)
         .select(
-            "user_id", "value", F.pmod("user_id", F.lit(64)).alias("bkt")
+            "user_id", "value",
+            F.pmod("user_id", F.lit(buckets)).alias("bkt"),
         )
     )
 
@@ -7877,16 +7887,21 @@ def q172_stream_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming IVM over a CDC feed
     (operators/ivm.py::streaming_cdc_rollup) — q163's maintenance loop
     with DELETES in the stream: the events table arrives as 'I' rows
-    across multiple availableNow micro-batches, interleaved with 'D'
+    across two availableNow micro-batches, interleaved with 'D'
     rows for every 7th event. Each batch's NET partial (inserts +1/+x,
     deletes −1/−x in ONE map-side-combinable aggregate — retraction
     costs no extra shuffle) merges into versioned parquet state;
-    groups netting to zero vanish. Delete-before-insert across batch
-    boundaries is immaterial: the merge algebra is commutative, so
-    the drained state equals the recompute over surviving rows — the
-    oracle's contract. At 100 TB this is the Debezium-style
-    change-feed dashboard: per-batch cost O(batch) + |groups|, history
-    never re-read, deletes first-class."""
+    groups netting to zero vanish. Cross-batch coverage is
+    DETERMINISTIC, not left to a repartition shuffle: file A carries
+    even-event inserts + odd-event deletes, file B the mirror image,
+    so whichever file drains first, some deletes are processed in a
+    batch BEFORE their matching insert (and some after) — the
+    commutative-merge contract is exercised in both directions every
+    run, with two batches instead of four (each extra batch is ~0.5s
+    of fixed checkpoint machinery, not data). Drained state equals the
+    recompute over surviving rows — the oracle's contract. At 100 TB
+    this is the Debezium-style change-feed dashboard: per-batch cost
+    O(batch) + |groups|, history never re-read, deletes first-class."""
     import os
 
     from ..operators.ivm import read_rollup_state, streaming_cdc_rollup
@@ -7904,9 +7919,19 @@ def q172_stream_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes = e.where(F.pmod("event_id", F.lit(7)) == 0).withColumn(
         "op", F.lit("D")
     )
-    inserts.unionByName(deletes).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src_dir)
+    feed = inserts.unionByName(deletes)
+    # two deterministic files: (even I, odd D) vs (odd I, even D) —
+    # guarantees delete-before-insert pairs across the batch boundary
+    # in whichever order the files drain. One parallel job: hash-
+    # repartition on the file tag writes both files at once. Tags are
+    # 1/2, not 0/1: murmur3(0) and murmur3(1) collide mod 2 (both
+    # files would land in one task/file), murmur3(1)/murmur3(2) split.
+    even = F.pmod("event_id", F.lit(2)) == 0
+    tag = F.when(
+        (even & (F.col("op") == "I")) | (~even & (F.col("op") == "D")),
+        F.lit(1),
+    ).otherwise(F.lit(2))
+    feed.repartition(2, tag).write.mode("overwrite").parquet(src_dir)
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src_dir).schema)
