@@ -162,6 +162,8 @@ HEADLINE = [
     "q173_embedding_covariance",
     "q174_mahalanobis_ood",
     "q175_ivm_multiset_minmax",
+    "q176_dedup_incremental",
+    "q177_minhash_incremental",
 ]
 
 

@@ -168,7 +168,7 @@ def _minhash_wide(
     return hashed.groupBy("id").agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def minhash_band_keys(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -176,25 +176,22 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_size: int = 3,
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via LSH banding.
+    """(id, band, band_key) LSH banding table — the shared candidate-
+    generation substrate for the self-join (minhash_lsh_candidates)
+    and the persisted-state incremental path
+    (operators/dedup_state.py).
 
-    Signatures are split into *bands*; documents colliding on an
-    entire band's sub-signature become candidates. The all-pairs
-    O(n²) comparison becomes an equi-join on (band, band_key) —
-    the only shuffle is on bucket keys, which is what makes this
-    viable on billions of documents.
-    """
+    Band keys project straight off the wide (one-row-per-doc)
+    minhash aggregate: md5 over the band's minhashes in seed order —
+    byte-identical to hashing the sorted long-format rows, but
+    without stacking to num_hashes rows per doc and re-shuffling
+    them back together (at 1M docs x 32 hashes that second shuffle
+    was 32M rows for zero information gain).
+    Indivisible num_hashes/bands leaves a FINAL PARTIAL band of the
+    leftover seeds (seed // rows_per_band groups them under band
+    index == bands), matching the long-format banding — silently
+    dropping those seeds would cost the recall they pay for."""
     rows_per_band = num_hashes // bands
-    # Band keys project straight off the wide (one-row-per-doc)
-    # minhash aggregate: md5 over the band's minhashes in seed order —
-    # byte-identical to hashing the sorted long-format rows, but
-    # without stacking to num_hashes rows per doc and re-shuffling
-    # them back together (at 1M docs x 32 hashes that second shuffle
-    # was 32M rows for zero information gain).
-    # Indivisible num_hashes/bands leaves a FINAL PARTIAL band of the
-    # leftover seeds (seed // rows_per_band groups them under band
-    # index == bands), matching the long-format banding — silently
-    # dropping those seeds would cost the recall they pay for.
     wide = _minhash_wide(df, id_col, text_col, num_hashes, shingle_size)
     band_seeds = [
         (b, list(range(b * rows_per_band, min((b + 1) * rows_per_band, num_hashes))))
@@ -217,12 +214,33 @@ def minhash_lsh_candidates(
             for b, seeds in band_seeds
         ]
     )
-    band_keys = wide.select(
+    return wide.select(
         "id", F.explode(band_structs).alias("bk")
     ).select(
         "id",
         F.col("bk.band").alias("band"),
         F.col("bk.band_key").alias("band_key"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding.
+
+    Signatures are split into *bands*; documents colliding on an
+    entire band's sub-signature become candidates. The all-pairs
+    O(n²) comparison becomes an equi-join on (band, band_key) —
+    the only shuffle is on bucket keys, which is what makes this
+    viable on billions of documents.
+    """
+    band_keys = minhash_band_keys(
+        df, id_col, text_col, num_hashes, bands, shingle_size
     )
     a = band_keys.alias("a")
     b = band_keys.alias("b")

@@ -13,6 +13,7 @@ from .etl import (
     load,
 )
 from .cdc import apply_changes
+from .dedup_state import dedup_exact_incremental, minhash_incremental
 from .jdbc_sink import stage_and_merge
 from .expectations import check_expectations
 from .maintenance import clustered_rewrite, compact_parquet_table, morton_code
@@ -46,4 +47,6 @@ __all__ = [
     "apply_changes",
     "stage_and_merge",
     "join_key_skew",
+    "dedup_exact_incremental",
+    "minhash_incremental",
 ]

@@ -8142,6 +8142,98 @@ def q175_ivm_multiset_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q176_dedup_incremental",
+    _DOUBLED_DOCS
+    + """
+    , fp AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 < 2 THEN 0 ELSE 1 END AS b,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint
+        FROM all_docs
+    )
+    SELECT doc_id, fingerprint,
+           first_value(doc_id) OVER (
+               PARTITION BY fingerprint ORDER BY b, doc_id
+           ) AS survivor_id,
+           doc_id = first_value(doc_id) OVER (
+               PARTITION BY fingerprint ORDER BY b, doc_id
+           ) AS kept
+    FROM fp
+    """,
+)
+def q176_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CROSS-RUN exact dedup against persisted fingerprint
+    state (operators/dedup_state.py) — the production shape the batch
+    operators don't cover: batch N+1 is deduplicated against the
+    accumulated store of batches 1..N without recomputing (or even
+    re-reading) the old corpus. The doubled-documents corpus (q23's
+    planted-duplicate construction) is split into two batches on
+    doc_id%3 — the +100000 copy of a doc shifts its residue, so
+    duplicates cross the batch boundary in BOTH directions: some
+    copies meet their original in the fingerprint state
+    (cross-batch), some meet it inside their own batch. The oracle
+    states the recompute contract: every doc's survivor is the
+    FIRST-SEEN holder of its content (earliest batch, lowest id
+    within it) — i.e. two sequential incremental applies equal the
+    full-corpus window computation. Per-batch cost: one fingerprint
+    scan + one state join + an O(new fingerprints) append; state is
+    |distinct contents| rows, never the corpus."""
+    from ..operators.dedup_state import dedup_exact_incremental
+
+    work = tempfile.mkdtemp(prefix="ehs_dedupstate_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionAll(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    b0 = doubled.where(F.pmod("doc_id", F.lit(3)) < 2)
+    b1 = doubled.where(F.pmod("doc_id", F.lit(3)) >= 2)
+    v0 = dedup_exact_incremental(b0, work, 0)
+    v1 = dedup_exact_incremental(b1, work, 1)
+    return v0.unionByName(v1).select(
+        F.col("id").alias("doc_id"), "fingerprint", "survivor_id", "kept"
+    )
+
+
+@query(
+    "q177_minhash_incremental",
+    _MINHASH_SQL
+    + """
+    , bands AS (
+        SELECT id, seed // 4 AS band,
+               md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed)) AS band_key
+        FROM sigs GROUP BY id, seed // 4
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    """,
+)
+def q177_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH candidate generation against persisted
+    band state (operators/dedup_state.py::minhash_incremental): the
+    documents corpus arrives as two batches (doc_id%3 split), each
+    batch computes signatures for ITS docs only, joins its band keys
+    against the accumulated band store (cross-run candidates) and
+    against itself (intra-batch), then appends its keys. The oracle is
+    byte-identical to q29's full-corpus LSH SQL: banding is per-doc
+    deterministic, so every colliding pair is emitted exactly once, in
+    the batch that completes it — the union of the two incremental
+    applies EQUALS the one-shot self-join. The per-batch pair sets are
+    provably disjoint (a later batch's pairs always involve one of its
+    own docs), so the union needs no dedup shuffle across applies."""
+    from ..operators.dedup_state import minhash_incremental
+
+    work = tempfile.mkdtemp(prefix="ehs_bandstate_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = d.where(F.pmod("doc_id", F.lit(3)) < 2)
+    b1 = d.where(F.pmod("doc_id", F.lit(3)) >= 2)
+    p0 = minhash_incremental(b0, work, 0)
+    p1 = minhash_incremental(b1, work, 1)
+    return p0.unionByName(p1)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

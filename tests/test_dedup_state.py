@@ -1,0 +1,124 @@
+"""Incremental cross-run dedup against persisted state
+(operators/dedup_state.py): recompute equivalence over sequential
+batch applies, first-seen survivor semantics, and replay idempotency.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlhelper_spark.functions.dedup import minhash_lsh_candidates
+from etlhelper_spark.operators.dedup_state import (
+    dedup_exact_incremental,
+    minhash_incremental,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def state_dir():
+    d = tempfile.mkdtemp(prefix="ehs_state_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _docs(spark):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # planted duplicates: shifted-id copies, q23's construction
+    return d.unionAll(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+
+
+def test_exact_three_batches_equal_full_recompute(spark, state_dir):
+    docs = _docs(spark)
+    batches = [docs.where(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+    verdicts = [
+        dedup_exact_incremental(b, state_dir, i)
+        for i, b in enumerate(batches)
+    ]
+    got = {
+        r["id"]: (r["survivor_id"], r["kept"])
+        for v in verdicts
+        for r in v.collect()
+    }
+    # expected: first-seen = min (batch, id); batch = doc_id % 3
+    rows = docs.withColumn(
+        "fp",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")),
+    ).select("doc_id", "fp", F.pmod("doc_id", F.lit(3)).alias("b")).collect()
+    first_seen: dict[str, tuple[int, int]] = {}
+    for r in rows:
+        k = (r["b"], r["doc_id"])
+        if r["fp"] not in first_seen or k < first_seen[r["fp"]]:
+            first_seen[r["fp"]] = k
+    assert len(got) == len(rows)
+    for r in rows:
+        surv = first_seen[r["fp"]][1]
+        assert got[r["doc_id"]] == (surv, r["doc_id"] == surv)
+
+
+def test_exact_cross_batch_survivor_beats_lower_later_id(spark, state_dir):
+    # doc 10 (batch 0) and doc 1 (batch 1) share content: the
+    # FIRST-SEEN doc 10 survives even though doc 1 has the lower id
+    b0 = spark.createDataFrame([(10, "same text"), (11, "other")],
+                               ["doc_id", "text"])
+    b1 = spark.createDataFrame([(1, "same  text"), (2, "third")],
+                               ["doc_id", "text"])
+    v0 = {r["id"]: r for r in
+          dedup_exact_incremental(b0, state_dir, 0).collect()}
+    v1 = {r["id"]: r for r in
+          dedup_exact_incremental(b1, state_dir, 1).collect()}
+    assert v0[10]["kept"] and v0[11]["kept"]
+    assert not v1[1]["kept"] and v1[1]["survivor_id"] == 10
+    assert v1[2]["kept"]
+
+
+def test_exact_replay_is_idempotent(spark, state_dir):
+    b0 = spark.createDataFrame([(1, "alpha"), (2, "beta")],
+                               ["doc_id", "text"])
+    b1 = spark.createDataFrame([(3, "alpha"), (4, "gamma")],
+                               ["doc_id", "text"])
+    dedup_exact_incremental(b0, state_dir, 0).collect()
+    first = sorted(
+        (r["id"], r["survivor_id"], r["kept"])
+        for r in dedup_exact_incremental(b1, state_dir, 1).collect()
+    )
+    # replay batch 1 (at-least-once delivery): overwrites its own
+    # append, same verdicts, no double-counted state
+    replay = sorted(
+        (r["id"], r["survivor_id"], r["kept"])
+        for r in dedup_exact_incremental(b1, state_dir, 1).collect()
+    )
+    assert first == replay == [(3, 1, False), (4, 4, True)]
+    # and a later batch still resolves against exactly-once state
+    v2 = {r["id"]: r for r in
+          dedup_exact_incremental(
+              spark.createDataFrame([(5, "gamma")], ["doc_id", "text"]),
+              state_dir, 2).collect()}
+    assert v2[5]["survivor_id"] == 4 and not v2[5]["kept"]
+
+
+def test_minhash_incremental_equals_full_selfjoin(spark, state_dir):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batches = [docs.where(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+    got = set()
+    for i, b in enumerate(batches):
+        got |= {
+            (r["id_a"], r["id_b"])
+            for r in minhash_incremental(b, state_dir, i).collect()
+        }
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()
+    }
+    assert got == want and want  # non-vacuous: corpus has collisions
