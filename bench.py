@@ -164,6 +164,7 @@ HEADLINE = [
     "q175_ivm_multiset_minmax",
     "q176_dedup_incremental",
     "q177_minhash_incremental",
+    "q178_mahalanobis_d4",
 ]
 
 

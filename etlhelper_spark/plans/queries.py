@@ -8234,6 +8234,186 @@ def q177_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p0.unionByName(p1)
 
 
+# ----------------------------------------------------------------------
+# q178: generic-d Mahalanobis, oracle-verified at d=4
+# ----------------------------------------------------------------------
+# The 4x4 inverse is stated ONCE as cofactor/adjugate formula strings
+# over the symmetric covariance names s11..s44 and evaluated by BOTH
+# engines — DuckDB parses them as SQL arithmetic, the Spark side
+# eval()s the identical strings in Python (same IEEE-754 ops, same
+# association) — then every inverse entry is rounded through the
+# corpus-wide DECIMAL(30,10)→6dp contract, so the quadratic form runs
+# on bit-identical constants on both sides.
+
+
+def _mahal4_det3(m) -> str:
+    """3x3 determinant formula over a nested list of name strings."""
+    (a, b, c), (d, e, f), (g, h, i) = m
+    return (
+        f"({a}*({e}*{i} - {f}*{h}) - {b}*({d}*{i} - {f}*{g})"
+        f" + {c}*({d}*{h} - {e}*{g}))"
+    )
+
+
+def _mahal4_formulas() -> tuple[str, dict[tuple[int, int], str]]:
+    """(det4, {(i,j): cofactor}) formula strings for a symmetric 4x4
+    named s11..s44 (1-based, i<=j). inv(i,j) = cofactor(i,j)/det —
+    symmetric, so the upper triangle is the whole inverse. Valid as
+    both SQL and Python arithmetic."""
+    names = [
+        [f"s{min(i, j) + 1}{max(i, j) + 1}" for j in range(4)]
+        for i in range(4)
+    ]
+
+    def minor(r, c):
+        return [
+            [names[i][j] for j in range(4) if j != c]
+            for i in range(4)
+            if i != r
+        ]
+
+    det = (
+        f"({names[0][0]}*{_mahal4_det3(minor(0, 0))}"
+        f" - {names[0][1]}*{_mahal4_det3(minor(0, 1))}"
+        f" + {names[0][2]}*{_mahal4_det3(minor(0, 2))}"
+        f" - {names[0][3]}*{_mahal4_det3(minor(0, 3))})"
+    )
+    cof = {}
+    for i in range(4):
+        for j in range(i, 4):
+            sign = "" if (i + j) % 2 == 0 else "-"
+            cof[(i + 1, j + 1)] = f"({sign}{_mahal4_det3(minor(i, j))})"
+    return det, cof
+
+
+_MAHAL4_DET, _MAHAL4_COF = _mahal4_formulas()
+
+_MAHAL4_SQL = (
+    """
+    WITH s AS (
+        SELECT
+"""
+    + ",\n".join(
+        "            CAST(round(CAST(avg(embedding[{p}]::DOUBLE)"
+        " AS DECIMAL(30,10)), 6) AS DOUBLE) AS m{p}".format(p=p)
+        for p in (1, 2, 3, 4)
+    )
+    + ",\n"
+    + ",\n".join(
+        "            CAST(round(CAST(covar_samp(embedding[{i}]::DOUBLE,"
+        " embedding[{j}]::DOUBLE) AS DECIMAL(30,10)), 6) AS DOUBLE)"
+        " AS s{i}{j}".format(i=i, j=j)
+        for i in range(1, 5)
+        for j in range(i, 5)
+    )
+    + f"""
+        FROM embeddings
+    ), d AS (
+        SELECT *, {_MAHAL4_DET} AS det FROM s
+    ), w AS (
+        SELECT *,
+"""
+    + ",\n".join(
+        "            CAST(round(CAST({c} / det AS DECIMAL(30,10)), 6)"
+        " AS DOUBLE) AS w{i}{j}".format(c=_MAHAL4_COF[(i, j)], i=i, j=j)
+        for i in range(1, 5)
+        for j in range(i, 5)
+    )
+    + """
+        FROM d
+    ), scored AS (
+        SELECT vec_id,
+               CAST(round(CAST(
+                   """
+    + "\n                   + ".join(
+        (
+            "w{i}{i} * (embedding[{i}]::DOUBLE - m{i})"
+            " * (embedding[{i}]::DOUBLE - m{i})".format(i=i)
+            if i == j
+            else "2 * w{i}{j} * (embedding[{i}]::DOUBLE - m{i})"
+            " * (embedding[{j}]::DOUBLE - m{j})".format(i=i, j=j)
+        )
+        for i in range(1, 5)
+        for j in range(i, 5)
+    )
+    + """
+               AS DECIMAL(30,10)), 4) AS DOUBLE) AS md2
+        FROM embeddings, w
+    )
+    SELECT vec_id, md2 FROM scored ORDER BY md2 DESC, vec_id LIMIT 20
+    """
+)
+
+
+@query("q178_mahalanobis_d4", _MAHAL4_SQL)
+def q178_mahalanobis_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic-d Mahalanobis OOD scoring, oracle-verified at d=4 —
+    q174's contract beyond the 2-dim closed form. The moment scalars
+    (4 means + 10 covariances) come from the shuffle-free Gram
+    aggregation rounded through the 6dp DECIMAL contract (identical
+    constants on both engines, q173's proof), the 4x4 inverse is the
+    cofactor/adjugate formula stated ONCE as shared arithmetic strings
+    (the oracle evaluates them in SQL, this side eval()s the same
+    strings in Python — same IEEE ops, same association), every
+    inverse entry re-rounds through the 6dp contract, and the
+    quadratic form folds the 10 rounded entries as literals into ONE
+    scoring scan with the oracle's exact expression tree — md²
+    matches bit-for-bit at 4dp. The d-agnostic eigen-inverse kernel
+    (mahalanobis_scores) is pinned against this cofactor path in
+    tests/test_similarity_moments.py. Top-20 outliers by score."""
+    from ..functions.similarity import _round6_py, embedding_covariance
+
+    e = _t(spark, sf_dir, "embeddings")
+    cov = {
+        (r["i"], r["j"]): float(r["cov"])
+        for r in embedding_covariance(
+            e, "embedding", dims=[1, 2, 3, 4]
+        ).collect()
+    }
+    m = e.select(
+        *[
+            F.round(
+                F.avg(F.element_at("embedding", p).cast("double")).cast(
+                    "decimal(30,10)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias(f"m{p}")
+            for p in (1, 2, 3, 4)
+        ]
+    ).first()
+    env = {f"s{i}{j}": cov[(i, j)] for i in range(1, 5) for j in range(i, 5)}
+    det = eval(_MAHAL4_DET, {"__builtins__": {}}, env)  # shared formula
+    w = {
+        (i, j): _round6_py(
+            eval(_MAHAL4_COF[(i, j)], {"__builtins__": {}}, env) / det
+        )
+        for i in range(1, 5)
+        for j in range(i, 5)
+    }
+    dx = {
+        p: F.element_at("embedding", p).cast("double")
+        - F.lit(float(m[f"m{p}"]))
+        for p in (1, 2, 3, 4)
+    }
+    md2 = None
+    for i in range(1, 5):
+        for j in range(i, 5):
+            term = (
+                F.lit(w[(i, j)]) * dx[i] * dx[j]
+                if i == j
+                else F.lit(2) * F.lit(w[(i, j)]) * dx[i] * dx[j]
+            )
+            md2 = term if md2 is None else md2 + term
+    md2 = F.round(md2.cast("decimal(30,10)"), 4).cast("double")
+    return (
+        e.select("vec_id", md2.alias("md2"))
+        .orderBy(F.desc("md2"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
