@@ -7825,11 +7825,16 @@ def q171_ivm_minmax_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
     set (broadcast into the scan, where partition pruning keeps the
     rescan near the affected data). The stored view starts from 80% of
     events, the remaining 20% arrives as the append batch, and every
-    7th event plus ALL 'error' events (entire groups draining to zero,
-    proving drop-to-absence holds for min/max views too) arrive as the
-    delete batch. Oracle = full recompute over the surviving rows —
-    per-batch cost O(batch) + O(history of affected groups), never
-    O(history)."""
+    7th event plus ALL 'error' events arrive as the delete batch. The
+    'error' groups drain to zero THROUGH THE RESCAN PATH specifically:
+    they are retraction-touched, so their min/max resolves from the
+    targeted post-delete source scan — which finds NO rows for them —
+    while the additive count nets to zero and drops the group, proving
+    drop-to-absence holds for min/max views too (not just q170's
+    additive path; pinned in
+    tests/test_ivm_rescan.py::test_whole_group_drained_through_rescan_path).
+    Oracle = full recompute over the surviving rows — per-batch cost
+    O(batch) + O(history of affected groups), never O(history)."""
     from ..operators.ivm import (
         maintain_rollup_rescan,
         rollup_partial_monotonic,

@@ -112,6 +112,43 @@ def test_untouched_group_keeps_append_combine(spark):
     assert got["b"] == (3, 20, 2, 11)
 
 
+def test_whole_group_drained_through_rescan_path(spark):
+    """A multi-row group whose EVERY row is deleted in one batch: the
+    group is retraction-touched, so it goes through the rescan path —
+    the targeted scan of the post-delete source finds NO rows for it
+    (left join yields null min/max), and the additive count netting to
+    zero must drop it entirely rather than emit a null-extrema row.
+    This is the rescan-path analogue of q170's additive
+    drop-to-absence (and what q171's all-'error'-events delete feed
+    exercises at corpus scale)."""
+    got, survivors = _maintain(
+        spark,
+        hist_rows=[("z", 1), ("z", 5), ("z", 9), ("a", 2)],
+        append_rows=[("a", 3)],
+        delete_rows=[("z", 1), ("z", 5), ("z", 9)],
+    )
+    assert got == _expected(survivors)
+    assert "z" not in got
+    assert got["a"] == (2, 5, 2, 3)
+
+
+def test_full_delete_plus_append_rebuilds_from_rescan(spark):
+    """All historical rows of a group deleted AND new rows appended in
+    the SAME batch: the group survives, and because it is
+    retraction-touched its min/max must come from the rescan of the
+    post-batch source (which holds only the appended rows) — the
+    append-side least/greatest combine against the stale base extrema
+    would be wrong on both ends."""
+    got, survivors = _maintain(
+        spark,
+        hist_rows=[("r", -10), ("r", 50)],
+        append_rows=[("r", 3), ("r", 7)],
+        delete_rows=[("r", -10), ("r", 50)],
+    )
+    assert got == _expected(survivors)
+    assert got["r"] == (2, 10, 3, 7)
+
+
 def test_group_born_in_append_batch(spark):
     got, survivors = _maintain(
         spark,
