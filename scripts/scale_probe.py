@@ -231,14 +231,25 @@ def main() -> None:
         streaming_cdc_rollup,
     )
 
-    def _cdc_probe():
-        feed_dir = _os.path.join(tmp, "cdc_feed")
-        state_dir = _os.path.join(tmp, "cdc_state")
-        ckpt_dir = _os.path.join(tmp, "cdc_ckpt")
+    def _cdc_probe(tag: str, hot: bool):
+        feed_dir = _os.path.join(tmp, f"cdc_feed_{tag}")
+        state_dir = _os.path.join(tmp, f"cdc_state_{tag}")
+        ckpt_dir = _os.path.join(tmp, f"cdc_ckpt_{tag}")
         n_ev = 1_000_000
+        uniform = F.pmod(F.xxhash64("id"), F.lit(200))
+        # hot-key distribution: ONE group takes 20% of all events —
+        # the skew case. The net-partial aggregate is map-side
+        # combinable, so the hot group reduces to one partial per
+        # input partition before the shuffle; rows/sec must hold.
+        g = (
+            F.when(F.pmod(F.xxhash64(F.col("id") + 3), F.lit(5)) == 0,
+                   F.lit(0)).otherwise(uniform)
+            if hot
+            else uniform
+        )
         ev = spark.range(n_ev).select(
             F.col("id").alias("event_id"),
-            F.pmod(F.xxhash64("id"), F.lit(200)).alias("g"),
+            g.alias("g"),
             F.pmod(F.xxhash64(F.col("id") + 7), F.lit(10_000)).alias("v"),
         )
         feed = ev.withColumn("op", F.lit("I")).unionByName(
@@ -259,7 +270,98 @@ def main() -> None:
         return read_rollup_state(spark, state_dir).count()
 
     probe("streaming CDC rollup (1M events, 4 batches)", 1_000_000,
-          _cdc_probe)
+          lambda: _cdc_probe("uni", hot=False))
+    probe("streaming CDC rollup (planted hot key: 20% one group)",
+          1_000_000, lambda: _cdc_probe("hot", hot=True))
+
+    # cogroup-applyInPandas under a planted hot key: one user owns 20%
+    # of both inputs. Bucketed cogrouping (q161's shape, derived bucket
+    # count) bounds per-invocation state by BUCKET size — the hot
+    # bucket is ~20%+1/buckets of the input in one pandas call, where
+    # the per-key reconciliation runs vectorized; throughput must not
+    # collapse vs the uniform-key rate implied by the CDC rows.
+    def _cogroup_skew_probe():
+        import pandas as pd
+
+        n = 1_000_000
+        n_keys = 50_000
+        buckets = max(4, min(4096, -(-n_keys // 32)))
+        hot_key = (
+            F.when(F.pmod(F.xxhash64(F.col("id") + 11), F.lit(5)) == 0,
+                   F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(n_keys)))
+        )
+        left = spark.range(n).select(
+            hot_key.alias("k"),
+            F.pmod(F.xxhash64(F.col("id") + 1), F.lit(10_000)).alias("v"),
+        ).withColumn("bkt", F.pmod("k", F.lit(buckets)))
+        right = spark.range(n).select(
+            hot_key.alias("k"),
+            F.pmod(F.xxhash64(F.col("id") + 2), F.lit(10_000)).alias("v"),
+        ).withColumn("bkt", F.pmod("k", F.lit(buckets)))
+
+        def merge(lpdf, rpdf):
+            la = (
+                pd.DataFrame({"k": lpdf["k"], "v": lpdf["v"]})
+                .groupby("k")
+                .agg(n_l=("v", "size"), sum_l=("v", "sum"))
+            )
+            ra = (
+                pd.DataFrame({"k": rpdf["k"], "v": rpdf["v"]})
+                .groupby("k")
+                .agg(n_r=("v", "size"), sum_r=("v", "sum"))
+            )
+            out = la.join(ra, how="outer").fillna(0).reset_index()
+            for c in ("n_l", "n_r", "sum_l", "sum_r"):
+                out[c] = out[c].astype("int64")
+            return out
+
+        return (
+            left.groupBy("bkt")
+            .cogroup(right.groupBy("bkt"))
+            .applyInPandas(
+                merge, "k long, n_l long, n_r long, sum_l long, sum_r long"
+            )
+            .count()
+        )
+
+    probe("cogroup merge (planted hot key: 20% one user, 2x1M rows)",
+          2_000_000, _cogroup_skew_probe)
+
+    # incremental cross-run dedup (round-5): batch 2 deduped against
+    # batch 1's persisted state — per-batch cost must stay O(batch) +
+    # one state join, i.e. the two applies together should track the
+    # one-shot operators' rates.
+    from etlhelper_spark.operators.dedup_state import (
+        dedup_exact_incremental,
+        minhash_incremental,
+    )
+
+    def _incr_exact_probe():
+        sd = _os.path.join(tmp, "state_exact")
+        b0 = docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+        b1 = docs.where(F.pmod("doc_id", F.lit(2)) == 1)
+        n0 = dedup_exact_incremental(b0, sd, 0).count()
+        n1 = dedup_exact_incremental(b1, sd, 1).count()
+        return n0 + n1
+
+    probe("incremental exact dedup (2 sequential batches)", n_docs,
+          _incr_exact_probe)
+
+    def _incr_minhash_probe():
+        sd = _os.path.join(tmp, "state_bands")
+        b0 = docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+        b1 = docs.where(F.pmod("doc_id", F.lit(2)) == 1)
+        n0 = minhash_incremental(
+            b0, sd, 0, num_hashes=32, bands=8
+        ).count()
+        n1 = minhash_incremental(
+            b1, sd, 1, num_hashes=32, bands=8
+        ).count()
+        return n0 + n1
+
+    probe("incremental minhash LSH (2 sequential batches)", n_docs,
+          _incr_minhash_probe)
 
     lines = [
         "# SCALE PROBE — measured operator scaling beyond bench SF",
