@@ -32,7 +32,7 @@ from .similarity import (
     nearest_pivots,
 )
 
-__all__ = ["build_ivf_index", "query_ivf_index"]
+__all__ = ["append_ivf_index", "build_ivf_index", "query_ivf_index"]
 
 
 def build_ivf_index(
@@ -73,6 +73,46 @@ def build_ivf_index(
     spark = corpus.sparkSession
     n = spark.read.parquet(path).count()
     return n, nlist
+
+
+def append_ivf_index(
+    new_corpus: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Add a new batch of vectors to a persisted IVF index WITHOUT
+    rebuilding it — the ingest path of a build-once/probe-many ANN
+    deployment (new documents arrive continuously; re-clustering 100 TB
+    per batch is not an option).
+
+    The stored pivots are read back and the new batch runs the SAME
+    literal-argmax assignment the build used, then appends into the
+    existing ``list_id=`` partition directories (parquet append —
+    new files land inside each list's directory, so partition pruning
+    at probe time is unchanged). Per-batch cost: one linear scan of
+    the batch, zero shuffle, O(batch) write. Because assignment
+    depends only on the (frozen) pivots, an index built on batch 1 and
+    appended with batch 2 is CONTENT-IDENTICAL to one built on the
+    union — probe results are equal row-for-row (pinned in
+    tests/test_ann_index.py; oracle-verified via q180's per-list
+    recomputation). The known trade of frozen pivots: list balance
+    degrades if the data distribution drifts — monitor list sizes and
+    rebuild when skew warrants, exactly like any IVF deployment.
+    Returns the number of appended vectors."""
+    spark = new_corpus.sparkSession
+    pivots = spark.read.parquet(os.path.join(path, "_pivots"))
+    pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
+    c = new_corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    assigned = c.select(
+        "vec_id",
+        "vec",
+        nearest_pivot(F.col("vec"), pivot_rows)["pid"].alias("list_id"),
+    )
+    assigned.write.partitionBy("list_id").mode("append").parquet(path)
+    return c.count()
 
 
 def query_ivf_index(

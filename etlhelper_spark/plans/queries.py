@@ -8419,6 +8419,63 @@ def q178_mahalanobis_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q180_ivf_append",
+    """
+    WITH half AS (
+        SELECT CAST(count(*) AS BIGINT) // 2 AS h FROM embeddings
+    ), p AS (
+        SELECT vec_id AS list_id, embedding::DOUBLE[] AS pivot
+        FROM embeddings ORDER BY vec_id LIMIT 16
+    ), asg AS (
+        SELECT vec_id, list_id FROM (
+            SELECT e.vec_id, p.list_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], p.pivot) DESC,
+                           p.list_id ASC
+                   ) AS rn
+            FROM embeddings e, p
+        ) WHERE rn = 1
+    )
+    SELECT list_id, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(vec_id) AS BIGINT) AS sum_ids
+    FROM asg GROUP BY list_id
+    """,
+)
+def q180_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance: the index is BUILT on the
+    first half of the corpus (vec_id below the midpoint — which
+    contains the nlist lowest ids, so the pivots equal a full build's)
+    and the second half is APPENDED against the frozen pivots without
+    any rebuild (functions/ann_index.py::append_ivf_index — one linear
+    assignment scan, zero shuffle, parquet append into the existing
+    list_id partition dirs). Because assignment depends only on the
+    pivots, build-then-append is CONTENT-IDENTICAL to building over
+    the union; the oracle restates the whole index from scratch —
+    every vector's argmax assignment to the 16 lowest-id pivots,
+    aggregated per list — so any drift in the append path (wrong
+    pivots, missed rows, double rows on replay) breaks the hash.
+    Probe-level equality of the appended vs full-built index is
+    additionally pinned row-for-row in tests/test_ann_index.py."""
+    from ..functions.ann_index import append_ivf_index, build_ivf_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    half = e.count() // 2
+    idx_dir = tempfile.mkdtemp(prefix="ehs_ivf_append_")
+    build_ivf_index(
+        e.where(F.col("vec_id") < half), idx_dir, nlist=16
+    )
+    append_ivf_index(e.where(F.col("vec_id") >= half), idx_dir)
+    index = spark.read.parquet(idx_dir)
+    return index.groupBy("list_id").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("vec_id").alias("sum_ids"),
+    ).select(F.col("list_id").cast("long").alias("list_id"),
+             "n_vecs", "sum_ids")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -96,6 +96,41 @@ def test_index_roundtrips_all_lists(spark, vecs, index_dir):
     assert idx.select("vec_id").distinct().count() == vecs.count()
 
 
+def test_appended_index_probes_identically_to_full_build(spark, vecs):
+    """build(batch1) + append(batch2) must be probe-equivalent
+    row-for-row to build(batch1 ∪ batch2): assignment depends only on
+    the frozen pivots, and batch1 (the low-id half) contains the nlist
+    lowest ids, so both indexes share pivots. Also pins that the
+    append lands inside the existing list_id partition dirs (pruning
+    still works) and that totals add up."""
+    from etlhelper_spark.functions.ann_index import append_ivf_index
+
+    half = vecs.count() // 2
+    b1 = vecs.where(F.col("vec_id") < half)
+    b2 = vecs.where(F.col("vec_id") >= half)
+    inc_dir = tempfile.mkdtemp(prefix="ehs_ivf_inc_")
+    full_dir = tempfile.mkdtemp(prefix="ehs_ivf_full_")
+    try:
+        build_ivf_index(b1, inc_dir, nlist=8)
+        n_appended = append_ivf_index(b2, inc_dir)
+        assert n_appended == b2.count()
+        build_ivf_index(vecs, full_dir, nlist=8)
+        inc = spark.read.parquet(inc_dir)
+        full = spark.read.parquet(full_dir)
+        assert sorted(
+            (r["vec_id"], r["list_id"]) for r in inc.collect()
+        ) == sorted((r["vec_id"], r["list_id"]) for r in full.collect())
+        q = vecs.where(F.col("vec_id") % 40 == 7)
+        p_inc = query_ivf_index(spark, inc_dir, q, k=3, nprobe=3)
+        p_full = query_ivf_index(spark, full_dir, q, k=3, nprobe=3)
+        assert sorted(map(tuple, p_inc.collect())) == sorted(
+            map(tuple, p_full.collect())
+        )
+    finally:
+        shutil.rmtree(inc_dir, ignore_errors=True)
+        shutil.rmtree(full_dir, ignore_errors=True)
+
+
 def test_zero_vector_cosine_matches_duckdb(spark):
     """A zero vector yields cosine -1.0 (DuckDB's behavior for
     list_cosine_similarity) instead of an ANSI divide-by-zero error,
