@@ -13,7 +13,13 @@ from .etl import (
     load,
 )
 from .cdc import apply_changes
-from .dedup_state import dedup_exact_incremental, minhash_incremental
+from .dedup_state import (
+    dedup_exact_incremental,
+    dedup_exact_incremental_bucketed,
+    minhash_incremental,
+    read_dedup_verdicts,
+    streaming_dedup_exact,
+)
 from .jdbc_sink import stage_and_merge
 from .expectations import check_expectations
 from .maintenance import clustered_rewrite, compact_parquet_table, morton_code
@@ -48,5 +54,8 @@ __all__ = [
     "stage_and_merge",
     "join_key_skew",
     "dedup_exact_incremental",
+    "dedup_exact_incremental_bucketed",
     "minhash_incremental",
+    "read_dedup_verdicts",
+    "streaming_dedup_exact",
 ]

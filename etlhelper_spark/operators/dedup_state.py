@@ -104,28 +104,50 @@ def dedup_exact_incremental(
     prior state, and an O(new fingerprints) append. History text is
     never re-read.
     """
-    from ..functions.text import document_fingerprint
-
     spark = new_df.sparkSession
     subdir = os.path.join(state_dir, "exact")
+    fps = _batch_fingerprints(new_df, id_col, text_col, normalize)
+    prior = _read_prior(spark, subdir, batch_id)
+    resolved, verdict = _resolve_exact(fps, prior, batch_id)
+    # append ONLY unseen fingerprints, with their first-seen survivor
+    resolved.where(F.col("__new_fp")).select(
+        "fingerprint", "survivor_id", "batch"
+    ).repartition(state_partitions).write.mode("overwrite").parquet(
+        os.path.join(subdir, f"batch={int(batch_id)}")
+    )
+    return verdict
+
+
+def _batch_fingerprints(
+    new_df: DataFrame, id_col: str, text_col: str, normalize: bool
+) -> DataFrame:
+    from ..functions.text import document_fingerprint
+
     fp = (
         document_fingerprint(F.col(text_col))
         if normalize
         else F.md5(F.col(text_col))
     )
-    fps = new_df.select(
+    return new_df.select(
         F.col(id_col).alias("id"), fp.alias("fingerprint")
     ).localCheckpoint()  # consumed twice (survivor election + verdict)
-    id_type = fps.schema["id"].dataType
+
+
+def _resolve_exact(
+    fps: DataFrame, prior: DataFrame | None, batch_id: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared survivor resolution for both state layouts: returns
+    (resolved, verdict) where resolved carries one row per batch
+    fingerprint (fingerprint, survivor_id, batch, __new_fp) and
+    verdict is the per-document output frame."""
     # batch-local survivor: lowest id per fingerprint among NEW docs
     batch_surv = fps.groupBy("fingerprint").agg(
         F.min("id").alias("batch_survivor")
     )
-    prior = _read_prior(spark, subdir, batch_id)
     if prior is not None:
         # one survivor per fingerprint across prior appends (unique by
         # construction — a fingerprint is appended only when unseen;
-        # min_by(batch) guards against out-of-order replays anyway)
+        # min_by(batch) collapses out-of-order or replayed duplicates)
         prior_surv = prior.groupBy("fingerprint").agg(
             F.min_by("survivor_id", F.struct("batch", "survivor_id")).alias(
                 "prior_survivor"
@@ -134,25 +156,18 @@ def dedup_exact_incremental(
         resolved = batch_surv.join(prior_surv, "fingerprint", "left")
     else:
         resolved = batch_surv.withColumn(
-            "prior_survivor", F.lit(None).cast(id_type)
+            "prior_survivor",
+            F.lit(None).cast(fps.schema["id"].dataType),
         )
     resolved = resolved.select(
         "fingerprint",
         F.coalesce("prior_survivor", "batch_survivor").alias("survivor_id"),
+        F.lit(int(batch_id)).cast("long").alias("batch"),
         F.col("prior_survivor").isNull().alias("__new_fp"),
     ).localCheckpoint()  # consumed twice (state append + verdict join)
-    # append ONLY unseen fingerprints, with their first-seen survivor
-    appends = resolved.where(F.col("__new_fp")).select(
-        "fingerprint",
-        "survivor_id",
-        F.lit(int(batch_id)).alias("batch"),
-    )
-    appends.repartition(state_partitions).write.mode("overwrite").parquet(
-        os.path.join(subdir, f"batch={int(batch_id)}")
-    )
     # verdicts read the RESOLVED survivors (not the files — same
     # values, no re-read); kept = this doc IS the first-seen survivor
-    return fps.join(
+    verdict = fps.join(
         resolved.select("fingerprint", "survivor_id"), "fingerprint"
     ).select(
         F.col("id"),
@@ -160,6 +175,70 @@ def dedup_exact_incremental(
         "survivor_id",
         (F.col("id") == F.col("survivor_id")).alias("kept"),
     )
+    return resolved, verdict
+
+
+def ensure_bucketed_state_table(
+    spark, table: str, location: str, buckets: int = 64
+) -> None:
+    """(Re-)register the bucketed fingerprint state table over its
+    file location. CREATE TABLE IF NOT EXISTS with an explicit
+    LOCATION makes the state survive session restarts even on an
+    in-memory catalog: a fresh session re-issues the same DDL and the
+    existing bucketed files are picked up intact (verified in
+    test_dedup_state.py)."""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} "
+        "(fingerprint STRING, survivor_id BIGINT, batch BIGINT) "
+        "USING PARQUET CLUSTERED BY (fingerprint) "
+        f"SORTED BY (fingerprint) INTO {int(buckets)} BUCKETS "
+        f"LOCATION '{location}'"
+    )
+
+
+def dedup_exact_incremental_bucketed(
+    new_df: DataFrame,
+    table: str,
+    location: str,
+    batch_id: int,
+    buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """The shuffle-at-scale upgrade of :func:`dedup_exact_incremental`
+    promised in the module docstring, made real: state lives in a
+    parquet table BUCKETED on the fingerprint, so the per-batch state
+    join never shuffles the accumulated state — only the (much
+    smaller) new batch hash-partitions into the bucket layout. Plan
+    shape asserted in test_dedup_state.py: the state-side scan reads
+    ``Bucketed: true`` with ZERO Exchange above it under a sort-merge
+    join; at 10^11 accumulated fingerprints that is the difference
+    between an O(state) shuffle per batch and an O(batch) one.
+
+    Same semantics and verdict schema as the path-based variant
+    (equivalence tested), with two trades, both stated:
+
+    - ids must be integral (the DDL pins survivor_id BIGINT);
+    - replay is HARMLESS rather than overwriting: a replayed batch
+      re-appends byte-identical rows (its append set is derived from
+      state strictly BELOW its batch id, so reruns can't see their own
+      output), and every reader collapses duplicates through the
+      min_by aggregate. State compaction, when wanted, is a rewrite of
+      the table — the standard bucketed-table maintenance story.
+    """
+    spark = new_df.sparkSession
+    ensure_bucketed_state_table(spark, table, location, buckets)
+    fps = _batch_fingerprints(new_df, id_col, text_col, normalize)
+    prior_all = spark.table(table).where(F.col("batch") < int(batch_id))
+    prior = prior_all if prior_all.limit(1).count() else None
+    resolved, verdict = _resolve_exact(fps, prior, batch_id)
+    resolved.where(F.col("__new_fp")).select(
+        "fingerprint",
+        F.col("survivor_id").cast("long").alias("survivor_id"),
+        "batch",
+    ).write.mode("append").insertInto(table)
+    return verdict
 
 
 def minhash_incremental(
@@ -233,3 +312,55 @@ def minhash_incremental(
         os.path.join(subdir, f"batch={int(batch_id)}")
     )
     return pairs.distinct()
+
+
+def streaming_dedup_exact(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> None:
+    """Streaming form of the incremental exact dedup: every
+    micro-batch is deduplicated against the accumulated fingerprint
+    store via ``dedup_exact_incremental`` inside foreachBatch — the
+    continuously-ingesting corpus curator, composing the streaming
+    ledger (micro-batch id = state batch id, replays overwrite their
+    own append AND their own verdict partition, so the whole loop is
+    idempotent under at-least-once) with the dedup state store.
+
+    Verdicts land in ``out_dir/batch=<id>`` with the same
+    (id, fingerprint, survivor_id, kept) schema; the union over
+    batches equals the batch-mode sequential applies — and therefore
+    the full-corpus first-seen recompute (q181's oracle, the same
+    contract as q176 with the streaming machinery in the loop).
+    First-seen order across micro-batches follows the source's batch
+    order (for file sources: modification-time order — the arrival
+    order, which is what "first seen" means operationally).
+
+    Starts and drains an availableNow query."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        verdict = dedup_exact_incremental(
+            batch_df, state_dir, batch_id, id_col, text_col, normalize
+        )
+        verdict.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={int(batch_id)}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_dedup_verdicts(spark, out_dir: str) -> DataFrame:
+    """Union of all per-batch verdict partitions written by
+    streaming_dedup_exact."""
+    paths = glob.glob(os.path.join(out_dir, "batch=*"))
+    return spark.read.parquet(*sorted(paths))

@@ -8476,6 +8476,141 @@ def q180_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
              "n_vecs", "sum_ids")
 
 
+@query(
+    "q181_stream_dedup",
+    _DOUBLED_DOCS
+    + """
+    , fp AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 < 2 THEN 0 ELSE 1 END AS b,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint
+        FROM all_docs
+    )
+    SELECT doc_id, fingerprint,
+           first_value(doc_id) OVER (
+               PARTITION BY fingerprint ORDER BY b, doc_id
+           ) AS survivor_id,
+           doc_id = first_value(doc_id) OVER (
+               PARTITION BY fingerprint ORDER BY b, doc_id
+           ) AS kept
+    FROM fp
+    """,
+)
+def q181_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING incremental dedup — q176's contract with the
+    micro-batch machinery in the loop: the doubled-docs corpus arrives
+    as two files whose modification times are explicitly ordered (file
+    A = the doc_id%3<2 rows, file B = the rest; the file source drains
+    oldest-first, so arrival order IS the oracle's batch order), and
+    each availableNow micro-batch runs dedup_exact_incremental against
+    the accumulated fingerprint store inside foreachBatch
+    (operators/dedup_state.py::streaming_dedup_exact). Micro-batch id
+    doubles as the state batch id, so a replayed batch overwrites both
+    its state append and its verdict partition — the loop is
+    idempotent under at-least-once. Oracle: identical to q176 — the
+    streamed verdict union equals the full-corpus first-seen window
+    recompute."""
+    import os
+    import time
+
+    from ..operators.dedup_state import (
+        read_dedup_verdicts,
+        streaming_dedup_exact,
+    )
+
+    configure_session(spark)
+    work = tempfile.mkdtemp(prefix="ehs_streamdedup_")
+    feed = os.path.join(work, "feed")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionAll(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    doubled.where(F.pmod("doc_id", F.lit(3)) < 2).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(feed)
+    import glob as _glob
+
+    parts_a = set(_glob.glob(os.path.join(feed, "part-*")))
+    doubled.where(F.pmod("doc_id", F.lit(3)) >= 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    parts_b = set(_glob.glob(os.path.join(feed, "part-*"))) - parts_a
+    # explicit mtime ordering: the file source sorts by modification
+    # time, so this pins file A = micro-batch 0 deterministically
+    # (back-to-back writes can otherwise land in the same clock tick)
+    t0 = time.time() - 1000
+    for p in parts_a:
+        os.utime(p, (t0, t0))
+    for p in parts_b:
+        os.utime(p, (t0 + 100, t0 + 100))
+    stream = (
+        spark.readStream.schema(doubled.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    streaming_dedup_exact(
+        stream,
+        os.path.join(work, "state"),
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "out"),
+    )
+    return read_dedup_verdicts(spark, os.path.join(work, "out")).select(
+        F.col("id").alias("doc_id"), "fingerprint", "survivor_id", "kept"
+    )
+
+
+@query(
+    "q182_dedup_bucketed_state",
+    _DOUBLED_DOCS
+    + """
+    , fp AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 < 2 THEN 0 ELSE 1 END AS b,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint
+        FROM all_docs
+    )
+    SELECT doc_id, fingerprint,
+           first_value(doc_id) OVER (
+               PARTITION BY fingerprint ORDER BY b, doc_id
+           ) AS survivor_id,
+           doc_id = first_value(doc_id) OVER (
+               PARTITION BY fingerprint ORDER BY b, doc_id
+           ) AS kept
+    FROM fp
+    """,
+)
+def q182_dedup_bucketed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q176's incremental dedup on the BUCKETED state layout
+    (operators/dedup_state.py::dedup_exact_incremental_bucketed) —
+    the shuffle-at-scale variant under the same oracle: state lives in
+    a parquet table CLUSTERED BY fingerprint, so the per-batch state
+    join shuffles only the new batch into the bucket layout while the
+    accumulated state scan stays exchange-free (plan-asserted in
+    test_dedup_state.py; at 10^11 fingerprints that's the difference
+    between an O(state) and an O(batch) shuffle per ingest). Identical
+    first-seen semantics, identical oracle — the physical layout is
+    the only thing that changed, which is exactly what the oracle
+    equality proves."""
+    from ..operators.dedup_state import dedup_exact_incremental_bucketed
+
+    table = "ehs_q182_state"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = tempfile.mkdtemp(prefix="ehs_q182_state_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionAll(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    b0 = doubled.where(F.pmod("doc_id", F.lit(3)) < 2)
+    b1 = doubled.where(F.pmod("doc_id", F.lit(3)) >= 2)
+    v0 = dedup_exact_incremental_bucketed(b0, table, loc, 0, buckets=16)
+    v1 = dedup_exact_incremental_bucketed(b1, table, loc, 1, buckets=16)
+    return v0.unionByName(v1).select(
+        F.col("id").alias("doc_id"), "fingerprint", "survivor_id", "kept"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -106,6 +106,64 @@ def test_exact_replay_is_idempotent(spark, state_dir):
     assert v2[5]["survivor_id"] == 4 and not v2[5]["kept"]
 
 
+def test_bucketed_state_equals_path_state(spark, state_dir):
+    """The bucketed-table layout must produce identical verdicts to
+    the path-based layout over the same batch sequence, its state join
+    must read the state Bucketed with ZERO Exchange above the scan
+    (the shuffle-at-scale claim), and re-registering the table over
+    the same location (a fresh session's first move) must see the
+    accumulated state intact."""
+    import re
+
+    from etlhelper_spark.operators.dedup_state import (
+        dedup_exact_incremental_bucketed,
+        ensure_bucketed_state_table,
+    )
+
+    docs = _docs(spark)
+    batches = [docs.where(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+    table = "ehs_test_bucketed_state"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = tempfile.mkdtemp(prefix="ehs_bktstate_")
+    got_b: dict = {}
+    for i, b in enumerate(batches):
+        for r in dedup_exact_incremental_bucketed(
+            b, table, loc, i, buckets=8
+        ).collect():
+            got_b[r["id"]] = (r["survivor_id"], r["kept"])
+    got_p: dict = {}
+    for i, b in enumerate(batches):
+        for r in dedup_exact_incremental(b, state_dir, i).collect():
+            got_p[r["id"]] = (r["survivor_id"], r["kept"])
+    assert got_b == got_p
+    # plan shape: state side bucketed, no Exchange above its scan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch_keys = batches[0].select(
+            F.md5("text").alias("fingerprint"), "doc_id"
+        )
+        plan = (
+            batch_keys.join(spark.table(table), "fingerprint")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+    assert "Bucketed: true" in plan
+    # exactly one Exchange — the batch side shuffling into the bucket
+    # layout; the state scan itself is exchange-free
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    # survives re-registration (fresh-session simulation)
+    n_before = spark.table(table).count()
+    spark.sql(f"DROP TABLE {table}")
+    ensure_bucketed_state_table(spark, table, loc, buckets=8)
+    assert spark.table(table).count() == n_before
+    spark.sql(f"DROP TABLE {table}")
+
+
 def test_minhash_incremental_equals_full_selfjoin(spark, state_dir):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text"
