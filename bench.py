@@ -168,6 +168,7 @@ HEADLINE = [
     "q180_ivf_append",
     "q181_stream_dedup",
     "q182_dedup_bucketed_state",
+    "q183_embedding_incremental",
 ]
 
 

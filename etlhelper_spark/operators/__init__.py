@@ -16,6 +16,7 @@ from .cdc import apply_changes
 from .dedup_state import (
     dedup_exact_incremental,
     dedup_exact_incremental_bucketed,
+    embedding_lsh_incremental,
     minhash_incremental,
     read_dedup_verdicts,
     streaming_dedup_exact,
@@ -55,6 +56,7 @@ __all__ = [
     "join_key_skew",
     "dedup_exact_incremental",
     "dedup_exact_incremental_bucketed",
+    "embedding_lsh_incremental",
     "minhash_incremental",
     "read_dedup_verdicts",
     "streaming_dedup_exact",

@@ -314,6 +314,143 @@ def minhash_incremental(
     return pairs.distinct()
 
 
+def embedding_lsh_incremental(
+    new_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    num_tables: int = 16,
+    dim: int = 64,
+    state_partitions: int = 1,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs of *new_df* against
+    everything ingested so far, via persisted random-hyperplane LSH
+    signature state — the third incremental dedup modality, completing
+    exact-fingerprint and MinHash-band state.
+
+    Per batch: bit-identical vectors collapse to one representative
+    (the degenerate-region guard embedding_near_duplicates documents —
+    identical vectors collide in EVERY table, so without the collapse
+    a hot vector makes the state join quadratic; with it the state
+    carries one row per distinct vector and the intra-group pairs are
+    emitted by expansion, never a join), representatives hash into
+    (table, signature) buckets with the same md5-derived plane matrix
+    as the batch operator, and candidates come from the bucket
+    equi-join against the accumulated representative state plus the
+    batch-local self-join. Exact cosine verifies every candidate at
+    ``threshold``; verified representative pairs expand to member
+    pairs. Cross-batch copies of an already-ingested vector are found
+    deterministically (identical vectors share every signature).
+
+    State rows: (rep_id, members, vec, tbl, sig, batch) — the vector
+    rides in the state because verification needs it; at 10^9 vectors
+    that is the same storage class as the IVF index (the corpus,
+    bucketed by signature). Appends are O(batch-distinct × tables).
+    Pair sets across sequential applies are disjoint (a later batch's
+    pairs involve its own members), so their union needs no dedup —
+    and equals the one-shot LSH pair set, whose recall against the
+    exact all-pairs truth is what q183's oracle checks end to end.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine ≥ threshold.
+    """
+    from ..functions.similarity import cosine_similarity, lsh_signatures
+
+    spark = new_df.sparkSession
+    subdir = os.path.join(state_dir, "embedding_lsh")
+    groups = (
+        new_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .groupBy("v")
+        .agg(F.sort_array(F.collect_list("id")).alias("members"))
+    )
+    sig_kernel = lsh_signatures(num_tables, num_planes, dim)
+    reps = (
+        groups.select(
+            F.element_at("members", 1).alias("rep_id"), "members", "v"
+        )
+        .withColumn("sigs", sig_kernel(F.col("v")))
+        .select(
+            "rep_id", "members", "v",
+            F.posexplode("sigs").alias("tbl", "sig"),
+        )
+        .localCheckpoint()  # consumed 4x: 2 joins, intra pairs, append
+    )
+    # intra-batch: identical-vector groups are exact duplicates
+    intra_dup = (
+        groups.where(F.size("members") >= 2)
+        .select(
+            "members",
+            F.round(
+                cosine_similarity(F.col("v"), F.col("v")), 4
+            ).alias("cosine"),
+            F.posexplode("members").alias("pos", "id_a"),
+        )
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("members", F.col("pos") + F.lit(2), F.size("members"))
+            ).alias("id_b"),
+            "cosine",
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+    def verified(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.select(
+                "ma", "mb",
+                F.round(
+                    cosine_similarity(F.col("va"), F.col("vb")), 4
+                ).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
+            .select(F.explode("ma").alias("ea"), "mb", "cosine")
+            .select("ea", F.explode("mb").alias("eb"), "cosine")
+            .select(
+                F.least("ea", "eb").alias("id_a"),
+                F.greatest("ea", "eb").alias("id_b"),
+                "cosine",
+            )
+        )
+
+    a = reps.select(
+        "tbl", "sig",
+        F.col("rep_id").alias("ra"), F.col("v").alias("va"),
+        F.col("members").alias("ma"),
+    )
+    b = reps.select(
+        "tbl", "sig",
+        F.col("rep_id").alias("rb"), F.col("v").alias("vb"),
+        F.col("members").alias("mb"),
+    )
+    intra_near = verified(
+        a.join(b, ["tbl", "sig"]).where(F.col("ra") < F.col("rb"))
+        .dropDuplicates(["ra", "rb"])
+    )
+    prior = _read_prior(spark, subdir, batch_id)
+    if prior is not None:
+        p = prior.select(
+            "tbl", "sig",
+            F.col("rep_id").alias("rb"), F.col("v").alias("vb"),
+            F.col("members").alias("mb"),
+        )
+        cross = verified(
+            a.join(p, ["tbl", "sig"]).dropDuplicates(["ra", "rb"])
+        )
+        out = intra_dup.unionAll(intra_near).unionAll(cross)
+    else:
+        out = intra_dup.unionAll(intra_near)
+    reps.withColumn("batch", F.lit(int(batch_id))).repartition(
+        state_partitions
+    ).write.mode("overwrite").parquet(
+        os.path.join(subdir, f"batch={int(batch_id)}")
+    )
+    return out.distinct()
+
+
 def streaming_dedup_exact(
     stream: DataFrame,
     state_dir: str,

@@ -8611,6 +8611,51 @@ def q182_dedup_bucketed_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q183_embedding_incremental",
+    """
+    WITH all_vecs AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+    FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.95
+    """,
+)
+def q183_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup against persisted LSH signature
+    state — the third dedup modality on the cross-run state pattern
+    (exact fingerprints q176, MinHash bands q177, embeddings here):
+    the doubled-embeddings corpus (q32's planted-duplicate
+    construction) arrives as two batches (vec_id%3 split; the +10000
+    copy shifts residue, so copies meet their original across the
+    batch boundary in both directions), each batch collapses
+    bit-identical vectors, hashes representatives into (table, sig)
+    buckets, joins against the accumulated representative state plus
+    itself, and exact-verifies candidates at cosine ≥ 0.95
+    (operators/dedup_state.py::embedding_lsh_incremental). The oracle
+    is q32's EXACT all-pairs truth — the union of the two incremental
+    applies must recover every true pair (16 tables: a genuine
+    non-identical 0.95 pair is missed w.p. ≈0.006; exact duplicates
+    are found deterministically in every table), so recall against
+    ground truth is checked end to end, not against the one-shot LSH."""
+    from ..operators.dedup_state import embedding_lsh_incremental
+
+    work = tempfile.mkdtemp(prefix="ehs_embstate_")
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = e.unionAll(
+        e.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    b0 = doubled.where(F.pmod("vec_id", F.lit(3)) < 2)
+    b1 = doubled.where(F.pmod("vec_id", F.lit(3)) >= 2)
+    p0 = embedding_lsh_incremental(b0, work, 0)
+    p1 = embedding_lsh_incremental(b1, work, 1)
+    return p0.unionByName(p1)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

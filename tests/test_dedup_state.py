@@ -164,6 +164,41 @@ def test_bucketed_state_equals_path_state(spark, state_dir):
     spark.sql(f"DROP TABLE {table}")
 
 
+def test_embedding_incremental_recovers_bruteforce_pairs(spark, state_dir):
+    """Three sequential embedding-LSH applies must recover the exact
+    brute-force near-dup pair set (threshold 0.95) over the doubled
+    corpus — cross-batch exact copies are found deterministically
+    (identical vectors share every signature), and the planted
+    non-identical pairs survive the 16-table recall."""
+    from etlhelper_spark.functions.dedup import embedding_near_duplicates
+    from etlhelper_spark.operators.dedup_state import (
+        embedding_lsh_incremental,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    doubled = e.unionAll(
+        e.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    batches = [
+        doubled.where(F.pmod("vec_id", F.lit(3)) == i) for i in range(3)
+    ]
+    got = set()
+    for i, b in enumerate(batches):
+        rows = embedding_lsh_incremental(b, state_dir, i).collect()
+        fresh = {(r["id_a"], r["id_b"]) for r in rows}
+        assert not (got & fresh)  # applies emit disjoint pair sets
+        got |= fresh
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            doubled, "vec_id", "embedding", 0.95, method="brute"
+        ).collect()
+    }
+    assert got == want and want
+
+
 def test_minhash_incremental_equals_full_selfjoin(spark, state_dir):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text"
