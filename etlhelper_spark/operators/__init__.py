@@ -14,6 +14,7 @@ from .etl import (
 )
 from .cdc import apply_changes
 from .dedup_state import (
+    compact_dedup_state,
     dedup_exact_incremental,
     dedup_exact_incremental_bucketed,
     embedding_lsh_incremental,
@@ -54,6 +55,7 @@ __all__ = [
     "apply_changes",
     "stage_and_merge",
     "join_key_skew",
+    "compact_dedup_state",
     "dedup_exact_incremental",
     "dedup_exact_incremental_bucketed",
     "embedding_lsh_incremental",

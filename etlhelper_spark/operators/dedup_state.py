@@ -72,10 +72,81 @@ def _prior_batches(subdir: str, batch_id: int) -> list[str]:
 
 
 def _read_prior(spark, subdir: str, batch_id: int) -> DataFrame | None:
+    """Accumulated state strictly below *batch_id*: the compacted base
+    (if one exists — filtered on its carried batch column, so a
+    replayed batch never sees its own compacted rows) plus every
+    uncompacted append below the id."""
     paths = _prior_batches(subdir, batch_id)
-    if not paths:
+    frames = []
+    base = os.path.join(subdir, "base")
+    if glob.glob(os.path.join(base, "*.parquet")):
+        frames.append(
+            spark.read.parquet(base).where(F.col("batch") < int(batch_id))
+        )
+    if paths:
+        frames.append(spark.read.parquet(*paths))
+    if not frames:
         return None
-    return spark.read.parquet(*paths)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def compact_dedup_state(
+    spark,
+    state_dir: str,
+    store: str,
+    state_partitions: int = 1,
+) -> int:
+    """Fold a store's per-batch append directories into its ``base``
+    — the maintenance operation that keeps an append-only state's
+    file count bounded over thousands of ingest batches (every apply
+    adds a ``batch=<id>`` directory; a year of hourly batches is ~9k
+    directories whose listing + multi-path read eventually dominates
+    the state join).
+
+    ``store`` is one of ``exact`` / ``bands`` / ``embedding_lsh``.
+    Rows keep their original ``batch`` column, so compaction is pure
+    physical re-layout: first-seen resolution (min_by on batch) and
+    replay filtering (batch < id) read identically from base as from
+    the original appends — verdict equivalence after compaction is
+    pinned in test_dedup_state.py. Any row present in both an old base
+    and an append (a replay between compactions) collapses through the
+    same reader aggregates that make replays harmless in the first
+    place.
+
+    Not crash-atomic: the new base is written to a temp dir first and
+    swapped in before the appends are removed, so a crash can leave
+    BOTH base and already-compacted appends visible — which readers
+    tolerate (duplicates collapse) — but never a missing state. A
+    transactional table format (or the bucketed-table layout, whose
+    compaction is an ordinary table rewrite) is the upgrade where
+    crash-atomicity matters. Returns the number of directories folded.
+    """
+    import shutil
+
+    subdir = os.path.join(state_dir, store)
+    batch_dirs = _prior_batches(subdir, 2**62)
+    base = os.path.join(subdir, "base")
+    has_base = bool(glob.glob(os.path.join(base, "*.parquet")))
+    if not batch_dirs:
+        return 0
+    sources = ([base] if has_base else []) + batch_dirs
+    merged = spark.read.parquet(*sources)
+    tmp = os.path.join(subdir, "_base_compacting")
+    merged.repartition(state_partitions).write.mode("overwrite").parquet(
+        tmp
+    )
+    old = os.path.join(subdir, "_base_old")
+    if has_base:
+        os.rename(base, old)
+    os.rename(tmp, base)
+    if has_base:
+        shutil.rmtree(old, ignore_errors=True)
+    for p in batch_dirs:
+        shutil.rmtree(p, ignore_errors=True)
+    return len(batch_dirs)
 
 
 def dedup_exact_incremental(
@@ -448,7 +519,11 @@ def embedding_lsh_incremental(
     ).write.mode("overwrite").parquet(
         os.path.join(subdir, f"batch={int(batch_id)}")
     )
-    return out.distinct()
+    # no final distinct: the three streams are disjoint by construction
+    # (within-group / cross-group-same-batch / involves-an-older-member)
+    # and each is internally deduped — dropDuplicates on rep pairs
+    # before expansion, and every id belongs to exactly one group
+    return out
 
 
 def streaming_dedup_exact(

@@ -199,6 +199,77 @@ def test_embedding_incremental_recovers_bruteforce_pairs(spark, state_dir):
     assert got == want and want
 
 
+def test_compaction_preserves_verdicts_and_bounds_dirs(spark, state_dir):
+    """Folding the per-batch appends into base must not change any
+    later verdict (rows keep their batch column, so first-seen and
+    replay filtering read identically), must shrink the directory
+    count, and a replayed batch AFTER compaction must still resolve
+    correctly (its compacted rows are filtered by batch < id, and the
+    duplicate append collapses at read time)."""
+    import glob
+    import os
+
+    from etlhelper_spark.operators.dedup_state import compact_dedup_state
+
+    b0 = spark.createDataFrame(
+        [(10, "same text"), (11, "other")], ["doc_id", "text"]
+    )
+    b1 = spark.createDataFrame(
+        [(1, "same  text"), (2, "third")], ["doc_id", "text"]
+    )
+    b2 = spark.createDataFrame(
+        [(20, "OTHER"), (21, "third"), (22, "fresh")], ["doc_id", "text"]
+    )
+    dedup_exact_incremental(b0, state_dir, 0).collect()
+    dedup_exact_incremental(b1, state_dir, 1).collect()
+    folded = compact_dedup_state(spark, state_dir, "exact")
+    assert folded == 2
+    sub = os.path.join(state_dir, "exact")
+    assert glob.glob(os.path.join(sub, "batch=*")) == []
+    assert glob.glob(os.path.join(sub, "base", "*.parquet"))
+    # post-compaction apply resolves against base exactly as before:
+    # "OTHER" normalizes to batch-0's "other" (survivor 11), "third"
+    # to batch-1's survivor 2, "fresh" is new
+    v2 = {r["id"]: (r["survivor_id"], r["kept"]) for r in
+          dedup_exact_incremental(b2, state_dir, 2).collect()}
+    assert v2 == {20: (11, False), 21: (2, False), 22: (22, True)}
+    # replay batch 2 after its append joined a compacted base: same
+    # verdicts, and a second compaction folds the replay dup harmlessly
+    v2r = {r["id"]: (r["survivor_id"], r["kept"]) for r in
+           dedup_exact_incremental(b2, state_dir, 2).collect()}
+    assert v2r == v2
+    compact_dedup_state(spark, state_dir, "exact")
+    v3 = {r["id"]: r["survivor_id"] for r in
+          dedup_exact_incremental(
+              spark.createDataFrame([(30, "fresh")], ["doc_id", "text"]),
+              state_dir, 3).collect()}
+    assert v3 == {30: 22}
+
+
+def test_compaction_preserves_minhash_candidates(spark, state_dir):
+    """Band-state compaction: candidates of a post-compaction batch
+    must equal the uncompacted run's."""
+    from etlhelper_spark.operators.dedup_state import compact_dedup_state
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batches = [docs.where(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+    plain = tempfile.mkdtemp(prefix="ehs_state_plain_")
+    try:
+        want, got = set(), set()
+        for i, b in enumerate(batches):
+            want |= {(r["id_a"], r["id_b"]) for r in
+                     minhash_incremental(b, plain, i).collect()}
+        for i, b in enumerate(batches):
+            got |= {(r["id_a"], r["id_b"]) for r in
+                    minhash_incremental(b, state_dir, i).collect()}
+            compact_dedup_state(spark, state_dir, "bands")
+        assert got == want
+    finally:
+        shutil.rmtree(plain, ignore_errors=True)
+
+
 def test_minhash_incremental_equals_full_selfjoin(spark, state_dir):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text"
