@@ -10,10 +10,12 @@ replay-idempotent per batch id) applied to the dedup substrate
 
 State layout under ``state_dir``::
 
-    exact/batch=<id>/   (fingerprint, survivor_id, batch)
-    bands/batch=<id>/   (id, band, band_key, batch)
+    exact/batch=<id>/          (fingerprint, survivor_id, batch)
+    bands/batch=<id>/          (id, band, band_key, batch)
+    embedding_lsh/batch=<id>/  (rep_id, members, v, sigs, batch)
+    <store>/base/              compacted appends (compact_dedup_state)
 
-Both stores are APPEND-ONLY — the natural shape for dedup state,
+All stores are APPEND-ONLY — the natural shape for dedup state,
 because a first-seen survivor never changes and band keys are
 immutable per document. Each apply writes ONLY its own ``batch=<id>``
 subdir (O(new batch), never O(corpus)) and a replayed batch id
@@ -416,10 +418,15 @@ def embedding_lsh_incremental(
     pairs. Cross-batch copies of an already-ingested vector are found
     deterministically (identical vectors share every signature).
 
-    State rows: (rep_id, members, vec, tbl, sig, batch) — the vector
-    rides in the state because verification needs it; at 10^9 vectors
-    that is the same storage class as the IVF index (the corpus,
-    bucketed by signature). Appends are O(batch-distinct × tables).
+    State rows: ONE per distinct vector — (rep_id, members, v, sigs,
+    batch), with the full signature ARRAY instead of one row per
+    (vector, table): the bucket join explodes lean (rep_id, tbl, sig)
+    rows on demand, so neither the state files nor the join shuffle
+    ever carry ``num_tables`` copies of a 512-byte vector (the same
+    payload discipline lsh_bucket_topk applies — vectors move only at
+    the verify join, keyed by rep id). At 10^9 vectors the state is
+    the same storage class as the IVF index (the distinct corpus plus
+    its signatures). Appends are O(batch-distinct).
     Pair sets across sequential applies are disjoint (a later batch's
     pairs involve its own members), so their union needs no dedup —
     and equals the one-shot LSH pair set, whose recall against the
@@ -431,26 +438,29 @@ def embedding_lsh_incremental(
 
     spark = new_df.sparkSession
     subdir = os.path.join(state_dir, "embedding_lsh")
-    groups = (
+    sig_kernel = lsh_signatures(num_tables, num_planes, dim)
+    # one row per DISTINCT vector, signatures computed once — consumed
+    # by the bucket explode, both verify joins, the intra-dup pairs,
+    # and the state append
+    reps = (
         new_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .groupBy("v")
         .agg(F.sort_array(F.collect_list("id")).alias("members"))
-    )
-    sig_kernel = lsh_signatures(num_tables, num_planes, dim)
-    reps = (
-        groups.select(
-            F.element_at("members", 1).alias("rep_id"), "members", "v"
-        )
+        .select(F.element_at("members", 1).alias("rep_id"), "members", "v")
         .withColumn("sigs", sig_kernel(F.col("v")))
-        .select(
-            "rep_id", "members", "v",
+        .localCheckpoint()
+    )
+
+    def lean_buckets(rep_frame: DataFrame, rid: str) -> DataFrame:
+        # ~50-byte bucket rows: the join never shuffles vectors/members
+        return rep_frame.select(
+            F.col("rep_id").alias(rid),
             F.posexplode("sigs").alias("tbl", "sig"),
         )
-        .localCheckpoint()  # consumed 4x: 2 joins, intra pairs, append
-    )
+
     # intra-batch: identical-vector groups are exact duplicates
     intra_dup = (
-        groups.where(F.size("members") >= 2)
+        reps.where(F.size("members") >= 2)
         .select(
             "members",
             F.round(
@@ -469,9 +479,22 @@ def embedding_lsh_incremental(
         .select("id_a", "id_b", "cosine")
     )
 
-    def verified(pairs: DataFrame) -> DataFrame:
+    va = reps.select(
+        F.col("rep_id").alias("ra"),
+        F.col("v").alias("va"), F.col("members").alias("ma"),
+    )
+
+    def verified(cand: DataFrame, b_side: DataFrame) -> DataFrame:
+        """Join candidate (ra, rb) rep pairs back to their vectors and
+        member sets, verify exact cosine, expand to member pairs."""
+        vb = b_side.select(
+            F.col("rep_id").alias("rb"),
+            F.col("v").alias("vb"), F.col("members").alias("mb"),
+        )
         return (
-            pairs.select(
+            cand.join(va, "ra")
+            .join(vb, "rb")
+            .select(
                 "ma", "mb",
                 F.round(
                     cosine_similarity(F.col("va"), F.col("vb")), 4
@@ -487,29 +510,21 @@ def embedding_lsh_incremental(
             )
         )
 
-    a = reps.select(
-        "tbl", "sig",
-        F.col("rep_id").alias("ra"), F.col("v").alias("va"),
-        F.col("members").alias("ma"),
-    )
-    b = reps.select(
-        "tbl", "sig",
-        F.col("rep_id").alias("rb"), F.col("v").alias("vb"),
-        F.col("members").alias("mb"),
-    )
+    nb = lean_buckets(reps, "ra")
     intra_near = verified(
-        a.join(b, ["tbl", "sig"]).where(F.col("ra") < F.col("rb"))
-        .dropDuplicates(["ra", "rb"])
+        nb.join(lean_buckets(reps, "rb"), ["tbl", "sig"])
+        .where(F.col("ra") < F.col("rb"))
+        .select("ra", "rb")
+        .dropDuplicates(["ra", "rb"]),
+        reps,
     )
     prior = _read_prior(spark, subdir, batch_id)
     if prior is not None:
-        p = prior.select(
-            "tbl", "sig",
-            F.col("rep_id").alias("rb"), F.col("v").alias("vb"),
-            F.col("members").alias("mb"),
-        )
         cross = verified(
-            a.join(p, ["tbl", "sig"]).dropDuplicates(["ra", "rb"])
+            nb.join(lean_buckets(prior, "rb"), ["tbl", "sig"])
+            .select("ra", "rb")
+            .dropDuplicates(["ra", "rb"]),
+            prior,
         )
         out = intra_dup.unionAll(intra_near).unionAll(cross)
     else:

@@ -363,6 +363,40 @@ def main() -> None:
     probe("incremental minhash LSH (2 sequential batches)", n_docs,
           _incr_minhash_probe)
 
+    from etlhelper_spark.operators.dedup_state import (
+        compact_dedup_state,
+        embedding_lsh_incremental,
+    )
+
+    def _incr_embed_probe():
+        sd = _os.path.join(tmp, "state_embed")
+        b0 = vecs.where(F.pmod("vec_id", F.lit(2)) == 0)
+        b1 = vecs.where(F.pmod("vec_id", F.lit(2)) == 1)
+        # 14 planes keep expected bucket occupancy ~6 reps at 100k
+        # reps/batch so candidate volume stays ~linear
+        n0 = embedding_lsh_incremental(
+            b0, sd, 0, num_planes=14, num_tables=4
+        ).count()
+        n1 = embedding_lsh_incremental(
+            b1, sd, 1, num_planes=14, num_tables=4
+        ).count()
+        return n0 + n1
+
+    probe("incremental embedding LSH (2 sequential batches)", n_vecs,
+          _incr_embed_probe)
+
+    def _compaction_probe():
+        # fold the exact-dedup state appends into base and re-apply a
+        # third batch against the compacted layout
+        sd = _os.path.join(tmp, "state_exact")
+        folded = compact_dedup_state(spark, sd, "exact")
+        b2 = docs.where(F.pmod("doc_id", F.lit(4)) == 1)
+        n = dedup_exact_incremental(b2, sd, 2).count()
+        return (folded, n)
+
+    probe("state compaction + post-compaction apply", n_docs,
+          _compaction_probe)
+
     lines = [
         "# SCALE PROBE — measured operator scaling beyond bench SF",
         "",
