@@ -169,6 +169,7 @@ HEADLINE = [
     "q181_stream_dedup",
     "q182_dedup_bucketed_state",
     "q183_embedding_incremental",
+    "q184_incremental_clusters",
 ]
 
 

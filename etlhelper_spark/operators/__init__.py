@@ -15,6 +15,7 @@ from .etl import (
 from .cdc import apply_changes
 from .dedup_state import (
     compact_dedup_state,
+    duplicate_clusters_incremental,
     dedup_exact_incremental,
     dedup_exact_incremental_bucketed,
     embedding_lsh_incremental,
@@ -58,6 +59,7 @@ __all__ = [
     "compact_dedup_state",
     "dedup_exact_incremental",
     "dedup_exact_incremental_bucketed",
+    "duplicate_clusters_incremental",
     "embedding_lsh_incremental",
     "minhash_incremental",
     "read_dedup_verdicts",

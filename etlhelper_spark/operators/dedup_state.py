@@ -541,6 +541,128 @@ def embedding_lsh_incremental(
     return out
 
 
+def _latest_version(spark, subdir: str, batch_id: int) -> DataFrame | None:
+    """Latest FULL state version strictly below *batch_id* (the ivm
+    versioned-state convention — used by stores that rewrite rather
+    than append, like cluster labels)."""
+    versions = []
+    for p in glob.glob(os.path.join(subdir, "v*")):
+        try:
+            versions.append(int(os.path.basename(p)[1:]))
+        except ValueError:
+            continue
+    versions = [v for v in versions if v < batch_id]
+    if not versions:
+        return None
+    return spark.read.parquet(os.path.join(subdir, f"v{max(versions)}"))
+
+
+def duplicate_clusters_incremental(
+    new_pairs: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    state_partitions: int = 1,
+) -> DataFrame:
+    """Maintain duplicate CLUSTERS (connected components) as new pair
+    batches arrive — the state-backed companion to the incremental
+    pair generators: pairs from batch N+1 must merge into the
+    accumulated clustering without re-running label propagation over
+    every edge ever seen.
+
+    The standard incremental-CC treatment, cluster CONTRACTION: every
+    prior cluster collapses to its label (one super-node), the new
+    batch's edges are rewritten through the prior labels (an unseen
+    endpoint stays itself), edges now internal to one cluster drop
+    out, and label propagation (functions/dedup.py::
+    duplicate_clusters) runs on the CONTRACTED graph only — nodes =
+    touched clusters + new nodes, edges = the new batch. History
+    edges are never revisited; since labels are component-minimum ids,
+    the contracted component's minimum equals the full recompute's
+    minimum, so sequential applies EQUAL re-clustering all pairs at
+    once in any apply order (q184's oracle — q37's recursive-CTE
+    transitive closure, unchanged).
+
+    State is FULL-VERSIONED (``v<batch>`` dirs, the ivm convention —
+    relabeling on a merge rewrites affected rows, so append-only
+    doesn't fit): |clustered nodes| rows per version, a replayed
+    batch overwrites its own version reading only versions below it.
+    Per-batch cost: O(new edges) + label propagation over the
+    contracted graph (diameter-bounded rounds over batch-sized data)
+    + one |state|-sized remap join against the batch-sized
+    (broadcastable) label mapping.
+
+    Returns the new full state (node_id, cluster_id)."""
+    from ..functions.dedup import duplicate_clusters
+
+    spark = new_pairs.sparkSession
+    subdir = os.path.join(state_dir, "clusters")
+    prior = _latest_version(spark, subdir, batch_id)
+    edges = (
+        new_pairs.select(
+            F.col(id_a).alias("a"), F.col(id_b).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    if prior is not None:
+        la = prior.select(
+            F.col("node_id").alias("a"), F.col("cluster_id").alias("ca")
+        )
+        lb = prior.select(
+            F.col("node_id").alias("b"), F.col("cluster_id").alias("cb")
+        )
+        contracted = (
+            edges.join(la, "a", "left")
+            .join(lb, "b", "left")
+            .select(
+                F.coalesce("ca", "a").alias("id_a"),
+                F.coalesce("cb", "b").alias("id_b"),
+            )
+            .where(F.col("id_a") != F.col("id_b"))
+        )
+    else:
+        contracted = edges.select(
+            F.col("a").alias("id_a"), F.col("b").alias("id_b")
+        )
+    # label propagation over the contracted graph only; mapping is
+    # (touched old label | new node) -> merged component minimum
+    mapping = duplicate_clusters(contracted, "id_a", "id_b").select(
+        F.col("node_id").alias("cnode"), F.col("cluster_id").alias("nlabel")
+    )
+    if prior is not None:
+        remapped = (
+            prior.join(
+                mapping, prior.cluster_id == mapping.cnode, "left"
+            )
+            .select(
+                "node_id",
+                F.coalesce("nlabel", "cluster_id").alias("cluster_id"),
+            )
+        )
+        fresh = (
+            mapping.join(
+                prior.select("node_id"),
+                mapping.cnode == F.col("node_id"),
+                "left_anti",
+            )
+            .select(
+                F.col("cnode").alias("node_id"),
+                F.col("nlabel").alias("cluster_id"),
+            )
+        )
+        state = remapped.unionByName(fresh)
+    else:
+        state = mapping.select(
+            F.col("cnode").alias("node_id"),
+            F.col("nlabel").alias("cluster_id"),
+        )
+    out = os.path.join(subdir, f"v{int(batch_id)}")
+    state.repartition(state_partitions).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
 def streaming_dedup_exact(
     stream: DataFrame,
     state_dir: str,

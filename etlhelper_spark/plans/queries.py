@@ -8656,6 +8656,67 @@ def q183_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p0.unionByName(p1)
 
 
+@query(
+    "q184_incremental_clusters",
+    """
+    WITH RECURSIVE toks AS (
+        SELECT doc_id AS id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), sh AS (
+        SELECT DISTINCT id, shingle FROM (
+            SELECT id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM (SELECT id, t, unnest(range(1, len(t)-1)) AS i FROM toks)
+        ) WHERE shingle <> ''
+    ), sizes AS (
+        SELECT id, count(*) AS n_shingles FROM sh GROUP BY id
+    ), shared AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+        GROUP BY a.id, b.id
+    ), pairs AS (
+        SELECT id_a, id_b
+        FROM shared
+        JOIN sizes sa ON id_a = sa.id
+        JOIN sizes sb ON id_b = sb.id
+        WHERE round(shared / (sa.n_shingles + sb.n_shingles - shared), 4)
+              >= 0.5
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, lab) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id
+    )
+    SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def q184_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL connected components — q37's clustering maintained
+    across pair batches instead of recomputed
+    (operators/dedup_state.py::duplicate_clusters_incremental): the
+    exact-jaccard pair set splits into two batches on (id_a+id_b)%2 —
+    an adversarial split, since components commonly form across the
+    boundary (a cluster built in batch 0 merges with nodes or whole
+    clusters arriving in batch 1). Each apply contracts prior clusters
+    to their labels, runs label propagation over the CONTRACTED graph
+    only (nodes = touched clusters + new nodes; history edges never
+    revisited), and remaps the stored labels through the batch-sized
+    merge mapping. The oracle is byte-identical to q37's
+    recursive-CTE transitive closure over ALL pairs — sequential
+    applies must equal the one-shot clustering."""
+    from ..operators.dedup_state import duplicate_clusters_incremental
+
+    work = tempfile.mkdtemp(prefix="ehs_ccstate_")
+    pairs = _jaccard_pairs_cached(spark, sf_dir).select("id_a", "id_b")
+    b0 = pairs.where(F.pmod(F.col("id_a") + F.col("id_b"), F.lit(2)) == 0)
+    b1 = pairs.where(F.pmod(F.col("id_a") + F.col("id_b"), F.lit(2)) == 1)
+    duplicate_clusters_incremental(b0, work, 0)
+    final = duplicate_clusters_incremental(b1, work, 1)
+    return final.select(F.col("node_id").alias("doc_id"), "cluster_id")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -270,6 +270,55 @@ def test_compaction_preserves_minhash_candidates(spark, state_dir):
         shutil.rmtree(plain, ignore_errors=True)
 
 
+def test_incremental_clusters_merge_across_batches(spark, state_dir):
+    """Cluster contraction: batch 0 builds {1,2} and {5,6}; batch 1's
+    single edge (2,6) must merge them into one component labeled 1,
+    relabeling the stored rows — and an untouched cluster stays put.
+    Replaying batch 1 leaves the state identical."""
+    from etlhelper_spark.operators.dedup_state import (
+        duplicate_clusters_incremental,
+    )
+
+    b0 = spark.createDataFrame(
+        [(1, 2), (5, 6), (8, 9)], ["id_a", "id_b"]
+    )
+    b1 = spark.createDataFrame([(2, 6)], ["id_a", "id_b"])
+    s0 = {r["node_id"]: r["cluster_id"] for r in
+          duplicate_clusters_incremental(b0, state_dir, 0).collect()}
+    assert s0 == {1: 1, 2: 1, 5: 5, 6: 5, 8: 8, 9: 8}
+    s1 = {r["node_id"]: r["cluster_id"] for r in
+          duplicate_clusters_incremental(b1, state_dir, 1).collect()}
+    assert s1 == {1: 1, 2: 1, 5: 1, 6: 1, 8: 8, 9: 8}
+    s1r = {r["node_id"]: r["cluster_id"] for r in
+           duplicate_clusters_incremental(b1, state_dir, 1).collect()}
+    assert s1r == s1
+
+
+def test_incremental_clusters_equal_one_shot(spark, state_dir):
+    """Three-batch split of the real jaccard pair set must equal the
+    one-shot label propagation over all pairs."""
+    from etlhelper_spark.functions.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+    from etlhelper_spark.operators.dedup_state import (
+        duplicate_clusters_incremental,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_size=3, threshold=0.5
+    ).select("id_a", "id_b").localCheckpoint()
+    final = None
+    for i in range(3):
+        b = pairs.where(F.pmod(F.col("id_a") + F.col("id_b"), F.lit(3)) == i)
+        final = duplicate_clusters_incremental(b, state_dir, i)
+    got = {r["node_id"]: r["cluster_id"] for r in final.collect()}
+    want = {r["node_id"]: r["cluster_id"] for r in
+            duplicate_clusters(pairs, "id_a", "id_b").collect()}
+    assert got == want and want
+
+
 def test_minhash_incremental_equals_full_selfjoin(spark, state_dir):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "text"
