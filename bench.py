@@ -170,6 +170,7 @@ HEADLINE = [
     "q182_dedup_bucketed_state",
     "q183_embedding_incremental",
     "q184_incremental_clusters",
+    "q185_incremental_index",
 ]
 
 

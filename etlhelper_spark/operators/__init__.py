@@ -23,6 +23,7 @@ from .dedup_state import (
     read_dedup_verdicts,
     streaming_dedup_exact,
 )
+from .index_state import inverted_index_incremental, read_index_top
 from .jdbc_sink import stage_and_merge
 from .expectations import check_expectations
 from .maintenance import clustered_rewrite, compact_parquet_table, morton_code
@@ -62,6 +63,8 @@ __all__ = [
     "duplicate_clusters_incremental",
     "embedding_lsh_incremental",
     "minhash_incremental",
+    "inverted_index_incremental",
     "read_dedup_verdicts",
+    "read_index_top",
     "streaming_dedup_exact",
 ]

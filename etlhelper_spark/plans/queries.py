@@ -8717,6 +8717,52 @@ def q184_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(F.col("node_id").alias("doc_id"), "cluster_id")
 
 
+@query(
+    "q185_incremental_index",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS token
+        FROM documents
+    ), per_doc AS (
+        SELECT token, doc_id, count(*) AS n
+        FROM tok WHERE token <> '' GROUP BY token, doc_id
+    )
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(n) AS BIGINT) AS cf,
+           (list(doc_id ORDER BY doc_id))[1:20] AS postings
+    FROM per_doc GROUP BY token
+    ORDER BY df DESC, token ASC LIMIT 50
+    """,
+)
+def q185_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL inverted-index maintenance
+    (operators/index_state.py): the documents corpus arrives as two
+    batches (doc_id%3 split); each apply appends its postings and
+    merges its (df, cf) partial into the versioned stats state through
+    the same mergeable-partial algebra as every IVM rollup — the
+    accumulated corpus is never re-tokenized. The read then serves
+    q160's exact output FROM STATE: stats alone rank the tokens, and
+    only the 50 winners' postings are fetched via a broadcast
+    semi-join against the postings store. Oracle = q160's batch
+    recompute over the full corpus, byte-identical — each document
+    lives in exactly one batch, so df/cf partials merge exactly."""
+    from ..operators.index_state import (
+        inverted_index_incremental,
+        read_index_top,
+    )
+
+    work = tempfile.mkdtemp(prefix="ehs_idxstate_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b0 = d.where(F.pmod("doc_id", F.lit(3)) < 2)
+    b1 = d.where(F.pmod("doc_id", F.lit(3)) >= 2)
+    inverted_index_incremental(b0, work, 0)
+    inverted_index_incremental(b1, work, 1)
+    return read_index_top(spark, work, k=50, postings_cap=20)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
