@@ -171,6 +171,7 @@ HEADLINE = [
     "q183_embedding_incremental",
     "q184_incremental_clusters",
     "q185_incremental_index",
+    "q186_snapshot_state",
 ]
 
 

@@ -12,7 +12,7 @@ from .etl import (
     iter_rows,
     load,
 )
-from .cdc import apply_changes
+from .cdc import apply_changes, read_snapshot_state, snapshot_apply_incremental
 from .dedup_state import (
     compact_dedup_state,
     duplicate_clusters_incremental,
@@ -55,6 +55,8 @@ __all__ = [
     "iter_rows",
     "load",
     "apply_changes",
+    "read_snapshot_state",
+    "snapshot_apply_incremental",
     "stage_and_merge",
     "join_key_skew",
     "compact_dedup_state",

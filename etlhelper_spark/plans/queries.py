@@ -8763,6 +8763,99 @@ def q185_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_index_top(spark, work, k=50, postings_cap=20)
 
 
+@query(
+    "q186_snapshot_state",
+    """
+    WITH snap AS (
+        SELECT user_id, value AS balance, event_type AS last_type
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        ) WHERE rn = 1
+    ), unioned AS (
+        SELECT user_id, balance, last_type, 'I' AS op,
+               CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS BIGINT) AS event_id
+        FROM snap
+        UNION ALL
+        SELECT user_id, value, event_type,
+               CASE WHEN event_type = 'error' THEN 'D'
+                    WHEN event_type = 'signup' THEN 'I'
+                    ELSE 'U' END,
+               ts, event_id
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    )
+    SELECT user_id, balance, last_type
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST
+        ) AS rn
+        FROM unioned
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q186_snapshot_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-backed CDC snapshot maintenance under OUT-OF-ORDER
+    batches (operators/cdc.py::snapshot_apply_incremental): q46's feed
+    is split by event_id PARITY — deliberately NOT by time, so every
+    batch carries changes both older and newer than the other's —
+    and applied sequentially into tombstoned, sequence-carrying
+    persisted state. A naive apply_changes loop is provably wrong on
+    this split (a late older update would overwrite a newer delete's
+    outcome: the snapshot row has no sequence to defend itself with);
+    the tombstoned state reproduces the one-shot latest-per-key window
+    exactly, which is what the oracle (q46's SQL, unchanged) checks.
+    The initial snapshot loads as batch 0 with NULL sequence (loses to
+    any real change, survives when a key has none)."""
+    import os
+
+    from ..operators.cdc import (
+        read_snapshot_state,
+        snapshot_apply_incremental,
+    )
+
+    work = tempfile.mkdtemp(prefix="ehs_snapstate_")
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp_ntz")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snapshot = (
+        e.where(F.col("ts") < cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("balance"),
+            F.col("event_type").alias("last_type"),
+            F.lit("I").alias("op"),
+            F.lit(None).cast("timestamp_ntz").alias("ts"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    changes = e.where(F.col("ts") >= cutoff).select(
+        "user_id",
+        F.col("value").alias("balance"),
+        F.col("event_type").alias("last_type"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        "ts",
+        "event_id",
+    )
+    keys, seqs = ["user_id"], ["ts", "event_id"]
+    b0 = snapshot.unionByName(
+        changes.where(F.pmod("event_id", F.lit(2)) == 0)
+    )
+    b1 = changes.where(F.pmod("event_id", F.lit(2)) == 1)
+    snapshot_apply_incremental(b0, work, 0, keys, seqs)
+    snapshot_apply_incremental(b1, work, 1, keys, seqs)
+    return read_snapshot_state(spark, work, seqs)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -92,3 +92,53 @@ def test_fuzz_against_python_model(spark):
         if not shuffled:
             expect.pop(0, None)  # the placeholder delete
         assert got == expect, f"trial {trial}"
+
+def test_snapshot_state_survives_out_of_order_batches(spark, tmp_path):
+    """The directed late-data case: key 10's delete (seq 3) arrives in
+    batch 0, its OLDER update (seq 2) in batch 1. The tombstoned state
+    must keep the key dead — the stored tombstone beats the late
+    update on sequence — whereas folding the same batches through the
+    stateless apply_changes loop resurrects it (the known failure the
+    state exists to fix)."""
+    from etlhelper_spark.operators.cdc import (
+        apply_changes,
+        read_snapshot_state,
+        snapshot_apply_incremental,
+    )
+
+    schema = "k long, v long, op string, seq long"
+    b0 = spark.createDataFrame(
+        [(10, 1, "I", 1), (10, 3, "D", 3), (20, 5, "I", 1)], schema
+    )
+    b1 = spark.createDataFrame([(10, 2, "U", 2), (20, 6, "U", 4)], schema)
+    state = str(tmp_path / "snap")
+    snapshot_apply_incremental(b0, state, 0, ["k"], ["seq"])
+    snapshot_apply_incremental(b1, state, 1, ["k"], ["seq"])
+    got = {r["k"]: r["v"] for r in
+           read_snapshot_state(spark, state, ["seq"]).collect()}
+    assert got == {20: 6}  # 10 stays dead; 20 took the newer update
+    # contrast: the stateless loop resurrects key 10 from the late
+    # older update, because the delete's sequence was discarded
+    naive0 = apply_changes(None, b0, ["k"], ["seq"])
+    naive1 = apply_changes(naive0, b1, ["k"], ["seq"])
+    naive = {r["k"]: r["v"] for r in naive1.collect()}
+    assert naive[10] == 2  # the wrong answer the state prevents
+
+
+def test_snapshot_state_replay_idempotent(spark, tmp_path):
+    from etlhelper_spark.operators.cdc import (
+        read_snapshot_state,
+        snapshot_apply_incremental,
+    )
+
+    schema = "k long, v long, op string, seq long"
+    b0 = spark.createDataFrame([(1, 1, "I", 1)], schema)
+    b1 = spark.createDataFrame([(1, 9, "U", 2), (2, 4, "I", 3)], schema)
+    state = str(tmp_path / "snap")
+    snapshot_apply_incremental(b0, state, 0, ["k"], ["seq"])
+    snapshot_apply_incremental(b1, state, 1, ["k"], ["seq"])
+    first = sorted(map(tuple, read_snapshot_state(
+        spark, state, ["seq"]).collect()))
+    snapshot_apply_incremental(b1, state, 1, ["k"], ["seq"])  # replay
+    assert sorted(map(tuple, read_snapshot_state(
+        spark, state, ["seq"]).collect())) == first == [(1, 9), (2, 4)]
