@@ -172,6 +172,7 @@ HEADLINE = [
     "q184_incremental_clusters",
     "q185_incremental_index",
     "q186_snapshot_state",
+    "q187_incremental_sketch",
 ]
 
 

@@ -419,6 +419,63 @@ def streaming_cdc_rollup(
     q.awaitTermination()
 
 
+def sketch_rollup_incremental(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    keys: list[str],
+    value_col: str,
+    sketch_col: str = "sketch",
+    state_partitions: int = 1,
+) -> DataFrame:
+    """Incremental DISTINCT-count state via persisted HLL sketches:
+    each batch's per-group sketch partial unions into the stored
+    sketch — the only way a distinct-count rollup stays incremental at
+    100 TB (count(DISTINCT) partials don't merge; kB sketch binaries
+    do, and they round-trip through parquet). The same versioned-state
+    ledger as merge_rollup (``v<batch>`` dirs, replay overwrites its
+    own version), with hll_union_agg as the merge operator instead of
+    addition — distinct-union is commutative and idempotent, so ANY
+    batch partitioning of the feed (including overlapping replays)
+    converges to the full-corpus sketch. Per-batch cost: one
+    map-side-combinable sketch aggregate over the batch + a
+    |groups|-sized union merge; history never re-read. Estimate with
+    ``F.hll_sketch_estimate`` at read (q187 gates the estimate within
+    5% of exact, q48's self-verification contract).
+
+    Returns the new state (keys..., sketch binary)."""
+    import glob as _glob
+    import os
+
+    spark = batch_df.sparkSession
+    partial = batch_df.groupBy(*keys).agg(
+        F.hll_sketch_agg(value_col).alias(sketch_col)
+    )
+    versions = []
+    for p in _glob.glob(os.path.join(state_dir, "v*")):
+        try:
+            v = int(os.path.basename(p)[1:])
+        except ValueError:
+            continue
+        if v < batch_id:
+            versions.append(v)
+    if versions:
+        prior = spark.read.parquet(
+            os.path.join(state_dir, f"v{max(versions)}")
+        )
+        merged = (
+            prior.select(*keys, sketch_col)
+            .unionByName(partial)
+            .groupBy(*keys)
+            .agg(F.hll_union_agg(sketch_col).alias(sketch_col))
+        )
+    else:
+        merged = partial
+    out = os.path.join(state_dir, f"v{int(batch_id)}")
+    merged.repartition(state_partitions).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
 def read_rollup_state(
     spark, state_dir: str, check_cols: list[str] | None = None
 ) -> DataFrame:

@@ -8856,6 +8856,57 @@ def q186_snapshot_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot_state(spark, work, seqs)
 
 
+@query(
+    "q187_incremental_sketch",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(DISTINCT user_id) AS exact_users,
+           true AS sketch_ok
+    FROM events GROUP BY 1
+    """,
+)
+def q187_incremental_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED incremental distinct-count state
+    (operators/ivm.py::sketch_rollup_incremental) — q48's mergeable
+    HLL hierarchy with the sketches actually living on disk between
+    batches: events split by event_id parity (an arbitrary,
+    non-chronological split — distinct-union is commutative and
+    idempotent, so any partitioning converges), each batch's per-day
+    sketch partial unions into the stored binary, and the read
+    estimates from STATE while the exact count is a full recompute.
+    Verifies q48's self-check contract end to end through parquet
+    round-trips of the sketch binaries: estimate within 5% of exact,
+    row set hash-matching the oracle."""
+    from ..operators.ivm import sketch_rollup_incremental
+
+    configure_session(spark)
+    work = tempfile.mkdtemp(prefix="ehs_sketchstate_")
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+        "user_id",
+    )
+    b0 = e.where(F.pmod("event_id", F.lit(2)) == 0)
+    b1 = e.where(F.pmod("event_id", F.lit(2)) == 1)
+    sketch_rollup_incremental(b0, work, 0, ["day"], "user_id")
+    state = sketch_rollup_incremental(b1, work, 1, ["day"], "user_id")
+    est = state.select(
+        "day", F.hll_sketch_estimate("sketch").alias("est")
+    )
+    exact = e.groupBy("day").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("sketch_ok"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

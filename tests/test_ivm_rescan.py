@@ -289,3 +289,28 @@ def test_multiset_minmax_survives_extremum_delete(spark):
     assert got == {"a": (2, 6, 1, 5)}
     # 'b' fully deleted -> absent from the view read
     assert "b" not in got
+
+
+def test_sketch_state_union_across_batches(spark, tmp_path):
+    """Persisted HLL state: overlapping batches (idempotent union) and
+    arbitrary splits must converge to the full-corpus estimate, with
+    sketch binaries round-tripping through parquet between applies."""
+    from pyspark.sql import functions as F
+
+    from etlhelper_spark.operators.ivm import sketch_rollup_incremental
+
+    rows = [("g", i % 500) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    state = str(tmp_path / "sk")
+    b0 = df.where(F.col("u") < 300)
+    b1 = df.where(F.col("u") >= 250)  # overlaps b0 on 250..299
+    sketch_rollup_incremental(b0, state, 0, ["g"], "u")
+    out = sketch_rollup_incremental(b1, state, 1, ["g"], "u")
+    est = out.select(F.hll_sketch_estimate("sketch").alias("e")).first()["e"]
+    assert abs(est - 500) / 500 <= 0.05
+    # replay batch 1: idempotent (distinct-union), same estimate
+    out_r = sketch_rollup_incremental(b1, state, 1, ["g"], "u")
+    est_r = out_r.select(
+        F.hll_sketch_estimate("sketch").alias("e")
+    ).first()["e"]
+    assert est_r == est
