@@ -385,6 +385,52 @@ def main() -> None:
     probe("incremental embedding LSH (2 sequential batches)", n_vecs,
           _incr_embed_probe)
 
+    from etlhelper_spark.operators.cdc import snapshot_apply_incremental
+    from etlhelper_spark.operators.dedup_state import (
+        duplicate_clusters_incremental,
+    )
+
+    def _incr_clusters_probe():
+        # 1M edges over ~70k star-shaped clusters (hub + ≤15 spokes) —
+        # the operator's intended regime: dup clusters are
+        # diameter-bounded near-cliques, so label propagation
+        # converges in 2-3 rounds. Applied as two parity batches
+        # through the contraction (many stars straddle the split).
+        sd = _os.path.join(tmp, "state_cc")
+        n_edges = 1_000_000
+        hub = F.pmod(F.xxhash64("id"), F.lit(70_000)) * 16
+        edges = spark.range(n_edges).select(
+            hub.alias("id_a"),
+            (hub + 1 + F.pmod(F.xxhash64(F.col("id") + 5), F.lit(14)))
+            .alias("id_b"),
+        )
+        b0 = edges.where(F.pmod(F.col("id_a") + F.col("id_b"), F.lit(2)) == 0)
+        b1 = edges.where(F.pmod(F.col("id_a") + F.col("id_b"), F.lit(2)) == 1)
+        duplicate_clusters_incremental(b0, sd, 0).count()
+        return duplicate_clusters_incremental(b1, sd, 1).count()
+
+    probe("incremental connected components (1M edges, 2 batches)",
+          1_000_000, _incr_clusters_probe)
+
+    def _snapshot_probe():
+        # 1M-change CDC feed (20% deletes, 100k keys) applied as two
+        # parity batches into the tombstoned snapshot state
+        sd = _os.path.join(tmp, "state_snap")
+        feed = spark.range(1_000_000).select(
+            F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("k"),
+            F.col("id").alias("v"),
+            F.when(F.pmod(F.xxhash64(F.col("id") + 9), F.lit(5)) == 0,
+                   "D").otherwise("U").alias("op"),
+            F.col("id").alias("seq"),
+        )
+        b0 = feed.where(F.pmod("seq", F.lit(2)) == 0)
+        b1 = feed.where(F.pmod("seq", F.lit(2)) == 1)
+        snapshot_apply_incremental(b0, sd, 0, ["k"], ["seq"])
+        return snapshot_apply_incremental(b1, sd, 1, ["k"], ["seq"]).count()
+
+    probe("CDC snapshot state (1M changes, 100k keys, 2 batches)",
+          1_000_000, _snapshot_probe)
+
     def _compaction_probe():
         # fold the exact-dedup state appends into base and re-apply a
         # third batch against the compacted layout
