@@ -47,6 +47,12 @@ batches 1..N in order, the union of the per-batch verdicts equals the
 FULL-CORPUS recompute — survivors are first-seen (batch asc, id asc)
 for the exact store, and the incremental candidate-pair union equals
 minhash_lsh_candidates over the whole corpus.
+
+Reference parity note: the reference (a DB-API cursor wrapper) has no
+dedup or state machinery; its closest surface is the incremental-load
+recipe shape — `load`/`executemany` appending batches to a destination
+table (etlhelper/etl.py:233-339) with dedup left to downstream SQL.
+This module is that ingest loop with the dedup state made first-class.
 """
 
 from __future__ import annotations

@@ -27,6 +27,11 @@ Correctness contract (q185): because every document lives in exactly
 one batch, df/cf partials merge exactly, and the read after N
 sequential applies EQUALS the batch recompute over the full corpus —
 q160's oracle, unchanged.
+
+Reference parity note: no analogue in the reference (a DB-API cursor
+wrapper); the nearest shape is its chunked append loop
+(etlhelper/etl.py:233-339), here with the index statistics maintained
+as first-class mergeable state instead of recomputed downstream.
 """
 
 from __future__ import annotations
