@@ -41,7 +41,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup_state import _latest_version, _prior_batches
+from .dedup_state import _latest_version, _read_prior
 
 
 def inverted_index_incremental(
@@ -112,9 +112,13 @@ def read_index_top(
         .limit(k)
         .select("token", F.col("n").alias("df"), "cf")
     )
-    paths = _prior_batches(postings_dir, 2**62)
+    # _read_prior unions the compacted base (if any) with the live
+    # appends — compact_dedup_state(store="postings") stays readable
+    all_postings = _read_prior(spark, postings_dir, 2**62)
+    if all_postings is None:
+        raise ValueError("read_index_top: empty postings store")
     postings = (
-        spark.read.parquet(*paths)
+        all_postings
         .join(F.broadcast(top.select("token")), "token")
         .groupBy("token")
         .agg(

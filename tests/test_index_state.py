@@ -47,6 +47,25 @@ def test_three_batches_equal_batch_recompute(spark, state_dir):
     assert got == want and got
 
 
+def test_postings_compaction_stays_readable(spark, state_dir):
+    """compact_dedup_state on the postings store folds the batch dirs
+    into base; read_index_top must serve identical output from the
+    compacted layout (the generic state reader unions base+appends)."""
+    from etlhelper_spark.operators.dedup_state import compact_dedup_state
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for i in range(2):
+        inverted_index_incremental(
+            docs.where(F.pmod("doc_id", F.lit(2)) == i), state_dir, i
+        )
+    before = _rows(read_index_top(spark, state_dir, k=30))
+    folded = compact_dedup_state(spark, state_dir, "postings")
+    assert folded == 2
+    assert _rows(read_index_top(spark, state_dir, k=30)) == before
+
+
 def test_replay_is_idempotent(spark, state_dir):
     b0 = spark.createDataFrame(
         [(1, "alpha beta alpha"), (2, "beta gamma")], ["doc_id", "text"]
