@@ -20,6 +20,7 @@ from .dedup_state import (
     dedup_exact_incremental_bucketed,
     embedding_lsh_incremental,
     minhash_incremental,
+    prune_state_versions,
     read_dedup_verdicts,
     streaming_dedup_exact,
 )
@@ -66,6 +67,7 @@ __all__ = [
     "embedding_lsh_incremental",
     "minhash_incremental",
     "inverted_index_incremental",
+    "prune_state_versions",
     "read_dedup_verdicts",
     "read_index_top",
     "streaming_dedup_exact",

@@ -157,6 +157,41 @@ def compact_dedup_state(
     return len(batch_dirs)
 
 
+def prune_state_versions(
+    state_dir: str, store: str, keep: int = 2
+) -> int:
+    """Delete all but the newest *keep* versions of a FULL-VERSIONED
+    store (``v<batch>`` dirs — cluster labels, index stats, CDC
+    snapshots, sketch rollups): each apply writes a complete copy, so
+    an unpruned store grows O(batches × state) — far worse than the
+    append-only stores compact_dedup_state handles.
+
+    ``keep >= 2`` preserves at-least-once safety for the LATEST batch:
+    a replay of batch N reads the newest version below N, so the
+    previous version must survive until N's overwrite lands. Replaying
+    batches older than the retained window needs the corresponding
+    older versions — retain as many as the delivery system can
+    redeliver (for availableNow/foreachBatch loops that is only the
+    current batch, so the default suffices). Returns the number of
+    version directories removed."""
+    import shutil
+
+    if keep < 1:
+        raise ValueError("prune_state_versions: keep must be >= 1")
+    subdir = os.path.join(state_dir, store)
+    versions = []
+    for p in glob.glob(os.path.join(subdir, "v*")):
+        try:
+            versions.append((int(os.path.basename(p)[1:]), p))
+        except ValueError:
+            continue
+    versions.sort()
+    doomed = versions[:-keep] if keep < len(versions) else []
+    for _, p in doomed:
+        shutil.rmtree(p, ignore_errors=True)
+    return len(doomed)
+
+
 def dedup_exact_incremental(
     new_df: DataFrame,
     state_dir: str,

@@ -335,3 +335,34 @@ def test_minhash_incremental_equals_full_selfjoin(spark, state_dir):
         for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()
     }
     assert got == want and want  # non-vacuous: corpus has collisions
+
+
+def test_prune_versions_keeps_replay_safety(spark, state_dir):
+    """Pruning a full-versioned store to the newest 2 versions must
+    not disturb later applies or a replay of the latest batch."""
+    import glob
+    import os
+
+    from etlhelper_spark.operators.dedup_state import (
+        duplicate_clusters_incremental,
+        prune_state_versions,
+    )
+
+    batches = [
+        spark.createDataFrame(rows, ["id_a", "id_b"])
+        for rows in ([(1, 2)], [(3, 4)], [(2, 3)])
+    ]
+    for i, b in enumerate(batches[:2]):
+        duplicate_clusters_incremental(b, state_dir, i)
+    assert prune_state_versions(state_dir, "clusters", keep=2) == 0
+    duplicate_clusters_incremental(batches[2], state_dir, 2)
+    removed = prune_state_versions(state_dir, "clusters", keep=2)
+    assert removed == 1
+    assert sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(state_dir, "clusters", "v*"))
+    ) == ["v1", "v2"]
+    # replay of the latest batch reads v1 and overwrites v2: unchanged
+    s = {r["node_id"]: r["cluster_id"] for r in
+         duplicate_clusters_incremental(batches[2], state_dir, 2).collect()}
+    assert s == {1: 1, 2: 1, 3: 1, 4: 1}
