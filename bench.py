@@ -165,6 +165,7 @@ HEADLINE = [
     "q176_dedup_incremental",
     "q177_minhash_incremental",
     "q178_mahalanobis_d4",
+    "q179_dedup_compaction",
     "q180_ivf_append",
     "q181_stream_dedup",
     "q182_dedup_bucketed_state",

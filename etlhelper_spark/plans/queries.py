@@ -8907,6 +8907,59 @@ def q187_incremental_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q179_dedup_compaction",
+    _DOUBLED_DOCS
+    + """
+    , fp AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 < 2 THEN 0 ELSE 1 END AS b,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint
+        FROM all_docs
+    )
+    SELECT doc_id, fingerprint,
+           first_value(doc_id) OVER (
+               PARTITION BY fingerprint ORDER BY b, doc_id
+           ) AS survivor_id,
+           doc_id = first_value(doc_id) OVER (
+               PARTITION BY fingerprint ORDER BY b, doc_id
+           ) AS kept
+    FROM fp
+    """,
+)
+def q179_dedup_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q176's incremental dedup with state COMPACTION in the loop:
+    batch 0 applies, the append directories fold into the store's
+    ``base`` (operators/dedup_state.py::compact_dedup_state — the
+    maintenance move that keeps an append-only state's directory count
+    bounded over thousands of ingest batches), and batch 1 then
+    resolves against the COMPACTED layout. Oracle identical to q176:
+    compaction is pure physical re-layout (rows keep their batch
+    column, so first-seen resolution and replay filtering read the
+    base exactly as they read the original appends) — the oracle
+    equality is the proof."""
+    from ..operators.dedup_state import (
+        compact_dedup_state,
+        dedup_exact_incremental,
+    )
+
+    work = tempfile.mkdtemp(prefix="ehs_compactstate_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionAll(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    b0 = doubled.where(F.pmod("doc_id", F.lit(3)) < 2)
+    b1 = doubled.where(F.pmod("doc_id", F.lit(3)) >= 2)
+    v0 = dedup_exact_incremental(b0, work, 0)
+    v0 = v0.localCheckpoint()  # materialize before the appends fold
+    compact_dedup_state(spark, work, "exact")
+    v1 = dedup_exact_incremental(b1, work, 1)
+    return v0.unionByName(v1).select(
+        F.col("id").alias("doc_id"), "fingerprint", "survivor_id", "kept"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
