@@ -69,16 +69,26 @@ def dedup_exact(
 # shingling + MinHash + LSH
 # ----------------------------------------------------------------------
 def _shingles(text_col: str, n: int) -> Column:
-    """Distinct word n-gram shingles of the lowercased text."""
+    """Distinct word n-gram shingles of the lowercased text.
+
+    A document SHORTER than n tokens has no n-gram shingles — the
+    explicit empty-array branch, matching the oracle's
+    ``range(1, len(t)-n+2)`` (empty for short docs). Without it,
+    ``sequence(0, size-n)`` runs DESCENDING for short docs and feeds
+    negative starts into slice(), which throws — found by the
+    incremental-dedup empty/short-batch tests."""
     tokens = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     if n == 1:
         return F.array_distinct(tokens)
     # sliding window of n tokens joined by single spaces
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(tokens) - n),
-            lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
-        )
+        F.when(
+            F.size(tokens) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - n),
+                lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     )
 
 

@@ -366,3 +366,75 @@ def test_prune_versions_keeps_replay_safety(spark, state_dir):
     s = {r["node_id"]: r["cluster_id"] for r in
          duplicate_clusters_incremental(batches[2], state_dir, 2).collect()}
     assert s == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_empty_batches_are_harmless(spark, state_dir):
+    """Production feeds have empty batches (quiet hours, filtered
+    partitions): every state operator must treat one as a no-op apply
+    that still writes its ledger entry and leaves later applies
+    correct."""
+    import os
+
+    from etlhelper_spark.operators.dedup_state import (
+        duplicate_clusters_incremental,
+        minhash_incremental,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha")], ["doc_id", "text"]
+    )
+    # exact: empty batch 0, real batch 1
+    assert dedup_exact_incremental(
+        empty_docs, state_dir, 0
+    ).count() == 0
+    v = {r["id"]: r["survivor_id"] for r in
+         dedup_exact_incremental(docs, state_dir, 1).collect()}
+    assert v == {1: 1, 2: 1}
+    # minhash: empty batch on existing state, then a real batch whose
+    # docs are long enough to shingle (1-token docs correctly produce
+    # NO band keys — see test_short_documents_have_no_shingles)
+    mh_dir = os.path.join(state_dir, "mh")
+    long_docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], ["doc_id", "text"]
+    )
+    assert minhash_incremental(empty_docs, mh_dir, 0).count() == 0
+    assert minhash_incremental(long_docs, mh_dir, 1).count() == 1
+    # clusters: empty pair batch leaves the stored labels intact
+    cc_dir = os.path.join(state_dir, "cc")
+    duplicate_clusters_incremental(
+        spark.createDataFrame([(1, 2)], ["id_a", "id_b"]), cc_dir, 0
+    )
+    s = {r["node_id"]: r["cluster_id"] for r in
+         duplicate_clusters_incremental(
+             spark.createDataFrame([], "id_a long, id_b long"),
+             cc_dir, 1).collect()}
+    assert s == {1: 1, 2: 1}
+
+
+def test_short_documents_have_no_shingles(spark):
+    """Documents shorter than the shingle size must yield ZERO
+    shingles (the oracle's semantics), not crash: the descending
+    sequence(0, size-n) fed negative starts into slice() — the bug the
+    empty-batch suite flushed out. Exercises the whole minhash family
+    on a corpus of 1-2 token docs plus one long doc."""
+    from etlhelper_spark.functions.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta gamma"), (3, ""),
+         (4, "a b c d e f"), (5, "a b c d e f")],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", 16, 3)
+    # only the two long docs produce signatures
+    assert {r["id"] for r in sigs.collect()} == {4, 5}
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_candidates(docs, "doc_id", "text").collect()}
+    assert pairs == {(4, 5)}
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()}
+    assert jac == {(4, 5): 1.0}
