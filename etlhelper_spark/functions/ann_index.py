@@ -110,9 +110,10 @@ def append_ivf_index(
         "vec_id",
         "vec",
         nearest_pivot(F.col("vec"), pivot_rows)["pid"].alias("list_id"),
-    )
+    ).localCheckpoint()  # assign + scan the batch ONCE: the write and
+    # the returned count both read the checkpoint, not the source plan
     assigned.write.partitionBy("list_id").mode("append").parquet(path)
-    return c.count()
+    return assigned.count()
 
 
 def query_ivf_index(

@@ -619,14 +619,18 @@ def _resolve_dims(df: DataFrame, vec_col: str, dims: list[int] | None):
 
 
 def _gram_parts(df: DataFrame, vec_col: str, idx, d: int) -> DataFrame:
-    """One (count, Σx, XᵀX) Gram partial per partition, CACHED.
+    """One (count, Σx, XᵀX) Gram partial per partition, LOCALIZED.
 
     The frame is tiny (|partitions| rows of 1 + d + d² doubles), but
     every moment consumer (n, Σx, Gram — and in whiten/mahalanobis the
-    means too) hangs a separate aggregation off it; without the cache
-    Spark re-executes the full corpus scan + matmul once per subtree
-    (measured 3-4 corpus scans per invocation). The cache pins a few
-    hundred KB per call and drops with the session."""
+    means too) hangs a separate aggregation off it; without
+    materialization Spark re-executes the full corpus scan + matmul
+    once per subtree (measured 3-4 corpus scans per invocation). The
+    partials are collected once (a few hundred KB) and re-created as a
+    driver-local frame, so the corpus scan runs EXACTLY once and —
+    unlike the earlier .cache() — nothing stays pinned in executor
+    storage after the call returns (doubles round-trip bit-exact
+    through collect/createDataFrame)."""
     import numpy as np
     import pandas as pd
 
@@ -648,9 +652,9 @@ def _gram_parts(df: DataFrame, vec_col: str, idx, d: int) -> DataFrame:
                 {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
             )
 
-    return df.select(vec_col).mapInPandas(
-        partials, "n long, s array<double>, g array<double>"
-    ).cache()
+    schema = "n long, s array<double>, g array<double>"
+    rows = df.select(vec_col).mapInPandas(partials, schema).collect()
+    return df.sparkSession.createDataFrame(rows, schema)
 
 
 def _covariance_from_parts(
@@ -704,7 +708,7 @@ def _corpus_moments(
     dims: list[int] | None,
     round_means: bool,
 ):
-    """Driver-side (pos, n, mu, S) from ONE cached Gram pass: the
+    """Driver-side (pos, n, mu, S) from ONE Gram pass: the
     covariance matrix S assembles through the decimal-rounded JVM
     contract (_covariance_from_parts — identical values to
     embedding_covariance, q173's oracle-proven path), and the means
@@ -719,14 +723,12 @@ def _corpus_moments(
     parts = _gram_parts(df, vec_col, idx, d)
     rows = _covariance_from_parts(parts, dims, d).collect()
     if not rows:
-        parts.unpersist()
         raise ValueError("corpus moments: empty corpus")
     pos = sorted({r["i"] for r in rows} | {r["j"] for r in rows})
     pidx = {p: k for k, p in enumerate(pos)}
     S = np.zeros((d, d))
     for r in rows:
         if r["cov"] is None:
-            parts.unpersist()
             raise ValueError("corpus moments: covariance undefined (n <= 1)")
         S[pidx[r["i"]], pidx[r["j"]]] = r["cov"]
         S[pidx[r["j"]], pidx[r["i"]]] = r["cov"]
@@ -736,12 +738,13 @@ def _corpus_moments(
         .agg(F.sum("v").alias("s"))
         .collect()
     )
+    # the Gram 's' array is in CALLER dims order; S/pos (and every
+    # consumer's projection index) are in sorted-label order — key the
+    # sums by dim label so unsorted dims (e.g. dims=[3,1]) subtract the
+    # right means (tests/test_similarity_moments.py pins this)
+    s_by_dim = {int(dims[r["i"]]): r["s"] for r in sums}
     n = parts.agg(F.sum("n")).first()[0]
-    parts.unpersist()
-    s_vec = np.zeros(d)
-    for r in sums:
-        s_vec[r["i"]] = r["s"]
-    mu = s_vec / n
+    mu = np.array([s_by_dim[p] for p in pos]) / n
     if round_means:
         mu = np.array([_round6_py(m) for m in mu])
     return pos, int(n), mu, S
