@@ -174,6 +174,7 @@ HEADLINE = [
     "q185_incremental_index",
     "q186_snapshot_state",
     "q187_incremental_sketch",
+    "q188_dedup_bloom_state",
 ]
 
 

@@ -17,6 +17,7 @@ from .dedup_state import (
     compact_dedup_state,
     duplicate_clusters_incremental,
     dedup_exact_incremental,
+    dedup_exact_incremental_bloom,
     dedup_exact_incremental_bucketed,
     embedding_lsh_incremental,
     minhash_incremental,
@@ -62,6 +63,7 @@ __all__ = [
     "join_key_skew",
     "compact_dedup_state",
     "dedup_exact_incremental",
+    "dedup_exact_incremental_bloom",
     "dedup_exact_incremental_bucketed",
     "duplicate_clusters_incremental",
     "embedding_lsh_incremental",

@@ -13,7 +13,9 @@ State layout under ``state_dir``::
     exact/batch=<id>/          (fingerprint, survivor_id, batch)
     bands/batch=<id>/          (id, band, band_key, batch)
     embedding_lsh/batch=<id>/  (rep_id, members, v, sigs, batch)
-    <store>/base/              compacted appends (compact_dedup_state)
+    <store>/base_v<k>/         compacted appends (compact_dedup_state);
+                               readers use the newest COMPLETE version
+                               (``_COMPACTED`` marker present)
 
 All stores are APPEND-ONLY — the natural shape for dedup state,
 because a first-seen survivor never changes and band keys are
@@ -79,15 +81,48 @@ def _prior_batches(subdir: str, batch_id: int) -> list[str]:
     return sorted(out)
 
 
+_BASE_MARKER = "_COMPACTED"
+
+
+def _base_versions(subdir: str) -> list[tuple[int, str]]:
+    """COMPLETE compacted-base versions (``base_v<k>`` dirs carrying
+    the ``_COMPACTED`` marker, which compact_dedup_state touches only
+    after the parquet write finishes), version-ascending. A dir whose
+    write crashed mid-flight has no marker and is invisible to readers
+    — the next compaction simply overwrites it."""
+    out = []
+    for p in glob.glob(os.path.join(subdir, "base_v*")):
+        if not os.path.exists(os.path.join(p, _BASE_MARKER)):
+            continue
+        try:
+            out.append((int(os.path.basename(p)[len("base_v"):]), p))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def _current_base(subdir: str) -> str | None:
+    """Newest complete compacted base, if any — versioned dirs first,
+    falling back to the pre-versioning legacy ``base`` layout so state
+    written by earlier releases stays readable."""
+    versions = _base_versions(subdir)
+    if versions:
+        return versions[-1][1]
+    legacy = os.path.join(subdir, "base")
+    if glob.glob(os.path.join(legacy, "*.parquet")):
+        return legacy
+    return None
+
+
 def _read_prior(spark, subdir: str, batch_id: int) -> DataFrame | None:
-    """Accumulated state strictly below *batch_id*: the compacted base
-    (if one exists — filtered on its carried batch column, so a
-    replayed batch never sees its own compacted rows) plus every
-    uncompacted append below the id."""
+    """Accumulated state strictly below *batch_id*: the newest complete
+    compacted base (if one exists — filtered on its carried batch
+    column, so a replayed batch never sees its own compacted rows) plus
+    every uncompacted append below the id."""
     paths = _prior_batches(subdir, batch_id)
     frames = []
-    base = os.path.join(subdir, "base")
-    if glob.glob(os.path.join(base, "*.parquet")):
+    base = _current_base(subdir)
+    if base is not None:
         frames.append(
             spark.read.parquet(base).where(F.col("batch") < int(batch_id))
         )
@@ -124,34 +159,37 @@ def compact_dedup_state(
     same reader aggregates that make replays harmless in the first
     place.
 
-    Not crash-atomic: the new base is written to a temp dir first and
-    swapped in before the appends are removed, so a crash can leave
-    BOTH base and already-compacted appends visible — which readers
-    tolerate (duplicates collapse) — but never a missing state. A
-    transactional table format (or the bucketed-table layout, whose
-    compaction is an ordinary table rewrite) is the upgrade where
-    crash-atomicity matters. Returns the number of directories folded.
-    """
+    Crash-safe via VERSIONED bases: the merged state writes to a fresh
+    ``base_v<k+1>`` dir, a ``_COMPACTED`` marker lands only after the
+    write completes, and readers always pick the newest COMPLETE
+    version — so at every instant a complete state is visible. A crash
+    before the marker leaves an invisible partial dir (overwritten by
+    the next compaction); a crash after the marker but before cleanup
+    leaves the old base/appends visible alongside the new base, which
+    readers tolerate (duplicates collapse through the reader
+    aggregates). Old base versions and folded appends are removed only
+    once the new version is complete. Returns the number of
+    directories folded."""
     import shutil
 
     subdir = os.path.join(state_dir, store)
     batch_dirs = _prior_batches(subdir, 2**62)
-    base = os.path.join(subdir, "base")
-    has_base = bool(glob.glob(os.path.join(base, "*.parquet")))
+    cur = _current_base(subdir)
     if not batch_dirs:
         return 0
-    sources = ([base] if has_base else []) + batch_dirs
+    sources = ([cur] if cur else []) + batch_dirs
     merged = spark.read.parquet(*sources)
-    tmp = os.path.join(subdir, "_base_compacting")
+    versions = _base_versions(subdir)
+    nxt = (versions[-1][0] + 1) if versions else 1
+    new_base = os.path.join(subdir, f"base_v{nxt}")
     merged.repartition(state_partitions).write.mode("overwrite").parquet(
-        tmp
+        new_base
     )
-    old = os.path.join(subdir, "_base_old")
-    if has_base:
-        os.rename(base, old)
-    os.rename(tmp, base)
-    if has_base:
-        shutil.rmtree(old, ignore_errors=True)
+    with open(os.path.join(new_base, _BASE_MARKER), "w"):
+        pass  # marker LAST: the new version becomes visible atomically
+    for _v, p in versions:
+        shutil.rmtree(p, ignore_errors=True)
+    shutil.rmtree(os.path.join(subdir, "base"), ignore_errors=True)
     for p in batch_dirs:
         shutil.rmtree(p, ignore_errors=True)
     return len(batch_dirs)
@@ -290,6 +328,189 @@ def _resolve_exact(
         (F.col("id") == F.col("survivor_id")).alias("kept"),
     )
     return resolved, verdict
+
+
+def dedup_exact_incremental_bloom(
+    new_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+    m_bits: int = 1 << 22,
+    num_hashes: int = 4,
+    state_partitions: int = 1,
+) -> DataFrame:
+    """:func:`dedup_exact_incremental` with a persisted BLOOM FILTER
+    in front of the state join — the scan-side pruning upgrade for the
+    regime where almost every new document is genuinely new (the
+    common case of web-scale ingest: duplicate rates of a few percent
+    against a fingerprint store of 10^10+).
+
+    Why it helps at 100 TB: the plain variant's state join must
+    confront the FULL accumulated fingerprint state with the batch
+    every apply (shuffling one side or — bucketed — scanning all of
+    it through the join). The bloom filter is an m-bit summary of
+    every fingerprint ever admitted (k positions per key via seeded
+    xxhash64, OR-folded into 64-bit words; only non-zero words are
+    stored). A new batch probes the bitmap first; fingerprints with
+    any unset bit are DEFINITELY new (no false negatives, the bloom
+    guarantee) and skip the state join entirely. Only the maybe-seen
+    candidates — true duplicates plus an ~(1-e^{-kn/m})^k false-positive
+    sliver — reach the state, as a BROADCAST semi-join filter on the
+    state scan: the accumulated state is never shuffled, and the rows
+    that survive the scan are O(candidates), not O(state). Bitmap
+    size is m/64 words ≈ a few MB per billion keys at 1% FP — the
+    shuffle it replaces is the whole fingerprint store.
+
+    Correctness is bloom-INDEPENDENT: false positives only let a few
+    extra fingerprints into the exact join (where they match nothing),
+    so verdicts are bit-identical to the plain variant over any batch
+    sequence — pinned in test_dedup_state.py by running both stacks
+    and by forcing a tiny bitmap (heavy false positives). The exact
+    store layout is SHARED with dedup_exact_incremental (same
+    ``exact/batch=<id>`` appends), so the two variants interoperate on
+    one state; the bitmap lives beside it in full versions
+    (``exact_bloom/v<batch>``, the ivm convention — a replayed batch
+    re-ORs the same idempotent bits and overwrites its own version;
+    prune with prune_state_versions).
+
+    Interop is handled by COVERAGE, not by hope: a bitmap at version
+    b_v summarizes only the state admitted through bloom applies up to
+    batch b_v. State rows with ``batch > b_v`` (a plain-variant apply
+    in between, or a store predating the bloom — in which case there
+    is no bitmap and everything is a candidate) bypass the bitmap and
+    join unconditionally, and their fingerprints are probed into the
+    NEW bitmap version alongside the current batch's — so one bloom
+    apply heals the gap and the next one prunes at full strength. A
+    fingerprint in the state can therefore never be bloom-filtered
+    away: no false negatives under any interleaving (tested)."""
+    spark = new_df.sparkSession
+    subdir = os.path.join(state_dir, "exact")
+    bloom_dir = os.path.join(state_dir, "exact_bloom")
+    fps = _batch_fingerprints(new_df, id_col, text_col, normalize)
+    prior = _read_prior(spark, subdir, batch_id)
+    bloom = _latest_version(spark, bloom_dir, batch_id)
+    if bloom is not None:
+        # the bitmap only means anything under the (m, k) it was built
+        # with — a silent mismatch would create false NEGATIVES, so the
+        # parameters ride in the state and a drift fails loudly
+        meta = bloom.select("m", "k").first()
+        if (meta["m"], meta["k"]) != (int(m_bits), int(num_hashes)):
+            raise ValueError(
+                "dedup_exact_incremental_bloom: bitmap at "
+                f"{bloom_dir} was built with m={meta['m']}, k={meta['k']} "
+                f"— got m={int(m_bits)}, k={int(num_hashes)}"
+            )
+    probes = _bloom_probes(
+        fps.select("fingerprint").distinct(), m_bits, num_hashes
+    )
+    bv = _latest_version_num(bloom_dir, batch_id)
+    gap_probes = None
+    if prior is not None and bloom is not None:
+        candidates = (
+            probes.join(bloom.select("word", "bits"), "word", "left")
+            .groupBy("fingerprint")
+            # all k probed bits set ⇒ maybe seen; any miss ⇒ new
+            .agg(
+                F.min(
+                    (
+                        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(
+                            F.col("mask")
+                        )
+                    )
+                    != 0
+                ).alias("maybe_seen")
+            )
+            .where("maybe_seen")
+            .select("fingerprint")
+        )
+        # the bitmap covers only bloom-applied batches ≤ its version:
+        # newer state rows (plain-variant applies in between) bypass it
+        covered = prior.where(F.col("batch") <= int(bv))
+        uncovered = prior.where(F.col("batch") > int(bv)).localCheckpoint()
+        # candidates are O(duplicates + FP sliver): broadcast them so
+        # the covered state prunes scan-side and NEVER shuffles
+        prior = covered.join(
+            F.broadcast(candidates), "fingerprint", "left_semi"
+        ).unionByName(uncovered)
+        gap_probes = _bloom_probes(
+            uncovered.select("fingerprint").distinct(), m_bits, num_hashes
+        )
+    resolved, verdict = _resolve_exact(fps, prior, batch_id)
+    resolved.where(F.col("__new_fp")).select(
+        "fingerprint", "survivor_id", "batch"
+    ).repartition(state_partitions).write.mode("overwrite").parquet(
+        os.path.join(subdir, f"batch={int(batch_id)}")
+    )
+    # fold the batch's bits — and any bitmap-gap state rows' — into the
+    # bitmap (idempotent OR — replays and already-seen fingerprints
+    # re-set the same bits harmlessly)
+    all_probes = (
+        probes.unionByName(gap_probes) if gap_probes is not None else probes
+    )
+    new_words = all_probes.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+    if bloom is not None:
+        new_words = (
+            bloom.select("word", "bits")
+            .unionByName(new_words)
+            .groupBy("word")
+            .agg(F.bit_or("bits").alias("bits"))
+        )
+    new_words.select(
+        "word",
+        "bits",
+        F.lit(int(m_bits)).alias("m"),
+        F.lit(int(num_hashes)).alias("k"),
+    ).repartition(state_partitions).write.mode("overwrite").parquet(
+        os.path.join(bloom_dir, f"v{int(batch_id)}")
+    )
+    return verdict
+
+
+def _latest_version_num(subdir: str, batch_id: int) -> int:
+    """Highest ``v<k>`` version strictly below *batch_id*, or -1."""
+    best = -1
+    for p in glob.glob(os.path.join(subdir, "v*")):
+        try:
+            v = int(os.path.basename(p)[1:])
+        except ValueError:
+            continue
+        if v < batch_id:
+            best = max(best, v)
+    return best
+
+
+def _bloom_probes(
+    distinct_fps: DataFrame, m_bits: int, num_hashes: int
+) -> DataFrame:
+    """(fingerprint, word, mask) probe rows: k seeded-xxhash64 bit
+    positions per fingerprint, addressed as (64-bit word index, mask).
+    pmod keeps positions non-negative; bit 63 masks to a negative
+    long, which bitwise ops treat correctly."""
+    return (
+        distinct_fps.select(
+            "fingerprint",
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col("fingerprint"), F.lit(i)),
+                            F.lit(int(m_bits)),
+                        )
+                        for i in range(num_hashes)
+                    ]
+                )
+            ).alias("bitpos"),
+        )
+        .select(
+            "fingerprint",
+            (F.col("bitpos") / 64).cast("long").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(bitpos, 64) AS INT))"
+            ).alias("mask"),
+        )
+    )
 
 
 def ensure_bucketed_state_table(
@@ -751,6 +972,11 @@ def streaming_dedup_exact(
 
 def read_dedup_verdicts(spark, out_dir: str) -> DataFrame:
     """Union of all per-batch verdict partitions written by
-    streaming_dedup_exact."""
+    streaming_dedup_exact. Raises a clear ValueError when no verdict
+    partitions exist (instead of the opaque empty-glob read error)."""
     paths = glob.glob(os.path.join(out_dir, "batch=*"))
+    if not paths:
+        raise ValueError(
+            f"read_dedup_verdicts: no verdict partitions under {out_dir}"
+        )
     return spark.read.parquet(*sorted(paths))

@@ -8960,6 +8960,65 @@ def q179_dedup_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q188_dedup_bloom_state",
+    _DOUBLED_DOCS
+    + """
+    , fp AS (
+        SELECT doc_id, doc_id % 3 AS b,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint
+        FROM all_docs
+    )
+    SELECT doc_id, fingerprint,
+           first_value(doc_id) OVER (
+               PARTITION BY fingerprint ORDER BY b, doc_id
+           ) AS survivor_id,
+           doc_id = first_value(doc_id) OVER (
+               PARTITION BY fingerprint ORDER BY b, doc_id
+           ) AS kept
+    FROM fp
+    """,
+)
+def q188_dedup_bloom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-run exact dedup with a persisted BLOOM FILTER
+    in front of the state join (operators/dedup_state.py::
+    dedup_exact_incremental_bloom) — the scan-side pruning upgrade of
+    q176 for the dominant production regime where almost every new
+    document is new: fingerprints failing any of k seeded-xxhash64 bit
+    probes against the m-bit bitmap are DEFINITELY unseen (bloom's
+    no-false-negatives guarantee) and skip the state join entirely;
+    only true duplicates plus the small false-positive sliver reach
+    the exact join, as a broadcast semi-join filter on the state scan
+    — the accumulated state is never shuffled. The bitmap itself is
+    versioned parquet of non-zero 64-bit words (~MBs per 10^9 keys at
+    1% FP), OR-merged per batch, replay-idempotent. Three sequential
+    bloom applies over the doubled-documents corpus split on doc_id%3;
+    the oracle is the full-corpus first-seen recompute — verdicts are
+    bloom-INDEPENDENT (false positives match nothing in the exact
+    join), so incremental-with-bloom must equal the one-shot window
+    computation bit-for-bit."""
+    from ..operators.dedup_state import dedup_exact_incremental_bloom
+
+    work = tempfile.mkdtemp(prefix="ehs_bloomstate_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionAll(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    verdicts = [
+        dedup_exact_incremental_bloom(
+            doubled.where(F.pmod("doc_id", F.lit(3)) == i), work, i
+        )
+        for i in range(3)
+    ]
+    out = verdicts[0]
+    for v in verdicts[1:]:
+        out = out.unionByName(v)
+    return out.select(
+        F.col("id").alias("doc_id"), "fingerprint", "survivor_id", "kept"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -226,7 +226,8 @@ def test_compaction_preserves_verdicts_and_bounds_dirs(spark, state_dir):
     assert folded == 2
     sub = os.path.join(state_dir, "exact")
     assert glob.glob(os.path.join(sub, "batch=*")) == []
-    assert glob.glob(os.path.join(sub, "base", "*.parquet"))
+    assert glob.glob(os.path.join(sub, "base_v1", "*.parquet"))
+    assert os.path.exists(os.path.join(sub, "base_v1", "_COMPACTED"))
     # post-compaction apply resolves against base exactly as before:
     # "OTHER" normalizes to batch-0's "other" (survivor 11), "third"
     # to batch-1's survivor 2, "fresh" is new
@@ -438,3 +439,151 @@ def test_short_documents_have_no_shingles(spark):
     jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
            ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()}
     assert jac == {(4, 5): 1.0}
+
+
+def test_compaction_crash_windows_never_hide_state(spark, state_dir):
+    """The versioned-base scheme's two crash windows, simulated:
+
+    (A) a compaction that died mid-write leaves a markerless
+        ``base_v<k>`` dir — readers must ignore it (newest COMPLETE
+        version wins) and the next compaction overwrites the debris;
+    (B) a compaction that died after the marker but before cleanup
+        leaves the folded appends alongside the new base — readers
+        must collapse the duplicated rows to the same verdicts.
+    In neither window is the accumulated state invisible."""
+    import glob
+    import os
+
+    from etlhelper_spark.operators.dedup_state import (
+        _current_base,
+        compact_dedup_state,
+    )
+
+    b0 = spark.createDataFrame(
+        [(10, "alpha"), (11, "beta")], ["doc_id", "text"]
+    )
+    b1 = spark.createDataFrame(
+        [(1, "ALPHA"), (2, "gamma")], ["doc_id", "text"]
+    )
+    dedup_exact_incremental(b0, state_dir, 0).collect()
+    dedup_exact_incremental(b1, state_dir, 1).collect()
+    sub = os.path.join(state_dir, "exact")
+    # keep a copy of the appends to restore as window-B debris later
+    debris = {
+        os.path.basename(p): os.path.join(state_dir, "_saved_" + os.path.basename(p))
+        for p in glob.glob(os.path.join(sub, "batch=*"))
+    }
+    for p in glob.glob(os.path.join(sub, "batch=*")):
+        shutil.copytree(p, debris[os.path.basename(p)])
+    assert compact_dedup_state(spark, state_dir, "exact") == 2
+    assert _current_base(sub).endswith("base_v1")
+
+    # window A: markerless base_v2 (mid-write crash) is invisible
+    os.makedirs(os.path.join(sub, "base_v2"), exist_ok=True)
+    assert _current_base(sub).endswith("base_v1")
+    expected = {20: (10, False), 21: (2, False), 22: (22, True)}
+    b2 = spark.createDataFrame(
+        [(20, "alpha"), (21, "gamma"), (22, "delta")], ["doc_id", "text"]
+    )
+    v2 = {r["id"]: (r["survivor_id"], r["kept"]) for r in
+          dedup_exact_incremental(b2, state_dir, 2).collect()}
+    assert v2 == expected
+
+    # window B: restore the already-folded appends next to base_v1 —
+    # readers see every row twice and must resolve identically
+    for name, saved in debris.items():
+        shutil.copytree(saved, os.path.join(sub, name))
+    v2r = {r["id"]: (r["survivor_id"], r["kept"]) for r in
+           dedup_exact_incremental(b2, state_dir, 2).collect()}
+    assert v2r == expected
+
+    # the next compaction folds base_v1 + debris + batch=2 into a
+    # complete base_v2, overwriting window A's markerless dir
+    folded = compact_dedup_state(spark, state_dir, "exact")
+    assert folded == 3  # batch=0, batch=1 (restored), batch=2
+    assert _current_base(sub).endswith("base_v2")
+    assert os.path.exists(os.path.join(sub, "base_v2", "_COMPACTED"))
+    assert not os.path.exists(os.path.join(sub, "base_v1"))
+    assert glob.glob(os.path.join(sub, "batch=*")) == []
+    v3 = {r["id"]: r["survivor_id"] for r in dedup_exact_incremental(
+        spark.createDataFrame([(30, "delta")], ["doc_id", "text"]),
+        state_dir, 3).collect()}
+    assert v3 == {30: 22}
+
+
+def test_read_dedup_verdicts_empty_raises(spark):
+    from etlhelper_spark.operators.dedup_state import read_dedup_verdicts
+
+    empty = tempfile.mkdtemp(prefix="ehs_verdicts_empty_")
+    try:
+        with pytest.raises(ValueError, match="no verdict partitions"):
+            read_dedup_verdicts(spark, empty)
+    finally:
+        shutil.rmtree(empty, ignore_errors=True)
+
+
+def test_bloom_variant_matches_plain_verdicts(spark, state_dir):
+    """dedup_exact_incremental_bloom must produce bit-identical
+    verdicts to the plain variant over the same batch sequence — the
+    bloom is a scan-side pruning device, never a semantic one. A tiny
+    bitmap (m=256 bits for ~2000 fingerprints, saturated ⇒ ~every
+    probe a false positive) must change nothing but the candidate
+    count; interop with the plain variant on one shared store and a
+    parameter drift must fail loudly."""
+    import os
+
+    from etlhelper_spark.operators.dedup_state import (
+        dedup_exact_incremental_bloom,
+    )
+
+    docs = _docs(spark)
+    batches = [docs.where(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+    plain_dir = tempfile.mkdtemp(prefix="ehs_state_plain_")
+    tiny_dir = tempfile.mkdtemp(prefix="ehs_state_tiny_")
+    try:
+        want, got, tiny = {}, {}, {}
+        for i, b in enumerate(batches):
+            for r in dedup_exact_incremental(b, plain_dir, i).collect():
+                want[r["id"]] = (r["fingerprint"], r["survivor_id"], r["kept"])
+            for r in dedup_exact_incremental_bloom(b, state_dir, i).collect():
+                got[r["id"]] = (r["fingerprint"], r["survivor_id"], r["kept"])
+            for r in dedup_exact_incremental_bloom(
+                b, tiny_dir, i, m_bits=256, num_hashes=2
+            ).collect():
+                tiny[r["id"]] = (r["fingerprint"], r["survivor_id"], r["kept"])
+        assert got == want and tiny == want
+        # bitmap versions exist per batch and carry their parameters
+        v2 = spark.read.parquet(os.path.join(state_dir, "exact_bloom", "v2"))
+        meta = v2.select("m", "k").first()
+        assert (meta["m"], meta["k"]) == (1 << 22, 4)
+        # parameter drift fails loudly instead of corrupting
+        with pytest.raises(ValueError, match="was built with m="):
+            dedup_exact_incremental_bloom(
+                batches[0], state_dir, 3, m_bits=1 << 20
+            )
+        # interop: a batch applied via the PLAIN variant lands in the
+        # same exact store; the bloom variant still resolves against it
+        # (bloom has no bits for it, but the docstring contract is
+        # graceful-degrade, not false negatives on the VERDICT level):
+        # a doc whose duplicate entered plain-side must still dedup.
+        extra = spark.createDataFrame(
+            [(900001, "bloomless entry")], ["doc_id", "text"]
+        )
+        dedup_exact_incremental(extra, state_dir, 3)
+        dup = spark.createDataFrame(
+            [(900002, "bloomless  ENTRY")], ["doc_id", "text"]
+        )
+        v = dedup_exact_incremental_bloom(dup, state_dir, 4).collect()
+        assert len(v) == 1
+        assert (v[0]["survivor_id"], v[0]["kept"]) == (900001, False)
+        # ...and batch 4's bitmap HEALED the gap: a later bloom apply
+        # (whose bitmap now covers the plain-applied fingerprint) still
+        # finds the batch-3 survivor through the pruned path
+        dup2 = spark.createDataFrame(
+            [(900003, "BLOOMLESS entry")], ["doc_id", "text"]
+        )
+        v5 = dedup_exact_incremental_bloom(dup2, state_dir, 5).collect()
+        assert (v5[0]["survivor_id"], v5[0]["kept"]) == (900001, False)
+    finally:
+        shutil.rmtree(plain_dir, ignore_errors=True)
+        shutil.rmtree(tiny_dir, ignore_errors=True)
