@@ -175,6 +175,8 @@ HEADLINE = [
     "q186_snapshot_state",
     "q187_incremental_sketch",
     "q188_dedup_bloom_state",
+    "q189_heavy_hitters",
+    "q190_weighted_sample",
 ]
 
 

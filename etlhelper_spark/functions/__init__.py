@@ -28,7 +28,13 @@ from .similarity import (
     mahalanobis_scores,
     whiten_embeddings,
 )
-from .util import in_filter_join, range_join, salted_join
+from .util import (
+    heavy_hitters,
+    in_filter_join,
+    range_join,
+    salted_join,
+    weighted_sample,
+)
 from .text import (
     document_fingerprint,
     language_id,
@@ -52,6 +58,7 @@ __all__ = [
     "document_fingerprint",
     "duplicate_clusters",
     "embedding_near_duplicates",
+    "heavy_hitters",
     "in_filter_join",
     "ivf_topk",
     "kmeans_assignments",
@@ -66,6 +73,7 @@ __all__ = [
     "read_media_dir",
     "redact_pii",
     "salted_join",
+    "weighted_sample",
     "select_survivors",
     "semantic_dedup",
     "simhash",

@@ -157,3 +157,144 @@ def in_filter_join(
             "left_semi",
         )
     return fact.where(F.col(fact_key).isin(keys))
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_count: int | None = None,
+    min_frac: float | None = None,
+    capacity: int = 4096,
+) -> DataFrame:
+    """EXACT heavy hitters over an unaggregated column via the two-pass
+    Misra-Gries pattern — the frequent-items member of the mergeable-
+    sketch family (HLL/Theta/KLL elsewhere in the suite), with the
+    classic candidate-then-recount construction that turns the sketch's
+    approximation into an exact answer.
+
+    Pass 1 summarizes each partition with a capacity-bounded
+    Misra-Gries counter (one Arrow-batched pass; per batch the values
+    pre-aggregate vectorized via value_counts, then fold into the
+    counter with the standard all-decrement step). MG guarantees any
+    item with partition-local count > n_p/(capacity+1) survives its
+    partition; by pigeonhole, any item with GLOBAL count
+    > n/(capacity+1) survives in at least one partition — so the union
+    of partition summaries is a guaranteed superset of the true heavy
+    hitters. Pass 2 exact-counts ONLY the candidates (broadcast hash
+    semi-join at the scan, so misses are filtered before the shuffle)
+    and keeps those at/above the threshold.
+
+    Threshold: ``min_count`` absolute, or ``min_frac`` of the total row
+    count (resolved after pass 1 — the summaries carry per-partition
+    totals). The guarantee requires threshold > n/(capacity+1); a
+    threshold below that is REFUSED (raise) rather than silently
+    approximate — size ``capacity`` to ceil(n/threshold) instead.
+
+    100 TB shape: pass 1 never shuffles the corpus (the summaries are
+    ≤ capacity rows per partition); pass 2 shuffles only rows matching
+    a candidate. Returns exact (item, cnt) with cnt >= threshold.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if (min_count is None) == (min_frac is None):
+        raise ValueError(
+            "heavy_hitters: pass exactly one of min_count / min_frac"
+        )
+    item_type = df.schema[col].dataType
+    out_schema = StructType(
+        [
+            StructField("item", item_type),
+            StructField("cnt", LongType()),
+            StructField("n_p", LongType()),
+        ]
+    )
+    cap = int(capacity)
+
+    def summarize(batches):
+        mg: dict = {}
+        n_p = 0
+        for pdf in batches:
+            vals = pdf[col].dropna()
+            n_p += len(vals)
+            for item, c in vals.value_counts().items():
+                mg[item] = mg.get(item, 0) + int(c)
+            while len(mg) > cap:
+                m = min(mg.values())
+                mg = {k: v - m for k, v in mg.items() if v > m}
+        yield pd.DataFrame(
+            {
+                "item": list(mg.keys()) + [None],
+                "cnt": list(mg.values()) + [0],
+                "n_p": [0] * len(mg) + [n_p],
+            }
+        )
+
+    summaries = (
+        df.select(col).mapInPandas(summarize, out_schema).localCheckpoint()
+    )
+    n = summaries.agg(F.sum("n_p")).first()[0] or 0
+    threshold = (
+        int(min_count)
+        if min_count is not None
+        else int(math.ceil(float(min_frac) * n))
+    )
+    if threshold * (cap + 1) <= n:
+        raise ValueError(
+            f"heavy_hitters: threshold {threshold} is not guaranteed at "
+            f"capacity {cap} for n={n} — need threshold > n/(capacity+1); "
+            f"use capacity >= {int(n // max(threshold, 1)) + 1}"
+        )
+    candidates = (
+        summaries.where(F.col("item").isNotNull()).select("item").distinct()
+    )
+    return (
+        df.join(
+            F.broadcast(candidates),
+            F.col(col).eqNullSafe(F.col("item")),
+            "left_semi",
+        )
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= threshold)
+        .select(F.col(col).alias("item"), "cnt")
+    )
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    hash_col: str,
+) -> DataFrame:
+    """Deterministic weight-proportional sampling WITHOUT replacement
+    (Efraimidis–Spirakis exponential race): each row draws a uniform
+    u ∈ (0,1] from a CONTENT hash of *hash_col* (md5, like the
+    deterministic-split sampler q67 — identical across engines, runs,
+    and partitionings, unlike rand()), scores key = u^(1/w), and the
+    top-*n* keys win. E-S gives every row inclusion probability
+    proportional to its weight under without-replacement semantics —
+    the standard one-pass distributed weighted sampler (each partition
+    can pre-select its local top-n; only candidates reach the final
+    top-k, which Spark's TakeOrderedAndProject does for free).
+
+    Rows with weight <= 0 or NULL are excluded (they can never win a
+    proportional race). Returns the winning rows with all columns.
+    """
+    from pyspark.sql import functions as F
+
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(hash_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__es_key", key)
+        .orderBy(F.col("__es_key").desc(), F.col(hash_col).asc())
+        .limit(int(n))
+        .drop("__es_key")
+    )

@@ -9019,6 +9019,77 @@ def q188_dedup_bloom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q189_heavy_hitters",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), t AS (
+        SELECT token FROM toks WHERE token <> ''
+    ), tot AS (
+        SELECT count(*) AS n FROM t
+    )
+    SELECT token AS item, count(*) AS cnt
+    FROM t, tot
+    GROUP BY token, n
+    HAVING count(*) >= ceil(0.01 * n)
+    """,
+)
+def q189_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent items via the two-pass Misra-Gries pattern
+    (functions/util.py::heavy_hitters) — the frequent-items member of
+    the mergeable-sketch family (HLL q79, Theta q110, KLL q111), made
+    exact by the classic candidate-then-recount construction: pass 1
+    summarizes each partition with a capacity-bounded MG counter (the
+    corpus never shuffles — the shuffle carries <= capacity rows per
+    partition), whose union provably supersets every item above
+    n/(capacity+1); pass 2 exact-counts ONLY the candidates behind a
+    broadcast semi-join at the scan. Items at >= 1%% of all tokens,
+    threshold derived from the data on both engines. The guarantee is
+    enforced, not assumed: a threshold the capacity can't certify
+    raises instead of returning approximate counts."""
+    from ..functions.util import ensure_parallelism, heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    toks = ensure_parallelism(
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+    ).where(F.col("token") != "")
+    return heavy_hitters(toks, "token", min_frac=0.01, capacity=512)
+
+
+@query(
+    "q190_weighted_sample",
+    """
+    WITH k AS (
+        SELECT doc_id, n_chars,
+               pow((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) + 1) / 4294967296.0,
+                   1.0 / n_chars) AS es_key
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, n_chars FROM k
+    ORDER BY es_key DESC, doc_id ASC LIMIT 25
+    """,
+)
+def q190_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional sampling WITHOUT replacement
+    (functions/util.py::weighted_sample — the Efraimidis-Spirakis
+    exponential race): u ~ content-hash uniform in (0,1], score
+    u^(1/weight), top-n win. The md5-derived u makes the draw
+    reproducible across engines, runs, and partitionings (q67's
+    determinism discipline applied to WEIGHTED sampling — the mixture
+    sampler a training-data pipeline uses to upweight rare, long, or
+    high-quality documents). Distributed shape: a global top-n on the
+    score, which Spark executes as per-partition top-n + driver merge
+    (TakeOrderedAndProject) — no full sort, no shuffle of losers.
+    25 docs sampled proportional to n_chars; the oracle replays the
+    identical race in SQL."""
+    from ..functions.util import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return weighted_sample(d, "n_chars", 25, "doc_id")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
