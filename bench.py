@@ -177,6 +177,8 @@ HEADLINE = [
     "q188_dedup_bloom_state",
     "q189_heavy_hitters",
     "q190_weighted_sample",
+    "q191_pq_train",
+    "q192_pq_adc_topk",
 ]
 
 

@@ -28,6 +28,7 @@ from .similarity import (
     mahalanobis_scores,
     whiten_embeddings,
 )
+from .pq import pq_adc_topk, pq_codebook_df, pq_encode, pq_train
 from .util import (
     heavy_hitters,
     in_filter_join,
@@ -59,6 +60,10 @@ __all__ = [
     "duplicate_clusters",
     "embedding_near_duplicates",
     "heavy_hitters",
+    "pq_adc_topk",
+    "pq_codebook_df",
+    "pq_encode",
+    "pq_train",
     "in_filter_join",
     "ivf_topk",
     "kmeans_assignments",

@@ -1,0 +1,301 @@
+"""Product quantization (PQ) for embedding compression and
+asymmetric-distance (ADC) search — the storage-side companion to the
+IVF index (ann_index.py): IVF prunes WHICH vectors a query scores,
+PQ shrinks WHAT each stored vector costs (m one-byte codes instead of
+dim floats — 16-64x smaller, the difference between an embedding
+corpus that fits executor memory and one that doesn't at 10^10+
+vectors).
+
+Spark-first decomposition, mirroring the clustering module's design
+(clustering.py — literal-centroid codegen argmax, bounded driver
+state):
+
+- TRAIN: spherical (cosine) k-means per SUBSPACE, all subspaces in
+  ONE corpus scan per Lloyd round — the per-subspace assignment is m
+  independent literal-pivot folds inside a single projection, so the
+  corpus is never scanned per subspace and never shuffles for
+  assignment. Centroid recompute is one combinable aggregate over
+  (sub, code, pos) for every subspace at once; the m x k x sub_dim
+  result collects to the driver (the bounded-driver contract
+  collect_pivot_rows already makes). Components round through
+  DECIMAL(30,10) to 6dp per round — the cross-engine contract that
+  makes training hash-verifiable (q141's discipline).
+- ENCODE: one scan, m literal folds, output (id, array<int> codes).
+  The corpus's float payload is read once and never moves again.
+- ADC SEARCH: per query, an m x k table of subspace dot products and
+  a k-entry norm table per subspace become LITERALS (queries are the
+  bounded side, like query_ivf_index's probe list); every encoded row
+  scores with m array lookups + an explicit m-term sum — pure codegen
+  over the (tiny) codes column, no vector payload touched. ADC cosine
+  approximates cos(q, x) by substituting each subvector with its
+  centroid: sum_j dot(q_j, c_j[code_j]) / (|q| * sqrt(sum_j
+  |c_j[code_j]|^2)).
+
+The explicit index-ordered m-term additions (not an unordered SQL
+SUM) keep float summation order identical across engines — the same
+determinism discipline as _dot's sequential fold.
+
+Reference parity note: the reference (a DB-API cursor wrapper) has no
+vector search; this module extends the suite's ANN family
+(similarity.py, ann_index.py) with the compression tier every
+100 TB embedding deployment uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _dlit, collect_pivot_rows, nearest_pivot
+
+__all__ = ["pq_train", "pq_encode", "pq_adc_topk", "pq_codebook_df"]
+
+
+def _round6(col):
+    return F.round(col.cast("decimal(30,10)"), 6).cast("double")
+
+
+def _sub_dim(df: DataFrame, vec_col: str, m_sub: int) -> int:
+    d0 = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(d0["d"])
+    if dim % m_sub:
+        raise ValueError(
+            f"pq: vector dim {dim} not divisible into {m_sub} subspaces"
+        )
+    return dim // m_sub
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 4,
+    k_codes: int = 8,
+    iterations: int = 2,
+) -> dict[int, list[tuple[int, list[float]]]]:
+    """Train per-subspace codebooks: spherical k-means with
+    deterministic seeds (the k_codes lowest-id vectors' subvectors,
+    6dp-rounded — code ids are the seed vector ids), *iterations*
+    Lloyd rounds, ALL subspaces per corpus scan. Returns
+    {sub: [(code, centroid), ...]} with centroids 6dp-rounded.
+
+    A code whose cluster empties during a round drops out (the same
+    contract as the k-means oracle); ties in the per-subspace argmax
+    break (cosine desc, code asc) — the engine/oracle total order."""
+    sd = _sub_dim(df, vec_col, m_sub)
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    seeds = vecs.orderBy(F.col("id").asc()).limit(k_codes)
+    books = {
+        j: collect_pivot_rows(
+            seeds.select(
+                F.col("id").alias("code"),
+                F.transform(
+                    F.slice("vec", j * sd + 1, sd), lambda x: _round6(x)
+                ).alias("centroid"),
+            ),
+            "code",
+            "centroid",
+        )
+        for j in range(m_sub)
+    }
+    for _ in range(iterations - 1):
+        assigned = _assign(vecs, books, sd)
+        # every subspace's members in ONE combinable aggregate:
+        # (sub, code, pos) -> mean component, rounded per the contract
+        trips = assigned.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("sub"),
+                            F.col(f"__b{j}.pid").alias("code"),
+                            F.slice("vec", j * sd + 1, sd).alias("sv"),
+                        )
+                        for j in range(len(books))
+                    ]
+                )
+            ).alias("t")
+        ).select("t.sub", "t.code", F.posexplode("t.sv").alias("pos", "val"))
+        rows = (
+            trips.groupBy("sub", "code", "pos")
+            .agg(_round6(F.avg("val")).alias("cv"))
+            .groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        books = {j: [] for j in range(m_sub)}
+        for r in sorted(rows, key=lambda r: (r["sub"], r["code"])):
+            books[r["sub"]].append(
+                (int(r["code"]), [float(x) for x in r["centroid"]])
+            )
+    return books
+
+
+def _assign(vecs: DataFrame, books: dict, sd: int) -> DataFrame:
+    """One projection computing every subspace's nearest code —
+    m literal folds, zero shuffle, zero expansion."""
+    return vecs.select(
+        "id",
+        "vec",
+        *[
+            nearest_pivot(F.slice("vec", j * sd + 1, sd), books[j]).alias(
+                f"__b{j}"
+            )
+            for j in sorted(books)
+        ],
+    )
+
+
+def pq_codebook_df(spark, books: dict) -> DataFrame:
+    """Codebooks as a (sub, code, centroid) frame — the persistable /
+    verifiable form."""
+    data = [
+        (j, code, centroid)
+        for j in sorted(books)
+        for code, centroid in books[j]
+    ]
+    return spark.createDataFrame(
+        data, "sub int, code int, centroid array<double>"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    books: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode the corpus to (id, codes array<int>): one scan, m
+    literal folds — after this the float payload never moves again."""
+    sd = _sub_dim(df, vec_col, len(books))
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    assigned = _assign(vecs, books, sd)
+    return assigned.select(
+        "id",
+        F.array(
+            *[
+                F.col(f"__b{j}.pid").cast("int")
+                for j in sorted(books)
+            ]
+        ).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    books: dict,
+    queries: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: each query scores every encoded row
+    with m table lookups + an explicit index-ordered sum — the codes
+    column is the ONLY corpus data touched. Queries are the bounded
+    side: their per-subspace dot/norm tables become literal arrays
+    (indexed by code id), broadcast with the query row.
+
+    Returns (query_id, neighbor_id, adc_sim) with rank <= k per query
+    by (adc desc, neighbor asc); self-matches are not excluded (the
+    caller filters if needed). adc_sim is rounded to 4dp — the suite's
+    similarity output contract."""
+    from pyspark.sql import Window
+
+    m = len(books)
+    sd = None
+    # code id -> dense position per subspace (codebooks may have
+    # dropped empty codes, so lookups go through a dense table with a
+    # code->slot map folded into the literal)
+    qcols = []
+    for j in sorted(books):
+        rows = books[j]
+        if sd is None:
+            sd = len(rows[0][1])
+        # literal: array of structs (code, centroid) for this subspace
+        # dot table: element i = dot(q_j, centroid_i); norm table:
+        # element i = |centroid_i|^2 (python-sequential == fold order)
+        dots = ", ".join(
+            "aggregate(zip_with(slice({v}, {s}, {l}), array({c}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, w) -> acc + w)".format(
+                v=vec_col,
+                s=j * sd + 1,
+                l=sd,
+                c=", ".join(_dlit(x) for x in cent),
+            )
+            for _code, cent in rows
+        )
+        qcols.append(F.expr(f"array({dots})").alias(f"__dt{j}"))
+    codemaps = {
+        j: {code: slot for slot, (code, _c) in enumerate(books[j])}
+        for j in books
+    }
+    norm_tables = {
+        j: [sum(x * x for x in cent) for _code, cent in books[j]]
+        for j in books
+    }
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: x.cast("double") * x.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("__qnorm"),
+        *qcols,
+    )
+    # slot lookup per subspace: codes[j] -> dense slot (literal map)
+    def slot(j):
+        entries = ", ".join(
+            f"{code}, {s}" for code, s in codemaps[j].items()
+        )
+        return F.expr(
+            f"element_at(map({entries}), codes[{j}]) + 1"
+        )
+
+    adc_dot = None
+    cnorm2 = None
+    for j in sorted(books):
+        term = F.element_at(F.col(f"__dt{j}"), slot(j))
+        nlit = F.expr(
+            "array({})".format(
+                ", ".join(_dlit(x) for x in norm_tables[j])
+            )
+        )
+        nterm = F.element_at(nlit, slot(j))
+        adc_dot = term if adc_dot is None else adc_dot + term
+        cnorm2 = nterm if cnorm2 is None else cnorm2 + nterm
+    scored = (
+        encoded.crossJoin(F.broadcast(q))
+        .withColumn(
+            "adc_sim",
+            F.round(
+                F.coalesce(
+                    F.try_divide(
+                        adc_dot, F.col("__qnorm") * F.sqrt(cnorm2)
+                    ),
+                    F.lit(-1.0),
+                ).cast("decimal(30,10)"),
+                4,
+            ).cast("double"),
+        )
+        .select(
+            "query_id", F.col("id").alias("neighbor_id"), "adc_sim"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= int(k))
+        .drop("rn")
+    )

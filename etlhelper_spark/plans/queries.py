@@ -9090,6 +9090,166 @@ def q190_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(d, "n_chars", 25, "doc_id")
 
 
+@query(
+    "q191_pq_train",
+    '''
+    WITH dims AS (SELECT unnest(range(1, 17)) AS pos),
+    subs AS (SELECT unnest(range(0, 4)) AS sub),
+    c0 AS (
+        SELECT s.sub, e.vec_id AS code,
+               list_transform(
+                   e.embedding[s.sub*16+1 : s.sub*16+16]::DOUBLE[],
+                   x -> CAST(round(CAST(x AS DECIMAL(30,10)), 6) AS DOUBLE)
+               ) AS centroid
+        FROM embeddings e, subs s WHERE e.vec_id < 8
+    ), a1 AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT e.vec_id, c.sub, c.code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, c.sub
+                       ORDER BY list_cosine_similarity(
+                           e.embedding[c.sub*16+1 : c.sub*16+16]::DOUBLE[],
+                           c.centroid) DESC, c.code ASC
+                   ) AS rn
+            FROM embeddings e, c0 c
+        ) WHERE rn = 1
+    ), c1 AS (
+        SELECT sub, code, list(rv ORDER BY pos) AS centroid FROM (
+            SELECT a.sub, a.code, d.pos,
+                   CAST(round(CAST(avg(e.embedding[a.sub*16 + d.pos])
+                        AS DECIMAL(30,10)), 6) AS DOUBLE) AS rv
+            FROM a1 a JOIN embeddings e USING (vec_id), dims d
+            GROUP BY a.sub, a.code, d.pos
+        ) GROUP BY sub, code
+    )
+
+    SELECT sub, code, centroid FROM c1
+    ''',
+)
+def q191_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training (functions/pq.py::
+    pq_train) — spherical k-means per SUBSPACE (m=4 subspaces of 16
+    dims, k=8 codes, 2 Lloyd rounds from the deterministic lowest-id
+    seeds), every subspace trained in ONE corpus scan per round: the
+    per-subspace assignment is m independent literal-centroid codegen
+    folds inside a single projection (zero shuffle, zero expansion —
+    clustering.py's discipline multiplied across subspaces), and the
+    recompute is one combinable (sub, code, pos) aggregate for all
+    subspaces at once. Centroid components round through
+    DECIMAL(30,10) to 6dp per round, so the oracle — the identical
+    iterations unrolled in SQL per subspace — reproduces every
+    centroid BIT-FOR-BIT: iterative compression training made
+    hash-verifiable."""
+    from ..functions.pq import pq_codebook_df, pq_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_train(e, m_sub=4, k_codes=8, iterations=2)
+    return pq_codebook_df(spark, books)
+
+
+@query(
+    "q192_pq_adc_topk",
+    '''
+    WITH dims AS (SELECT unnest(range(1, 17)) AS pos),
+    subs AS (SELECT unnest(range(0, 4)) AS sub),
+    c0 AS (
+        SELECT s.sub, e.vec_id AS code,
+               list_transform(
+                   e.embedding[s.sub*16+1 : s.sub*16+16]::DOUBLE[],
+                   x -> CAST(round(CAST(x AS DECIMAL(30,10)), 6) AS DOUBLE)
+               ) AS centroid
+        FROM embeddings e, subs s WHERE e.vec_id < 8
+    ), a1 AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT e.vec_id, c.sub, c.code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, c.sub
+                       ORDER BY list_cosine_similarity(
+                           e.embedding[c.sub*16+1 : c.sub*16+16]::DOUBLE[],
+                           c.centroid) DESC, c.code ASC
+                   ) AS rn
+            FROM embeddings e, c0 c
+        ) WHERE rn = 1
+    ), c1 AS (
+        SELECT sub, code, list(rv ORDER BY pos) AS centroid FROM (
+            SELECT a.sub, a.code, d.pos,
+                   CAST(round(CAST(avg(e.embedding[a.sub*16 + d.pos])
+                        AS DECIMAL(30,10)), 6) AS DOUBLE) AS rv
+            FROM a1 a JOIN embeddings e USING (vec_id), dims d
+            GROUP BY a.sub, a.code, d.pos
+        ) GROUP BY sub, code
+    )
+
+    , encp AS (
+        SELECT vec_id,
+               max(CASE WHEN sub = 0 THEN code END) AS k0,
+               max(CASE WHEN sub = 1 THEN code END) AS k1,
+               max(CASE WHEN sub = 2 THEN code END) AS k2,
+               max(CASE WHEN sub = 3 THEN code END) AS k3
+        FROM (
+            SELECT vec_id, sub, code FROM (
+                SELECT e.vec_id, c.sub, c.code,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id, c.sub
+                           ORDER BY list_cosine_similarity(
+                               e.embedding[c.sub*16+1 : c.sub*16+16]::DOUBLE[],
+                               c.centroid) DESC, c.code ASC
+                       ) AS rn
+                FROM embeddings e, c1 c
+            ) WHERE rn = 1
+        ) GROUP BY vec_id
+    ), qt AS (
+        SELECT q.vec_id AS query_id, c.sub, c.code,
+               list_inner_product(
+                   q.embedding[c.sub*16+1 : c.sub*16+16]::DOUBLE[],
+                   c.centroid) AS ip,
+               list_inner_product(c.centroid, c.centroid) AS nn,
+               sqrt(list_inner_product(
+                   q.embedding::DOUBLE[], q.embedding::DOUBLE[])) AS qnorm
+        FROM embeddings q, c1 c WHERE q.vec_id < 3
+    ), scored AS (
+        SELECT t0.query_id, x.vec_id AS neighbor_id,
+               CAST(round(CAST(
+                   (t0.ip + t1.ip + t2.ip + t3.ip) /
+                   (t0.qnorm * sqrt(t0.nn + t1.nn + t2.nn + t3.nn))
+                   AS DECIMAL(30,10)), 4) AS DOUBLE) AS adc_sim
+        FROM encp x
+        JOIN qt t0 ON t0.sub = 0 AND t0.code = x.k0
+        JOIN qt t1 ON t1.sub = 1 AND t1.code = x.k1 AND t1.query_id = t0.query_id
+        JOIN qt t2 ON t2.sub = 2 AND t2.code = x.k2 AND t2.query_id = t0.query_id
+        JOIN qt t3 ON t3.sub = 3 AND t3.code = x.k3 AND t3.query_id = t0.query_id
+    )
+    SELECT query_id, neighbor_id, adc_sim FROM (
+        SELECT query_id, neighbor_id, adc_sim,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc_sim DESC, neighbor_id ASC
+               ) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    ''',
+)
+def q192_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (functions/pq.py::pq_adc_topk):
+    the corpus is ENCODED to m one-byte codes per vector (16x
+    compression at m=4, dim=64 — the storage tier every 10^10-vector
+    deployment needs) and each of 3 queries scores every row with m
+    array lookups plus an explicit index-ordered 4-term sum — the
+    float payload is touched only at encode time; search reads codes
+    alone. Per-query dot/norm tables are literals (queries are the
+    bounded side — query_ivf_index's probe-list contract), so scoring
+    is pure codegen with no join on the vector column. Ranking is on
+    the 4dp-ROUNDED ADC cosine (deterministic cross-engine), ties by
+    neighbor id. The oracle unrolls training, encode, and the exact
+    table-lookup arithmetic in SQL."""
+    from ..functions.pq import pq_adc_topk, pq_encode, pq_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = pq_train(e, m_sub=4, k_codes=8, iterations=2)
+    enc = pq_encode(e, books)
+    return pq_adc_topk(enc, books, e.where("vec_id < 3"), k=5)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
