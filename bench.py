@@ -179,6 +179,7 @@ HEADLINE = [
     "q190_weighted_sample",
     "q191_pq_train",
     "q192_pq_adc_topk",
+    "q193_ivf_rebalance",
 ]
 
 

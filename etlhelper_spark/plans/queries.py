@@ -15,6 +15,7 @@ Each callable takes (spark, sf_dir) and returns a lazy DataFrame.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from typing import Callable
 
@@ -9248,6 +9249,48 @@ def q192_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_train(e, m_sub=4, k_codes=8, iterations=2)
     enc = pq_encode(e, books)
     return pq_adc_topk(enc, books, e.where("vec_id < 3"), k=5)
+
+
+@query(
+    "q193_ivf_rebalance",
+    """
+    SELECT vec_id, true AS ok FROM embeddings
+    """,
+)
+def q193_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF hot-list maintenance (functions/ann_index.py::
+    rebalance_ivf_index): lists that outgrew max_list_size (the drift
+    the frozen-pivot append path accumulates — see q180) are split
+    with shuffle-free spherical k-means into fresh partitions, the
+    split pivots replaced by the sub-cluster centroids; COLD lists are
+    never read or rewritten (partition pruning limits the scan to the
+    hot directories). The oracle pins the invariant a physical rewrite
+    must never break — exact membership preservation (every vector
+    present exactly once; the hash catches loss AND duplication) —
+    and the in-plan ``ok`` asserts the rebalance made progress (the
+    maximum list size strictly shrank), computed from the actual
+    index layout on disk."""
+    from ..functions.ann_index import build_ivf_index, rebalance_ivf_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="ehs_ivf_rebalance_")
+    path = os.path.join(work, "ivf")
+    n, _nlist = build_ivf_index(e, path, nlist=4)
+    cap = -(-n // 6)  # ceil(n/6): every initial list (~n/4) is hot
+    sizes = lambda: [  # noqa: E731
+        int(r["n"])
+        for r in spark.read.parquet(path)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    before = max(sizes())
+    rebalance_ivf_index(spark, path, max_list_size=cap)
+    after = sizes()
+    ok = bool(max(after) < before and max(after) <= cap)
+    return spark.read.parquet(path).select(
+        "vec_id", F.lit(ok).alias("ok")
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

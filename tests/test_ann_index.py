@@ -154,3 +154,77 @@ def test_zero_vector_cosine_matches_duckdb(spark):
         nearest_pivot(F.col("embedding"), pivots).alias("p")
     ).first()
     assert row["p"]["pid"] == 1  # zero pivot loses, real pivot wins
+
+
+def test_rebalance_splits_hot_lists_and_preserves_membership(spark, vecs):
+    """Hot-list splitting: every oversized list shrinks under the cap,
+    membership is exactly preserved (no loss, no duplication), cold
+    lists are untouched on disk, and probes keep working against the
+    rewritten pivot set."""
+    import os
+
+    from etlhelper_spark.functions.ann_index import rebalance_ivf_index
+
+    d = tempfile.mkdtemp(prefix="ehs_ivf_rb_")
+    try:
+        n, _ = build_ivf_index(vecs, d, nlist=4)
+        cap = -(-n // 6)
+        pre = {
+            int(r["list_id"]): int(r["n"])
+            for r in spark.read.parquet(d)
+            .groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert max(pre.values()) > cap  # the fixture really is hot
+        split = rebalance_ivf_index(spark, d, max_list_size=cap)
+        assert split >= len([s for s in pre.values() if s > cap])
+        post = {
+            int(r["list_id"]): int(r["n"])
+            for r in spark.read.parquet(d)
+            .groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert max(post.values()) <= cap
+        assert sum(post.values()) == n
+        ids = spark.read.parquet(d).select("vec_id")
+        assert ids.distinct().count() == n
+        # split lists' dirs are gone; every surviving dir has a pivot
+        pivots = {
+            int(r["list_id"])
+            for r in spark.read.parquet(os.path.join(d, "_pivots")).collect()
+        }
+        assert pivots == set(post)
+        # probe still returns k neighbors per query
+        out = query_ivf_index(
+            spark, d, vecs.where("vec_id < 5"), k=3, nprobe=3
+        )
+        per_q = out.groupBy("query_id").count().collect()
+        assert len(per_q) == 5 and all(r["count"] == 3 for r in per_q)
+        # idempotent once balanced
+        assert rebalance_ivf_index(spark, d, max_list_size=cap) == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rebalance_leaves_degenerate_identical_lists(spark):
+    """A hot list of bit-identical vectors cannot split (one k-means
+    cell) — it must stay in place, not loop forever, not lose rows."""
+    from etlhelper_spark.functions.ann_index import rebalance_ivf_index
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(100)] + [
+        (1000 + i, [float(i % 7 + 1), 1.0, float(i % 3), 2.0])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    d = tempfile.mkdtemp(prefix="ehs_ivf_degen_")
+    try:
+        n, _ = build_ivf_index(df, d, nlist=2)
+        split = rebalance_ivf_index(spark, d, max_list_size=30)
+        post = spark.read.parquet(d)
+        assert post.count() == n == 140
+        sizes = sorted(
+            int(r["n"]) for r in post.groupBy("list_id")
+            .agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        # the identical-vector list (>= 100 members) survives oversized
+        assert sizes[-1] >= 100 and split >= 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
