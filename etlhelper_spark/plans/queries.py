@@ -170,6 +170,32 @@ def _kmeans_assigned_cached(
     return _KMEANS_CACHE[key]
 
 
+_PQ_BOOKS_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def _pq_books_cached(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared PQ codebook training stage (q191 verifies the training,
+    q192 consumes the books for encode+ADC): memoized once per
+    (session, sf_dir) like the k-means assignment stage — a production
+    deployment trains codebooks once and reuses them for every encode
+    and every query batch. Books are plain Python floats (no Spark
+    resources pinned); bench clears this cache between the warm and
+    timed passes like every other stage cache."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _PQ_BOOKS_CACHE:
+        from ..functions.pq import pq_train
+
+        _cache_put(
+            _PQ_BOOKS_CACHE,
+            key,
+            pq_train(
+                _t(spark, sf_dir, "embeddings"),
+                m_sub=4, k_codes=8, iterations=2,
+            ),
+        )
+    return _PQ_BOOKS_CACHE[key]
+
+
 def clear_stage_caches() -> None:
     """Drop the memoized cross-query stages (pair / cluster / k-means)
     so a timed benchmark pass rebuilds them honestly. The persistent
@@ -180,6 +206,7 @@ def clear_stage_caches() -> None:
     _PAIR_CACHE.clear()
     _CLUSTER_CACHE.clear()
     _KMEANS_CACHE.clear()
+    _PQ_BOOKS_CACHE.clear()
 
 
 def ivf_index_cached(spark: SparkSession, sf_dir: str, nlist: int = 16) -> str:
@@ -9141,10 +9168,9 @@ def q191_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations unrolled in SQL per subspace — reproduces every
     centroid BIT-FOR-BIT: iterative compression training made
     hash-verifiable."""
-    from ..functions.pq import pq_codebook_df, pq_train
+    from ..functions.pq import pq_codebook_df
 
-    e = _t(spark, sf_dir, "embeddings")
-    books = pq_train(e, m_sub=4, k_codes=8, iterations=2)
+    books = _pq_books_cached(spark, sf_dir)
     return pq_codebook_df(spark, books)
 
 
@@ -9243,10 +9269,10 @@ def q192_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4dp-ROUNDED ADC cosine (deterministic cross-engine), ties by
     neighbor id. The oracle unrolls training, encode, and the exact
     table-lookup arithmetic in SQL."""
-    from ..functions.pq import pq_adc_topk, pq_encode, pq_train
+    from ..functions.pq import pq_adc_topk, pq_encode
 
     e = _t(spark, sf_dir, "embeddings")
-    books = pq_train(e, m_sub=4, k_codes=8, iterations=2)
+    books = _pq_books_cached(spark, sf_dir)
     enc = pq_encode(e, books)
     return pq_adc_topk(enc, books, e.where("vec_id < 3"), k=5)
 
