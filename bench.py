@@ -180,6 +180,7 @@ HEADLINE = [
     "q191_pq_train",
     "q192_pq_adc_topk",
     "q193_ivf_rebalance",
+    "q194_stream_embedding_dedup",
 ]
 
 

@@ -21,6 +21,7 @@ from .dedup_state import (
     dedup_exact_incremental_bucketed,
     embedding_lsh_incremental,
     minhash_incremental,
+    streaming_dedup_embedding,
     prune_state_versions,
     read_dedup_verdicts,
     streaming_dedup_exact,
@@ -68,6 +69,7 @@ __all__ = [
     "duplicate_clusters_incremental",
     "embedding_lsh_incremental",
     "minhash_incremental",
+    "streaming_dedup_embedding",
     "inverted_index_incremental",
     "prune_state_versions",
     "read_dedup_verdicts",

@@ -970,6 +970,59 @@ def streaming_dedup_exact(
     q.awaitTermination()
 
 
+def streaming_dedup_embedding(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    num_tables: int = 16,
+    dim: int = 64,
+) -> None:
+    """Streaming form of the incremental embedding near-dup — the
+    third dedup modality's continuous-ingest loop (exact fingerprints
+    have streaming_dedup_exact; MinHash bands ride the same pattern):
+    each micro-batch runs embedding_lsh_incremental against the
+    accumulated signature state inside foreachBatch, with micro-batch
+    id = state batch id, so replays overwrite both their state append
+    and their pair partition — idempotent under at-least-once.
+
+    Pair batches land in ``out_dir/batch=<id>`` as (id_a, id_b,
+    cosine); the union over batches equals the batch-mode sequential
+    applies (pair sets across applies are disjoint by construction —
+    see embedding_lsh_incremental), and therefore carries the same
+    recall-vs-exact-truth contract q183 verifies.
+
+    Starts and drains an availableNow query."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = embedding_lsh_incremental(
+            batch_df,
+            state_dir,
+            batch_id,
+            id_col,
+            vec_col,
+            threshold,
+            num_planes,
+            num_tables,
+            dim,
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={int(batch_id)}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def read_dedup_verdicts(spark, out_dir: str) -> DataFrame:
     """Union of all per-batch verdict partitions written by
     streaming_dedup_exact. Raises a clear ValueError when no verdict

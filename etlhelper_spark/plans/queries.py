@@ -9319,6 +9319,74 @@ def q193_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q194_stream_embedding_dedup",
+    """
+    WITH all_vecs AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+    FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.95
+    """,
+)
+def q194_stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING embedding near-dup — q183's contract with the
+    micro-batch machinery in the loop (the q181 treatment applied to
+    the third dedup modality): the doubled-embeddings corpus arrives
+    as two mtime-ordered files, each availableNow micro-batch runs
+    embedding_lsh_incremental against the accumulated signature state
+    inside foreachBatch (operators/dedup_state.py::
+    streaming_dedup_embedding), micro-batch id doubles as state batch
+    id (replays overwrite their own append AND pair partition). The
+    oracle is the EXACT all-pairs truth at cosine >= 0.95 — streamed
+    recall verified against ground truth end to end, not against the
+    one-shot LSH."""
+    import glob as _glob
+    import time
+
+    from ..operators.dedup_state import streaming_dedup_embedding
+
+    configure_session(spark)
+    work = tempfile.mkdtemp(prefix="ehs_streamemb_")
+    feed = os.path.join(work, "feed")
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    doubled = e.unionAll(
+        e.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    doubled.where(F.pmod("vec_id", F.lit(3)) < 2).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(feed)
+    parts_a = set(_glob.glob(os.path.join(feed, "part-*")))
+    doubled.where(F.pmod("vec_id", F.lit(3)) >= 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    parts_b = set(_glob.glob(os.path.join(feed, "part-*"))) - parts_a
+    t0 = time.time() - 1000
+    for p in parts_a:
+        os.utime(p, (t0, t0))
+    for p in parts_b:
+        os.utime(p, (t0 + 100, t0 + 100))
+    stream = (
+        spark.readStream.schema(doubled.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    streaming_dedup_embedding(
+        stream,
+        os.path.join(work, "state"),
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "out"),
+    )
+    import glob as _g
+
+    paths = sorted(_g.glob(os.path.join(work, "out", "batch=*")))
+    return spark.read.parquet(*paths).select("id_a", "id_b", "cosine")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
