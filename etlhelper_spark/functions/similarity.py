@@ -599,11 +599,29 @@ def embedding_covariance(
     The d×d result is bounded (d ≤ a few thousand), so downstream
     eigendecomposition for PCA/whitening is a driver-side numpy step
     on the collected matrix — same bounded-driver contract as the
-    pivot collection above.
+    pivot collection above. The returned frame is DRIVER-LOCAL
+    (a VALUES literal of the bounded result), so nothing is cached or
+    pinned in executor storage after the call — the corpus is scanned
+    exactly once, by the partial collection itself.
     """
     dims, idx, d = _resolve_dims(df, vec_col, dims)
-    parts = _gram_parts(df, vec_col, idx, d)
-    return _covariance_from_parts(parts, dims, d)
+    n, s, g = _collect_gram(df, vec_col, idx, d)
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [], "i int, j int, n long, cov double"
+        )
+    vals = ", ".join(
+        "({i}, {j}, {n}L, {c})".format(
+            i=i, j=j, n=n,
+            c="CAST(NULL AS DOUBLE)" if c is None else _dlit(c),
+        )
+        for i, j, n, c in _cov_entries(dims, n, s, g)
+    )
+    return spark.sql(
+        f"SELECT col1 AS i, col2 AS j, col3 AS n, col4 AS cov "
+        f"FROM VALUES {vals}"
+    )
 
 
 def _resolve_dims(df: DataFrame, vec_col: str, dims: list[int] | None):
@@ -618,19 +636,21 @@ def _resolve_dims(df: DataFrame, vec_col: str, dims: list[int] | None):
     return dims, idx, len(idx)
 
 
-def _gram_parts(df: DataFrame, vec_col: str, idx, d: int) -> DataFrame:
-    """One (count, Σx, XᵀX) Gram partial per partition, LOCALIZED.
+def _collect_gram(df: DataFrame, vec_col: str, idx, d: int):
+    """One (count, Σx, XᵀX) Gram partial per partition, merged
+    DRIVER-SIDE: the corpus folds into |partitions| rows of
+    1 + d + d² doubles inside an Arrow-batched numpy kernel (the
+    corpus itself never shuffles and never expands), those partials
+    collect in one job, and numpy sums them on the driver — bounded
+    work (≤ partitions × d² doubles). Returns (n, s[d], G[d×d]).
 
-    The frame is tiny (|partitions| rows of 1 + d + d² doubles), but
-    every moment consumer (n, Σx, Gram — and in whiten/mahalanobis the
-    means too) hangs a separate aggregation off it; without
-    materialization Spark re-executes the full corpus scan + matmul
-    once per subtree (measured 3-4 corpus scans per invocation). The
-    partials are collected once (a few hundred KB) and re-created as a
-    driver-local frame, so the corpus scan runs EXACTLY once and —
-    unlike the earlier .cache() — nothing stays pinned in executor
-    storage after the call returns (doubles round-trip bit-exact
-    through collect/createDataFrame)."""
+    This replaces the earlier cached-partials design (ADVICE r5: the
+    cache stayed pinned after embedding_covariance returned): with the
+    merge driver-side there is nothing to cache — ONE corpus scan
+    total, one job, zero executor storage. Partial-merge order is the
+    collect order; the 6dp DECIMAL rounding downstream absorbs the
+    ~1e-13 accumulation-order noise exactly as it did for the JVM
+    aggregation's nondeterministic partial order."""
     import numpy as np
     import pandas as pd
 
@@ -652,54 +672,38 @@ def _gram_parts(df: DataFrame, vec_col: str, idx, d: int) -> DataFrame:
                 {"n": [n], "s": [s.tolist()], "g": [g.ravel().tolist()]}
             )
 
-    schema = "n long, s array<double>, g array<double>"
-    rows = df.select(vec_col).mapInPandas(partials, schema).collect()
-    return df.sparkSession.createDataFrame(rows, schema)
+    rows = df.select(vec_col).mapInPandas(
+        partials, "n long, s array<double>, g array<double>"
+    ).collect()
+    if not rows:
+        return 0, np.zeros(d), np.zeros((d, d))
+    n = int(sum(r["n"] for r in rows))
+    s = np.sum([np.array(r["s"], dtype=np.float64) for r in rows], axis=0)
+    g = np.sum(
+        [np.array(r["g"], dtype=np.float64).reshape(d, d) for r in rows],
+        axis=0,
+    )
+    return n, s, g
 
 
-def _covariance_from_parts(
-    parts: DataFrame, dims: list[int], d: int
-) -> DataFrame:
-    """JVM-side assembly of the upper-triangle covariance from the
-    cached Gram partials (the decimal-rounded cross-engine contract)."""
-    # the merge operates on partition-count-sized data — every frame
-    # below is tiny and broadcasts
-    n_tot = parts.agg(F.sum("n").alias("n"))
-    s_agg = (
-        parts.select(F.posexplode("s").alias("i", "v"))
-        .groupBy("i")
-        .agg(F.sum("v").alias("s"))
-    )
-    g_agg = (
-        parts.select(F.posexplode("g").alias("p", "v"))
-        .groupBy("p")
-        .agg(F.sum("v").alias("g"))
-    )
-    pairs = g_agg.select(
-        (F.col("p") / d).cast("int").alias("ii"),
-        F.pmod("p", F.lit(d)).cast("int").alias("jj"),
-        "g",
-    ).where(F.col("ii") <= F.col("jj"))
-    si = s_agg.select(F.col("i").alias("ii"), F.col("s").alias("s_i"))
-    sj = s_agg.select(F.col("i").alias("jj"), F.col("s").alias("s_j"))
-    dim_lit = F.array(*[F.lit(int(p)) for p in dims])
-    cov = F.try_divide(
-        F.col("g") - F.col("s_i") * F.col("s_j") / F.col("n"),
-        F.col("n") - 1,
-    )
-    return (
-        pairs.join(F.broadcast(si), "ii")
-        .join(F.broadcast(sj), "jj")
-        .crossJoin(F.broadcast(n_tot))
-        .select(
-            F.element_at(dim_lit, F.col("ii") + 1).alias("i"),
-            F.element_at(dim_lit, F.col("jj") + 1).alias("j"),
-            "n",
-            F.round(cov.cast("decimal(30,10)"), 6)
-            .cast("double")
-            .alias("cov"),
-        )
-    )
+def _cov_entries(dims: list[int], n: int, s, g):
+    """Upper-triangle covariance rows [(i, j, n, cov)] in caller-dims
+    position order, labels = dim numbers, with the engine's exact
+    arithmetic and rounding contract: cov = (G_ij − S_i·S_j/n)/(n−1)
+    in IEEE double (same association as the former JVM expression),
+    then the DECIMAL(30,10)→6dp HALF_UP two-step (_round6_py, the
+    bit-for-bit driver mirror). n ≤ 1 yields None (try_divide's NULL
+    contract)."""
+    out = []
+    d = len(dims)
+    for a in range(d):
+        for b in range(a, d):
+            if n <= 1:
+                cov = None
+            else:
+                cov = _round6_py((g[a][b] - s[a] * s[b] / n) / (n - 1))
+            out.append((int(dims[a]), int(dims[b]), n, cov))
+    return out
 
 
 def _corpus_moments(
@@ -708,42 +712,35 @@ def _corpus_moments(
     dims: list[int] | None,
     round_means: bool,
 ):
-    """Driver-side (pos, n, mu, S) from ONE Gram pass: the
-    covariance matrix S assembles through the decimal-rounded JVM
-    contract (_covariance_from_parts — identical values to
-    embedding_covariance, q173's oracle-proven path), and the means
-    derive as Σx/n from the SAME partials instead of a second corpus
-    scan — two corpus scans total for whiten/mahalanobis (moments +
-    projection), as designed. ``round_means`` applies the 6dp decimal
-    contract to the means (the cross-engine literal discipline);
-    unrounded means keep full precision for engine-internal use."""
+    """Driver-side (pos, n, mu, S) from ONE Gram pass: the covariance
+    matrix S assembles through the same arithmetic-and-rounding
+    contract as embedding_covariance (_cov_entries — identical values
+    to q173's oracle-proven path), and the means derive as Σx/n from
+    the SAME partials instead of a second corpus scan — two corpus
+    scans total for whiten/mahalanobis (moments + projection), as
+    designed. ``round_means`` applies the 6dp decimal contract to the
+    means (the cross-engine literal discipline); unrounded means keep
+    full precision for engine-internal use."""
     import numpy as np
 
     dims, idx, d = _resolve_dims(df, vec_col, dims)
-    parts = _gram_parts(df, vec_col, idx, d)
-    rows = _covariance_from_parts(parts, dims, d).collect()
-    if not rows:
+    n, s, g = _collect_gram(df, vec_col, idx, d)
+    if n == 0:
         raise ValueError("corpus moments: empty corpus")
-    pos = sorted({r["i"] for r in rows} | {r["j"] for r in rows})
+    entries = _cov_entries(dims, n, s, g)
+    pos = sorted({e[0] for e in entries} | {e[1] for e in entries})
     pidx = {p: k for k, p in enumerate(pos)}
     S = np.zeros((d, d))
-    for r in rows:
-        if r["cov"] is None:
+    for i, j, _n, cov in entries:
+        if cov is None:
             raise ValueError("corpus moments: covariance undefined (n <= 1)")
-        S[pidx[r["i"]], pidx[r["j"]]] = r["cov"]
-        S[pidx[r["j"]], pidx[r["i"]]] = r["cov"]
-    sums = (
-        parts.select(F.posexplode("s").alias("i", "v"))
-        .groupBy("i")
-        .agg(F.sum("v").alias("s"))
-        .collect()
-    )
+        S[pidx[i], pidx[j]] = cov
+        S[pidx[j], pidx[i]] = cov
     # the Gram 's' array is in CALLER dims order; S/pos (and every
     # consumer's projection index) are in sorted-label order — key the
     # sums by dim label so unsorted dims (e.g. dims=[3,1]) subtract the
     # right means (tests/test_similarity_moments.py pins this)
-    s_by_dim = {int(dims[r["i"]]): r["s"] for r in sums}
-    n = parts.agg(F.sum("n")).first()[0]
+    s_by_dim = {int(dims[k]): float(s[k]) for k in range(d)}
     mu = np.array([s_by_dim[p] for p in pos]) / n
     if round_means:
         mu = np.array([_round6_py(m) for m in mu])

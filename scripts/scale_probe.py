@@ -443,6 +443,66 @@ def main() -> None:
     probe("state compaction + post-compaction apply", n_docs,
           _compaction_probe)
 
+    # round-6 additions: bloom-filtered state join, exact heavy
+    # hitters, weighted sampling, PQ encode/ADC, IVF rebalance
+    from etlhelper_spark.functions.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from etlhelper_spark.functions.util import heavy_hitters, weighted_sample
+    from etlhelper_spark.operators.dedup_state import (
+        dedup_exact_incremental_bloom,
+    )
+
+    def _bloom_probe():
+        sd = _os.path.join(tmp, "state_bloom")
+        b0 = docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+        b1 = docs.where(F.pmod("doc_id", F.lit(2)) == 1)
+        n0 = dedup_exact_incremental_bloom(b0, sd, 0).count()
+        n1 = dedup_exact_incremental_bloom(b1, sd, 1).count()
+        return n0 + n1
+
+    probe("incremental exact dedup + bloom pre-filter (2 batches)",
+          n_docs, _bloom_probe)
+
+    def _hh_probe():
+        toks = docs.select(F.explode(F.split("text", " ")).alias("t"))
+        return heavy_hitters(toks, "t", min_frac=0.001,
+                             capacity=4096).count()
+
+    probe("exact heavy hitters over tokens (MG + recount)",
+          n_docs * 10, _hh_probe)
+
+    probe("weighted sample top-1000 (E-S race)", n_docs,
+          lambda: weighted_sample(
+              docs.withColumn("w", F.length("text")), "w", 1000, "doc_id"
+          ).count())
+
+    def _pq_probe():
+        books = pq_train(vecs, m_sub=4, k_codes=8, iterations=2)
+        enc = pq_encode(vecs, books).localCheckpoint()
+        n = enc.count()
+        q = vecs.where("vec_id < 5")
+        pq_adc_topk(enc, books, q, k=10).count()
+        return n
+
+    probe("PQ train + encode + ADC top-10 x 5 queries", n_vecs,
+          _pq_probe)
+
+    def _rebalance_probe():
+        from etlhelper_spark.functions.ann_index import (
+            build_ivf_index,
+            rebalance_ivf_index,
+        )
+
+        path = _os.path.join(tmp, "ivf_rb")
+        n, _nl = build_ivf_index(vecs, path, nlist=8)
+        return rebalance_ivf_index(spark, path, max_list_size=n // 16)
+
+    probe("IVF hot-list rebalance (8 lists -> cap n/16)", n_vecs,
+          _rebalance_probe)
+
     lines = [
         "# SCALE PROBE — measured operator scaling beyond bench SF",
         "",
