@@ -181,6 +181,7 @@ HEADLINE = [
     "q192_pq_adc_topk",
     "q193_ivf_rebalance",
     "q194_stream_embedding_dedup",
+    "q195_bpe_merges",
 ]
 
 

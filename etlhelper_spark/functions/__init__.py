@@ -37,6 +37,7 @@ from .util import (
     weighted_sample,
 )
 from .text import (
+    bpe_merges,
     document_fingerprint,
     language_id,
     quality_logit,
@@ -56,6 +57,7 @@ __all__ = [
     "mahalanobis_scores",
     "whiten_embeddings",
     "dedup_exact",
+    "bpe_merges",
     "document_fingerprint",
     "duplicate_clusters",
     "embedding_near_duplicates",

@@ -314,3 +314,125 @@ def tokens_table(
         )
         .where(F.col("token") != "")
     )
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+) -> DataFrame:
+    """Byte-pair-encoding MERGE TRAINING over a corpus — the first
+    *rounds* merge rules of the tokenizer-induction loop (learn the
+    most frequent adjacent symbol pair, fuse it everywhere, repeat),
+    the iterative companion to q101's token accounting.
+
+    Spark-first decomposition, all on the DISTINCT-WORD table (the
+    standard BPE trick: corpus scale enters only through word
+    frequencies, so the iteration runs over |vocabulary| rows):
+
+    - pair counts: zip_with(s[:-1], s[1:]) -> explode -> one
+      combinable groupBy per round (the only shuffle; |symbol pairs|
+      keys);
+    - the winning pair is a ONE-ROW frame (max count, ties lexical
+      a-then-b) broadcast into the merge step — never collected;
+    - merge application is a pure codegen array pass per word:
+      position i fuses when (s[i], s[i+1]) equals the winner, and
+      position i+1 drops when its predecessor fused. Self-pairs
+      (a = b) are EXCLUDED from candidates, which makes fuses
+      provably non-overlapping — greedy-leftmost equals
+      all-at-once, so one indexed transform implements the merge
+      exactly (no sequential scan; different BPE implementations
+      disagree on overlapping self-pair semantics, so the contract
+      pins the unambiguous case).
+
+    At 10^7-word vocabularies each round is one explode + one
+    combinable aggregate + one array map — linear, shuffle-bounded by
+    the pair-count aggregation. Returns (step, left, right, cnt):
+    the learned merges in order with their weighted pair counts.
+    """
+    words = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = words.select(
+        "freq",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ).alias("s"),
+    )
+    out = None
+    for step in range(1, rounds + 1):
+        pairs = (
+            w.select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice("s", 1, F.size("s") - 1),
+                        F.slice("s", 2, F.size("s") - 1),
+                        lambda x, y: F.struct(
+                            x.alias("a"), y.alias("b")
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.a", "p.b")
+            .where(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        m = pairs.orderBy(
+            F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
+        ).limit(1)
+        row = m.select(
+            F.lit(step).alias("step"),
+            F.col("a").alias("left"),
+            F.col("b").alias("right"),
+            "cnt",
+        )
+        out = row if out is None else out.unionByName(row)
+        if step == rounds:
+            break
+        mw = w.crossJoin(
+            F.broadcast(
+                m.select(F.col("a").alias("ma"), F.col("b").alias("mb"))
+            )
+        )
+
+        def fuse(x, i):
+            nxt = F.try_element_at(F.col("s"), i + F.lit(2))
+            # element_at index 0 is invalid even for try_element_at;
+            # the when() guard keeps i=0 (no predecessor) off that path
+            prev = F.when(
+                i > F.lit(0), F.try_element_at(F.col("s"), i)
+            ).otherwise(F.lit(None).cast("string"))
+            return F.struct(
+                F.when(
+                    (x == F.col("ma")) & (nxt == F.col("mb")),
+                    F.concat(x, F.col("mb")),
+                )
+                .otherwise(x)
+                .alias("sym"),
+                (
+                    F.coalesce(prev == F.col("ma"), F.lit(False))
+                    & (x == F.col("mb"))
+                ).alias("dropped"),
+            )
+
+        w = mw.select(
+            "freq",
+            F.transform(
+                F.filter(
+                    F.transform(F.col("s"), fuse),
+                    lambda t: ~t["dropped"],
+                ),
+                lambda t: t["sym"],
+            ).alias("s"),
+        )
+    return out

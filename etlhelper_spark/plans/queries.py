@@ -9387,6 +9387,80 @@ def q194_stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(*paths).select("id_a", "id_b", "cosine")
 
 
+@query(
+    "q195_bpe_merges",
+    """
+    WITH words AS (
+        SELECT w AS word, count(*) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ) WHERE w <> '' GROUP BY w
+    ), w0 AS (
+        SELECT freq, [word[i] FOR i IN range(1, len(word)+1)] AS s
+        FROM words
+    ), p1 AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+        FROM w0, (SELECT unnest(range(1, 64)) AS i)
+        WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+    ), m1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+    w1 AS (
+        SELECT freq, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.wid, w.freq, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM (SELECT row_number() OVER () AS wid, freq, s FROM w0) w,
+                 (SELECT unnest(range(1, 65)) AS i) t, m1 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY wid, freq
+    ), p2 AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+        FROM w1, (SELECT unnest(range(1, 64)) AS i)
+        WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+    ), m2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+    w2 AS (
+        SELECT freq, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.wid, w.freq, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM (SELECT row_number() OVER () AS wid, freq, s FROM w1) w,
+                 (SELECT unnest(range(1, 65)) AS i) t, m2 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY wid, freq
+    ), p3 AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+        FROM w2, (SELECT unnest(range(1, 64)) AS i)
+        WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+    ), m3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+    SELECT 1 AS step, a AS left, b AS right, CAST(cnt AS BIGINT) AS cnt
+    FROM m1
+    UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM m2
+    UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM m3
+    """,
+)
+def q195_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING, 3 rounds (functions/text.py::bpe_merges) —
+    tokenizer induction as a verifiable iterative algorithm (q141's
+    unrolled-Lloyd discipline applied to text): per round, adjacent
+    symbol pairs count in one combinable aggregate over the
+    DISTINCT-WORD table (corpus scale enters only through word
+    frequencies — the standard BPE trick), the winning pair (max
+    count, ties lexical) broadcasts as a one-row frame, and the merge
+    applies as a pure codegen indexed array pass (self-pairs excluded,
+    which makes fuses provably non-overlapping, so all-at-once equals
+    greedy-leftmost — the unambiguous contract both engines state).
+    The oracle unrolls the identical three rounds in SQL. At a 10^7-
+    word vocabulary each round is one explode + one shuffle-bounded
+    aggregate + one array map — linear."""
+    from ..functions.text import bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merges(d, "text", rounds=3)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -407,3 +407,33 @@ def test_kmeans_separates_planted_clusters(spark):
         a = members & set(range(10))
         b = members & set(range(10, 20))
         assert not (a and b) or len(members) == 20
+
+
+def test_bpe_merges_hand_computed(spark):
+    """Three merge rounds on a corpus small enough to BPE by hand:
+    'aaab' x3 + 'abab' x2. Round 1: (a,b) weighted 3*1 + 2*2 = 7
+    (self-pair (a,a) excluded by contract). After fusing: a,a,ab /
+    ab,ab. Round 2: (a,ab) = 3 ((ab,ab) is a self-pair). Round 3:
+    (a,aab) = 3. Also pins the all-at-once == greedy-leftmost merge
+    equivalence on the 'abab' double-fuse."""
+    from etlhelper_spark.functions.text import bpe_merges
+
+    df = spark.createDataFrame(
+        [("aaab aaab aaab abab abab",)], ["text"]
+    )
+    got = [
+        (r["step"], r["left"], r["right"], r["cnt"])
+        for r in bpe_merges(df, "text", rounds=3)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == [(1, "a", "b", 7), (2, "a", "ab", 3), (3, "a", "aab", 3)]
+
+
+def test_bpe_merges_deterministic_ties_and_partitioning(spark):
+    from etlhelper_spark.functions.text import bpe_merges
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    a = [tuple(r) for r in bpe_merges(d.repartition(2), "text", 2).collect()]
+    b = [tuple(r) for r in bpe_merges(d.repartition(32), "text", 2).collect()]
+    assert sorted(a) == sorted(b) and len(a) == 2
