@@ -182,6 +182,7 @@ HEADLINE = [
     "q193_ivf_rebalance",
     "q194_stream_embedding_dedup",
     "q195_bpe_merges",
+    "q196_negative_sampling",
 ]
 
 

@@ -9461,6 +9461,83 @@ def q195_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(d, "text", rounds=3)
 
 
+@query(
+    "q196_negative_sampling",
+    """
+    WITH ranked AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                       c.vec_id ASC
+               ) AS rnk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+    ), race AS (
+        SELECT qid, cid,
+               row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY md5(CAST(qid AS VARCHAR) || '-'
+                                || CAST(cid AS VARCHAR)), cid
+               ) AS rn
+        FROM ranked WHERE rnk > 20
+    )
+    SELECT qid AS anchor_id, cid AS negative_id FROM race WHERE rn <= 8
+    """,
+)
+def q196_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive NEGATIVE sampling — the training-pair construction
+    step of embedding-model pipelines: for each anchor, k negatives
+    drawn deterministically from the corpus EXCLUDING the anchor's
+    top-m cosine neighbors (near-neighbors are likely unlabeled
+    positives — sampling them poisons the loss). Exclusion and draw
+    happen in ONE ranked pass: anchors broadcast (the bounded query
+    side, q31's shape), every corpus row ranks once per anchor by
+    exact cosine, ranks > m enter an md5 hash race (q67/q190's
+    cross-engine determinism discipline — reproducible across
+    engines, runs, and partitionings), top-k win. Costs one
+    |corpus| x |anchors| scored scan + one shuffle for the two
+    windows — no anti-join, no second pass. The oracle replays the
+    identical rank-then-race in SQL."""
+    from ..functions.similarity import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    anchors = e.where("vec_id < 5").select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.alias("c")
+        .crossJoin(F.broadcast(anchors))
+        .where(F.col("c.vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("c.vec_id").alias("cid"),
+            cosine_similarity(F.col("qv"), F.col("c.embedding")).alias(
+                "sim"
+            ),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("cid").asc()
+    )
+    race_key = F.md5(
+        F.concat_ws("-", F.col("qid").cast("string"),
+                    F.col("cid").cast("string"))
+    )
+    wk = Window.partitionBy("qid").orderBy(race_key.asc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") > 20)
+        .withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= 8)
+        .select(
+            F.col("qid").alias("anchor_id"),
+            F.col("cid").alias("negative_id"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
