@@ -183,6 +183,7 @@ HEADLINE = [
     "q194_stream_embedding_dedup",
     "q195_bpe_merges",
     "q196_negative_sampling",
+    "q197_stratified_weighted",
 ]
 
 

@@ -34,6 +34,7 @@ from .util import (
     in_filter_join,
     range_join,
     salted_join,
+    stratified_weighted_sample,
     weighted_sample,
 )
 from .text import (
@@ -80,6 +81,7 @@ __all__ = [
     "read_media_dir",
     "redact_pii",
     "salted_join",
+    "stratified_weighted_sample",
     "weighted_sample",
     "select_survivors",
     "semantic_dedup",

@@ -298,3 +298,38 @@ def weighted_sample(
         .limit(int(n))
         .drop("__es_key")
     )
+
+
+def stratified_weighted_sample(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    n_per_stratum: int,
+    hash_col: str,
+) -> DataFrame:
+    """Per-stratum deterministic weighted sampling — the corpus-mixture
+    primitive (sample k docs per source/language/domain, proportional
+    to a quality or length weight): the Efraimidis-Spirakis race of
+    :func:`weighted_sample` run under a PARTITION BY *strata_col*
+    window, so every stratum draws its own without-replacement
+    weighted top-n in one pass. Same determinism contract (md5-derived
+    uniforms); rows with weight <= 0 or NULL excluded."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(hash_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    w = Window.partitionBy(strata_col).orderBy(
+        key.desc(), F.col(hash_col).asc()
+    )
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__es_rn", F.row_number().over(w))
+        .where(F.col("__es_rn") <= int(n_per_stratum))
+        .drop("__es_rn")
+    )

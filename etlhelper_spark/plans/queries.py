@@ -9538,6 +9538,40 @@ def q196_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q197_stratified_weighted",
+    """
+    WITH k AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY pow((CAST(concat('0x',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) + 1) / 4294967296.0,
+                       1.0 / n_chars) DESC, doc_id ASC
+               ) AS rn
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, source, n_chars FROM k WHERE rn <= 5
+    """,
+)
+def q197_stratified_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic weighted sampling (functions/util.py::
+    stratified_weighted_sample) — the corpus-MIXTURE primitive: each
+    source draws its own without-replacement weighted top-5
+    (Efraimidis-Spirakis race under a PARTITION BY window), e.g.
+    "5 best-length-weighted docs per source" for a balanced training
+    mix. One windowed pass — per-stratum top-n, losers never leave
+    their partition's sort; determinism contract identical to q190.
+    The oracle replays the per-stratum race in SQL."""
+    from ..functions.util import stratified_weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return stratified_weighted_sample(d, "source", "n_chars", 5, "doc_id")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -84,3 +84,19 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     got = sorted(r["id"] for r in weighted_sample(df, "w", 10, "id").collect())
     assert got == [4, 5]
+
+
+def test_stratified_weighted_sample_per_group_determinism(spark):
+    from etlhelper_spark.functions.util import stratified_weighted_sample
+
+    rows = [(i, f"s{i % 3}", (i % 7) + 1) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "grp", "w"])
+    a = sorted(map(tuple, stratified_weighted_sample(
+        df.repartition(2), "grp", "w", 4, "id").collect()))
+    b = sorted(map(tuple, stratified_weighted_sample(
+        df.repartition(32), "grp", "w", 4, "id").collect()))
+    assert a == b and len(a) == 12
+    by_g = {}
+    for _id, g, _w in a:
+        by_g[g] = by_g.get(g, 0) + 1
+    assert by_g == {"s0": 4, "s1": 4, "s2": 4}
