@@ -214,6 +214,8 @@ def heavy_hitters(
     cap = int(capacity)
 
     def summarize(batches):
+        import numpy as np
+
         mg: dict = {}
         n_p = 0
         for pdf in batches:
@@ -221,9 +223,17 @@ def heavy_hitters(
             n_p += len(vals)
             for item, c in vals.value_counts().items():
                 mg[item] = mg.get(item, 0) + int(c)
-            while len(mg) > cap:
-                m = min(mg.values())
-                mg = {k: v - m for k, v in mg.items() if v > m}
+            if len(mg) > cap:
+                # one quantile subtraction == the repeated min-decrement
+                # rounds (survivors lose the identical cumulative amount;
+                # drops are exactly the counters <= it), but O(len)
+                # instead of O(len x rounds): q is the (len-cap)-th
+                # smallest counter, the smallest value whose removal
+                # leaves <= cap survivors
+                k = len(mg) - cap - 1
+                arr = np.fromiter(mg.values(), dtype=np.int64, count=len(mg))
+                q = int(np.partition(arr, k)[k])
+                mg = {it: v - q for it, v in mg.items() if v > q}
         yield pd.DataFrame(
             {
                 "item": list(mg.keys()) + [None],
