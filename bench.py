@@ -184,6 +184,7 @@ HEADLINE = [
     "q195_bpe_merges",
     "q196_negative_sampling",
     "q197_stratified_weighted",
+    "q198_pq_append",
 ]
 
 

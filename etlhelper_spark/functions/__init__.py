@@ -28,7 +28,16 @@ from .similarity import (
     mahalanobis_scores,
     whiten_embeddings,
 )
-from .pq import pq_adc_topk, pq_codebook_df, pq_encode, pq_train
+from .pq import (
+    append_pq_codes,
+    build_pq_index,
+    load_pq_codebooks,
+    pq_adc_topk,
+    pq_codebook_df,
+    pq_encode,
+    pq_train,
+    read_pq_codes,
+)
 from .util import (
     heavy_hitters,
     in_filter_join,
@@ -63,10 +72,14 @@ __all__ = [
     "duplicate_clusters",
     "embedding_near_duplicates",
     "heavy_hitters",
+    "append_pq_codes",
+    "build_pq_index",
+    "load_pq_codebooks",
     "pq_adc_topk",
     "pq_codebook_df",
     "pq_encode",
     "pq_train",
+    "read_pq_codes",
     "in_filter_join",
     "ivf_topk",
     "kmeans_assignments",

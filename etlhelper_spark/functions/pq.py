@@ -48,7 +48,16 @@ from pyspark.sql import functions as F
 
 from .similarity import _dlit, collect_pivot_rows, nearest_pivot
 
-__all__ = ["pq_train", "pq_encode", "pq_adc_topk", "pq_codebook_df"]
+__all__ = [
+    "append_pq_codes",
+    "build_pq_index",
+    "load_pq_codebooks",
+    "pq_adc_topk",
+    "pq_codebook_df",
+    "pq_encode",
+    "pq_train",
+    "read_pq_codes",
+]
 
 
 def _round6(col):
@@ -299,3 +308,77 @@ def pq_adc_topk(
         .where(F.col("rn") <= int(k))
         .drop("rn")
     )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 4,
+    k_codes: int = 8,
+    iterations: int = 2,
+) -> int:
+    """Train codebooks on *corpus* and persist BOTH the codebooks
+    (``_codebooks`` subdir — the underscore hides it from the codes
+    table's file listing, the ann_index._pivots convention) and the
+    corpus's codes. The persisted form is the deployable PQ index:
+    train once, encode every future batch against the FROZEN
+    codebooks (append_pq_codes), search forever from codes alone.
+    Returns the number of encoded vectors."""
+    import os
+
+    books = pq_train(corpus, id_col, vec_col, m_sub, k_codes, iterations)
+    spark = corpus.sparkSession
+    pq_codebook_df(spark, books).write.mode("overwrite").parquet(
+        os.path.join(path, "_codebooks")
+    )
+    enc = pq_encode(corpus, books, id_col, vec_col).localCheckpoint()
+    enc.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+    return enc.count()
+
+
+def load_pq_codebooks(spark, path: str) -> dict:
+    """Read persisted codebooks back into the {sub: [(code, centroid)]}
+    form every PQ kernel consumes."""
+    import os
+
+    rows = spark.read.parquet(os.path.join(path, "_codebooks")).collect()
+    books: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["sub"], r["code"])):
+        books.setdefault(int(r["sub"]), []).append(
+            (int(r["code"]), [float(x) for x in r["centroid"]])
+        )
+    return books
+
+
+def append_pq_codes(
+    new_corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Encode a new batch against the index's FROZEN codebooks and
+    append its codes — the ingest path of a deployed PQ index
+    (append_ivf_index's contract applied to compression): because
+    encoding depends only on the codebooks, an index built on batch 1
+    and appended with batch 2 is content-identical to one built with
+    the same codebooks over the union — per-batch cost is one linear
+    scan + an O(batch) write of m-byte codes, zero shuffle. The known
+    trade is the same as IVF's frozen pivots: codebooks drift from the
+    data distribution over time — monitor quantization error and
+    retrain when it warrants. Returns the appended count."""
+    import os
+
+    spark = new_corpus.sparkSession
+    books = load_pq_codebooks(spark, path)
+    enc = pq_encode(new_corpus, books, id_col, vec_col).localCheckpoint()
+    enc.write.mode("append").parquet(os.path.join(path, "codes"))
+    return enc.count()
+
+
+def read_pq_codes(spark, path: str) -> DataFrame:
+    """The accumulated (id, codes) table of a persisted PQ index."""
+    import os
+
+    return spark.read.parquet(os.path.join(path, "codes"))

@@ -9572,6 +9572,91 @@ def q197_stratified_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_weighted_sample(d, "source", "n_chars", 5, "doc_id")
 
 
+@query(
+    "q198_pq_append",
+    """
+    WITH dims AS (SELECT unnest(range(1, 17)) AS pos),
+    subs AS (SELECT unnest(range(0, 4)) AS sub),
+    base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 < 2),
+    c0 AS (
+        SELECT s.sub, e.vec_id AS code,
+               list_transform(
+                   e.embedding[s.sub*16+1 : s.sub*16+16]::DOUBLE[],
+                   x -> CAST(round(CAST(x AS DECIMAL(30,10)), 6) AS DOUBLE)
+               ) AS centroid
+        FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8) e, subs s
+    ), a1 AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT e.vec_id, c.sub, c.code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, c.sub
+                       ORDER BY list_cosine_similarity(
+                           e.embedding[c.sub*16+1 : c.sub*16+16]::DOUBLE[],
+                           c.centroid) DESC, c.code ASC
+                   ) AS rn
+            FROM base e, c0 c
+        ) WHERE rn = 1
+    ), c1 AS (
+        SELECT sub, code, list(rv ORDER BY pos) AS centroid FROM (
+            SELECT a.sub, a.code, d.pos,
+                   CAST(round(CAST(avg(e.embedding[a.sub*16 + d.pos])
+                        AS DECIMAL(30,10)), 6) AS DOUBLE) AS rv
+            FROM a1 a JOIN base e USING (vec_id), dims d
+            GROUP BY a.sub, a.code, d.pos
+        ) GROUP BY sub, code
+    )
+    SELECT vec_id,
+           max(CASE WHEN sub = 0 THEN code END) AS k0,
+           max(CASE WHEN sub = 1 THEN code END) AS k1,
+           max(CASE WHEN sub = 2 THEN code END) AS k2,
+           max(CASE WHEN sub = 3 THEN code END) AS k3
+    FROM (
+        SELECT vec_id, sub, code FROM (
+            SELECT e.vec_id, c.sub, c.code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, c.sub
+                       ORDER BY list_cosine_similarity(
+                           e.embedding[c.sub*16+1 : c.sub*16+16]::DOUBLE[],
+                           c.centroid) DESC, c.code ASC
+                   ) AS rn
+            FROM embeddings e, c1 c
+        ) WHERE rn = 1
+    ) GROUP BY vec_id
+    """,
+)
+def q198_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index APPEND (functions/pq.py::build_pq_index /
+    append_pq_codes) — the ingest path of a deployed compression tier
+    (q180's frozen-pivot contract applied to codebooks): codebooks
+    train on batch 1 only (vec_id%3<2) and persist beside the codes;
+    batch 2 encodes against the FROZEN codebooks and appends — one
+    linear scan + an O(batch) write of m-byte codes, zero shuffle,
+    and the result is content-identical to encoding the union with
+    the same codebooks, which is exactly what the oracle restates
+    from scratch (train on batch 1, encode everything). Returns every
+    vector's 4 codes read back from the persisted index."""
+    from ..functions.pq import (
+        append_pq_codes,
+        build_pq_index,
+        read_pq_codes,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="ehs_pq_idx_")
+    b0 = e.where(F.pmod("vec_id", F.lit(3)) < 2)
+    b1 = e.where(F.pmod("vec_id", F.lit(3)) >= 2)
+    build_pq_index(b0, work, m_sub=4, k_codes=8, iterations=2)
+    append_pq_codes(b1, work)
+    codes = read_pq_codes(spark, work)
+    return codes.select(
+        F.col("id").alias("vec_id"),
+        F.col("codes")[0].alias("k0"),
+        F.col("codes")[1].alias("k1"),
+        F.col("codes")[2].alias("k2"),
+        F.col("codes")[3].alias("k3"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -118,3 +118,30 @@ def test_codebook_df_shape(spark):
     cb = pq_codebook_df(spark, books)
     assert cb.columns == ["sub", "code", "centroid"]
     assert cb.count() == sum(len(v) for v in books.values())
+
+
+def test_pq_index_roundtrip_and_frozen_append(spark, tmp_path):
+    """build → load roundtrips the codebooks exactly; appending batch
+    2 against frozen codebooks equals encoding the union with the
+    same books (content-identity, the q180 contract for PQ)."""
+    import pyspark.sql.functions as F
+
+    from etlhelper_spark.functions.pq import (
+        append_pq_codes,
+        build_pq_index,
+        load_pq_codebooks,
+        read_pq_codes,
+    )
+
+    e = _emb(spark)
+    b0 = e.where(F.pmod("vec_id", F.lit(2)) == 0)
+    b1 = e.where(F.pmod("vec_id", F.lit(2)) == 1)
+    path = str(tmp_path / "pqidx")
+    n0 = build_pq_index(b0, path, m_sub=4, k_codes=8, iterations=2)
+    books = load_pq_codebooks(spark, path)
+    assert books == pq_train(b0, m_sub=4, k_codes=8, iterations=2)
+    n1 = append_pq_codes(b1, path)
+    assert n0 + n1 == e.count()
+    got = {r["id"]: list(r["codes"]) for r in read_pq_codes(spark, path).collect()}
+    want = {r["id"]: list(r["codes"]) for r in pq_encode(e, books).collect()}
+    assert got == want
