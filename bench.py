@@ -185,6 +185,7 @@ HEADLINE = [
     "q196_negative_sampling",
     "q197_stratified_weighted",
     "q198_pq_append",
+    "q199_sample_incremental",
 ]
 
 

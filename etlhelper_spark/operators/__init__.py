@@ -13,6 +13,7 @@ from .etl import (
     load,
 )
 from .cdc import apply_changes, read_snapshot_state, snapshot_apply_incremental
+from .sample_state import weighted_sample_incremental
 from .dedup_state import (
     compact_dedup_state,
     duplicate_clusters_incremental,
@@ -70,6 +71,7 @@ __all__ = [
     "embedding_lsh_incremental",
     "minhash_incremental",
     "streaming_dedup_embedding",
+    "weighted_sample_incremental",
     "inverted_index_incremental",
     "prune_state_versions",
     "read_dedup_verdicts",

@@ -9657,6 +9657,48 @@ def q198_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q199_sample_incremental",
+    """
+    WITH k AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   ORDER BY pow((CAST(concat('0x',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) + 1) / 4294967296.0,
+                       1.0 / n_chars) DESC, doc_id ASC
+               ) AS rn
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, source, n_chars FROM k WHERE rn <= 25
+    """,
+)
+def q199_sample_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL weighted sampling against persisted state
+    (operators/sample_state.py::weighted_sample_incremental) — the
+    reservoir problem over an unbounded batch sequence: because an
+    Efraimidis-Spirakis race key depends only on the row, top-n is
+    mergeable (top-n(A ∪ B) = top-n(top-n(A) ∪ top-n(B))), so the
+    state is just the current n winners with their keys and each
+    apply costs O(batch + n). Three sequential applies over the
+    doc_id%3 split must produce the IDENTICAL sample to the one-shot
+    race over the full corpus — which is exactly what the oracle
+    states. Versioned replay-idempotent state (v<batch>)."""
+    from ..operators.sample_state import weighted_sample_incremental
+
+    work = tempfile.mkdtemp(prefix="ehs_samplestate_")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = None
+    for i in range(3):
+        out = weighted_sample_incremental(
+            d.where(F.pmod("doc_id", F.lit(3)) == i),
+            work, i, "n_chars", 25, "doc_id",
+        )
+    return out
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

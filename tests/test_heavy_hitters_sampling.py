@@ -100,3 +100,30 @@ def test_stratified_weighted_sample_per_group_determinism(spark):
     for _id, g, _w in a:
         by_g[g] = by_g.get(g, 0) + 1
     assert by_g == {"s0": 4, "s1": 4, "s2": 4}
+
+
+def test_weighted_sample_incremental_equals_one_shot(spark, tmp_path):
+    """Sequential applies == one-shot race over the union, replays
+    idempotent, weight filter consistent with the batch sampler."""
+    from etlhelper_spark.operators.sample_state import (
+        weighted_sample_incremental,
+    )
+
+    rows = [(i, (i % 11) + 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "w"])
+    sd = str(tmp_path / "state")
+    out = None
+    for i in range(4):
+        out = weighted_sample_incremental(
+            df.where(F.pmod("id", F.lit(4)) == i), sd, i, "w", 50, "id"
+        )
+    got = sorted(r["id"] for r in out.collect())
+    want = sorted(
+        r["id"] for r in weighted_sample(df, "w", 50, "id").collect()
+    )
+    assert got == want and len(got) == 50
+    # replay of the last batch reads only state below it — same result
+    replay = weighted_sample_incremental(
+        df.where(F.pmod("id", F.lit(4)) == 3), sd, 3, "w", 50, "id"
+    )
+    assert sorted(r["id"] for r in replay.collect()) == want
