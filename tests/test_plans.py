@@ -191,7 +191,7 @@ def test_corpus_count_pinned():
     registry (VERDICT r2: COVERAGE/README/commit messages disagreed)."""
     from etlhelper_spark.plans import ORACLES, QUERIES
 
-    assert len(QUERIES) == len(ORACLES) == 198
+    assert len(QUERIES) == len(ORACLES) == 200
 
 
 def test_round3_plan_shapes(spark):
@@ -274,7 +274,16 @@ def test_pq_adc_scan_touches_codes_only(spark):
         pq_train,
     )
 
-    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # a FRESH parquet path: other modules cache the shared testdata
+    # embeddings (module fixtures), and Spark's cache manager would
+    # substitute InMemoryTableScan for our parquet scan assertion
+    import tempfile
+
+    fresh = tempfile.mkdtemp(prefix="ehs_plan_pq_")
+    spark.read.parquet(f"{SF}/embeddings.parquet").write.mode(
+        "overwrite"
+    ).parquet(fresh)
+    e = spark.read.parquet(fresh)
     books = pq_train(e, m_sub=4, k_codes=8, iterations=2)
     enc = pq_encode(e, books).localCheckpoint()
     plan = explain_str(pq_adc_topk(enc, books, e.where("vec_id < 2"), k=3))
