@@ -186,6 +186,7 @@ HEADLINE = [
     "q197_stratified_weighted",
     "q198_pq_append",
     "q199_sample_incremental",
+    "q200_hh_incremental",
 ]
 
 

@@ -158,6 +158,64 @@ def in_filter_join(
         )
     return fact.where(F.col(fact_key).isin(keys))
 
+def mg_evict(mg: dict, cap: int) -> dict:
+    """Misra-Gries eviction to *cap* counters as ONE quantile
+    subtraction — equivalent to the textbook repeated min-decrement
+    rounds (survivors lose the identical cumulative amount; drops are
+    exactly the counters at or below it) but O(len) instead of
+    O(len × rounds). Every unit subtracted is charged to > cap
+    counters at once, so total undercount stays ≤ inserted mass /
+    (cap + 1) — the MG guarantee."""
+    import numpy as np
+
+    if len(mg) <= cap:
+        return mg
+    k = len(mg) - cap - 1
+    arr = np.fromiter(mg.values(), dtype=np.int64, count=len(mg))
+    q = int(np.partition(arr, k)[k])
+    return {it: v - q for it, v in mg.items() if v > q}
+
+
+def mg_summaries(df: DataFrame, col: str, cap: int) -> DataFrame:
+    """One capacity-bounded Misra-Gries counter per PARTITION
+    (Arrow-batched; per batch the values pre-aggregate vectorized via
+    value_counts, then fold into the counter): the corpus never
+    shuffles — at most *cap* counter rows plus one (NULL item, n_p)
+    total-count row leave each partition. Shared by the exact two-pass
+    heavy_hitters and the incremental sketch state
+    (operators/frequency_state.py)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    item_type = df.schema[col].dataType
+    out_schema = StructType(
+        [
+            StructField("item", item_type),
+            StructField("cnt", LongType()),
+            StructField("n_p", LongType()),
+        ]
+    )
+
+    def summarize(batches):
+        mg: dict = {}
+        n_p = 0
+        for pdf in batches:
+            vals = pdf[col].dropna()
+            n_p += len(vals)
+            for item, c in vals.value_counts().items():
+                mg[item] = mg.get(item, 0) + int(c)
+            mg = mg_evict(mg, cap)
+        yield pd.DataFrame(
+            {
+                "item": list(mg.keys()) + [None],
+                "cnt": list(mg.values()) + [0],
+                "n_p": [0] * len(mg) + [n_p],
+            }
+        )
+
+    return df.select(col).mapInPandas(summarize, out_schema)
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,
@@ -195,56 +253,14 @@ def heavy_hitters(
     """
     import math
 
-    import pandas as pd
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, StructField, StructType
 
     if (min_count is None) == (min_frac is None):
         raise ValueError(
             "heavy_hitters: pass exactly one of min_count / min_frac"
         )
-    item_type = df.schema[col].dataType
-    out_schema = StructType(
-        [
-            StructField("item", item_type),
-            StructField("cnt", LongType()),
-            StructField("n_p", LongType()),
-        ]
-    )
     cap = int(capacity)
-
-    def summarize(batches):
-        import numpy as np
-
-        mg: dict = {}
-        n_p = 0
-        for pdf in batches:
-            vals = pdf[col].dropna()
-            n_p += len(vals)
-            for item, c in vals.value_counts().items():
-                mg[item] = mg.get(item, 0) + int(c)
-            if len(mg) > cap:
-                # one quantile subtraction == the repeated min-decrement
-                # rounds (survivors lose the identical cumulative amount;
-                # drops are exactly the counters <= it), but O(len)
-                # instead of O(len x rounds): q is the (len-cap)-th
-                # smallest counter, the smallest value whose removal
-                # leaves <= cap survivors
-                k = len(mg) - cap - 1
-                arr = np.fromiter(mg.values(), dtype=np.int64, count=len(mg))
-                q = int(np.partition(arr, k)[k])
-                mg = {it: v - q for it, v in mg.items() if v > q}
-        yield pd.DataFrame(
-            {
-                "item": list(mg.keys()) + [None],
-                "cnt": list(mg.values()) + [0],
-                "n_p": [0] * len(mg) + [n_p],
-            }
-        )
-
-    summaries = (
-        df.select(col).mapInPandas(summarize, out_schema).localCheckpoint()
-    )
+    summaries = mg_summaries(df, col, cap).localCheckpoint()
     n = summaries.agg(F.sum("n_p")).first()[0] or 0
     threshold = (
         int(min_count)

@@ -13,6 +13,10 @@ from .etl import (
     load,
 )
 from .cdc import apply_changes, read_snapshot_state, snapshot_apply_incremental
+from .frequency_state import (
+    heavy_hitters_incremental,
+    read_frequency_state,
+)
 from .sample_state import weighted_sample_incremental
 from .dedup_state import (
     compact_dedup_state,
@@ -71,6 +75,8 @@ __all__ = [
     "embedding_lsh_incremental",
     "minhash_incremental",
     "streaming_dedup_embedding",
+    "heavy_hitters_incremental",
+    "read_frequency_state",
     "weighted_sample_incremental",
     "inverted_index_incremental",
     "prune_state_versions",

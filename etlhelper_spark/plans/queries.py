@@ -9699,6 +9699,58 @@ def q199_sample_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "q200_hh_incremental",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), t AS (
+        SELECT token FROM toks WHERE token <> ''
+    ), tot AS (
+        SELECT count(*) AS n FROM t
+    )
+    SELECT token AS item, count(*) AS cnt
+    FROM t, tot
+    GROUP BY token, n
+    HAVING count(*) >= ceil(0.01 * n)
+    """,
+)
+def q200_hh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL frequent-items state (operators/frequency_state.py
+    ::heavy_hitters_incremental) — the Misra-Gries sketch maintained
+    across batches: each apply folds one batch's per-partition MG
+    summaries (the corpus never shuffles) into a capacity-bounded
+    versioned state with an additive, certified error budget —
+    undercount ≤ N/(capacity+1), no item above that slack ever
+    missing. Three sequential applies over the doc_id%3 token split;
+    at this capacity the sketch never evicts, so the state counts are
+    EXACT and the ≥1%%-of-tokens filter must reproduce q189's one-shot
+    answer — the oracle states exactly that. The approximate regime
+    (real evictions) is property-tested with planted skew in
+    tests/test_frequency_state.py; this gate pins the state/merge/
+    replay plumbing bit-for-bit."""
+    import math
+
+    from ..operators.frequency_state import heavy_hitters_incremental
+
+    work = tempfile.mkdtemp(prefix="ehs_freqstate_")
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    state = None
+    for i in range(3):
+        state = heavy_hitters_incremental(
+            toks.where(F.pmod("doc_id", F.lit(3)) == i).select("token"),
+            work, i, "token", capacity=4096,
+        )
+    n_total = state.where(F.col("item").isNull()).first()["cnt"]
+    thr = int(math.ceil(0.01 * n_total))
+    return state.where(
+        F.col("item").isNotNull() & (F.col("cnt") >= thr)
+    ).select("item", "cnt")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
