@@ -187,6 +187,9 @@ HEADLINE = [
     "q198_pq_append",
     "q199_sample_incremental",
     "q200_hh_incremental",
+    "q201_psi_drift",
+    "q202_ks_drift",
+    "q203_drift_state",
 ]
 
 

@@ -18,6 +18,14 @@ from .dedup import (
     simhash,
 )
 from .clustering import kmeans_assignments
+from .drift import (
+    equal_width_bin,
+    histogram_counts,
+    ks_2samp,
+    null_rate_drift,
+    psi_report,
+    schema_drift,
+)
 from .multimodal import read_media_dir
 from .similarity import (
     brute_force_topk,
@@ -104,4 +112,10 @@ __all__ = [
     "top_tokens",
     "unigram_surprisal",
     "winnow_fingerprints",
+    "equal_width_bin",
+    "histogram_counts",
+    "ks_2samp",
+    "null_rate_drift",
+    "psi_report",
+    "schema_drift",
 ]

@@ -18,6 +18,11 @@ from .frequency_state import (
     read_frequency_state,
 )
 from .sample_state import weighted_sample_incremental
+from .drift_state import (
+    histogram_incremental,
+    psi_against_state,
+    read_histogram_state,
+)
 from .dedup_state import (
     compact_dedup_state,
     duplicate_clusters_incremental,
@@ -83,4 +88,7 @@ __all__ = [
     "read_dedup_verdicts",
     "read_index_top",
     "streaming_dedup_exact",
+    "histogram_incremental",
+    "psi_against_state",
+    "read_histogram_state",
 ]

@@ -1,0 +1,134 @@
+"""Incremental histogram state — fixed-edge value histograms folded
+batch-by-batch into a persisted, versioned state, powering cross-run
+drift monitoring (functions/drift.py) without ever re-reading history.
+
+This is the distribution member of the persisted-state family (dedup
+fingerprints in dedup_state.py, MG counters in frequency_state.py,
+the sample reservoir in sample_state.py): because the bin edges are
+FROZEN at state creation (the PSI convention — see
+functions/drift.py::equal_width_bin), per-batch histograms are exact
+integer counts that merge by addition, so the accumulated state is
+bit-identical to the one-shot histogram of the full corpus (the q203
+oracle) and stays O(bins) forever regardless of how many batches
+stream through. Each apply is one linear scan of the NEW batch + an
+O(bins) state merge + an O(bins) versioned write (``v<batch>`` dirs —
+a replayed batch overwrites its own version reading only versions
+below it, idempotent under at-least-once delivery).
+
+The edges (lo, hi, bins) ride in the state rows, so drift readers
+need no side channel and a mis-parameterized apply fails loudly
+instead of silently merging incompatible histograms (the bloom-state
+(m, k) treatment of dedup_state.py:393).
+
+Reference parity note: the reference (a DB-API cursor wrapper) has no
+statistics machinery; this extends the suite's incremental-state
+family.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup_state import _latest_version
+
+__all__ = [
+    "histogram_incremental",
+    "read_histogram_state",
+    "psi_against_state",
+]
+
+
+def histogram_incremental(
+    new_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    col: str,
+    lo: float,
+    hi: float,
+    bins: int = 32,
+    state_partitions: int = 1,
+) -> DataFrame:
+    """Fold *new_df*'s ``col`` values into the persisted histogram
+    state and return the updated state ``(bin, cnt, lo, hi, bins)``.
+    Counts are exact (clamped equal-width bins — out-of-range drift
+    lands in the edge bins, it is never dropped); merging is integer
+    addition, so sequential applies equal the one-shot histogram of
+    the union (oracle-verified by q203). Raises if the persisted
+    state was built with different edges."""
+    from ..functions.drift import histogram_counts
+
+    spark = new_df.sparkSession
+    subdir = os.path.join(state_dir, "hist")
+    lo_f, hi_f, bins_i = float(lo), float(hi), int(bins)
+    delta = histogram_counts(new_df, col, lo_f, hi_f, bins_i)
+    prior = _latest_version(spark, subdir, batch_id)
+    if prior is not None:
+        meta = prior.select("lo", "hi", "bins").first()
+        if (meta["lo"], meta["hi"], int(meta["bins"])) != (
+            lo_f,
+            hi_f,
+            bins_i,
+        ):
+            raise ValueError(
+                f"histogram_incremental: state at {subdir} has edges "
+                f"(lo={meta['lo']}, hi={meta['hi']}, bins={meta['bins']}) "
+                f"— got (lo={lo_f}, hi={hi_f}, bins={bins_i})"
+            )
+        merged = (
+            delta.unionByName(prior.select("bin", "cnt"))
+            .groupBy("bin")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        merged = delta
+    state = merged.select(
+        "bin",
+        "cnt",
+        F.lit(lo_f).alias("lo"),
+        F.lit(hi_f).alias("hi"),
+        F.lit(bins_i).cast("long").alias("bins"),
+    )
+    state.repartition(state_partitions).write.mode("overwrite").parquet(
+        os.path.join(subdir, f"v{int(batch_id)}")
+    )
+    return spark.read.parquet(os.path.join(subdir, f"v{int(batch_id)}"))
+
+
+def read_histogram_state(spark, state_dir: str, batch_id: int) -> DataFrame:
+    """Newest persisted histogram state strictly below *batch_id* —
+    what a replayed batch (or a drift reader) sees."""
+    subdir = os.path.join(state_dir, "hist")
+    out = _latest_version(spark, subdir, batch_id)
+    if out is None:
+        raise ValueError(
+            f"read_histogram_state: no state versions under {subdir}"
+        )
+    return out
+
+
+def psi_against_state(
+    new_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """PSI of the NEW batch against the accumulated distribution —
+    the admission gate a pipeline runs before folding a batch in:
+    ``(bin, cnt_a, cnt_b, psi_bin, psi_total)`` where side a is the
+    state, side b the candidate batch. Edges come from the state rows
+    (no side channel); cost is one scan of the new batch + O(bins)."""
+    from ..functions.drift import histogram_counts, psi_report
+
+    spark = new_df.sparkSession
+    state = read_histogram_state(spark, state_dir, batch_id)
+    meta = state.select("lo", "hi", "bins").first()
+    new_hist = histogram_counts(
+        new_df, col, float(meta["lo"]), float(meta["hi"]), int(meta["bins"])
+    )
+    return psi_report(
+        state.select("bin", "cnt"), new_hist, smoothing=smoothing
+    )

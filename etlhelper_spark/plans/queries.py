@@ -9751,6 +9751,177 @@ def q200_hh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("item", "cnt")
 
 
+@query(
+    "q201_psi_drift",
+    """
+    WITH a AS (
+        SELECT o_totalprice AS x FROM orders
+        WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND o_totalprice IS NOT NULL
+    ), b AS (
+        SELECT o_totalprice AS x FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_totalprice IS NOT NULL
+    ), ref AS (SELECT min(x) AS lo, max(x) AS hi FROM a),
+    bins AS (SELECT unnest(range(0, 20)) AS bin),
+    ca AS (
+        SELECT least(CAST(19 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                 CAST(floor(((x - lo) * CAST(20 AS DOUBLE)) / (hi - lo)) AS BIGINT)))
+               AS bin, count(*) AS cnt
+        FROM a, ref GROUP BY 1
+    ), cb AS (
+        SELECT least(CAST(19 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                 CAST(floor(((x - lo) * CAST(20 AS DOUBLE)) / (hi - lo)) AS BIGINT)))
+               AS bin, count(*) AS cnt
+        FROM b, ref GROUP BY 1
+    ), h AS (
+        SELECT bins.bin AS bin, coalesce(ca.cnt, 0) AS cnt_a,
+               coalesce(cb.cnt, 0) AS cnt_b
+        FROM bins LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)
+    ), tot AS (
+        SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb, count(*) AS nbins FROM h
+    ), c AS (
+        SELECT bin, cnt_a, cnt_b,
+               CAST(round(CAST(
+                   (((cnt_a + CAST(0.5 AS DOUBLE)) / (na + nbins * CAST(0.5 AS DOUBLE)))
+                    - ((cnt_b + CAST(0.5 AS DOUBLE)) / (nb + nbins * CAST(0.5 AS DOUBLE))))
+                   * ln(((cnt_a + CAST(0.5 AS DOUBLE)) / (na + nbins * CAST(0.5 AS DOUBLE)))
+                        / ((cnt_b + CAST(0.5 AS DOUBLE)) / (nb + nbins * CAST(0.5 AS DOUBLE))))
+               AS DECIMAL(30,10)), 6) AS DOUBLE) AS psi_bin
+        FROM h, tot
+    )
+    SELECT bin, cnt_a, cnt_b, psi_bin,
+           CAST(round(sum(CAST(psi_bin AS DECIMAL(30,10))) OVER (), 6) AS DOUBLE)
+               AS psi_total
+    FROM c
+    """,
+)
+def q201_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus vintages
+    (functions/drift.py::histogram_counts + psi_report): early orders
+    are the reference population, late orders the candidate; 20
+    equal-width bins FROZEN from the reference min/max (clamped, so
+    price drift outside the reference range lands in the edge bins
+    instead of vanishing). Two linear scans with map-side combine,
+    O(bins) everything after; per-bin terms rounded then summed as
+    exact decimals so the total ignores summation order. The oracle
+    re-derives every bin count and contribution in SQL."""
+    from ..functions.drift import histogram_counts, psi_report
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    split = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    a = o.where(F.col("o_orderdate") < split)
+    b = o.where(F.col("o_orderdate") >= split)
+    ref = a.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    ).first()
+    ha = histogram_counts(a, "o_totalprice", ref["lo"], ref["hi"], 20)
+    hb = histogram_counts(b, "o_totalprice", ref["lo"], ref["hi"], 20)
+    return psi_report(ha, hb)
+
+
+@query(
+    "q202_ks_drift",
+    """
+    WITH a AS (
+        SELECT l_extendedprice AS x FROM lineitem
+        WHERE l_returnflag = 'R' AND l_extendedprice IS NOT NULL
+    ), b AS (
+        SELECT l_extendedprice AS x FROM lineitem
+        WHERE l_returnflag = 'N' AND l_extendedprice IS NOT NULL
+    ), u AS (
+        SELECT x, CAST(1 AS BIGINT) AS ca, CAST(0 AS BIGINT) AS cb FROM a
+        UNION ALL
+        SELECT x, CAST(0 AS BIGINT) AS ca, CAST(1 AS BIGINT) AS cb FROM b
+    ), pv AS (
+        SELECT x, sum(ca) AS ca, sum(cb) AS cb FROM u GROUP BY x
+    ), tot AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+               count(*) AS n_values FROM pv
+    ), cum AS (
+        SELECT sum(ca) OVER (ORDER BY x) AS cum_a,
+               sum(cb) OVER (ORDER BY x) AS cum_b
+        FROM pv
+    )
+    SELECT
+        CAST(round(CAST(max(abs(cum_a / CAST(n_a AS DOUBLE)
+                              - cum_b / CAST(n_b AS DOUBLE))) AS DECIMAL(30,10)), 6)
+             AS DOUBLE) AS ks_d,
+        min(n_a) AS n_a, min(n_b) AS n_b, min(n_values) AS n_values
+    FROM cum, tot
+    """,
+)
+def q202_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov distance between returned
+    and delivered line-item prices (functions/drift.py::ks_2samp) —
+    the distributed two-phase prefix-sum, not a single-partition
+    window: per-distinct-value counts (the only value shuffle),
+    range-repartition + in-partition sort, O(partitions) totals to
+    the driver, offsets broadcast back, per-partition maxima in one
+    Arrow pass. Cumulative counts are exact int64; the only floats
+    are the final divisions — identical IEEE ops on both engines, so
+    the oracle (which can afford the naive ordered window at sf0.01)
+    pins the sup-norm bit-for-bit."""
+    from ..functions.drift import ks_2samp
+
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_returnflag") == "R").select("l_extendedprice")
+    b = li.where(F.col("l_returnflag") == "N").select("l_extendedprice")
+    return ks_2samp(a, b, "l_extendedprice")
+
+
+@query(
+    "q203_drift_state",
+    """
+    WITH b0 AS (
+        SELECT value AS x FROM events
+        WHERE event_id % 3 = 0 AND value IS NOT NULL
+    ), ref AS (SELECT min(x) AS lo, max(x) AS hi FROM b0),
+    allv AS (SELECT value AS x FROM events WHERE value IS NOT NULL),
+    bins AS (SELECT unnest(range(0, 16)) AS bin),
+    c AS (
+        SELECT least(CAST(15 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                 CAST(floor(((x - lo) * CAST(16 AS DOUBLE)) / (hi - lo)) AS BIGINT)))
+               AS bin, count(*) AS cnt
+        FROM allv, ref GROUP BY 1
+    )
+    SELECT bins.bin AS bin, coalesce(c.cnt, 0) AS cnt
+    FROM bins LEFT JOIN c USING (bin)
+    """,
+)
+def q203_drift_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL histogram state (operators/drift_state.py): the
+    events feed arrives as three batches (event_id mod 3); bin edges
+    are frozen from batch 0's min/max (the PSI convention that makes
+    counts mergeable); each apply folds one batch's exact histogram
+    into the versioned persisted state without re-reading history.
+    The oracle is full-corpus recompute equivalence — the state after
+    three sequential applies must be bit-identical to the one-shot
+    histogram of the union (the q170 retraction-family treatment
+    applied to distributions). Replay idempotence and the
+    edge-mismatch guard are pytest-covered (tests/test_drift.py)."""
+    from ..operators.drift_state import histogram_incremental
+
+    work = tempfile.mkdtemp(prefix="ehs_driftstate_")
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b0 = e.where(F.pmod("event_id", F.lit(3)) == 0)
+    ref = b0.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).first()
+    state = None
+    for i in range(3):
+        state = histogram_incremental(
+            e.where(F.pmod("event_id", F.lit(3)) == i),
+            work,
+            i,
+            "value",
+            ref["lo"],
+            ref["hi"],
+            bins=16,
+        )
+    return state.select("bin", "cnt")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -1,0 +1,244 @@
+"""Drift-monitoring suite (functions/drift.py, operators/drift_state.py):
+PSI, exact distributed KS, null/schema diffs, and the incremental
+histogram state's merge/replay/guard contracts."""
+
+from __future__ import annotations
+
+import math
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlhelper_spark.functions.drift import (
+    equal_width_bin,
+    histogram_counts,
+    ks_2samp,
+    null_rate_drift,
+    psi_report,
+    schema_drift,
+)
+from etlhelper_spark.operators.drift_state import (
+    histogram_incremental,
+    psi_against_state,
+    read_histogram_state,
+)
+
+
+def _vals(spark, xs, col="x"):
+    return spark.createDataFrame([(float(v),) for v in xs], f"{col} double")
+
+
+# ---------------------------------------------------------------- binning
+def test_equal_width_bin_clamps_out_of_range(spark):
+    df = _vals(spark, [-5.0, 0.0, 2.5, 9.99, 10.0, 42.0])
+    rows = df.select(
+        equal_width_bin(F.col("x"), 0.0, 10.0, 10).alias("bin")
+    ).collect()
+    assert [r["bin"] for r in rows] == [0, 0, 2, 9, 9, 9]
+
+
+def test_histogram_counts_dense_and_exact(spark):
+    df = _vals(spark, [0.0, 0.1, 5.0, 9.9])
+    h = {
+        r["bin"]: r["cnt"]
+        for r in histogram_counts(df, "x", 0.0, 10.0, 5).collect()
+    }
+    assert h == {0: 2, 1: 0, 2: 1, 3: 0, 4: 1}
+    # nulls excluded, not binned
+    withnull = df.unionAll(
+        spark.createDataFrame([(None,)], "x double")
+    )
+    total = sum(
+        r["cnt"]
+        for r in histogram_counts(withnull, "x", 0.0, 10.0, 5).collect()
+    )
+    assert total == 4
+
+
+# -------------------------------------------------------------------- PSI
+def test_psi_identical_populations_is_zero(spark):
+    df = _vals(spark, range(100))
+    h = histogram_counts(df, "x", 0.0, 100.0, 10)
+    rows = psi_report(h, h).collect()
+    assert all(r["psi_bin"] == 0.0 for r in rows)
+    assert rows[0]["psi_total"] == 0.0
+
+
+def test_psi_matches_closed_form(spark):
+    a = _vals(spark, [1.0] * 8 + [5.0] * 2)
+    b = _vals(spark, [1.0] * 2 + [5.0] * 8)
+    ha = histogram_counts(a, "x", 0.0, 10.0, 2)
+    hb = histogram_counts(b, "x", 0.0, 10.0, 2)
+    out = {r["bin"]: r for r in psi_report(ha, hb).collect()}
+    s, nbins = 0.5, 2
+    expect_total = 0.0
+    for bin_, ca, cb in [(0, 8, 2), (1, 2, 8)]:
+        pa = (ca + s) / (10 + nbins * s)
+        pb = (cb + s) / (10 + nbins * s)
+        term = round((pa - pb) * math.log(pa / pb), 6)
+        assert out[bin_]["psi_bin"] == pytest.approx(term, abs=1e-9)
+        expect_total += term
+    assert out[0]["psi_total"] == pytest.approx(expect_total, abs=1e-9)
+
+
+# --------------------------------------------------------------------- KS
+def test_ks_identical_samples_is_zero(spark):
+    df = _vals(spark, range(50))
+    row = ks_2samp(df, df, "x").first()
+    assert row["ks_d"] == 0.0
+    assert row["n_a"] == row["n_b"] == row["n_values"] == 50
+
+
+def test_ks_disjoint_samples_is_one(spark):
+    a = _vals(spark, range(0, 10))
+    b = _vals(spark, range(100, 110))
+    assert ks_2samp(a, b, "x").first()["ks_d"] == 1.0
+
+
+def test_ks_matches_reference_computation(spark):
+    # hand-computable with ties and unequal sizes
+    a = [1.0, 2.0, 2.0, 3.0, 7.0]
+    b = [2.0, 4.0, 4.0, 8.0]
+    row = ks_2samp(_vals(spark, a), _vals(spark, b), "x").first()
+    values = sorted(set(a + b))
+    best = 0.0
+    for v in values:
+        fa = sum(1 for x in a if x <= v) / len(a)
+        fb = sum(1 for x in b if x <= v) / len(b)
+        best = max(best, abs(fa - fb))
+    assert row["ks_d"] == pytest.approx(round(best, 6), abs=1e-9)
+    assert (row["n_a"], row["n_b"], row["n_values"]) == (5, 4, 6)
+
+
+def test_ks_partition_seams_are_exact(spark):
+    # many partitions + heavy ties: offsets must stitch local cumsums
+    a = [float(i % 17) for i in range(500)]
+    b = [float(i % 23) for i in range(400)]
+    row = ks_2samp(
+        _vals(spark, a), _vals(spark, b), "x", partitions=16
+    ).first()
+    values = sorted(set(a + b))
+    best = max(
+        abs(
+            sum(1 for x in a if x <= v) / len(a)
+            - sum(1 for x in b if x <= v) / len(b)
+        )
+        for v in values
+    )
+    assert row["ks_d"] == pytest.approx(round(best, 6), abs=1e-9)
+
+
+def test_ks_empty_side_raises(spark):
+    a = _vals(spark, [1.0])
+    empty = _vals(spark, []).where(F.lit(False))
+    with pytest.raises(ValueError, match="empty sample"):
+        ks_2samp(a, empty, "x")
+
+
+# ------------------------------------------------------- null/schema diff
+def test_null_rate_drift(spark):
+    a = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None), (4, "y")], "id long, s string"
+    )
+    b = spark.createDataFrame([(1, None), (2, "z")], "id long, s string")
+    out = {r["column"]: r for r in null_rate_drift(a, b, ["id", "s"]).collect()}
+    assert out["id"]["null_rate_a"] == 0.0 and out["id"]["delta"] == 0.0
+    assert out["s"]["null_rate_a"] == 0.5
+    assert out["s"]["null_rate_b"] == 0.5
+    assert out["s"]["delta"] == 0.0
+
+
+def test_schema_drift(spark):
+    a = spark.createDataFrame([(1, "x", 0.5)], "id long, s string, v double")
+    b = spark.createDataFrame([(1, 2, True)], "id long, s int, flag boolean")
+    out = {r["column"]: r for r in schema_drift(a, b).collect()}
+    assert out["v"]["status"] == "removed"
+    assert out["flag"]["status"] == "added"
+    assert out["s"]["status"] == "type_changed"
+    assert (out["s"]["type_a"], out["s"]["type_b"]) == ("string", "int")
+    assert "id" not in out
+
+
+# ------------------------------------------------- incremental histogram
+def test_histogram_state_sequential_equals_oneshot(spark):
+    work = tempfile.mkdtemp(prefix="ehs_drift_t_")
+    try:
+        xs = [float(i % 37) for i in range(300)]
+        full = _vals(spark, xs)
+        state = None
+        for i in range(3):
+            batch = _vals(spark, xs[i * 100 : (i + 1) * 100])
+            state = histogram_incremental(
+                batch, work, i, "x", 0.0, 37.0, bins=8
+            )
+        got = {r["bin"]: r["cnt"] for r in state.collect()}
+        want = {
+            r["bin"]: r["cnt"]
+            for r in histogram_counts(full, "x", 0.0, 37.0, 8).collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_histogram_state_replay_idempotent(spark):
+    work = tempfile.mkdtemp(prefix="ehs_drift_t_")
+    try:
+        b0 = _vals(spark, [1.0, 2.0, 3.0])
+        b1 = _vals(spark, [4.0, 5.0])
+        histogram_incremental(b0, work, 0, "x", 0.0, 10.0, bins=4)
+        first = {
+            r["bin"]: r["cnt"]
+            for r in histogram_incremental(
+                b1, work, 1, "x", 0.0, 10.0, bins=4
+            ).collect()
+        }
+        # replay of batch 1 reads only versions below 1 — same result
+        replay = {
+            r["bin"]: r["cnt"]
+            for r in histogram_incremental(
+                b1, work, 1, "x", 0.0, 10.0, bins=4
+            ).collect()
+        }
+        assert replay == first
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_histogram_state_edge_mismatch_raises(spark):
+    work = tempfile.mkdtemp(prefix="ehs_drift_t_")
+    try:
+        histogram_incremental(
+            _vals(spark, [1.0]), work, 0, "x", 0.0, 10.0, bins=4
+        )
+        with pytest.raises(ValueError, match="edges"):
+            histogram_incremental(
+                _vals(spark, [2.0]), work, 1, "x", 0.0, 20.0, bins=4
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_psi_against_state_reads_edges_from_state(spark):
+    work = tempfile.mkdtemp(prefix="ehs_drift_t_")
+    try:
+        histogram_incremental(
+            _vals(spark, [float(i) for i in range(50)]),
+            work, 0, "x", 0.0, 50.0, bins=5,
+        )
+        out = psi_against_state(
+            _vals(spark, [float(i) for i in range(50)]), work, 1, "x"
+        ).collect()
+        assert len(out) == 5
+        assert all(r["psi_bin"] == 0.0 for r in out)
+        st = read_histogram_state(spark, work, 1)
+        assert st.select("bins").first()["bins"] == 5
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_read_histogram_state_missing_raises(spark):
+    with pytest.raises(ValueError, match="no state versions"):
+        read_histogram_state(spark, "/tmp/ehs_drift_nonexistent", 5)
