@@ -190,6 +190,7 @@ HEADLINE = [
     "q201_psi_drift",
     "q202_ks_drift",
     "q203_drift_state",
+    "q204_quantile_state",
 ]
 
 

@@ -23,6 +23,11 @@ from .drift_state import (
     psi_against_state,
     read_histogram_state,
 )
+from .quantile_state import (
+    quantile_sketch_incremental,
+    quantiles_from_state,
+    read_quantile_state,
+)
 from .dedup_state import (
     compact_dedup_state,
     duplicate_clusters_incremental,
@@ -91,4 +96,7 @@ __all__ = [
     "histogram_incremental",
     "psi_against_state",
     "read_histogram_state",
+    "quantile_sketch_incremental",
+    "quantiles_from_state",
+    "read_quantile_state",
 ]

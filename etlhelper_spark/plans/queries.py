@@ -9922,6 +9922,59 @@ def q203_drift_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select("bin", "cnt")
 
 
+@query(
+    "q204_quantile_state",
+    """
+    SELECT count(*) AS n_values,
+           true AS p50_ok, true AS p90_ok, true AS p99_ok
+    FROM events WHERE value IS NOT NULL
+    """,
+)
+def q204_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL quantile state (operators/quantile_state.py): the
+    events feed arrives as three batches (event_id mod 3); each apply
+    folds one batch's KLL sketch into the persisted one-row state —
+    bounded-size, mergeable, with a proven ~1.65% rank-error bound at
+    k=200 — so the accumulated stream's percentiles stay answerable
+    in O(sketch) without ever re-reading history (q111's rollup
+    pattern turned into cross-run state). Self-verifying like q111:
+    the empirical CDF rank of each state-derived estimate over the
+    FULL corpus (one scan, no sort) must sit within 3% of its target;
+    the emitted row hash-matches the oracle. Replay idempotence and
+    the k-mismatch guard are pytest-covered (tests/test_drift.py)."""
+    from ..operators.quantile_state import (
+        quantile_sketch_incremental,
+        quantiles_from_state,
+    )
+
+    work = tempfile.mkdtemp(prefix="ehs_kllstate_")
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    for i in range(3):
+        quantile_sketch_incremental(
+            e.where(F.pmod("event_id", F.lit(3)) == i).select("value"),
+            work,
+            i,
+            "value",
+        )
+    est = {
+        r["p"]: r["q"]
+        for r in quantiles_from_state(
+            spark, work, 3, [0.5, 0.9, 0.99]
+        ).collect()
+    }
+
+    def rank_ok(p: float):
+        emp = F.avg((F.col("value") <= F.lit(est[p])).cast("double"))
+        return F.abs(emp - F.lit(p)) <= F.lit(0.03)
+
+    return e.agg(
+        F.count(F.lit(1)).alias("n_values"),
+        rank_ok(0.5).alias("p50_ok"),
+        rank_ok(0.9).alias("p90_ok"),
+        rank_ok(0.99).alias("p99_ok"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
