@@ -191,6 +191,7 @@ HEADLINE = [
     "q202_ks_drift",
     "q203_drift_state",
     "q204_quantile_state",
+    "q205_training_shards",
 ]
 
 

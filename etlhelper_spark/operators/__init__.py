@@ -28,6 +28,7 @@ from .quantile_state import (
     quantiles_from_state,
     read_quantile_state,
 )
+from .export import deterministic_shuffle_rank, write_training_shards
 from .dedup_state import (
     compact_dedup_state,
     duplicate_clusters_incremental,
@@ -99,4 +100,6 @@ __all__ = [
     "quantile_sketch_incremental",
     "quantiles_from_state",
     "read_quantile_state",
+    "deterministic_shuffle_rank",
+    "write_training_shards",
 ]

@@ -9975,6 +9975,41 @@ def q204_quantile_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q205_training_shards",
+    """
+    WITH r AS (
+        SELECT doc_id, md5(concat('42|', CAST(doc_id AS VARCHAR))) AS h
+        FROM documents
+    ), o AS (
+        SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) - 1 AS rank
+        FROM r
+    )
+    SELECT doc_id, rank // 256 AS shard, rank % 256 AS pos FROM o
+    """,
+)
+def q205_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + fixed-size shard export
+    (operators/export.py::write_training_shards): the corpus is
+    permuted by md5(seed || doc_id) — reproducible across runs,
+    engines, and cluster sizes, unlike rand() — and written as
+    ``shard=<k>/`` parquet dirs, every shard exactly 256 rows except
+    the last, ``pos`` the intra-shard replay order. The global rank
+    is the two-phase distributed prefix sum (range partition → per
+    partition counts → broadcast offsets), NEVER a single-partition
+    window; the oracle affords the naive row_number at sf0.01 and
+    pins the whole layout — shard assignment AND intra-shard
+    position — bit-for-bit."""
+    from ..operators.export import write_training_shards
+
+    work = tempfile.mkdtemp(prefix="ehs_shards_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    write_training_shards(d, work, ["doc_id"], 256, seed=42)
+    return spark.read.parquet(os.path.join(work, "shards")).select(
+        "doc_id", F.col("shard").cast("long").alias("shard"), "pos"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
