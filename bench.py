@@ -192,6 +192,8 @@ HEADLINE = [
     "q203_drift_state",
     "q204_quantile_state",
     "q205_training_shards",
+    "q206_psi_vs_state",
+    "q207_grouped_split",
 ]
 
 

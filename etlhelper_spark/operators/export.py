@@ -38,7 +38,58 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["deterministic_shuffle_rank", "write_training_shards"]
+__all__ = [
+    "deterministic_shuffle_rank",
+    "grouped_split",
+    "write_training_shards",
+]
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    weights: Sequence[tuple[str, int]] = (
+        ("train", 80),
+        ("val", 10),
+        ("test", 10),
+    ),
+    seed: int = 0,
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: the split is a pure
+    function of the GROUP key (md5(seed || group) mod 100 against
+    cumulative weight boundaries), so every row of a group lands in
+    the same split BY CONSTRUCTION — near-duplicates that share the
+    group (a user's events, a domain's pages, a cluster's docs) can
+    never straddle the train/eval boundary, which is the leakage that
+    row-level rand() splits silently commit. Content-hashed like the
+    q67 sampling primitive: reproducible across runs, engines, and
+    partitionings; one projection, no shuffle, no state."""
+    total = sum(w for _, w in weights)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(int(seed))),
+                        F.col(group_col).cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % total
+    )
+    expr = None
+    cum = 0
+    for name, w in weights:
+        cum += w
+        cond = bucket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
 
 
 def deterministic_shuffle_rank(

@@ -10010,6 +10010,131 @@ def q205_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q206_psi_vs_state",
+    """
+    WITH b0 AS (
+        SELECT value AS x FROM events
+        WHERE event_id % 3 = 0 AND value IS NOT NULL
+    ), ref AS (SELECT min(x) AS lo, max(x) AS hi FROM b0),
+    st AS (
+        SELECT value AS x FROM events
+        WHERE event_id % 3 < 2 AND value IS NOT NULL
+    ), nb AS (
+        SELECT value AS x FROM events
+        WHERE event_id % 3 = 2 AND value IS NOT NULL
+    ), bins AS (SELECT unnest(range(0, 16)) AS bin),
+    ca AS (
+        SELECT least(CAST(15 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                 CAST(floor(((x - lo) * CAST(16 AS DOUBLE)) / (hi - lo)) AS BIGINT)))
+               AS bin, count(*) AS cnt
+        FROM st, ref GROUP BY 1
+    ), cb AS (
+        SELECT least(CAST(15 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                 CAST(floor(((x - lo) * CAST(16 AS DOUBLE)) / (hi - lo)) AS BIGINT)))
+               AS bin, count(*) AS cnt
+        FROM nb, ref GROUP BY 1
+    ), h AS (
+        SELECT bins.bin AS bin, coalesce(ca.cnt, 0) AS cnt_a,
+               coalesce(cb.cnt, 0) AS cnt_b
+        FROM bins LEFT JOIN ca USING (bin) LEFT JOIN cb USING (bin)
+    ), tot AS (
+        SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb, count(*) AS nbins FROM h
+    ), c AS (
+        SELECT bin, cnt_a, cnt_b,
+               CAST(round(CAST(
+                   (((cnt_a + CAST(0.5 AS DOUBLE)) / (na + nbins * CAST(0.5 AS DOUBLE)))
+                    - ((cnt_b + CAST(0.5 AS DOUBLE)) / (nb + nbins * CAST(0.5 AS DOUBLE))))
+                   * ln(((cnt_a + CAST(0.5 AS DOUBLE)) / (na + nbins * CAST(0.5 AS DOUBLE)))
+                        / ((cnt_b + CAST(0.5 AS DOUBLE)) / (nb + nbins * CAST(0.5 AS DOUBLE))))
+               AS DECIMAL(30,10)), 6) AS DOUBLE) AS psi_bin
+        FROM h, tot
+    )
+    SELECT bin, cnt_a, cnt_b, psi_bin,
+           CAST(round(sum(CAST(psi_bin AS DECIMAL(30,10))) OVER (), 6) AS DOUBLE)
+               AS psi_total
+    FROM c
+    """,
+)
+def q206_psi_vs_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift ADMISSION GATE a pipeline runs before folding a new
+    batch into the corpus (operators/drift_state.py::
+    psi_against_state): batches 0–1 of the events feed are folded
+    into the persisted histogram state (edges frozen from batch 0 —
+    q203's apply path), then candidate batch 2 is scored against the
+    ACCUMULATED distribution without re-reading history. Bin edges
+    travel in the state rows (no side channel). The oracle re-derives
+    the state-side histogram from the raw union of batches 0–1 —
+    verifying in one shot that the state is faithful AND the PSI
+    arithmetic matches, per-bin and in total."""
+    from ..operators.drift_state import (
+        histogram_incremental,
+        psi_against_state,
+    )
+
+    work = tempfile.mkdtemp(prefix="ehs_psistate_")
+    e = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b0 = e.where(F.pmod("event_id", F.lit(3)) == 0)
+    ref = b0.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).first()
+    for i in range(2):
+        histogram_incremental(
+            e.where(F.pmod("event_id", F.lit(3)) == i),
+            work,
+            i,
+            "value",
+            ref["lo"],
+            ref["hi"],
+            bins=16,
+        )
+    return psi_against_state(
+        e.where(F.pmod("event_id", F.lit(3)) == 2), work, 2, "value"
+    )
+
+
+@query(
+    "q207_grouped_split",
+    """
+    WITH s AS (
+        SELECT user_id,
+               CASE WHEN CAST(concat('0x', substr(md5(concat('7|',
+                        CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 80
+                    THEN 'train'
+                    WHEN CAST(concat('0x', substr(md5(concat('7|',
+                        CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % 100 < 90
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM events
+    )
+    SELECT split, count(DISTINCT user_id) AS n_groups, count(*) AS n_rows
+    FROM s GROUP BY split
+    """,
+)
+def q207_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split (operators/export.py::
+    grouped_split): assignment is a pure function of the GROUP key
+    (md5(seed || user_id) mod 100 vs cumulative 80/10/10 boundaries),
+    so every event of a user lands in one split BY CONSTRUCTION —
+    the group-level guarantee row-level rand() splits silently break
+    when near-duplicates share a user/domain/cluster. Content-hashed
+    (the q67 primitive): reproducible across engines and
+    partitionings, one projection, no shuffle, no state. The no-group
+    -spans-splits property is structurally guaranteed and
+    pytest-asserted; the oracle pins the exact assignment."""
+    from ..operators.export import grouped_split
+
+    e = _t(spark, sf_dir, "events")
+    return (
+        grouped_split(e, "user_id", seed=7)
+        .groupBy("split")
+        .agg(
+            F.count_distinct("user_id").alias("n_groups"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from etlhelper_spark.operators.export import (
     deterministic_shuffle_rank,
+    grouped_split,
     write_training_shards,
 )
 
@@ -78,3 +79,36 @@ def test_shards_full_except_last_and_manifest(spark):
         assert pos == [0, 1, 2]
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_grouped_split_no_group_spans_splits(spark):
+    # many rows per group; every group must land in exactly one split
+    df = spark.range(1000).select(
+        (F.col("id") % 37).alias("grp"), F.col("id").alias("row_id")
+    )
+    out = grouped_split(df, "grp", seed=5)
+    spans = (
+        out.groupBy("grp")
+        .agg(F.count_distinct("split").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert spans == 0
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+
+
+def test_grouped_split_weights_and_determinism(spark):
+    df = spark.range(5000).select(F.col("id").alias("grp"))
+    a = {r["grp"]: r["split"] for r in grouped_split(df, "grp", seed=9).collect()}
+    b = {
+        r["grp"]: r["split"]
+        for r in grouped_split(df.repartition(11), "grp", seed=9).collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.7 < c["train"] / 5000 < 0.9
+    assert 0.05 < c["val"] / 5000 < 0.15
+    assert 0.05 < c["test"] / 5000 < 0.15
