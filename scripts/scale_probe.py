@@ -503,6 +503,83 @@ def main() -> None:
     probe("IVF hot-list rebalance (8 lists -> cap n/16)", n_vecs,
           _rebalance_probe)
 
+    # --- drift / quantile-state / export family ----------------------
+    from etlhelper_spark.functions.drift import (
+        histogram_counts,
+        ks_2samp,
+        psi_report,
+    )
+    from etlhelper_spark.operators.drift_state import histogram_incremental
+    from etlhelper_spark.operators.export import (
+        grouped_split,
+        write_training_shards,
+    )
+    from etlhelper_spark.operators.quantile_state import (
+        quantile_sketch_incremental,
+    )
+
+    vals = docs.select(
+        "doc_id", ((F.col("doc_id") % 9973) / F.lit(7.0)).alias("value")
+    ).localCheckpoint()
+
+    def _psi_probe():
+        a = vals.where(F.pmod("doc_id", F.lit(2)) == 0)
+        b = vals.where(F.pmod("doc_id", F.lit(2)) == 1)
+        ha = histogram_counts(a, "value", 0.0, 1425.0, 20)
+        hb = histogram_counts(b, "value", 0.0, 1425.0, 20)
+        return psi_report(ha, hb).count()
+
+    probe("PSI drift (2 x 0.5M values, 20 bins)", n_docs, _psi_probe)
+
+    def _ks_probe():
+        a = vals.where(F.pmod("doc_id", F.lit(2)) == 0)
+        b = vals.where(F.pmod("doc_id", F.lit(2)) == 1)
+        return ks_2samp(a, b, "value").count()
+
+    probe("exact KS (2 x 0.5M values, ~10k distinct)", n_docs, _ks_probe)
+
+    def _hist_state_probe():
+        sd = _os.path.join(tmp, "state_hist")
+        st = None
+        for i in range(3):
+            st = histogram_incremental(
+                vals.where(F.pmod("doc_id", F.lit(3)) == i),
+                sd, i, "value", 0.0, 1425.0, bins=32,
+            )
+        return st.count()
+
+    probe("incremental histogram state (3 batches)", n_docs,
+          _hist_state_probe)
+
+    def _kll_state_probe():
+        sd = _os.path.join(tmp, "state_kll")
+        st = None
+        for i in range(3):
+            st = quantile_sketch_incremental(
+                vals.where(F.pmod("doc_id", F.lit(3)) == i),
+                sd, i, "value",
+            )
+        return st.count()
+
+    probe("incremental KLL quantile state (3 batches)", n_docs,
+          _kll_state_probe)
+
+    def _shard_probe():
+        out = _os.path.join(tmp, "shards_out")
+        write_training_shards(
+            docs.select("doc_id"), out, ["doc_id"],
+            rows_per_shard=100_000, seed=1,
+        )
+        return 1
+
+    probe("deterministic shuffle + shard write (10 shards)", n_docs,
+          _shard_probe)
+
+    probe("leakage-free grouped split (assign + agg)", n_docs,
+          lambda: grouped_split(
+              vals, "doc_id", seed=5
+          ).groupBy("split").count().count())
+
     lines = [
         "# SCALE PROBE — measured operator scaling beyond bench SF",
         "",
