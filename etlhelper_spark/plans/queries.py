@@ -10135,6 +10135,325 @@ def q207_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q208_token_budget_mix",
+    """
+    WITH tok AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+               md5(concat('mix7:', CAST(doc_id AS VARCHAR))) AS pri
+        FROM documents
+    ), b AS (
+        SELECT source,
+               CAST(floor(sum(n_tok) * 0.5) AS BIGINT) AS budget_tokens
+        FROM tok GROUP BY source
+    ), r AS (
+        SELECT t.source, t.n_tok, b.budget_tokens,
+               sum(t.n_tok) OVER (PARTITION BY t.source
+                                  ORDER BY t.pri, t.doc_id
+                                  ROWS UNBOUNDED PRECEDING) - t.n_tok
+                   AS cum_before
+        FROM tok t JOIN b ON t.source = b.source
+    )
+    SELECT source, budget_tokens,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE cum_before < budget_tokens)
+               AS n_selected,
+           CAST(sum(n_tok) FILTER (WHERE cum_before < budget_tokens)
+               AS BIGINT) AS selected_tokens,
+           CAST(round(CAST(sum(n_tok) FILTER (WHERE cum_before
+                    < budget_tokens) / CAST(budget_tokens AS DOUBLE)
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS fill_ratio
+    FROM r GROUP BY source, budget_tokens
+    """,
+)
+def q208_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget MIXTURE construction — the step that turns a
+    cleaned corpus into a training mix ("give me 50% of each source's
+    tokens"): docs race in a deterministic md5 priority order (the
+    q67 content-hash primitive, so the 'shuffle' is reproducible
+    across engines/runs/partitionings) and each source greedily
+    admits docs until its token budget fills; the doc that crosses
+    the boundary is admitted, so progress is guaranteed even when a
+    single doc exceeds the remaining budget. Budgets derive FROM THE
+    DATA (50% of each source's total tokens — the q152 derived-k
+    discipline, no magic constants).
+
+    Distributed shape: one scan computes (n_tok, priority) in pure
+    codegen; per-source totals are a map-side-combinable aggregate
+    broadcast back (sources ≪ docs); the only ordered state is a
+    per-source running sum — a single window sort partitioned by
+    source. At 100 TB with a skewed source, swap the window for
+    export.py::deterministic_shuffle_rank's two-phase global rank +
+    per-partition prefix sums over the same priority key; semantics
+    (and this oracle) are unchanged because the order key is
+    content-derived, not physical."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+        F.md5(
+            F.concat(F.lit("mix7:"), F.col("doc_id").cast("string"))
+        ).alias("pri"),
+    )
+    budgets = tok.groupBy("source").agg(
+        F.floor(F.sum("n_tok") * 0.5).cast("long").alias("budget_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = (
+        tok.join(F.broadcast(budgets), "source")
+        .withColumn("cum_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    )
+    sel = F.col("cum_before") < F.col("budget_tokens")
+    return r.groupBy("source", "budget_tokens").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(sel, 1)).alias("n_selected"),
+        F.sum(F.when(sel, F.col("n_tok"))).alias("selected_tokens"),
+        _sround(
+            F.sum(F.when(sel, F.col("n_tok")))
+            / F.col("budget_tokens").cast("double"),
+            4,
+        ).alias("fill_ratio"),
+    )
+
+
+@query(
+    "q209_bigram_cross_entropy",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents
+    ), ok AS (
+        SELECT doc_id, t FROM toks WHERE len(t) >= 2
+    ), big AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM ok)
+    ), refbig AS (
+        SELECT w1, w2, count(*) AS cb FROM big
+        WHERE doc_id % 3 = 0 GROUP BY w1, w2
+    ), refuni AS (
+        SELECT w1, count(*) AS cu FROM big
+        WHERE doc_id % 3 = 0 GROUP BY w1
+    ), v AS (
+        SELECT count(DISTINCT tok) AS vsize
+        FROM (SELECT unnest(t) AS tok FROM ok WHERE doc_id % 3 = 0)
+    ), scored AS (
+        SELECT b.doc_id,
+               -log2(CAST(coalesce(rb.cb, 0) + 1 AS DOUBLE)
+                     / (coalesce(ru.cu, 0) + v.vsize)) AS s
+        FROM big b
+        LEFT JOIN refbig rb ON b.w1 = rb.w1 AND b.w2 = rb.w2
+        LEFT JOIN refuni ru ON b.w1 = ru.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(round(CAST(avg(s) AS DECIMAL(30,10)), 4) AS DOUBLE)
+               AS cross_entropy
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q209_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram CROSS-ENTROPY quality scoring — the CCNet/perplexity
+    filter with the LM trained in-engine: a bigram model with add-one
+    smoothing is fit on a reference slice (docs with doc_id%3==0,
+    standing in for the curated 'Wikipedia side' of the filter) and
+    every document is scored by its mean per-bigram cross-entropy
+    under that model; high-entropy docs are the gibberish/boilerplate
+    tail a web pipeline drops. Extends functions/text.py::
+    unigram_surprisal to conditional probabilities.
+
+    Distributed shape: bigrams come from a codegen'd transform/slice
+    projection (q44's gram construction — no self-join on position);
+    model counts are two map-side-combinable aggregates; scoring is
+    two shuffle hash joins keyed on token text (the vocabulary is
+    corpus-scale, so deliberately NOT broadcast) plus a 1-row
+    broadcast vocab size. Everything is linear in corpus size and no
+    vocabulary ever sits on the driver."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.trim(F.lower("text")), r"\s+").alias("t"),
+    ).where(F.size("t") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.slice("t", i, 2),
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        F.element_at("bg", 1).alias("w1"),
+        F.element_at("bg", 2).alias("w2"),
+    )
+    ref = big.where(F.col("doc_id") % 3 == 0)
+    refbig = ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    refuni = ref.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vsize = (
+        toks.where(F.col("doc_id") % 3 == 0)
+        .select(F.explode("t").alias("tok"))
+        .agg(F.count_distinct("tok").alias("vsize"))
+    )
+    scored = (
+        big.join(refbig, ["w1", "w2"], "left")
+        .join(refuni, "w1", "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            (
+                -F.log2(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("vsize"))
+                )
+            ).alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        _sround(F.avg("s"), 4).alias("cross_entropy"),
+    )
+
+
+@query(
+    "q210_snapshot_diff",
+    """
+    WITH fp AS (
+        SELECT doc_id, source,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fp
+        FROM documents
+    ), v1 AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 2
+                    THEN md5(concat(fp, ':v1-old')) ELSE fp END AS fp
+        FROM fp WHERE doc_id % 11 <> 3
+    ), v2 AS (
+        SELECT doc_id, source, fp FROM fp WHERE doc_id % 13 <> 5
+    ), d AS (
+        SELECT coalesce(v2.source, v1.source) AS source,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.fp <> v2.fp THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT source, status, count(*) AS n_docs
+    FROM d GROUP BY source, status
+    """,
+)
+def q210_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus SNAPSHOT DIFF — the audit a pipeline runs between two
+    corpus versions before retraining ("what actually changed since
+    the last crawl?"): added / removed / changed / unchanged per
+    source, with 'changed' decided by the normalized content
+    fingerprint (functions/text.py::document_fingerprint), never by
+    raw text comparison. Versions are simulated from the one
+    documents table (v1 drops doc_id%11==3 and perturbs the
+    fingerprint of doc_id%7==2; v2 drops doc_id%13==5), so the oracle
+    pins every branch of the classification.
+
+    Distributed shape: both sides project down to (doc_id, source,
+    16-byte fingerprint) BEFORE the full outer join — at 100 TB the
+    join moves fingerprints, never document bodies, and co-partitions
+    on doc_id, the natural bucketing key for repeated diffs. One
+    scan per version, one shuffle join, one combinable count
+    aggregate."""
+    from ..functions.text import document_fingerprint
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", document_fingerprint(F.col("text")).alias("fp")
+    )
+    v1 = d.where(F.col("doc_id") % 11 != 3).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 2,
+            F.md5(F.concat(F.col("fp"), F.lit(":v1-old"))),
+        )
+        .otherwise(F.col("fp"))
+        .alias("fp"),
+    )
+    v2 = d.where(F.col("doc_id") % 13 != 5)
+    joined = v1.alias("a").join(
+        v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.fp") != F.col("b.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("b.source"), F.col("a.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "q211_chunk_windows",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ), starts AS (
+        SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS s
+        FROM toks
+    ), chunks AS (
+        SELECT doc_id, (s - 1) // 24 AS chunk_id,
+               t[s:s+31] AS c
+        FROM starts
+    )
+    SELECT doc_id, chunk_id,
+           len(c) AS n_tok,
+           md5(array_to_string(c, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def q211_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token CHUNKING — the context-window export step
+    of a pretraining/RAG pipeline: each document splits into windows
+    of 32 tokens at stride 24 (8-token overlap so no boundary context
+    is lost), each chunk identified by (doc_id, chunk_id) and content
+    -hashed for downstream dedup/verification. The final short window
+    is kept (curriculum/packing decides its fate later, not the
+    chunker).
+
+    Distributed shape: pure per-row codegen — sequence/posexplode/
+    slice/md5 in one projection, NO shuffle, NO Python, no state;
+    at 100 TB this runs at scan speed with output ~len/stride rows
+    per doc, and chunk identity is content-derived so re-runs and
+    different partitionings emit identical chunk ids (the export
+    contract write_training_shards relies on)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(24))
+        ).alias("chunk_id", "s"),
+    )
+    c = F.slice("t", F.col("s"), 32)
+    return starts.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(c).alias("n_tok"),
+        F.md5(F.concat_ws(" ", c)).alias("chunk_hash"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
