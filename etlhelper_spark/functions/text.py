@@ -349,47 +349,12 @@ def bpe_merges(
     the pair-count aggregation. Returns (step, left, right, cnt):
     the learned merges in order with their weighted pair counts.
     """
-    words = (
-        df.where(F.trim(F.col(text_col)) != "")
-        .select(
-            F.explode(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-            ).alias("w")
-        )
-        .where(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    w = words.select(
-        "freq",
-        F.transform(
-            F.sequence(F.lit(1), F.length("w")),
-            lambda i: F.col("w").substr(i, F.lit(1)),
-        ).alias("s"),
+    w = _bpe_word_table(df, text_col).select(
+        "freq", F.col("s")
     )
     out = None
     for step in range(1, rounds + 1):
-        pairs = (
-            w.select(
-                "freq",
-                F.explode(
-                    F.zip_with(
-                        F.slice("s", 1, F.size("s") - 1),
-                        F.slice("s", 2, F.size("s") - 1),
-                        lambda x, y: F.struct(
-                            x.alias("a"), y.alias("b")
-                        ),
-                    )
-                ).alias("p"),
-            )
-            .select("freq", "p.a", "p.b")
-            .where(F.col("a") != F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.sum("freq").alias("cnt"))
-        )
-        m = pairs.orderBy(
-            F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc()
-        ).limit(1)
+        m = _bpe_top_pair(w)
         row = m.select(
             F.lit(step).alias("step"),
             F.col("a").alias("left"),
@@ -399,40 +364,118 @@ def bpe_merges(
         out = row if out is None else out.unionByName(row)
         if step == rounds:
             break
-        mw = w.crossJoin(
-            F.broadcast(
-                m.select(F.col("a").alias("ma"), F.col("b").alias("mb"))
-            )
+        w = _bpe_fuse(w, m, ["freq"])
+    return out
+
+
+def _bpe_word_table(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, freq, s): distinct words with corpus frequency and the
+    character-level symbol array the merge loop rewrites."""
+    return (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("w")
         )
-
-        def fuse(x, i):
-            nxt = F.try_element_at(F.col("s"), i + F.lit(2))
-            # element_at index 0 is invalid even for try_element_at;
-            # the when() guard keeps i=0 (no predecessor) off that path
-            prev = F.when(
-                i > F.lit(0), F.try_element_at(F.col("s"), i)
-            ).otherwise(F.lit(None).cast("string"))
-            return F.struct(
-                F.when(
-                    (x == F.col("ma")) & (nxt == F.col("mb")),
-                    F.concat(x, F.col("mb")),
-                )
-                .otherwise(x)
-                .alias("sym"),
-                (
-                    F.coalesce(prev == F.col("ma"), F.lit(False))
-                    & (x == F.col("mb"))
-                ).alias("dropped"),
-            )
-
-        w = mw.select(
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "w",
             "freq",
             F.transform(
-                F.filter(
-                    F.transform(F.col("s"), fuse),
-                    lambda t: ~t["dropped"],
-                ),
-                lambda t: t["sym"],
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
             ).alias("s"),
         )
-    return out
+    )
+
+
+def _bpe_top_pair(w: DataFrame) -> DataFrame:
+    """ONE-ROW frame (a, b, cnt): the frequency-weighted winning
+    adjacent pair (ties lexical a-then-b), self-pairs excluded."""
+    return (
+        w.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("s", 1, F.size("s") - 1),
+                    F.slice("s", 2, F.size("s") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        .select("freq", "p.a", "p.b")
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(1)
+    )
+
+
+def _bpe_fuse(w: DataFrame, m: DataFrame, carry: list[str]) -> DataFrame:
+    """Apply one merge rule (broadcast one-row m) to every symbol
+    array as a pure codegen indexed pass: position i fuses when
+    (s[i], s[i+1]) equals the winner; position i+1 drops when its
+    predecessor fused (non-overlapping because self-pairs are
+    excluded from candidates)."""
+    mw = w.crossJoin(
+        F.broadcast(
+            m.select(F.col("a").alias("ma"), F.col("b").alias("mb"))
+        )
+    )
+
+    def fuse(x, i):
+        nxt = F.try_element_at(F.col("s"), i + F.lit(2))
+        # element_at index 0 is invalid even for try_element_at;
+        # the when() guard keeps i=0 (no predecessor) off that path
+        prev = F.when(
+            i > F.lit(0), F.try_element_at(F.col("s"), i)
+        ).otherwise(F.lit(None).cast("string"))
+        return F.struct(
+            F.when(
+                (x == F.col("ma")) & (nxt == F.col("mb")),
+                F.concat(x, F.col("mb")),
+            )
+            .otherwise(x)
+            .alias("sym"),
+            (
+                F.coalesce(prev == F.col("ma"), F.lit(False))
+                & (x == F.col("mb"))
+            ).alias("dropped"),
+        )
+
+    return mw.select(
+        *carry,
+        F.transform(
+            F.filter(
+                F.transform(F.col("s"), fuse),
+                lambda t: ~t["dropped"],
+            ),
+            lambda t: t["sym"],
+        ).alias("s"),
+    )
+
+
+def bpe_word_encodings(
+    df: DataFrame,
+    text_col: str = "text",
+    rounds: int = 3,
+) -> DataFrame:
+    """BPE ENCODING of the distinct-word table under *rounds* merge
+    rules trained on the same corpus — the tokenizer-APPLICATION half
+    of bpe_merges (which only returns the learned rules). Runs the
+    identical training loop (same winner selection, same fuse
+    contract) but ALSO applies the final round's merge, then returns
+    (w, n_sub): each distinct word with its subword-token count under
+    the learned vocabulary. Encoding happens once per DISTINCT word —
+    corpus scale enters only through the later word-level join, so at
+    a 10^7-word vocabulary this is `rounds` explode+aggregate+map
+    passes over |vocabulary| rows, never |corpus|."""
+    w = _bpe_word_table(df, text_col)
+    for _step in range(rounds):
+        m = _bpe_top_pair(w)
+        w = _bpe_fuse(w, m, ["w", "freq"])
+    return w.select("w", F.size("s").alias("n_sub"))

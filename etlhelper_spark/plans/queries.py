@@ -10454,6 +10454,549 @@ def q211_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q212_bpe_encode",
+    """
+    WITH words AS (
+        SELECT w AS word, count(*) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ) WHERE w <> '' GROUP BY w
+    ), w0 AS (
+        SELECT word, freq, [word[i] FOR i IN range(1, len(word)+1)] AS s
+        FROM words
+    ), p1 AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+        FROM w0, (SELECT unnest(range(1, 64)) AS i)
+        WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+    ), m1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+    w1 AS (
+        SELECT word, freq, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, w.freq, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM w0 w, (SELECT unnest(range(1, 65)) AS i) t, m1 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word, freq
+    ), p2 AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+        FROM w1, (SELECT unnest(range(1, 64)) AS i)
+        WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+    ), m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+    w2 AS (
+        SELECT word, freq, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, w.freq, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM w1 w, (SELECT unnest(range(1, 65)) AS i) t, m2 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word, freq
+    ), p3 AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+        FROM w2, (SELECT unnest(range(1, 64)) AS i)
+        WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+    ), m3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+    w3 AS (
+        SELECT word, freq, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, w.freq, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM w2 w, (SELECT unnest(range(1, 65)) AS i) t, m3 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word, freq
+    ), enc AS (SELECT word, len(s) AS n_sub FROM w3),
+    dw AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS w
+            FROM documents WHERE trim(text) <> ''
+        ) WHERE w <> ''
+    )
+    SELECT d.doc_id, count(*) AS n_words,
+           CAST(sum(length(d.w)) AS BIGINT) AS n_chars,
+           CAST(sum(e.n_sub) AS BIGINT) AS n_bpe_tokens,
+           CAST(round(CAST(sum(length(d.w))
+                / CAST(sum(e.n_sub) AS DOUBLE)
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS compression
+    FROM dw d JOIN enc e ON d.w = e.word
+    GROUP BY d.doc_id
+    """,
+)
+def q212_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the tokenizer-APPLICATION half of q195: the
+    same 3 merge rules train in-engine, then every document gets its
+    token count under the learned subword vocabulary (the number a
+    token-budget mixture like q208 actually wants, instead of the
+    whitespace proxy). Per doc: word count, character count, BPE
+    token count, chars-per-token compression ratio.
+
+    Distributed shape (functions/text.py::bpe_word_encodings):
+    encoding happens once per DISTINCT word — the training loop's
+    |vocabulary|-row table fuses through all 3 rounds carrying the
+    word key, then a word-keyed shuffle join (vocabulary is
+    corpus-scale, deliberately NOT broadcast) maps each doc's words
+    to subword counts and one combinable aggregate rolls them up.
+    Corpus scale enters only through that join — never through the
+    iteration. The oracle unrolls the identical 3 train+fuse rounds
+    and the same join."""
+    from ..functions.text import bpe_word_encodings
+
+    d = _t(spark, sf_dir, "documents")
+    enc = bpe_word_encodings(d, "text", rounds=3)
+    dw = (
+        d.where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    return (
+        dw.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w")).alias("n_chars"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+            _sround(
+                F.sum(F.length("w")) / F.sum("n_sub").cast("double"), 4
+            ).alias("compression"),
+        )
+    )
+
+
+@query(
+    "q213_gopher_repetition",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ), ok AS (SELECT doc_id, t FROM toks WHERE len(t) >= 2),
+    base AS (
+        SELECT doc_id, len(t) AS n_tok,
+               len(list_distinct(t)) AS n_distinct
+        FROM ok
+    ), bg AS (
+        SELECT doc_id, t[i] AS a, t[i+1] AS b, count(*) AS cnt
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM ok)
+        GROUP BY 1, 2, 3
+    ), top AS (
+        SELECT doc_id, max(cnt) AS top_cnt FROM bg GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tok,
+           CAST(round(CAST(b.n_distinct / CAST(b.n_tok AS DOUBLE)
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS distinct_ratio,
+           CAST(round(CAST(2.0 * t.top_cnt / b.n_tok
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS top_bigram_frac,
+           (b.n_distinct / CAST(b.n_tok AS DOUBLE) >= 0.3
+            AND 2.0 * t.top_cnt / b.n_tok <= 0.2) AS keep
+    FROM base b JOIN top t ON b.doc_id = t.doc_id
+    """,
+)
+def q213_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style REPETITION filtering — the self-repetition half
+    of the quality rules (q25 covers length/punctuation/stopwords):
+    per document, the distinct-token ratio and the fraction of tokens
+    inside the single most frequent bigram, with the keep verdict
+    (distinct ratio >= 0.3, top-bigram fraction <= 0.2 — the published
+    Gopher thresholds' token-level analogue). Boilerplate and
+    looping-generation documents fail exactly these two.
+
+    Distributed shape: the distinct ratio is pure codegen
+    (array_distinct on the token array, no shuffle); the top-bigram
+    count is two combinable aggregates keyed by (doc_id, bigram) then
+    doc_id — both linear, partitioned by doc so no key is ever hot —
+    and one doc_id-keyed join stitches them. The verdict compares the
+    UNROUNDED ratios; rounding is display-only."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower("text")), r"\s+").alias("t"),
+        )
+        .where(F.size("t") >= 2)
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tok"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+    )
+    top = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        )
+        .groupBy("doc_id", "p.a", "p.b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    dr = F.col("n_distinct") / F.col("n_tok").cast("double")
+    tb = F.lit(2.0) * F.col("top_cnt") / F.col("n_tok")
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        _sround(dr, 4).alias("distinct_ratio"),
+        _sround(tb, 4).alias("top_bigram_frac"),
+        ((dr >= 0.3) & (tb <= 0.2)).alias("keep"),
+    )
+
+
+@query(
+    "q214_dup_ngram_coverage",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ), ok AS (SELECT doc_id, t FROM toks WHERE len(t) >= 8),
+    g AS (
+        SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS g
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM ok)
+    ), dfreq AS (
+        SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g
+    )
+    SELECT doc_id, count(*) AS n_grams,
+           count(*) FILTER (WHERE nd >= 2) AS n_dup,
+           CAST(round(CAST(count(*) FILTER (WHERE nd >= 2)
+                / CAST(count(*) AS DOUBLE)
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS dup_coverage
+    FROM g JOIN dfreq USING (g)
+    GROUP BY doc_id
+    """,
+)
+def q214_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document REPEATED-SUBSTRING coverage — the span-level
+    dedup signal (Lee et al.'s "Deduplicating Training Data" family)
+    that document-level fingerprints (q23) and MinHash (q28) can't
+    see: for every 8-token window position, is this exact window
+    shared with ANY other document, and what fraction of each doc's
+    positions are such shared spans. Docs with high coverage but no
+    document-level duplicate are the template/boilerplate cases.
+
+    Distributed shape: windows come from one codegen
+    sequence/slice/md5 projection (q211's chunker at stride 1) and
+    travel as 32-char digests, never token text; the cross-doc signal
+    is a single count-distinct aggregate keyed by digest (combinable;
+    digests are uniform so no hot key) joined back digest-keyed; one
+    doc-keyed aggregate finishes. Linear in total token count, which
+    at stride 1 is the floor for exact span dedup."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower("text")), r"\s+").alias("t"),
+        )
+        .where(F.size("t") >= 8)
+    )
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 7),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, 8))),
+            )
+        ).alias("g"),
+    )
+    dfreq = g.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    dup = F.col("nd") >= 2
+    return (
+        g.join(dfreq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(dup, 1)).alias("n_dup"),
+            _sround(
+                F.count(F.when(dup, 1)) / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_coverage"),
+        )
+    )
+
+
+@query(
+    "q215_containment_pairs",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ), ok AS (SELECT doc_id, t FROM toks WHERE len(t) >= 5),
+    sh AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+4], ' ')) AS g
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM ok)
+    ), dfq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+    k AS (
+        SELECT sh.doc_id, sh.g FROM sh
+        JOIN dfq ON sh.g = dfq.g WHERE dfq.df BETWEEN 2 AND 32
+    ), sz AS (SELECT doc_id, count(*) AS n FROM k GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+               count(*) AS n_shared
+        FROM k a JOIN k b ON a.g = b.g AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.contained_id, p.container_id, p.n_shared,
+           CAST(round(CAST(p.n_shared / CAST(s.n AS DOUBLE)
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS containment
+    FROM pairs p JOIN sz s ON s.doc_id = p.contained_id
+    WHERE p.n_shared / CAST(s.n AS DOUBLE) >= 0.5
+    """,
+)
+def q215_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT detection — the quote/excerpt case
+    Jaccard misses: |shingles(A) ∩ shingles(B)| / |shingles(A)| over
+    5-gram shingles, flagging documents mostly CONTAINED in another
+    even when the container is much larger (a tiny Jaccard). The
+    pipeline use is keeping the container and dropping the excerpt.
+
+    Distributed shape: distinct shingles per doc travel as digests;
+    a document-frequency cap (2 <= df <= 32, the q155 stop-
+    fingerprint move) removes both unique shingles (can't pair) and
+    ubiquitous boilerplate shingles BEFORE the digest-keyed pair
+    join, so the join's fan-out per digest is bounded by 32² and the
+    all-pairs blow-up structurally can't happen. Containment is
+    measured against the capped shingle universe on BOTH sides of
+    the ratio — a self-consistent contract both engines state."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower("text")), r"\s+").alias("t"),
+        )
+        .where(F.size("t") >= 5)
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 4),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, 5))),
+            )
+        ).alias("g"),
+    ).distinct()
+    dfq = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    k = sh.join(
+        dfq.where(F.col("df").between(2, 32)).select("g"), "g"
+    )
+    sz = k.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = k.select(F.col("doc_id").alias("contained_id"), "g")
+    b = k.select(F.col("doc_id").alias("container_id"), "g")
+    pairs = (
+        a.join(b, "g")
+        .where(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    cont = F.col("n_shared") / F.col("n").cast("double")
+    return (
+        pairs.join(
+            sz.withColumnRenamed("doc_id", "contained_id"),
+            "contained_id",
+        )
+        .where(cont >= 0.5)
+        .select(
+            "contained_id",
+            "container_id",
+            "n_shared",
+            _sround(cont, 4).alias("containment"),
+        )
+    )
+
+
+@query(
+    "q216_knn_label_vote",
+    """
+    WITH ranked AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid, c.label,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                       c.vec_id ASC
+               ) AS rnk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 32
+    ), votes AS (
+        SELECT qid, label, count(*) AS votes
+        FROM ranked WHERE rnk <= 10 GROUP BY qid, label
+    ), win AS (
+        SELECT qid, label, votes,
+               row_number() OVER (
+                   PARTITION BY qid ORDER BY votes DESC, label ASC
+               ) AS vr
+        FROM votes
+    )
+    SELECT qid AS query_id, label AS predicted_label, votes
+    FROM win WHERE vr = 1
+    """,
+)
+def q216_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN LABEL PROPAGATION — majority vote over the 10 nearest
+    labeled neighbors by exact cosine, the standard weak-labeling /
+    auto-annotation step that turns a small labeled seed into corpus
+    labels (and, run against held-out vectors, the evaluation
+    harness for every ANN index in the repo). Deterministic end to
+    end: neighbor ties break on vec_id, vote ties on the smaller
+    label.
+
+    Distributed shape: q31's brute-force contract — the bounded
+    query side broadcasts, every corpus partition scores its rows
+    locally in JVM codegen, and the only shuffles are the two
+    windows (per-query rank, per-query vote), both keyed by query id
+    so parallelism equals |queries|. At 100 TB the scoring scan is
+    the cost and is embarrassingly parallel; swap in the IVF probe
+    (q140) for the candidate set when exactness can be traded."""
+    from ..functions.similarity import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        "label",
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cid") != F.col("qid"))
+        .select(
+            "qid",
+            "cid",
+            "label",
+            cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("cid").asc()
+    )
+    votes = (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 10)
+        .groupBy("qid", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .where(F.col("vr") == 1)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("label").alias("predicted_label"),
+            "votes",
+        )
+    )
+
+
+@query(
+    "q217_int8_quantization",
+    """
+    WITH x AS (
+        SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        FROM (SELECT vec_id, embedding,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)
+    ), stats AS (
+        SELECT i, min(x) AS mn, max(x) AS mx FROM x GROUP BY i
+    ), q AS (
+        SELECT x.vec_id, x.x,
+               CASE WHEN s.mx = s.mn THEN 0.0
+                    ELSE floor((x.x - s.mn) * 255.0 / (s.mx - s.mn)
+                               + 0.5) END AS code,
+               s.mn, s.mx
+        FROM x JOIN stats s ON x.i = s.i
+    ), r AS (
+        SELECT vec_id,
+               x - (mn + code * (mx - mn) / 255.0) AS err
+        FROM q
+    )
+    SELECT vec_id,
+           CAST(round(CAST(avg(err * err) AS DECIMAL(30,10)), 6)
+                AS DOUBLE) AS mse,
+           CAST(round(CAST(max(abs(err)) AS DECIMAL(30,10)), 6)
+                AS DOUBLE) AS max_abs_err
+    FROM r GROUP BY vec_id
+    """,
+)
+def q217_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 SCALAR QUANTIZATION with per-dimension min/max
+    calibration — the 4x vector-compression baseline every serving
+    store offers (PQ's q191/q192 sibling at the other point of the
+    accuracy/ratio curve), reported as per-vector reconstruction MSE
+    and max absolute error so the quality loss is a first-class,
+    oracle-pinned output rather than a claim.
+
+    Distributed shape: calibration is one combinable min/max
+    aggregate over (dim, value) pairs — d keys, never hot; the d-row
+    stats table broadcasts back into a single codegen
+    quantize-dequantize-error projection; one vec-keyed aggregate
+    finishes. Two linear scans total, no Python anywhere. Codes are
+    floor(z + 0.5) on identical IEEE doubles in both engines, so the
+    integer codes — not just the rounded errors — are bit-equal."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i", "x"
+        ),
+    )
+    stats = x.groupBy("i").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    q = x.join(F.broadcast(stats), "i").select(
+        "vec_id",
+        "x",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0.0))
+        .otherwise(
+            F.floor(
+                (F.col("x") - F.col("mn"))
+                * 255.0
+                / (F.col("mx") - F.col("mn"))
+                + 0.5
+            ).cast("double")
+        )
+        .alias("code"),
+        "mn",
+        "mx",
+    )
+    r = q.select(
+        "vec_id",
+        (
+            F.col("x")
+            - (
+                F.col("mn")
+                + F.col("code") * (F.col("mx") - F.col("mn")) / 255.0
+            )
+        ).alias("err"),
+    )
+    return r.groupBy("vec_id").agg(
+        _sround(F.avg(F.col("err") * F.col("err")), 6).alias("mse"),
+        _sround(F.max(F.abs("err")), 6).alias("max_abs_err"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
