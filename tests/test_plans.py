@@ -296,3 +296,38 @@ def test_pq_adc_scan_touches_codes_only(spark):
     scan_nodes = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scan_nodes) == 1
     assert "LessThan(vec_id,2)" in plan  # and it IS the query side
+
+
+def test_chunk_windows_zero_exchange_no_python(spark):
+    """q211 is a pure sequence/slice/md5 projection over the documents
+    scan — any Exchange or Python stage would mean the chunker stopped
+    being a scan-speed operator."""
+    from etlhelper_spark.plans.queries import q211_chunk_windows
+
+    plan = explain_str(q211_chunk_windows(spark, SF))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_int8_quant_stats_broadcast_no_python(spark):
+    """q217's d-row calibration table must come back as a broadcast —
+    shuffling the exploded (vec, dim, value) corpus against it would
+    move the whole corpus twice."""
+    from etlhelper_spark.plans.queries import q217_int8_quantization
+
+    plan = explain_str(q217_int8_quantization(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "Python" not in plan
+
+
+def test_knn_vote_query_side_broadcast(spark):
+    """q216 scores the corpus against a BROADCAST bounded query side
+    (q31's contract) — the corpus scan must never shuffle for the
+    scoring join, and cosine stays in JVM codegen."""
+    from etlhelper_spark.plans.queries import q216_knn_label_vote
+
+    plan = explain_str(q216_knn_label_vote(spark, SF))
+    assert (
+        "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    )
+    assert "Python" not in plan
