@@ -194,6 +194,16 @@ HEADLINE = [
     "q205_training_shards",
     "q206_psi_vs_state",
     "q207_grouped_split",
+    "q208_token_budget_mix",
+    "q209_bigram_cross_entropy",
+    "q210_snapshot_diff",
+    "q211_chunk_windows",
+    "q212_bpe_encode",
+    "q213_gopher_repetition",
+    "q214_dup_ngram_coverage",
+    "q215_containment_pairs",
+    "q216_knn_label_vote",
+    "q217_int8_quantization",
 ]
 
 

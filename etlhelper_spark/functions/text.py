@@ -415,17 +415,12 @@ def _bpe_top_pair(w: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_fuse(w: DataFrame, m: DataFrame, carry: list[str]) -> DataFrame:
-    """Apply one merge rule (broadcast one-row m) to every symbol
-    array as a pure codegen indexed pass: position i fuses when
-    (s[i], s[i+1]) equals the winner; position i+1 drops when its
+def _fused_symbols(ma: Column, mb: Column) -> Column:
+    """The fused symbol array for one merge rule (ma, mb), as a pure
+    codegen indexed pass over ``s``: position i fuses when
+    (s[i], s[i+1]) equals the rule; position i+1 drops when its
     predecessor fused (non-overlapping because self-pairs are
     excluded from candidates)."""
-    mw = w.crossJoin(
-        F.broadcast(
-            m.select(F.col("a").alias("ma"), F.col("b").alias("mb"))
-        )
-    )
 
     def fuse(x, i):
         nxt = F.try_element_at(F.col("s"), i + F.lit(2))
@@ -436,26 +431,47 @@ def _bpe_fuse(w: DataFrame, m: DataFrame, carry: list[str]) -> DataFrame:
         ).otherwise(F.lit(None).cast("string"))
         return F.struct(
             F.when(
-                (x == F.col("ma")) & (nxt == F.col("mb")),
-                F.concat(x, F.col("mb")),
+                (x == ma) & (nxt == mb),
+                F.concat(x, mb),
             )
             .otherwise(x)
             .alias("sym"),
             (
-                F.coalesce(prev == F.col("ma"), F.lit(False))
-                & (x == F.col("mb"))
+                F.coalesce(prev == ma, F.lit(False)) & (x == mb)
             ).alias("dropped"),
         )
 
+    return F.transform(
+        F.filter(
+            F.transform(F.col("s"), fuse),
+            lambda t: ~t["dropped"],
+        ),
+        lambda t: t["sym"],
+    )
+
+
+def _bpe_fuse(w: DataFrame, m: DataFrame, carry: list[str]) -> DataFrame:
+    """Apply one TRAINED merge rule (broadcast one-row m, never
+    collected) to every symbol array."""
+    mw = w.crossJoin(
+        F.broadcast(
+            m.select(F.col("a").alias("ma"), F.col("b").alias("mb"))
+        )
+    )
     return mw.select(
         *carry,
-        F.transform(
-            F.filter(
-                F.transform(F.col("s"), fuse),
-                lambda t: ~t["dropped"],
-            ),
-            lambda t: t["sym"],
-        ).alias("s"),
+        _fused_symbols(F.col("ma"), F.col("mb")).alias("s"),
+    )
+
+
+def _bpe_fuse_literal(
+    w: DataFrame, a: str, b: str, carry: list[str]
+) -> DataFrame:
+    """Apply one FROZEN merge rule known driver-side (a persisted
+    tokenizer's rule table) as pure literals — no crossJoin, no
+    broadcast, so a chain of rules stays one codegen projection."""
+    return w.select(
+        *carry, _fused_symbols(F.lit(a), F.lit(b)).alias("s")
     )
 
 

@@ -11029,6 +11029,180 @@ def q217_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q218_bpe_frozen_apply",
+    """
+    WITH words1 AS (
+        SELECT w AS word, count(*) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> '' AND doc_id % 3 < 2
+        ) WHERE w <> '' GROUP BY w
+    ), t0 AS (
+        SELECT word, freq, [word[i] FOR i IN range(1, len(word)+1)] AS s
+        FROM words1
+    ), p1 AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+        FROM t0, (SELECT unnest(range(1, 64)) AS i)
+        WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+    ), m1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+    t1 AS (
+        SELECT word, freq, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, w.freq, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM t0 w, (SELECT unnest(range(1, 65)) AS i) t, m1 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word, freq
+    ), p2 AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+        FROM t1, (SELECT unnest(range(1, 64)) AS i)
+        WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+    ), m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+    wb AS (
+        SELECT w AS word FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> '' AND doc_id % 3 = 2
+        ) WHERE w <> '' GROUP BY w
+    ), b0 AS (
+        SELECT word, [word[i] FOR i IN range(1, len(word)+1)] AS s
+        FROM wb
+    ), b1 AS (
+        SELECT word, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM b0 w, (SELECT unnest(range(1, 65)) AS i) t, m1 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word
+    ), b2 AS (
+        SELECT word, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM b1 w, (SELECT unnest(range(1, 65)) AS i) t, m2 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word
+    ), enc AS (SELECT word, len(s) AS n_sub FROM b2),
+    dw AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS w
+            FROM documents WHERE trim(text) <> '' AND doc_id % 3 = 2
+        ) WHERE w <> ''
+    )
+    SELECT d.doc_id, count(*) AS n_words,
+           CAST(sum(e.n_sub) AS BIGINT) AS n_bpe_tokens
+    FROM dw d JOIN enc e ON d.w = e.word
+    GROUP BY d.doc_id
+    """,
+)
+def q218_bpe_frozen_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROZEN-TOKENIZER encoding against persisted state
+    (operators/bpe_state.py) — the deployment contract every real
+    tokenizer lives by: merge rules train ONCE (here on the
+    doc_id%3<2 vintage) and persist; every later batch encodes under
+    the frozen rules without retraining, or token counts stop being
+    comparable across corpus vintages. q180's frozen-pivot / q198's
+    frozen-codebook contract applied to text.
+
+    The oracle restates the whole thing from scratch: train 2 merges
+    on batch 1, apply exactly those rules to batch 2's words, roll up
+    per batch-2 document — so the persisted round-trip provably
+    changes nothing. Apply cost: the rule table is bounded by
+    `rounds` (collected under the bounded-driver contract), each rule
+    replays as a broadcast one-row codegen fuse over the batch's
+    |vocabulary|-row word table, and corpus scale enters only through
+    the final word-keyed join."""
+    from ..operators.bpe_state import apply_bpe_state, build_bpe_state
+
+    d = _t(spark, sf_dir, "documents")
+    b_train = d.where(F.pmod("doc_id", F.lit(3)) < 2)
+    b_new = d.where(F.pmod("doc_id", F.lit(3)) == 2)
+    work = tempfile.mkdtemp(prefix="ehs_bpestate_")
+    build_bpe_state(b_train, work, "text", rounds=2)
+    enc = apply_bpe_state(b_new, work, "text")
+    dw = (
+        b_new.where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    return (
+        dw.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_bpe_tokens"),
+        )
+    )
+
+
+@query(
+    "q219_k_anonymity",
+    """
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    ), lab AS (
+        SELECT CASE WHEN n >= 10 THEN CAST(c_nationkey AS VARCHAR)
+                    ELSE '*' END AS nation_label,
+               CASE WHEN n >= 10 THEN c_mktsegment
+                    ELSE '*' END AS segment_label,
+               n
+        FROM g
+    )
+    SELECT nation_label, segment_label,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_groups
+    FROM lab GROUP BY nation_label, segment_label
+    """,
+)
+def q219_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY suppression over quasi-identifiers — the
+    privacy-side companion to PII redaction (q26): any
+    (nation, market-segment) combination identifying fewer than k=10
+    customers is suppressed into the '*' bucket, so no released group
+    is smaller than k. Released groups keep their labels and exact
+    counts; the suppressed remainder is published only as one merged
+    bucket with its row and group totals (the audit trail a release
+    reviewer needs).
+
+    Distributed shape: one combinable count aggregate over the
+    quasi-identifier key, then the CASE relabel + re-aggregate run on
+    the already-reduced |groups| table — at 100 TB the data is
+    touched once and everything after the first groupBy is
+    metadata-sized."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    big = F.col("n") >= 10
+    lab = g.select(
+        F.when(big, F.col("c_nationkey").cast("string"))
+        .otherwise(F.lit("*"))
+        .alias("nation_label"),
+        F.when(big, F.col("c_mktsegment"))
+        .otherwise(F.lit("*"))
+        .alias("segment_label"),
+        "n",
+    )
+    return lab.groupBy("nation_label", "segment_label").agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
