@@ -580,6 +580,141 @@ def main() -> None:
               vals, "doc_id", seed=5
           ).groupBy("split").count().count())
 
+    # --- round-6 curation / tokenizer / quantization family ----------
+    from pyspark.sql.window import Window as W
+
+    from etlhelper_spark.functions.similarity import cosine_similarity
+    from etlhelper_spark.operators.bpe_state import (
+        apply_bpe_state,
+        build_bpe_state,
+    )
+
+    def _span_dedup_probe():
+        toks = docs.select(
+            "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+        ).where(F.size("t") >= 8)
+        g = toks.select(
+            "doc_id",
+            F.explode(F.transform(
+                F.sequence(F.lit(1), F.size("t") - 7),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, 8))),
+            )).alias("g"),
+        )
+        gp = g.groupBy("g", "doc_id").agg(F.count(F.lit(1)).alias("pc"))
+        nd = F.count(F.lit(1)).over(W.partitionBy("g"))
+        return (
+            gp.withColumn("nd", nd)
+            .groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("nd") >= 2, F.col("pc"))).alias("d"))
+            .count()
+        )
+
+    def _bpe_probe():
+        work = tempfile.mkdtemp(prefix="ehs_probe_bpe_")
+        build_bpe_state(
+            docs.where(F.pmod("doc_id", F.lit(3)) < 2), work, rounds=2
+        )
+        enc = apply_bpe_state(
+            docs.where(F.pmod("doc_id", F.lit(3)) == 2), work
+        )
+        dw = docs.where(F.pmod("doc_id", F.lit(3)) == 2).select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("w"),
+        )
+        n = dw.join(enc, "w").groupBy("doc_id").agg(
+            F.sum("n_sub")
+        ).count()
+        shutil.rmtree(work, ignore_errors=True)
+        return n
+
+    def _int8_probe():
+        x = vecs.select(
+            "vec_id",
+            F.posexplode(
+                F.col("embedding").cast("array<double>")
+            ).alias("i", "x"),
+        )
+        stats = x.groupBy("i").agg(
+            F.min("x").alias("mn"), F.max("x").alias("mx")
+        )
+        j = x.join(F.broadcast(stats), "i")
+        code = F.floor(
+            (F.col("x") - F.col("mn")) * 255.0
+            / (F.col("mx") - F.col("mn")) + 0.5
+        )
+        err = F.col("x") - (
+            F.col("mn") + code * (F.col("mx") - F.col("mn")) / 255.0
+        )
+        return (
+            j.select("vec_id", err.alias("e"))
+            .groupBy("vec_id")
+            .agg(F.avg(F.col("e") * F.col("e")).alias("mse"))
+            .count()
+        )
+
+    def _knn_vote_probe():
+        q = vecs.where(F.col("vec_id") < 32).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        c = vecs.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            F.pmod("vec_id", F.lit(7)).alias("label"),
+        )
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .where(F.col("cid") != F.col("qid"))
+            .select(
+                "qid", "label",
+                F.col("cid"),
+                cosine_similarity(F.col("qv"), F.col("cv")).alias("sim"),
+            )
+        )
+        r = scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+            ),
+        ).where(F.col("rnk") <= 10)
+        return r.groupBy("qid", "label").count().count()
+
+    def _mix_probe():
+        tok = docs.select(
+            F.pmod("doc_id", F.lit(10)).alias("source"),
+            F.size(F.split("text", " ")).alias("n_tok"),
+            F.md5(F.col("doc_id").cast("string")).alias("pri"),
+            "doc_id",
+        )
+        budgets = tok.groupBy("source").agg(
+            F.floor(F.sum("n_tok") * 0.5).alias("budget")
+        )
+        w = (
+            W.partitionBy("source")
+            .orderBy("pri", "doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        r = tok.join(F.broadcast(budgets), "source").withColumn(
+            "cum_before", F.sum("n_tok").over(w) - F.col("n_tok")
+        )
+        return (
+            r.where(F.col("cum_before") < F.col("budget"))
+            .groupBy("source")
+            .count()
+            .count()
+        )
+
+    probe("span dedup 8-gram coverage (1M docs)", n_docs,
+          _span_dedup_probe)
+    probe("BPE train(2 rounds) + frozen encode (1M docs)", n_docs,
+          _bpe_probe)
+    probe("int8 quantization + error rollup", n_vecs, _int8_probe)
+    probe("kNN label vote (32 queries, brute force)", n_vecs,
+          _knn_vote_probe)
+    probe("token-budget mixture (10 sources, windowed admit)", n_docs,
+          _mix_probe)
+
     lines = [
         "# SCALE PROBE — measured operator scaling beyond bench SF",
         "",
