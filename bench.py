@@ -204,6 +204,8 @@ HEADLINE = [
     "q215_containment_pairs",
     "q216_knn_label_vote",
     "q217_int8_quantization",
+    "q218_bpe_frozen_apply",
+    "q219_k_anonymity",
 ]
 
 

@@ -11203,6 +11203,78 @@ def q219_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q220_temperature_mix",
+    """
+    WITH s AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents WHERE trim(text) <> '' GROUP BY source
+    ), p AS (
+        SELECT source, n_docs, n_tokens,
+               pow(n_tokens, 0.5) AS raw,
+               sum(pow(n_tokens, 0.5)) OVER () AS tot,
+               sum(n_tokens) OVER () AS all_tokens
+        FROM s
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(round(CAST(n_tokens / CAST(all_tokens AS DOUBLE)
+                AS DECIMAL(30,10)), 6) AS DOUBLE) AS natural_weight,
+           CAST(round(CAST(raw / tot AS DECIMAL(30,10)), 6) AS DOUBLE)
+               AS temp_weight,
+           CAST(floor(raw / tot * all_tokens) AS BIGINT)
+               AS epoch_token_quota
+    FROM p
+    """,
+)
+def q220_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-SCALED mixture weights (alpha = 0.5) — the
+    multilingual/multi-source rebalancing rule (w_i proportional to
+    n_i^alpha) that up-weights small sources relative to natural
+    sampling without letting any source dominate; emitted next to the
+    natural weights and as per-epoch token quotas, which is exactly
+    the budget input q208's admission pass consumes.
+
+    Distributed shape: ONE combinable per-source aggregate reduces
+    the corpus to |sources| rows; the normalization windows run on
+    that metadata-sized table, so everything after the first groupBy
+    is free at any corpus size. The 6dp DECIMAL rounding keeps both
+    engines' pow/divide results hash-identical."""
+    d = _t(spark, sf_dir, "documents")
+    s = (
+        d.where(F.trim("text") != "")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.size(F.split(F.trim("text"), r"\s+"))
+            ).alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    p = s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.pow("n_tokens", F.lit(0.5)).alias("raw"),
+        F.sum(F.pow("n_tokens", F.lit(0.5))).over(w).alias("tot"),
+        F.sum("n_tokens").over(w).alias("all_tokens"),
+    )
+    return p.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        _sround(
+            F.col("n_tokens") / F.col("all_tokens").cast("double"), 6
+        ).alias("natural_weight"),
+        _sround(F.col("raw") / F.col("tot"), 6).alias("temp_weight"),
+        F.floor(
+            F.col("raw") / F.col("tot") * F.col("all_tokens")
+        ).cast("long").alias("epoch_token_quota"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
