@@ -31,6 +31,7 @@ from .similarity import (
     nearest_pivot,
     nearest_pivots,
 )
+from .util import literal_frame
 
 __all__ = [
     "append_ivf_index",
@@ -364,8 +365,10 @@ def _rebalance_pass(
         .mode("append")
         .parquet(path)
     )
-    new_pivots = spark.createDataFrame(
-        sorted(keep_pivots.items()), "list_id bigint, pivot array<double>"
+    new_pivots = literal_frame(
+        spark,
+        sorted(keep_pivots.items()),
+        "list_id bigint, pivot array<double>",
     )
     new_pivots.write.mode("overwrite").parquet(pivots_path)
     for d in doomed_dirs:

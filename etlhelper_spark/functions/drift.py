@@ -41,6 +41,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import literal_frame
+
 __all__ = [
     "equal_width_bin",
     "histogram_counts",
@@ -245,8 +247,8 @@ def ks_2samp(
             yield pd.DataFrame({"d": [float(d.max())]})
 
     part_maxima = pv.mapInPandas(_part_max, "d double")
-    counts = spark.createDataFrame(
-        [(n_a, n_b, n_values)], "n_a long, n_b long, n_values long"
+    counts = literal_frame(
+        spark, [(n_a, n_b, n_values)], "n_a long, n_b long, n_values long"
     )
     return counts.crossJoin(
         part_maxima.agg(_dec6(F.max("d")).alias("ks_d"))
@@ -306,6 +308,7 @@ def schema_drift(df_a: DataFrame, df_b: DataFrame) -> DataFrame:
             rows.append((name, "added", None, tb[name]))
         elif ta[name] != tb[name]:
             rows.append((name, "type_changed", ta[name], tb[name]))
-    return spark.createDataFrame(
-        rows, "column string, status string, type_a string, type_b string"
+    return literal_frame(
+        spark, rows,
+        "column string, status string, type_a string, type_b string",
     )

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .similarity import _dlit, collect_pivot_rows, nearest_pivot
+from .util import literal_frame
 
 __all__ = [
     "append_pq_codes",
@@ -168,8 +169,8 @@ def pq_codebook_df(spark, books: dict) -> DataFrame:
         for j in sorted(books)
         for code, centroid in books[j]
     ]
-    return spark.createDataFrame(
-        data, "sub int, code int, centroid array<double>"
+    return literal_frame(
+        spark, data, "sub int, code int, centroid array<double>"
     )
 
 

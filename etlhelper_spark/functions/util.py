@@ -5,6 +5,63 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def literal_frame(spark, rows, schema) -> DataFrame:
+    """A small DataFrame of driver-side values, built as PURE CATALYST
+    LITERALS (range(1) + explode of a struct-literal array) instead of
+    ``spark.createDataFrame``.
+
+    Why: a local-list ``createDataFrame`` is RDD-backed — EVERY
+    evaluation of the frame (each write, each .first(), each join that
+    re-executes the subtree) launches a Python-worker roundtrip to
+    re-pickle the rows. Measured on this machine: a one-row
+    state-write through createDataFrame costs ~5 s steady-state; the
+    identical write through this literal shape costs ~0.2 s. On hot
+    paths (per-batch state writes, codebook/pivot frames, bounded
+    merge results) that difference dominates the whole operator.
+
+    *rows* must be bounded (state rows, pivots, codebooks — the
+    bounded-driver contract); above 10k rows this falls back to
+    createDataFrame, where per-row literal analysis would cost more
+    than the Python roundtrip. None values are typed by the schema.
+    bytearray/memoryview become bytes; tuples become array literals.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    st = (
+        StructType.fromDDL(schema)
+        if isinstance(schema, str)
+        else schema
+    )
+    rows = list(rows)
+    if not rows or len(rows) > 10_000:
+        return spark.createDataFrame(rows, st)
+
+    def _lit(v, dt):
+        if v is None:
+            return F.lit(None).cast(dt)
+        if isinstance(v, (bytearray, memoryview)):
+            v = bytes(v)
+        elif isinstance(v, tuple):
+            v = list(v)
+        return F.lit(v).cast(dt)
+
+    structs = [
+        F.struct(
+            *[
+                _lit(v, f.dataType).alias(f.name)
+                for f, v in zip(st.fields, r)
+            ]
+        )
+        for r in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("_r"))
+        .select("_r.*")
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -37,6 +37,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.util import literal_frame
 from .dedup_state import _latest_version
 
 __all__ = ["heavy_hitters_incremental", "read_frequency_state"]
@@ -78,7 +79,8 @@ def heavy_hitters_incremental(
                 mg[r["item"]] = mg.get(r["item"], 0) + int(r["cnt"])
     mg = mg_evict(mg, cap)
     out_rows = [(it, int(c)) for it, c in mg.items()] + [(None, n_total)]
-    state = spark.createDataFrame(
+    state = literal_frame(
+        spark,
         out_rows,
         f"item {new_df.schema[col].dataType.simpleString()}, cnt long",
     ).select("item", "cnt", F.lit(n_total).alias("n_total"))

@@ -35,6 +35,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.util import literal_frame
 from .dedup_state import _latest_version
 
 __all__ = [
@@ -79,11 +80,12 @@ def quantile_sketch_incremental(
             merged_sk = pr["sk"]
         else:
             merged_sk = (
-                spark.createDataFrame(
-                    [(bytearray(pr["sk"]), bytearray(delta["sk"]))],
-                    "a binary, b binary",
+                spark.range(1)
+                .select(
+                    F.kll_sketch_merge_double(
+                        F.lit(bytes(pr["sk"])), F.lit(bytes(delta["sk"]))
+                    ).alias("sk")
                 )
-                .select(F.kll_sketch_merge_double("a", "b").alias("sk"))
                 .first()["sk"]
             )
     else:
@@ -93,8 +95,10 @@ def quantile_sketch_incremental(
                 f"non-null {col!r} values — nothing to seed the state"
             )
         n_total, merged_sk = int(delta["n"]), delta["sk"]
-    state = spark.createDataFrame(
-        [(bytearray(merged_sk), n_total, k_i)], "sk binary, n long, k long"
+    state = literal_frame(
+        spark,
+        [(bytes(merged_sk), n_total, k_i)],
+        "sk binary, n long, k long",
     )
     state.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(subdir, f"v{int(batch_id)}")
@@ -128,7 +132,8 @@ def quantiles_from_state(
             ).alias(f"q{i}")
         )
     row = state.select(*exprs).first()
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [
             (float(p), float(row[f"q{i}"]), int(row["n"]))
             for i, p in enumerate(probabilities)

@@ -2640,7 +2640,10 @@ def q76_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.util import range_join
 
     e = _t(spark, sf_dir, "events")
-    base = spark.createDataFrame(
+    from ..functions.util import literal_frame
+
+    base = literal_frame(
+        spark,
         [(0, 28800, 5400, "morning"), (1, 64800, 7200, "evening")],
         "slot long, off long, dur long, label string",
     )
