@@ -206,6 +206,8 @@ HEADLINE = [
     "q217_int8_quantization",
     "q218_bpe_frozen_apply",
     "q219_k_anonymity",
+    "q220_temperature_mix",
+    "q221_span_state",
 ]
 
 

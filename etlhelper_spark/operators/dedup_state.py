@@ -64,6 +64,7 @@ import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _prior_batches(subdir: str, batch_id: int) -> list[str]:
@@ -923,6 +924,106 @@ def duplicate_clusters_incremental(
     out = os.path.join(subdir, f"v{int(batch_id)}")
     state.repartition(state_partitions).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+def span_dedup_incremental(
+    new_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    state_partitions: int = 4,
+) -> DataFrame:
+    """SPAN-level dedup of a new batch against the accumulated n-gram
+    digest state — the incremental form of q214's duplicated-window
+    coverage (Lee-et-al. span dedup as a cross-run pipeline stage):
+    a window position in a batch document counts as duplicated when
+    its exact n-token window appears in ANY earlier batch or in a
+    second document of the current batch. Returns one row per batch
+    document: (id, n_grams, n_dup, dup_coverage).
+
+    Contract (the q176 first-seen discipline applied to spans): each
+    batch is scored against batches 1..N — exactly what the
+    q221 oracle restates as batch-1-grams ∪ second-batch-doc
+    membership. Earlier batches' verdicts are immutable (a later
+    reuse of their spans does not rewrite history — history text is
+    never re-read).
+
+    Plan shape: one codegen window-digest projection over the batch
+    (q211's chunker at stride 1), one (digest, doc) aggregate, the
+    batch-local cross-doc count as a count-over-Window on that
+    reduced table, one digest-keyed LEFT join against the accumulated
+    distinct-digest state (O(batch + state), the only contact with
+    history), one doc-keyed rollup — and an O(new digests) append
+    into the ``batch=<id>`` ledger (replay-idempotent: a re-run
+    overwrites its own append and never sees it as prior)."""
+    spark = new_df.sparkSession
+    subdir = os.path.join(state_dir, "spans")
+    toks = (
+        new_df.where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"),
+        )
+        .where(F.size("t") >= int(n))
+    )
+    g = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (int(n) - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("t", i, int(n)))
+                ),
+            )
+        ).alias("g"),
+    )
+    gp = g.groupBy("g", "id").agg(F.count(F.lit(1)).alias("pos_cnt"))
+    nd_batch = F.count(F.lit(1)).over(Window.partitionBy("g"))
+    prior = _read_prior(spark, subdir, batch_id)
+    seen = (
+        prior.select("g").distinct().withColumn("__seen", F.lit(True))
+        if prior is not None
+        else None
+    )
+    marked = gp.withColumn("nd_batch", nd_batch)
+    if seen is not None:
+        marked = marked.join(seen, "g", "left")
+    else:
+        marked = marked.withColumn("__seen", F.lit(None).cast("boolean"))
+    # consumed twice (verdict rollup + new-digest append)
+    marked = marked.localCheckpoint()
+    dup = (F.col("nd_batch") >= 2) | F.coalesce(
+        F.col("__seen"), F.lit(False)
+    )
+    verdict = marked.groupBy("id").agg(
+        F.sum("pos_cnt").alias("n_grams"),
+        F.coalesce(
+            F.sum(F.when(dup, F.col("pos_cnt"))), F.lit(0)
+        ).alias("n_dup"),
+        F.round(
+            (
+                F.coalesce(
+                    F.sum(F.when(dup, F.col("pos_cnt"))), F.lit(0)
+                )
+                / F.sum("pos_cnt").cast("double")
+            ).cast("decimal(30,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("dup_coverage"),
+    )
+    (
+        marked.where(~F.coalesce(F.col("__seen"), F.lit(False)))
+        .select("g")
+        .distinct()
+        .withColumn("batch", F.lit(int(batch_id)))
+        .repartition(state_partitions)
+        .write.mode("overwrite")
+        .parquet(os.path.join(subdir, f"batch={int(batch_id)}"))
+    )
+    return verdict
 
 
 def streaming_dedup_exact(

@@ -11278,6 +11278,68 @@ def q220_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q221_span_state",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE trim(text) <> ''
+    ), ok AS (SELECT doc_id, t FROM toks WHERE len(t) >= 8),
+    g AS (
+        SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS g
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM ok)
+    ), g1 AS (
+        SELECT DISTINCT g FROM g WHERE doc_id % 2 = 0
+    ), g2 AS (
+        SELECT doc_id, g FROM g WHERE doc_id % 2 = 1
+    ), nd2 AS (
+        SELECT g, count(DISTINCT doc_id) AS nd FROM g2 GROUP BY g
+    ), m AS (
+        SELECT g2.doc_id,
+               (nd2.nd >= 2 OR g1.g IS NOT NULL) AS dup
+        FROM g2
+        JOIN nd2 ON g2.g = nd2.g
+        LEFT JOIN g1 ON g2.g = g1.g
+    )
+    SELECT doc_id AS id, count(*) AS n_grams,
+           count(*) FILTER (WHERE dup) AS n_dup,
+           CAST(round(CAST(count(*) FILTER (WHERE dup)
+                / CAST(count(*) AS DOUBLE)
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS dup_coverage
+    FROM m GROUP BY doc_id
+    """,
+)
+def q221_span_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL span dedup against persisted state
+    (operators/dedup_state.py::span_dedup_incremental) — q214's
+    duplicated-window coverage as a cross-run pipeline stage, the
+    fourth dedup modality (exact, MinHash, embedding) to get the
+    state-store treatment: batch 1 (doc_id%2==0) seeds the n-gram
+    digest ledger, batch 2 (doc_id%2==1) is scored against the
+    accumulated state PLUS its own cross-document repeats, and only
+    new digests append. The oracle restates batch 2's verdicts from
+    scratch (batch-1 membership ∪ second-batch-2-doc membership), so
+    the persisted round-trip provably changes nothing; replay
+    idempotency and history immutability are pytest-covered
+    (tests/test_dedup_state_crossrun.py).
+
+    Per-apply cost: one codegen digest projection over the batch, one
+    (digest, doc) aggregate + count-over-Window, one digest-keyed
+    left join against the state (the only contact with history), one
+    O(new digests) ledger append — linear in batch tokens, never in
+    accumulated corpus text."""
+    from ..operators.dedup_state import span_dedup_incremental
+
+    d = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="ehs_spanstate_")
+    span_dedup_incremental(
+        d.where(F.pmod("doc_id", F.lit(2)) == 0), work, 1
+    )
+    return span_dedup_incremental(
+        d.where(F.pmod("doc_id", F.lit(2)) == 1), work, 2
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -587,3 +587,58 @@ def test_bloom_variant_matches_plain_verdicts(spark, state_dir):
     finally:
         shutil.rmtree(plain_dir, ignore_errors=True)
         shutil.rmtree(tiny_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------
+# span (n-gram window) state
+# ---------------------------------------------------------------------
+
+
+def _span_rows(verdicts):
+    return sorted(
+        (r["id"], r["n_grams"], r["n_dup"], r["dup_coverage"])
+        for r in verdicts.collect()
+    )
+
+
+def test_span_state_scores_batch_against_history_and_itself(spark, tmp_path):
+    from etlhelper_spark.operators.dedup_state import span_dedup_incremental
+
+    state = str(tmp_path / "spans")
+    # n=3 grams; doc 1 plants "a b c"; doc 2 repeats it verbatim later
+    b1 = spark.createDataFrame(
+        [(1, "a b c d e")], ["doc_id", "text"]
+    )
+    v1 = span_dedup_incremental(b1, state, 1, n=3)
+    # first batch: nothing prior, no cross-doc repeats -> coverage 0
+    assert _span_rows(v1) == [(1, 3, 0, 0.0)]
+
+    b2 = spark.createDataFrame(
+        [
+            (2, "a b c x y"),          # "a b c" seen in batch 1
+            (3, "p q r s t"),          # fresh
+            (4, "p q r z z"),          # "p q r" repeats WITHIN batch 2
+        ],
+        ["doc_id", "text"],
+    )
+    v2 = span_dedup_incremental(b2, state, 2, n=3)
+    rows = dict((r[0], r) for r in _span_rows(v2))
+    assert rows[2] == (2, 3, 1, 0.3333)   # history hit
+    assert rows[3] == (3, 3, 1, 0.3333)   # batch-local cross-doc hit
+    assert rows[4] == (4, 3, 1, 0.3333)
+
+
+def test_span_state_replay_is_idempotent(spark, tmp_path):
+    from etlhelper_spark.operators.dedup_state import span_dedup_incremental
+
+    state = str(tmp_path / "spans")
+    b1 = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    b2 = spark.createDataFrame([(2, "c d e f g")], ["doc_id", "text"])
+    span_dedup_incremental(b1, state, 1, n=3)
+    first = _span_rows(span_dedup_incremental(b2, state, 2, n=3))
+    # replay of batch 2 must not see its own append as prior
+    assert _span_rows(span_dedup_incremental(b2, state, 2, n=3)) == first
+    # and a replay of batch 1 must not see batch 2's grams either
+    assert _span_rows(
+        span_dedup_incremental(b1, state, 1, n=3)
+    ) == [(1, 3, 0, 0.0)]
