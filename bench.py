@@ -208,6 +208,7 @@ HEADLINE = [
     "q219_k_anonymity",
     "q220_temperature_mix",
     "q221_span_state",
+    "q222_minhash_calibration",
 ]
 
 

@@ -11340,6 +11340,142 @@ def q221_span_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q222_minhash_calibration",
+    _MINHASH_SQL
+    + """
+    , bands AS (
+        SELECT id, seed // 4 AS band,
+               md5(string_agg(CAST(minhash AS VARCHAR), ','
+                              ORDER BY seed)) AS band_key
+        FROM sigs GROUP BY id, seed // 4
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    ), est AS (
+        SELECT c.id_a, c.id_b,
+               sum(CASE WHEN sa.minhash = sb.minhash
+                        THEN 1 ELSE 0 END) / 16.0 AS est
+        FROM cand c
+        JOIN sigs sa ON sa.id = c.id_a
+        JOIN sigs sb ON sb.id = c.id_b AND sb.seed = sa.seed
+        GROUP BY c.id_a, c.id_b
+    ), sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    shared AS (
+        SELECT c.id_a, c.id_b, count(*) AS shared
+        FROM cand c
+        JOIN sh a ON a.id = c.id_a
+        JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT e.id_a, e.id_b,
+           CAST(round(CAST(e.est AS DECIMAL(30,10)), 4) AS DOUBLE)
+               AS est_jaccard,
+           CAST(round(CAST(coalesce(s.shared, 0)
+                / CAST(sa.n + sb.n - coalesce(s.shared, 0) AS DOUBLE)
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS exact_jaccard,
+           CAST(round(CAST(abs(e.est - coalesce(s.shared, 0)
+                / CAST(sa.n + sb.n - coalesce(s.shared, 0) AS DOUBLE))
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS abs_err
+    FROM est e
+    LEFT JOIN shared s ON s.id_a = e.id_a AND s.id_b = e.id_b
+    JOIN sizes sa ON sa.id = e.id_a
+    JOIN sizes sb ON sb.id = e.id_b
+    """,
+)
+def q222_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR CALIBRATION — the q08b recall-gate treatment
+    applied to the dedup stack's other estimator: for every LSH
+    candidate pair, the MinHash Jaccard estimate (matching minhashes
+    / 16) is put NEXT TO the exact shingle-set Jaccard and the
+    absolute error, so the sketch the pipeline trusts for
+    keep-or-drop decisions is calibrated in-plan, per pair,
+    oracle-pinned — not assumed from the textbook bound.
+
+    Distributed shape: candidates and estimates both project off the
+    ONE-row-per-doc wide minhash aggregate (no signature re-shuffle);
+    exact Jaccard is computed ONLY for candidate pairs — the bounded
+    pair table joins each side's distinct-shingle list, so the exact
+    check costs O(pairs × shingles/doc), never the all-pairs join the
+    oracle is allowed to state."""
+    from ..functions.dedup import (
+        _minhash_wide,
+        minhash_lsh_candidates,
+        shingle_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=16, bands=4, shingle_size=3
+    ).localCheckpoint()  # consumed by est AND exact sides
+    # every downstream branch needs only CANDIDATE docs — reduce both
+    # substrates behind a broadcast semi-join and materialize them
+    # once, so the corpus is scanned twice total (signatures,
+    # shingles) instead of once per consumer
+    ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("id")
+    ).distinct()
+    wide = (
+        _minhash_wide(d, "doc_id", "text", 16, 3)
+        .join(F.broadcast(ids), "id", "leftsemi")
+        .localCheckpoint()
+    )
+    wa = wide.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(16)],
+    )
+    wb = wide.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(16)],
+    )
+    matches = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int")
+        for i in range(16)
+    )
+    est = (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select(
+            "id_a", "id_b", (matches / F.lit(16.0)).alias("est")
+        )
+    )
+    sh = (
+        shingle_table(d, "doc_id", "text", 3)
+        .join(F.broadcast(ids), "id", "leftsemi")
+        .localCheckpoint()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), "shingle"), "id_a"
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    ex = F.coalesce(F.col("shared"), F.lit(0)) / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("shared"), F.lit(0))
+    ).cast("double")
+    return (
+        est.join(shared, ["id_a", "id_b"], "left")
+        .join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            _sround(F.col("est"), 4).alias("est_jaccard"),
+            _sround(ex, 4).alias("exact_jaccard"),
+            _sround(F.abs(F.col("est") - ex), 4).alias("abs_err"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
