@@ -209,6 +209,7 @@ HEADLINE = [
     "q220_temperature_mix",
     "q221_span_state",
     "q222_minhash_calibration",
+    "q223_tpch_refresh",
 ]
 
 

@@ -11476,6 +11476,81 @@ def q222_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q223_tpch_refresh",
+    """
+    WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+    ins AS (
+        SELECT o_orderkey + mx.mk + 1 AS o_orderkey, o_orderstatus,
+               o_totalprice
+        FROM orders, mx WHERE o_orderkey % 5 = 0
+    ), merged AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        UNION ALL SELECT * FROM ins
+    ), kept AS (
+        SELECT * FROM merged WHERE o_orderkey % 7 <> 3
+    )
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(round(CAST(sum(o_totalprice) AS DECIMAL(30,10)), 2)
+                AS DOUBLE) AS total_price
+    FROM kept GROUP BY o_orderstatus
+    """,
+)
+def q223_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-style REFRESH (RF1 insert + RF2 delete) driven through
+    the MERGE machinery (operators/merge.py) — the warehouse-
+    maintenance shape the reference's `load` recipes feed, here under
+    the oracle gate end to end: a key-shifted copy of every 5th order
+    inserts via MERGE (WHEN NOT MATCHED INSERT) into a copy-on-write
+    parquet table, o_orderkey%7==3 rows delete via MERGE (WHEN
+    MATCHED DELETE, insert disabled), and the refreshed table rolls up
+    per order status. The oracle restates insert+delete as
+    UNION ALL + anti-filter — so the staged full-outer-join merge and
+    its atomic directory swap provably produce the set-theoretic
+    result, not just a pytest-shaped one.
+
+    Scale shape: each MERGE is ONE full-outer equi-join on the key +
+    a rewrite of the table (copy-on-write swap; on a real lake the
+    same call lands on Delta/Iceberg metadata pointers). The rollup
+    is a combinable aggregate. Nothing here is driver-bound except
+    the bounded max-key read."""
+    from ..operators.merge import merge_into_parquet
+
+    d = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    work = tempfile.mkdtemp(prefix="ehs_refresh_")
+    target = os.path.join(work, "orders")
+    d.write.parquet(target)
+    mk = d.agg(F.max("o_orderkey")).first()[0]
+    ins = d.where(F.pmod("o_orderkey", F.lit(5)) == 0).select(
+        (F.col("o_orderkey") + F.lit(int(mk) + 1)).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+    )
+    merge_into_parquet(spark, target, ins, ["o_orderkey"])
+    cur = spark.read.parquet(target)
+    dels = cur.where(F.pmod("o_orderkey", F.lit(7)) == 3).select(
+        "o_orderkey"
+    )
+    merge_into_parquet(
+        spark,
+        target,
+        dels,
+        ["o_orderkey"],
+        when_matched_delete="true",
+        when_not_matched_insert=False,
+    )
+    return (
+        spark.read.parquet(target)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _sround(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
