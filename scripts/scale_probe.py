@@ -705,8 +705,25 @@ def main() -> None:
             .count()
         )
 
+    def _span_state_probe():
+        from etlhelper_spark.operators.dedup_state import (
+            span_dedup_incremental,
+        )
+
+        work = tempfile.mkdtemp(prefix="ehs_probe_spanstate_")
+        span_dedup_incremental(
+            docs.where(F.pmod("doc_id", F.lit(2)) == 0), work, 1
+        ).count()
+        out = span_dedup_incremental(
+            docs.where(F.pmod("doc_id", F.lit(2)) == 1), work, 2
+        ).count()
+        shutil.rmtree(work, ignore_errors=True)
+        return out
+
     probe("span dedup 8-gram coverage (1M docs)", n_docs,
           _span_dedup_probe)
+    probe("incremental span-dedup state (2 sequential batches)",
+          n_docs, _span_state_probe)
     probe("BPE train(2 rounds) + frozen encode (1M docs)", n_docs,
           _bpe_probe)
     probe("int8 quantization + error rollup", n_vecs, _int8_probe)
