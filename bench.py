@@ -210,6 +210,8 @@ HEADLINE = [
     "q221_span_state",
     "q222_minhash_calibration",
     "q223_tpch_refresh",
+    "q224_pipeline_funnel",
+    "q225_shard_manifest",
 ]
 
 

@@ -11551,6 +11551,156 @@ def q223_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q224_pipeline_funnel",
+    """
+    WITH s AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+               length(regexp_replace(trim(text), '[^.,;:!?]', '', 'g'))
+                   / greatest(length(trim(text)), 1) AS pr,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fp
+        FROM documents WHERE trim(text) <> ''
+    ), f AS (
+        SELECT source, n_tok,
+               (n_tok BETWEEN 5 AND 10000) AS len_ok,
+               (n_tok BETWEEN 5 AND 10000 AND pr <= 0.3) AS qual_ok,
+               CASE WHEN n_tok BETWEEN 5 AND 10000 AND pr <= 0.3
+                    THEN row_number() OVER (
+                        PARTITION BY fp,
+                            (n_tok BETWEEN 5 AND 10000 AND pr <= 0.3)
+                        ORDER BY doc_id)
+                    END AS rn
+        FROM s
+    )
+    SELECT source, count(*) AS n_total,
+           count(*) FILTER (WHERE len_ok) AS n_len_ok,
+           count(*) FILTER (WHERE qual_ok) AS n_quality_ok,
+           count(*) FILTER (WHERE qual_ok AND rn = 1) AS n_final,
+           CAST(coalesce(sum(n_tok)
+                FILTER (WHERE qual_ok AND rn = 1), 0) AS BIGINT)
+               AS final_tokens
+    FROM f GROUP BY source
+    """,
+)
+def q224_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CURATION FUNNEL audit — the whole cleaning pipeline
+    (length gate → punctuation-quality gate → first-seen exact dedup)
+    as ONE declarative plan, reporting per source how many documents
+    survive each stage and the token mass that reaches training. This
+    is the per-ingest report a data curator actually reads — and
+    because each stage is a column, not a materialized intermediate,
+    Catalyst fuses the entire funnel into one scan + one
+    fingerprint-keyed window + one aggregate.
+
+    Stage semantics pinned by the oracle: the dedup survivor is
+    elected among QUALITY-PASSING docs only (partitioning the
+    first-seen window by the quality flag), so a failed doc can never
+    shadow a good duplicate — the ordering bug naive funnel SQL gets
+    wrong. Linear at any scale; the window keys are content
+    fingerprints, so no hot key exists."""
+    d = _t(spark, sf_dir, "documents")
+    from ..functions.text import document_fingerprint, punct_ratio
+
+    tx = F.trim("text")
+    s = d.where(tx != "").select(
+        "doc_id",
+        "source",
+        F.size(F.split(tx, r"\s+")).alias("n_tok"),
+        punct_ratio(tx).alias("pr"),
+        document_fingerprint(tx).alias("fp"),
+    )
+    len_ok = F.col("n_tok").between(5, 10000)
+    qual_ok = len_ok & (F.col("pr") <= 0.3)
+    w = Window.partitionBy("fp", qual_ok).orderBy("doc_id")
+    f = s.select(
+        "source",
+        "n_tok",
+        len_ok.alias("len_ok"),
+        qual_ok.alias("qual_ok"),
+        F.when(qual_ok, F.row_number().over(w)).alias("rn"),
+    )
+    final = F.col("qual_ok") & (F.col("rn") == 1)
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("len_ok"), 1)).alias("n_len_ok"),
+        F.count(F.when(F.col("qual_ok"), 1)).alias("n_quality_ok"),
+        F.count(F.when(final, 1)).alias("n_final"),
+        F.coalesce(
+            F.sum(F.when(final, F.col("n_tok"))), F.lit(0)
+        ).alias("final_tokens"),
+    )
+
+
+@query(
+    "q225_shard_manifest",
+    """
+    WITH r AS (
+        SELECT doc_id,
+               md5(concat('42|', CAST(doc_id AS VARCHAR))) AS h,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fp,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+        FROM documents
+    ), o AS (
+        SELECT doc_id, fp, n_tok,
+               row_number() OVER (ORDER BY h, doc_id) - 1 AS rank
+        FROM r
+    )
+    SELECT rank // 256 AS shard, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           md5(string_agg(fp, ',' ORDER BY rank)) AS content_hash
+    FROM o GROUP BY rank // 256
+    """,
+)
+def q225_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard MANIFEST with content CHECKSUMS — the verification
+    artifact the export step (q205) should ship with: per shard, the
+    row count, the token mass, and an order-sensitive md5 over the
+    member documents' content fingerprints in replay order. A loader
+    (or a re-run on different hardware) recomputes the same hashes or
+    refuses the shards — the export contract made checkable, byte for
+    byte, which is exactly how the oracle pins it here.
+
+    Distributed shape: the global rank is export.py's two-phase
+    prefix sum (never a single-partition window); the checksum is one
+    combinable collect_list per shard (bounded: shard size is fixed
+    at 256) sorted in-array by rank — shards are independent, so the
+    manifest aggregate is embarrassingly parallel."""
+    from ..operators.export import deterministic_shuffle_rank
+    from ..functions.text import document_fingerprint
+
+    tx = F.trim("text")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        document_fingerprint(tx).alias("fp"),
+        F.size(F.split(tx, r"\s+")).alias("n_tok"),
+    )
+    ranked = deterministic_shuffle_rank(d, ["doc_id"], seed=42)
+    return (
+        ranked.withColumn(
+            "shard", F.floor(F.col("rank") / F.lit(256)).cast("long")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("rank", "fp"))
+                        ),
+                        lambda s: s["fp"],
+                    ),
+                )
+            ).alias("content_hash"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
