@@ -212,6 +212,7 @@ HEADLINE = [
     "q223_tpch_refresh",
     "q224_pipeline_funnel",
     "q225_shard_manifest",
+    "q226_null_drift",
 ]
 
 

@@ -11701,6 +11701,71 @@ def q225_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q226_null_drift",
+    """
+    WITH a AS (
+        SELECT CASE WHEN value < 10 THEN NULL ELSE value END AS value,
+               user_id
+        FROM events
+    ), ra AS (
+        SELECT 'value' AS c,
+               CAST(round(CAST(avg(CASE WHEN value IS NULL
+                    THEN 1.0 ELSE 0.0 END) AS DECIMAL(30,10)), 6)
+                    AS DOUBLE) AS null_rate_a
+        FROM a
+        UNION ALL
+        SELECT 'user_id',
+               CAST(round(CAST(avg(CASE WHEN user_id IS NULL
+                    THEN 1.0 ELSE 0.0 END) AS DECIMAL(30,10)), 6)
+                    AS DOUBLE)
+        FROM a
+    ), rb AS (
+        SELECT 'value' AS c,
+               CAST(round(CAST(avg(CASE WHEN value IS NULL
+                    THEN 1.0 ELSE 0.0 END) AS DECIMAL(30,10)), 6)
+                    AS DOUBLE) AS null_rate_b
+        FROM events
+        UNION ALL
+        SELECT 'user_id',
+               CAST(round(CAST(avg(CASE WHEN user_id IS NULL
+                    THEN 1.0 ELSE 0.0 END) AS DECIMAL(30,10)), 6)
+                    AS DOUBLE)
+        FROM events
+    )
+    SELECT ra.c AS "column", ra.null_rate_a, rb.null_rate_b,
+           CAST(round(CAST(rb.null_rate_b - ra.null_rate_a
+                AS DECIMAL(30,10)), 6) AS DOUBLE) AS delta
+    FROM ra JOIN rb ON ra.c = rb.c
+    """,
+)
+def q226_null_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-RATE drift between two vintages
+    (functions/drift.py::null_rate_drift) — the completeness check a
+    pipeline runs when a feed's parser or upstream sensor changes: a
+    simulated lossy vintage (value dropped below 10 — sensor dropout)
+    against the raw feed, per column, with the delta. A column whose
+    null rate jumps is the first symptom of a silent schema/parser
+    regression — cheaper to catch here than in model metrics.
+
+    Distributed shape: ONE single-scan aggregate per side computes
+    every column's rate at once (isnull → avg, all columns in one
+    projection), melted via a map literal and joined on the column
+    name — O(cols) result rows, two scans total, no per-column
+    jobs."""
+    from ..functions.drift import null_rate_drift
+
+    e = _t(spark, sf_dir, "events")
+    a = e.select(
+        F.when(F.col("value") < 10, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+        "user_id",
+    )
+    b = e.select("value", "user_id")
+    return null_rate_drift(a, b, ["value", "user_id"])
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
