@@ -85,20 +85,40 @@ def pq_train(
 ) -> dict[int, list[tuple[int, list[float]]]]:
     """Train per-subspace codebooks: spherical k-means with
     deterministic seeds (the k_codes lowest-id vectors' subvectors,
-    6dp-rounded — code ids are the seed vector ids), *iterations*
-    Lloyd rounds, ALL subspaces per corpus scan. Returns
-    {sub: [(code, centroid), ...]} with centroids 6dp-rounded.
+    6dp-rounded), *iterations* Lloyd rounds, ALL subspaces per corpus
+    scan. Returns {sub: [(code, centroid), ...]} with centroids
+    6dp-rounded.
+
+    Code ids are DENSE 0..k-1 in seed-id order — never the raw vector
+    ids. Raw ids at the 10^10-vector scale this module targets are
+    snowflake/hash longs whose int cast in pq_encode would silently
+    wrap (non-ANSI), miss pq_adc_topk's code->slot map, and turn every
+    ADC score into the -1.0 NULL fallback. Dense codes are also the
+    point of PQ: m codes that fit a byte, independent of id magnitude.
 
     A code whose cluster empties during a round drops out (the same
     contract as the k-means oracle); ties in the per-subspace argmax
-    break (cosine desc, code asc) — the engine/oracle total order."""
+    break (cosine desc, code asc) — the engine/oracle total order.
+    Dense relabeling preserves seed-id order, so the tie-break total
+    order (and therefore every assignment) is unchanged up to the
+    relabel."""
+    from pyspark.sql import Window
+
     sd = _sub_dim(df, vec_col, m_sub)
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    seeds = vecs.orderBy(F.col("id").asc()).limit(k_codes)
+    # k rows — the single-partition window is bounded by k_codes
+    seeds = (
+        vecs.orderBy(F.col("id").asc())
+        .limit(k_codes)
+        .withColumn(
+            "code",
+            F.row_number().over(Window.orderBy(F.col("id").asc())) - 1,
+        )
+    )
     books = {
         j: collect_pivot_rows(
             seeds.select(
-                F.col("id").alias("code"),
+                F.col("code"),
                 F.transform(
                     F.slice("vec", j * sd + 1, sd), lambda x: _round6(x)
                 ).alias("centroid"),

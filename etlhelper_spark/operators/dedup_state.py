@@ -408,6 +408,18 @@ def dedup_exact_incremental_bloom(
     )
     bv = _latest_version_num(bloom_dir, batch_id)
     gap_probes = None
+    if prior is not None and bloom is None:
+        # FIRST bloom apply over a store built by plain-variant applies:
+        # there is no bitmap, so every prior fingerprint is a candidate
+        # (no pruning this apply) — but the bitmap written BELOW carries
+        # version batch_id, which future applies read as "covers all
+        # state with batch <= batch_id". It must therefore summarize the
+        # ENTIRE legacy store, not just this batch, or legacy
+        # fingerprints would be bloom-filtered out of later joins —
+        # false negatives (duplicates admitted as new). Fold them all in.
+        gap_probes = _bloom_probes(
+            prior.select("fingerprint").distinct(), m_bits, num_hashes
+        )
     if prior is not None and bloom is not None:
         candidates = (
             probes.join(bloom.select("word", "bits"), "word", "left")

@@ -9127,7 +9127,9 @@ def q190_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dims AS (SELECT unnest(range(1, 17)) AS pos),
     subs AS (SELECT unnest(range(0, 4)) AS sub),
     c0 AS (
-        SELECT s.sub, e.vec_id AS code,
+        SELECT s.sub,
+               row_number() OVER (PARTITION BY s.sub ORDER BY e.vec_id)
+                   - 1 AS code,
                list_transform(
                    e.embedding[s.sub*16+1 : s.sub*16+16]::DOUBLE[],
                    x -> CAST(round(CAST(x AS DECIMAL(30,10)), 6) AS DOUBLE)
@@ -9183,7 +9185,9 @@ def q191_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dims AS (SELECT unnest(range(1, 17)) AS pos),
     subs AS (SELECT unnest(range(0, 4)) AS sub),
     c0 AS (
-        SELECT s.sub, e.vec_id AS code,
+        SELECT s.sub,
+               row_number() OVER (PARTITION BY s.sub ORDER BY e.vec_id)
+                   - 1 AS code,
                list_transform(
                    e.embedding[s.sub*16+1 : s.sub*16+16]::DOUBLE[],
                    x -> CAST(round(CAST(x AS DECIMAL(30,10)), 6) AS DOUBLE)
@@ -9582,7 +9586,9 @@ def q197_stratified_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs AS (SELECT unnest(range(0, 4)) AS sub),
     base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 < 2),
     c0 AS (
-        SELECT s.sub, e.vec_id AS code,
+        SELECT s.sub,
+               row_number() OVER (PARTITION BY s.sub ORDER BY e.vec_id)
+                   - 1 AS code,
                list_transform(
                    e.embedding[s.sub*16+1 : s.sub*16+16]::DOUBLE[],
                    x -> CAST(round(CAST(x AS DECIMAL(30,10)), 6) AS DOUBLE)

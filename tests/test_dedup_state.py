@@ -589,6 +589,54 @@ def test_bloom_variant_matches_plain_verdicts(spark, state_dir):
         shutil.rmtree(tiny_dir, ignore_errors=True)
 
 
+def test_bloom_first_apply_on_legacy_plain_store_heals_gap(spark):
+    """Regression: the FIRST bloom apply on a store built entirely by
+    plain-variant applies must fold ALL legacy fingerprints into its
+    bitmap. Before the fix, that bitmap covered only its own batch but
+    carried a version claiming coverage of every earlier batch, so the
+    NEXT bloom apply bloom-filtered legacy fingerprints out of the
+    state join — admitting their duplicates as new (false negatives,
+    silent first-seen corruption)."""
+    from etlhelper_spark.operators.dedup_state import (
+        dedup_exact_incremental_bloom,
+    )
+
+    legacy_dir = tempfile.mkdtemp(prefix="ehs_state_legacy_")
+    try:
+        # batch 0: plain apply only — no bitmap exists yet
+        dedup_exact_incremental(
+            spark.createDataFrame([(1, "legacy doc")], ["doc_id", "text"]),
+            legacy_dir,
+            0,
+        )
+        # batch 1: first bloom apply (unrelated doc) — writes bitmap v1
+        dedup_exact_incremental_bloom(
+            spark.createDataFrame([(2, "other doc")], ["doc_id", "text"]),
+            legacy_dir,
+            1,
+        )
+        # batch 2: a duplicate of the PLAIN-applied batch-0 doc. The v1
+        # bitmap claims coverage of batch<=1; if it didn't fold the
+        # legacy fingerprints in, doc 1's fingerprint gets pruned from
+        # the state join here and the duplicate is wrongly kept.
+        v = dedup_exact_incremental_bloom(
+            spark.createDataFrame([(3, "LEGACY  doc")], ["doc_id", "text"]),
+            legacy_dir,
+            2,
+        ).collect()
+        assert len(v) == 1
+        assert (v[0]["survivor_id"], v[0]["kept"]) == (1, False)
+        # and the batch-1 doc's own duplicate still dedups too
+        v3 = dedup_exact_incremental_bloom(
+            spark.createDataFrame([(4, "other  DOC")], ["doc_id", "text"]),
+            legacy_dir,
+            3,
+        ).collect()
+        assert (v3[0]["survivor_id"], v3[0]["kept"]) == (2, False)
+    finally:
+        shutil.rmtree(legacy_dir, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------
 # span (n-gram window) state
 # ---------------------------------------------------------------------
