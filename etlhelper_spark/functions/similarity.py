@@ -604,8 +604,6 @@ def embedding_covariance(
     pinned in executor storage after the call — the corpus is scanned
     exactly once, by the partial collection itself.
     """
-    from .util import literal_frame
-
     dims, idx, d = _resolve_dims(df, vec_col, dims)
     n, s, g = _collect_gram(df, vec_col, idx, d)
     spark = df.sparkSession
@@ -613,16 +611,29 @@ def embedding_covariance(
         return spark.createDataFrame(
             [], "i int, j int, n long, cov double"
         )
-    # d(d+1)/2 entries: literal_frame keeps the hot small-d path as
-    # pure Catalyst literals and falls back to createDataFrame above
-    # 10k rows — a d=2000 triangle is ~2M entries, which as ONE SQL
-    # text would blow up the parser/driver (ADVICE r6)
-    entries = [
-        (i, j, n, None if c is None else float(c))
-        for i, j, n, c in _cov_entries(dims, n, s, g)
-    ]
-    return literal_frame(
-        spark, entries, "i int, j int, n long, cov double"
+    entries = list(_cov_entries(dims, n, s, g))
+    # d(d+1)/2 entries: a single VALUES text parses fastest at the
+    # common d (d=64 -> 2080 tuples), but a d=2000 triangle is ~2M
+    # tuples in ONE SQL string — parser/driver blowup (ADVICE r6) —
+    # so large triangles go through createDataFrame instead
+    if len(entries) > 50_000:
+        return spark.createDataFrame(
+            [
+                (i, j, nn, None if c is None else float(c))
+                for i, j, nn, c in entries
+            ],
+            "i int, j int, n long, cov double",
+        )
+    vals = ", ".join(
+        "({i}, {j}, {n}L, {c})".format(
+            i=i, j=j, n=nn,
+            c="CAST(NULL AS DOUBLE)" if c is None else _dlit(c),
+        )
+        for i, j, nn, c in entries
+    )
+    return spark.sql(
+        f"SELECT col1 AS i, col2 AS j, col3 AS n, col4 AS cov "
+        f"FROM VALUES {vals}"
     )
 
 

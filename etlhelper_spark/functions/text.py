@@ -332,8 +332,8 @@ def bpe_merges(
     - pair counts: zip_with(s[:-1], s[1:]) -> explode -> one
       combinable groupBy per round (the only shuffle; |symbol pairs|
       keys);
-    - the winning pair is a ONE-ROW frame (max count, ties lexical
-      a-then-b) broadcast into the merge step — never collected;
+    - the winning pair (max count, ties lexical a-then-b) collects to
+      the driver — one row per round, bounded by *rounds*;
     - merge application is a pure codegen array pass per word:
       position i fuses when (s[i], s[i+1]) equals the winner, and
       position i+1 drops when its predecessor fused. Self-pairs
@@ -348,24 +348,59 @@ def bpe_merges(
     combinable aggregate + one array map — linear, shuffle-bounded by
     the pair-count aggregation. Returns (step, left, right, cnt):
     the learned merges in order with their weighted pair counts.
+
+    The loop is CHECKPOINTED per round (the bpe_word_encodings /
+    duplicate_clusters discipline): without the cut, round N's lazy
+    plan re-derives the corpus-scale word aggregation and rounds
+    1..N-1's fuses from scratch — quadratic recompute that made
+    64-merge training infeasible. The winning pair collects to the
+    driver (ONE row per round, bounded by *rounds* — it IS the
+    tokenizer artifact, the same bounded-driver contract as
+    codebooks/pivots), which buys early-stop detection on a fully
+    fused vocabulary and a pure-literal fuse with no crossJoin.
     """
-    w = _bpe_word_table(df, text_col).select(
-        "freq", F.col("s")
+    from .util import literal_frame
+
+    w = _bpe_word_table(df, text_col).select("freq", F.col("s"))
+    merges, _ = _bpe_train_loop(w, rounds, ["freq"])
+    return literal_frame(
+        df.sparkSession,
+        merges,
+        "step int, left string, right string, cnt long",
     )
-    out = None
+
+
+def _bpe_train_loop(
+    w: DataFrame, rounds: int, carry: list[str]
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The shared checkpointed BPE training loop over a prepared word
+    table: per round, ONE combinable pair-count aggregate over the
+    materialized |vocab| rows, a one-row driver collect of the winner
+    (bounded by *rounds*), and a pure-literal codegen fuse. Stops
+    early when no eligible pair remains (every word fused to a single
+    symbol / only self-pairs left) — at realistic merge counts on
+    small vocabularies the rule budget can outlive the corpus.
+
+    Returns (merges, final_w): the ordered (step, left, right, cnt)
+    rules and the word table AFTER every learned fuse (checkpointed,
+    so downstream consumers touch only |vocab| materialized rows).
+
+    Checkpoints are LAZY (eager=False): the next round's winner
+    collect forces materialization anyway, so an eager checkpoint
+    would double the per-round job count — at 64+ rounds the loop is
+    job-overhead-bound, and halving jobs roughly halves wall-clock."""
+    w = w.localCheckpoint(eager=False)
+    merges: list[tuple[int, str, str, int]] = []
     for step in range(1, rounds + 1):
-        m = _bpe_top_pair(w)
-        row = m.select(
-            F.lit(step).alias("step"),
-            F.col("a").alias("left"),
-            F.col("b").alias("right"),
-            "cnt",
-        )
-        out = row if out is None else out.unionByName(row)
-        if step == rounds:
+        top = _bpe_top_pair(w).collect()
+        if not top:
             break
-        w = _bpe_fuse(w, m, ["freq"])
-    return out
+        r = top[0]
+        merges.append((step, r["a"], r["b"], int(r["cnt"])))
+        w = _bpe_fuse_literal(w, r["a"], r["b"], carry).localCheckpoint(
+            eager=False
+        )
+    return merges, w
 
 
 def _bpe_word_table(df: DataFrame, text_col: str) -> DataFrame:
@@ -450,20 +485,6 @@ def _fused_symbols(ma: Column, mb: Column) -> Column:
     )
 
 
-def _bpe_fuse(w: DataFrame, m: DataFrame, carry: list[str]) -> DataFrame:
-    """Apply one TRAINED merge rule (broadcast one-row m, never
-    collected) to every symbol array."""
-    mw = w.crossJoin(
-        F.broadcast(
-            m.select(F.col("a").alias("ma"), F.col("b").alias("mb"))
-        )
-    )
-    return mw.select(
-        *carry,
-        _fused_symbols(F.col("ma"), F.col("mb")).alias("s"),
-    )
-
-
 def _bpe_fuse_literal(
     w: DataFrame, a: str, b: str, carry: list[str]
 ) -> DataFrame:
@@ -497,8 +518,6 @@ def bpe_word_encodings(
     scratch (quadratic recompute — the q37 label-propagation lesson);
     with it, each round touches only the materialized |vocab| rows.
     Measured 3.0s -> ~1s at sf0.1."""
-    w = _bpe_word_table(df, text_col).localCheckpoint()
-    for _step in range(rounds):
-        m = _bpe_top_pair(w)
-        w = _bpe_fuse(w, m, ["w", "freq"]).localCheckpoint()
-    return w.select("w", F.size("s").alias("n_sub"))
+    w = _bpe_word_table(df, text_col)
+    _, wf = _bpe_train_loop(w, rounds, ["w", "freq"])
+    return wf.select("w", F.size("s").alias("n_sub"))

@@ -8,16 +8,18 @@ to text — the state here is the ordered merge table itself (a handful
 of rows), so "apply" never retrains and never reads the training
 corpus again.
 
-- ``build_bpe_state``: train *rounds* merges (functions/text.py::
-  bpe_merges — one combinable pair-count aggregate + a broadcast
-  winner + a codegen array fuse per round) and persist the ordered
+- ``build_bpe_state``: train up to *rounds* merges (functions/
+  text.py::bpe_merges — one combinable pair-count aggregate, a
+  one-row driver collect of the winner, and a literal codegen array
+  fuse per checkpointed round) and persist the ordered
   (step, left, right, cnt) table.
 - ``apply_bpe_state``: encode a NEW batch's distinct-word table under
   the frozen rules: the merge table is bounded by *rounds* (a
   constant), so collecting it to the driver is the bounded-driver
-  contract; each rule replays as the same broadcast one-row fuse used
-  in training. Corpus scale enters only through the caller's
-  word-level join — the iteration runs over |batch vocabulary| rows.
+  contract; each rule replays as the same literal fuse used in
+  training, the chain cut every 8 rules. Corpus scale enters only
+  through the caller's word-level join — the iteration runs over
+  |batch vocabulary| rows.
 
 Reference parity note: the reference (a DB-API cursor wrapper,
 /root/reference/etlhelper/etl.py) has no tokenizer machinery; this
@@ -52,7 +54,10 @@ def build_bpe_state(
     merges = bpe_merges(df, text_col, rounds=rounds)
     path = os.path.join(state_dir, _MERGES)
     merges.coalesce(1).write.mode("overwrite").parquet(path)
-    return int(rounds)
+    # training stops early when the vocabulary is fully fused, so the
+    # persisted count can be smaller than the requested budget — the
+    # merges frame is driver-literal, so this count is free
+    return merges.count()
 
 
 def read_bpe_merges(spark, state_dir: str) -> DataFrame:
@@ -79,12 +84,15 @@ def apply_bpe_state(
     applying those same rules by hand — the property the q218 oracle
     restates from scratch.
 
-    Unlike training (where the winner must stay a broadcast frame to
-    avoid a per-round collect of data-derived state), the frozen
-    rules are already driver-side strings, so each replays as a pure
-    LITERAL fuse — the whole chain compiles into one codegen
-    projection over the batch vocabulary with no joins and no
-    materialization barriers."""
+    The frozen rules are driver-side strings, so each replays as a
+    pure LITERAL fuse — no joins, no broadcast. At realistic merge
+    counts (10^2-10^4 rules) the chain is cut by a localCheckpoint
+    every 8 fuses: each fuse nests three lambda passes, so an uncut
+    64-rule chain is a ~200-level expression tree that blows analysis
+    time and the codegen method-size budget; the cut bounds every
+    compiled projection at 8 rules over |batch vocabulary|
+    materialized rows (the training loop's own per-round discipline,
+    amortized 8x because apply needs no per-rule aggregation)."""
     from ..functions.text import _bpe_fuse_literal, _bpe_word_table
 
     spark = df.sparkSession
@@ -92,6 +100,10 @@ def apply_bpe_state(
         "step", "left", "right"
     ).collect()  # bounded by `rounds` — a constant, not data-sized
     w = _bpe_word_table(df, text_col)
-    for r in rules:
+    for i, r in enumerate(rules):
         w = _bpe_fuse_literal(w, r["left"], r["right"], ["w", "freq"])
+        if (i + 1) % 8 == 0 and (i + 1) < len(rules):
+            # lazy: the next cut (or the final consumer) forces it —
+            # no standalone job per 8-rule segment
+            w = w.localCheckpoint(eager=False)
     return w.select("w", F.size("s").alias("n_sub"))

@@ -11772,6 +11772,171 @@ def q226_null_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return null_rate_drift(a, b, ["value", "user_id"])
 
 
+def _bpe_oracle_words_cte(
+    name: str, where: str, with_freq: bool = True
+) -> str:
+    """Word-table CTE pair ``<name>w`` / ``<name>0`` — (word, freq, s)
+    or (word, s) — for the generated BPE oracles."""
+    freq_sel = ", count(*) AS freq" if with_freq else ""
+    freq_col = "freq, " if with_freq else ""
+    return f"""{name}w AS MATERIALIZED (
+    SELECT w AS word{freq_sel} FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE trim(text) <> '' AND {where}
+    ) WHERE w <> '' GROUP BY w
+), {name}0 AS MATERIALIZED (
+    SELECT word, {freq_col}[word[i] FOR i IN range(1, len(word)+1)] AS s
+    FROM {name}w
+)"""
+
+
+def _bpe_oracle_train_ctes(rounds: int) -> str:
+    """*rounds* unrolled training rounds (p{k}/m{k}/t{k} CTE triples
+    over the t0 word table). GENERATED — at realistic merge counts a
+    handwritten unroll is impossible, but the discipline is unchanged:
+    the oracle restates the exact pair-count/winner/fuse arithmetic,
+    round by round, in SQL. Every CTE is MATERIALIZED: DuckDB inlines
+    plain CTEs, and a 64-deep chain whose every link is referenced
+    twice would expand exponentially (measured: fd exhaustion from
+    2^k parquet scans)."""
+    parts = []
+    for k in range(1, rounds + 1):
+        parts.append(f"""p{k} AS MATERIALIZED (
+    SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+    FROM t{k - 1}, (SELECT unnest(range(1, 64)) AS i)
+    WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+), m{k} AS MATERIALIZED (
+    SELECT a, b, cnt FROM p{k} ORDER BY cnt DESC, a, b LIMIT 1
+),
+t{k} AS MATERIALIZED (
+    SELECT word, freq, list(sym ORDER BY pos) AS s FROM (
+        SELECT w.word, w.freq, t.i AS pos,
+               CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                    THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+               (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                   AS dropped
+        FROM t{k - 1} w, (SELECT unnest(range(1, 65)) AS i) t, m{k} m
+        WHERE t.i <= len(w.s)
+    ) WHERE NOT dropped GROUP BY word, freq
+)""")
+    return ",\n".join(parts)
+
+
+def _bpe_oracle_apply_ctes(rounds: int) -> str:
+    """*rounds* unrolled FROZEN-rule fuses (b{k} CTEs over the b0 word
+    table, consuming the training chain's m{k} winners)."""
+    parts = []
+    for k in range(1, rounds + 1):
+        parts.append(f"""b{k} AS MATERIALIZED (
+    SELECT word, list(sym ORDER BY pos) AS s FROM (
+        SELECT w.word, t.i AS pos,
+               CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                    THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+               (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                   AS dropped
+        FROM b{k - 1} w, (SELECT unnest(range(1, 65)) AS i) t, m{k} m
+        WHERE t.i <= len(w.s)
+    ) WHERE NOT dropped GROUP BY word
+)""")
+    return ",\n".join(parts)
+
+
+_BPE64_ROUNDS = 64
+
+_Q227_ORACLE = f"""
+WITH {_bpe_oracle_words_cte("t", "TRUE")},
+{_bpe_oracle_train_ctes(_BPE64_ROUNDS)}
+{" UNION ALL ".join(
+    f"SELECT {k} AS step, a AS left, b AS right, "
+    f"CAST(cnt AS BIGINT) AS cnt FROM m{k}"
+    for k in range(1, _BPE64_ROUNDS + 1)
+)}
+"""
+
+
+@query("q227_bpe_train64", _Q227_ORACLE)
+def q227_bpe_train64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training at a REALISTIC rule count — 64 rounds
+    (functions/text.py::bpe_merges, the checkpointed-loop discipline:
+    lazy localCheckpoint per round so round N touches only the
+    materialized |vocab| rows, winner collected one bounded row per
+    round, fuse as a pure-literal codegen array pass). q195 pins the
+    3-round prefix against a handwritten oracle; this query proves the
+    loop survives the scale a real tokenizer needs — the 64-round
+    oracle is GENERATED SQL (the same per-round arithmetic emitted by
+    a loop, every CTE materialized), so the unrolled-oracle discipline
+    extends to merge counts where handwriting is impossible. Training
+    cost at any corpus scale: 64 combinable pair aggregates over the
+    distinct-word table — corpus size enters once, through the word
+    frequency aggregation."""
+    from ..functions.text import bpe_merges
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merges(d, "text", rounds=_BPE64_ROUNDS)
+
+
+_Q228_ORACLE = f"""
+WITH {_bpe_oracle_words_cte("t", "doc_id % 3 < 2")},
+{_bpe_oracle_train_ctes(_BPE64_ROUNDS)},
+{_bpe_oracle_words_cte("b", "doc_id % 3 = 2", with_freq=False)},
+{_bpe_oracle_apply_ctes(_BPE64_ROUNDS)},
+enc AS (SELECT word, len(s) AS n_sub FROM b{_BPE64_ROUNDS}),
+dw AS (
+    SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+        FROM documents WHERE trim(text) <> '' AND doc_id % 3 = 2
+    ) WHERE w <> ''
+)
+SELECT d.doc_id, count(*) AS n_words,
+       CAST(sum(e.n_sub) AS BIGINT) AS n_bpe_tokens
+FROM dw d JOIN enc e ON d.w = e.word
+GROUP BY d.doc_id
+"""
+
+
+@query("q228_bpe_apply64", _Q228_ORACLE)
+def q228_bpe_apply64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROZEN-tokenizer encoding at a REALISTIC rule count — train 64
+    merges on the doc_id%3<2 vintage, persist
+    (operators/bpe_state.py), encode the %3=2 vintage under the frozen
+    rules, roll up per document. q218 pins the 2-rule contract; this
+    proves the literal-fuse APPLY path at the merge counts a deployed
+    tokenizer actually has: 64 chained literal fuses, the chain cut by
+    a lazy localCheckpoint every 8 rules (an uncut chain is a
+    ~200-level expression tree — analysis/codegen blowup), so every
+    compiled projection is 8 rules over |batch vocabulary|
+    materialized rows. The oracle restates training AND the frozen
+    apply chain as generated SQL — the persisted round-trip provably
+    changes nothing at 64 rules."""
+    from ..operators.bpe_state import apply_bpe_state, build_bpe_state
+
+    d = _t(spark, sf_dir, "documents")
+    b_train = d.where(F.pmod("doc_id", F.lit(3)) < 2)
+    b_new = d.where(F.pmod("doc_id", F.lit(3)) == 2)
+    work = tempfile.mkdtemp(prefix="ehs_bpe64_")
+    build_bpe_state(b_train, work, "text", rounds=_BPE64_ROUNDS)
+    enc = apply_bpe_state(b_new, work, "text")
+    dw = (
+        b_new.where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    return (
+        dw.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -437,3 +437,105 @@ def test_bpe_merges_deterministic_ties_and_partitioning(spark):
     a = [tuple(r) for r in bpe_merges(d.repartition(2), "text", 2).collect()]
     b = [tuple(r) for r in bpe_merges(d.repartition(32), "text", 2).collect()]
     assert sorted(a) == sorted(b) and len(a) == 2
+
+
+def _bpe_reference(freq: dict[str, int], rounds: int):
+    """Driver-side reference BPE: greedy-LEFTMOST sequential fuse per
+    learned rule (the textbook formulation), winner = max weighted
+    count with ties (cnt desc, a asc, b asc), self-pairs excluded.
+    Returns (merges, {word: n_symbols}). The engine fuses all
+    occurrences at once with an indexed array pass — the test pins
+    that all-at-once == greedy-leftmost under the no-self-pair
+    contract, merge by merge, at realistic rule counts."""
+    words = {w: list(w) for w in freq}
+    merges = []
+    for step in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in words.items():
+            for x, y in zip(s, s[1:]):
+                if x != y:
+                    counts[(x, y)] = counts.get((x, y), 0) + freq[w]
+        if not counts:
+            break
+        (a, b), cnt = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[0]
+        merges.append((step, a, b, cnt))
+        for w, s in words.items():
+            out, i = [], 0
+            while i < len(s):  # greedy-leftmost scan
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            words[w] = out
+    return merges, {w: len(s) for w, s in words.items()}
+
+
+def test_bpe_64_rounds_matches_greedy_leftmost_reference(spark):
+    """Property check at a REALISTIC merge count: 64 rounds on a
+    planted corpus (overlap traps 'abab'/'aaab', a self-pair-only word
+    'aaaa' that must never fuse, periodic 'xyxyxyxy', plus seeded
+    random words) must produce exactly the greedy-leftmost reference's
+    merge table AND the reference's per-word symbol counts — including
+    the early stop when the vocabulary dries before the budget."""
+    import random
+
+    from etlhelper_spark.functions.text import (
+        bpe_merges,
+        bpe_word_encodings,
+    )
+
+    rng = random.Random(42)
+    planted = ["abab", "aaab", "abcabc", "aaaa", "xyxyxyxy", "cabbage"]
+    randoms = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(2, 12)))
+        for _ in range(30)
+    ]
+    corpus = []
+    freq: dict[str, int] = {}
+    for w in planted + randoms:
+        k = rng.randint(1, 5)
+        freq[w] = freq.get(w, 0) + k
+        corpus.extend([w] * k)
+    rng.shuffle(corpus)
+    # a handful of docs so the word aggregation actually aggregates
+    docs = [
+        (" ".join(corpus[i::7]),) for i in range(7) if corpus[i::7]
+    ]
+    df = spark.createDataFrame(docs, ["text"])
+
+    want_merges, want_counts = _bpe_reference(freq, 64)
+    got_merges = [
+        (r["step"], r["left"], r["right"], r["cnt"])
+        for r in bpe_merges(df, "text", rounds=64).orderBy("step").collect()
+    ]
+    assert got_merges == want_merges
+    got_counts = {
+        r["w"]: r["n_sub"]
+        for r in bpe_word_encodings(df, "text", rounds=64).collect()
+    }
+    assert got_counts == want_counts
+    # 'aaaa' is self-pairs only at round 0; it may fuse only via rules
+    # learned on other words' symbols, never below 1 symbol — and with
+    # alphabet disjointness from xy it stays unfused unless (a,aa)-style
+    # rules emerge, which the reference tracks identically
+    assert got_counts["aaaa"] == want_counts["aaaa"]
+
+
+def test_bpe_64_rounds_partition_invariant(spark):
+    """The 64-round trainer must be bit-identical across input
+    partitionings (the determinism sweep's contract, pinned here at
+    the realistic rule count)."""
+    from etlhelper_spark.functions.text import bpe_merges
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    a = [
+        tuple(r) for r in bpe_merges(d.repartition(2), "text", 64).collect()
+    ]
+    b = [
+        tuple(r) for r in bpe_merges(d.repartition(32), "text", 64).collect()
+    ]
+    assert sorted(a) == sorted(b) and len(a) == 64
