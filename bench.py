@@ -213,6 +213,7 @@ HEADLINE = [
     "q224_pipeline_funnel",
     "q225_shard_manifest",
     "q226_null_drift",
+    "q229_ivfpq_recall",
 ]
 
 
@@ -300,6 +301,14 @@ def main() -> None:
     ivf_build_sec = round(time.time() - t0, 3)
     print(f"# ivf_index_build: {ivf_build_sec:.2f}s", file=sys.stderr)
 
+    # same contract for the composed IVFPQ index (q229 probes only)
+    from etlhelper_spark.plans.queries import ivfpq_index_cached
+
+    t0 = time.time()
+    ivfpq_index_cached(spark, SF_DIR)
+    ivfpq_build_sec = round(time.time() - t0, 3)
+    print(f"# ivfpq_index_build: {ivfpq_build_sec:.2f}s", file=sys.stderr)
+
     # Steady-state methodology (JMH-style): one untimed warm-up
     # execution per query compiles the generated code and JIT-warms the
     # JVM — first-run codegen/C2 cost is a per-process constant (~10s
@@ -385,6 +394,7 @@ def main() -> None:
         "sf": sf_val,
         "n_queries": len(timings),
         "ivf_index_build_sec": ivf_build_sec,
+        "ivfpq_index_build_sec": ivfpq_build_sec,
         "methodology": (
             f"steady-state min-of-{n_passes}" if warm_pass else "cold"
         ),

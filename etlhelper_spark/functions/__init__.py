@@ -46,6 +46,11 @@ from .pq import (
     pq_train,
     read_pq_codes,
 )
+from .ivfpq import (
+    append_ivfpq_index,
+    build_ivfpq_index,
+    query_ivfpq_index,
+)
 from .util import (
     heavy_hitters,
     in_filter_join,
@@ -80,6 +85,9 @@ __all__ = [
     "duplicate_clusters",
     "embedding_near_duplicates",
     "heavy_hitters",
+    "append_ivfpq_index",
+    "build_ivfpq_index",
+    "query_ivfpq_index",
     "append_pq_codes",
     "build_pq_index",
     "load_pq_codebooks",

@@ -1,0 +1,258 @@
+"""IVF x PQ composed index (the FAISS IVFADC shape): coarse pruning
+decides WHICH lists a query reads, product quantization decides WHAT
+each stored vector costs — together they are the standard layout of a
+10^10-vector ANN deployment, and each half already exists in this
+suite (ann_index.py's partition-pruned probe, pq.py's ADC scorer).
+This module composes them into one persisted artifact.
+
+Layout on disk (one directory):
+
+- ``list_id=<L>/`` parquet partitions holding ONLY (vec_id, codes) —
+  the float payload is never stored; at m=4 subspaces over 64 dims
+  that is 16-64x smaller than the raw corpus, the difference between
+  an index that fits the page cache and one that doesn't.
+- ``_pivots`` — the IVF coarse centroids (ann_index convention; the
+  underscore hides it from the partitioned table's file listing).
+- ``_codebooks`` — the PQ codebooks (pq.py convention).
+
+Query path: each query ranks the (tiny, literal) pivot set, keeps its
+``nprobe`` nearest lists, and the union of probed ids becomes a
+literal IN-filter on the partition column — the scan prunes every
+unprobed directory BEFORE reading a byte, and ADC then scores only the
+surviving codes with m table lookups per row (pure codegen; no float
+payload, no join on vectors). So a probe reads ~nprobe/nlist of an
+already 16-64x compressed corpus.
+
+Codes quantize the RAW vectors (not residuals against the list pivot):
+cosine-ADC on raw vectors keeps the oracle restatable and the append
+path trivially frozen-artifact; residual encoding is an accuracy
+refinement that drops into ``_encode_cols`` without changing the
+layout, at the cost of per-list dot tables at query time (nlist x m x
+k literals instead of m x k).
+
+Both halves follow the suite's frozen-artifact append contract
+(ann_index.append_ivf_index / pq.append_pq_codes): assignment and
+encoding depend only on the persisted pivots + codebooks, so an index
+built on batch 1 and appended with batch 2 is content-identical to one
+built over the union.
+
+Reference parity note: the reference (a DB-API cursor wrapper,
+/root/reference/etlhelper/etl.py) has no vector search; this completes
+the suite's ANN family with the composed production shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .pq import (
+    _adc_query_frame,
+    _adc_sim_col,
+    load_pq_codebooks,
+    pq_codebook_df,
+    pq_train,
+)
+from .similarity import collect_pivot_rows, nearest_pivot, nearest_pivots
+
+__all__ = [
+    "append_ivfpq_index",
+    "build_ivfpq_index",
+    "query_ivfpq_index",
+]
+
+
+def _encode_cols(books: dict, pivot_rows: list, vec_col: str):
+    """(list_id, codes) columns for one corpus row — the coarse argmax
+    and all m subspace argmaxes in ONE projection, zero shuffle, zero
+    expansion (clustering.py's literal-fold discipline applied to both
+    halves at once)."""
+    sd = len(books[0][0][1])
+    return [
+        nearest_pivot(F.col(vec_col), pivot_rows)["pid"].alias("list_id"),
+        F.array(
+            *[
+                nearest_pivot(
+                    F.slice(vec_col, j * sd + 1, sd), books[j]
+                )["pid"].cast("int")
+                for j in sorted(books)
+            ]
+        ).alias("codes"),
+    ]
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    m_sub: int = 4,
+    k_codes: int = 8,
+    iterations: int = 2,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, int, int]:
+    """Train both halves (IVF pivots = the nlist lowest-id vectors,
+    ann_index convention; PQ codebooks = pq_train's per-subspace
+    spherical k-means) and persist the composed index: one corpus scan
+    assigns AND encodes every row (single projection — the coarse
+    argmax and the m subspace argmaxes are all literal folds), writing
+    (vec_id, codes) partitioned by list_id. Returns
+    (n_vectors, nlist, n_rules_per_subspace)."""
+    spark = corpus.sparkSession
+    pivots = (
+        corpus.orderBy(F.col(corpus_id).asc())
+        .limit(nlist)
+        .select(
+            F.col(corpus_id).alias("list_id"), F.col(vec_col).alias("pivot")
+        )
+    )
+    pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
+    books = pq_train(corpus, corpus_id, vec_col, m_sub, k_codes, iterations)
+    enc = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        *_encode_cols(books, pivot_rows, vec_col),
+    )
+    enc.write.partitionBy("list_id").mode("overwrite").parquet(path)
+    pivots.write.mode("overwrite").parquet(os.path.join(path, "_pivots"))
+    pq_codebook_df(spark, books).write.mode("overwrite").parquet(
+        os.path.join(path, "_codebooks")
+    )
+    n = spark.read.parquet(path).count()
+    return n, nlist, len(books[0])
+
+
+def append_ivfpq_index(
+    new_corpus: DataFrame,
+    path: str,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Encode a new batch against the FROZEN pivots + codebooks and
+    append into the existing ``list_id=`` partitions — one linear scan
+    of the batch, zero shuffle, O(batch) write of m-byte codes.
+    Content-identical to building over the union (both halves' frozen
+    contracts compose, pinned in tests). The shared trade: pivots AND
+    codebooks drift from the distribution over time — monitor list
+    skew (rebalance_ivf_index's trigger) and quantization error, and
+    retrain when either warrants. Returns the appended count."""
+    spark = new_corpus.sparkSession
+    pivots = spark.read.parquet(os.path.join(path, "_pivots"))
+    pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
+    books = load_pq_codebooks(spark, path)
+    enc = new_corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        *_encode_cols(books, pivot_rows, vec_col),
+    ).localCheckpoint()  # encode + scan the batch ONCE (write + count)
+    enc.write.partitionBy("list_id").mode("append").parquet(path)
+    return enc.count()
+
+
+def query_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    refine: DataFrame | None = None,
+    refine_factor: int = 10,
+) -> DataFrame:
+    """Top-k ADC search against a persisted IVFPQ index: partition
+    pruning first (each query's nprobe nearest lists; the union of
+    probed ids is a literal IN-filter so unprobed directories are
+    never read), ADC scoring second (m literal-table lookups per
+    surviving CODE row — the float payload does not exist in the
+    index). Self-matches are excluded; ties (adc desc, neighbor asc).
+
+    Without *refine*: returns (query_id, neighbor_id, rank, adc_sim),
+    rank <= k by ADC alone.
+
+    With *refine* (a row-store frame carrying *query_id*/*vec_col*
+    for corpus ids — the standard two-tier deployment: codes in
+    memory, floats in a row store): the ADC stage keeps a
+    refine_factor x k SHORTLIST per query, the shortlist's exact
+    vectors are fetched through a broadcast semi-join on the row
+    store (the shortlist is the bounded side — |queries| x
+    refine_factor x k ids — so the store scan prunes scan-side and
+    never shuffles), and exact cosine re-ranks the final top-k.
+    Returns (query_id, neighbor_id, rank, sim) with 4dp exact cosine.
+    Quantization error then costs RECALL only (a true neighbor missing
+    from the shortlist), never final ordering — the knob is
+    refine_factor, paid as shortlist x d floats read instead of
+    corpus x d."""
+    pivots = spark.read.parquet(os.path.join(path, "_pivots"))
+    pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
+    books = load_pq_codebooks(spark, path)
+    # dot tables AND the probe list in ONE projection over the
+    # bounded query side, then one explode row per probed list
+    q_probes = _adc_query_frame(
+        queries,
+        books,
+        query_id,
+        vec_col,
+        extra=[
+            nearest_pivots(F.col(vec_col), pivot_rows, nprobe)[
+                "pid"
+            ].alias("__probes")
+        ],
+    ).select(
+        "*", F.explode("__probes").alias("list_id")
+    ).drop("__probes")
+    # <= |queries| x nprobe ints — the literal filter that turns
+    # probing into partition pruning (query_ivf_index's contract)
+    probed = sorted(
+        r["list_id"]
+        for r in q_probes.select("list_id").distinct().collect()
+    )
+    index = spark.read.parquet(path).where(F.col("list_id").isin(probed))
+    scored = (
+        index.join(F.broadcast(q_probes), "list_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .withColumn("adc_sim", _adc_sim_col(books))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "adc_sim"
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_sim").desc(), F.col("neighbor_id").asc()
+    )
+    shortlist_k = int(k) if refine is None else int(k) * int(refine_factor)
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= shortlist_k)
+        .select("query_id", "neighbor_id", "rank", "adc_sim")
+    )
+    if refine is None:
+        return ranked
+    from .similarity import cosine_similarity
+
+    cand = ranked.select("query_id", "neighbor_id")
+    store = refine.select(
+        F.col(query_id).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    exact = (
+        store.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("qv"), F.col("nv")).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= int(k))
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim")
+        )
+    )

@@ -216,6 +216,98 @@ def pq_encode(
     )
 
 
+def _adc_query_frame(
+    queries: DataFrame,
+    books: dict,
+    query_id: str,
+    vec_col: str,
+    extra: list | None = None,
+) -> DataFrame:
+    """(query_id, __qnorm, __dt0..__dt{m-1} [, *extra]): per-query
+    literal dot tables — element i of __dt{j} is dot(q_j, centroid_i)
+    for subspace j's i-th codebook entry (python-sequential == fold
+    order), plus the query's own norm. Queries are the bounded side,
+    so these tables broadcast with the query row. *extra* columns
+    (e.g. an IVF probe-list array) ride the same single projection."""
+    sd = None
+    qcols = []
+    for j in sorted(books):
+        rows = books[j]
+        if sd is None:
+            sd = len(rows[0][1])
+        dots = ", ".join(
+            "aggregate(zip_with(slice({v}, {s}, {l}), array({c}), "
+            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, w) -> acc + w)".format(
+                v=vec_col,
+                s=j * sd + 1,
+                l=sd,
+                c=", ".join(_dlit(x) for x in cent),
+            )
+            for _code, cent in rows
+        )
+        qcols.append(F.expr(f"array({dots})").alias(f"__dt{j}"))
+    return queries.select(
+        F.col(query_id).alias("query_id"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(vec_col),
+                    lambda x: x.cast("double") * x.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        ).alias("__qnorm"),
+        *qcols,
+        *(extra or []),
+    )
+
+
+def _adc_sim_col(books: dict):
+    """The 4dp-rounded ADC cosine column over a row holding ``codes``
+    plus _adc_query_frame's literal tables: m table lookups + an
+    explicit index-ordered sum (cross-engine summation order), the
+    code->slot maps and norm tables folded in as literals (codebooks
+    may have dropped empty codes, so lookups go through a dense
+    slot)."""
+    codemaps = {
+        j: {code: slot for slot, (code, _c) in enumerate(books[j])}
+        for j in books
+    }
+    norm_tables = {
+        j: [sum(x * x for x in cent) for _code, cent in books[j]]
+        for j in books
+    }
+
+    def slot(j):
+        entries = ", ".join(
+            f"{code}, {s}" for code, s in codemaps[j].items()
+        )
+        return F.expr(f"element_at(map({entries}), codes[{j}]) + 1")
+
+    adc_dot = None
+    cnorm2 = None
+    for j in sorted(books):
+        term = F.element_at(F.col(f"__dt{j}"), slot(j))
+        nlit = F.expr(
+            "array({})".format(
+                ", ".join(_dlit(x) for x in norm_tables[j])
+            )
+        )
+        nterm = F.element_at(nlit, slot(j))
+        adc_dot = term if adc_dot is None else adc_dot + term
+        cnorm2 = nterm if cnorm2 is None else cnorm2 + nterm
+    return (
+        F.round(
+            F.coalesce(
+                F.try_divide(adc_dot, F.col("__qnorm") * F.sqrt(cnorm2)),
+                F.lit(-1.0),
+            ).cast("decimal(30,10)"),
+            4,
+        ).cast("double")
+    )
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     books: dict,
@@ -236,87 +328,10 @@ def pq_adc_topk(
     similarity output contract."""
     from pyspark.sql import Window
 
-    m = len(books)
-    sd = None
-    # code id -> dense position per subspace (codebooks may have
-    # dropped empty codes, so lookups go through a dense table with a
-    # code->slot map folded into the literal)
-    qcols = []
-    for j in sorted(books):
-        rows = books[j]
-        if sd is None:
-            sd = len(rows[0][1])
-        # literal: array of structs (code, centroid) for this subspace
-        # dot table: element i = dot(q_j, centroid_i); norm table:
-        # element i = |centroid_i|^2 (python-sequential == fold order)
-        dots = ", ".join(
-            "aggregate(zip_with(slice({v}, {s}, {l}), array({c}), "
-            "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, w) -> acc + w)".format(
-                v=vec_col,
-                s=j * sd + 1,
-                l=sd,
-                c=", ".join(_dlit(x) for x in cent),
-            )
-            for _code, cent in rows
-        )
-        qcols.append(F.expr(f"array({dots})").alias(f"__dt{j}"))
-    codemaps = {
-        j: {code: slot for slot, (code, _c) in enumerate(books[j])}
-        for j in books
-    }
-    norm_tables = {
-        j: [sum(x * x for x in cent) for _code, cent in books[j]]
-        for j in books
-    }
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.sqrt(
-            F.aggregate(
-                F.transform(
-                    F.col(vec_col),
-                    lambda x: x.cast("double") * x.cast("double"),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        ).alias("__qnorm"),
-        *qcols,
-    )
-    # slot lookup per subspace: codes[j] -> dense slot (literal map)
-    def slot(j):
-        entries = ", ".join(
-            f"{code}, {s}" for code, s in codemaps[j].items()
-        )
-        return F.expr(
-            f"element_at(map({entries}), codes[{j}]) + 1"
-        )
-
-    adc_dot = None
-    cnorm2 = None
-    for j in sorted(books):
-        term = F.element_at(F.col(f"__dt{j}"), slot(j))
-        nlit = F.expr(
-            "array({})".format(
-                ", ".join(_dlit(x) for x in norm_tables[j])
-            )
-        )
-        nterm = F.element_at(nlit, slot(j))
-        adc_dot = term if adc_dot is None else adc_dot + term
-        cnorm2 = nterm if cnorm2 is None else cnorm2 + nterm
+    q = _adc_query_frame(queries, books, query_id, vec_col)
     scored = (
         encoded.crossJoin(F.broadcast(q))
-        .withColumn(
-            "adc_sim",
-            F.round(
-                F.coalesce(
-                    F.try_divide(
-                        adc_dot, F.col("__qnorm") * F.sqrt(cnorm2)
-                    ),
-                    F.lit(-1.0),
-                ).cast("decimal(30,10)"),
-                4,
-            ).cast("double"),
-        )
+        .withColumn("adc_sim", _adc_sim_col(books))
         .select(
             "query_id", F.col("id").alias("neighbor_id"), "adc_sim"
         )

@@ -1,0 +1,181 @@
+"""IVFPQ composed index (functions/ivfpq.py): partition-pruned ADC
+probe, frozen-artifact append content-identity, exact re-rank
+semantics, and the compression claim (no float payload in the index).
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlhelper_spark.functions.ivfpq import (
+    append_ivfpq_index,
+    build_ivfpq_index,
+    query_ivfpq_index,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    from etlhelper_spark.sources import read_parquet_table
+
+    return read_parquet_table(spark, f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, vecs):
+    d = tempfile.mkdtemp(prefix="ehs_ivfpq_")
+    n, nlist, k_eff = build_ivfpq_index(
+        vecs, d, nlist=8, m_sub=4, k_codes=8, iterations=2
+    )
+    assert n == vecs.count() and nlist == 8 and k_eff <= 8
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_index_stores_codes_only(spark, index_dir):
+    """The compression claim: the partitioned table carries (vec_id,
+    codes, list_id) and nothing else — the float payload must not
+    exist in the index."""
+    idx = spark.read.parquet(index_dir)
+    assert sorted(idx.columns) == ["codes", "list_id", "vec_id"]
+    row = idx.first()
+    assert len(row["codes"]) == 4
+    assert all(isinstance(c, int) for c in row["codes"])
+
+
+def test_probe_scan_prunes_partitions(spark, vecs, index_dir):
+    q = vecs.where(F.col("vec_id") < 2)
+    out = query_ivfpq_index(spark, index_dir, q, k=3, nprobe=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert any("list_id" in ln and "IN" in ln.upper() for ln in scan_lines)
+
+
+def test_adc_probe_equals_composed_halves(spark, vecs, index_dir):
+    """The composed probe must equal running the two halves by hand:
+    restrict the corpus to the query's probed lists (via the stored
+    pivots), then pq_adc_topk over those rows' codes with the stored
+    codebooks — same ids, same ADC scores."""
+    from etlhelper_spark.functions.pq import (
+        load_pq_codebooks,
+        pq_adc_topk,
+    )
+    from etlhelper_spark.functions.similarity import (
+        collect_pivot_rows,
+        nearest_pivots,
+    )
+
+    q = vecs.where(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["adc_sim"]
+        for r in query_ivfpq_index(
+            spark, index_dir, q, k=4, nprobe=3
+        ).collect()
+    }
+    books = load_pq_codebooks(spark, index_dir)
+    pivots = spark.read.parquet(f"{index_dir}/_pivots")
+    pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
+    idx = spark.read.parquet(index_dir)
+    want = {}
+    for qrow in q.collect():
+        probes = [
+            r["list_id"]
+            for r in q.where(F.col("vec_id") == qrow["vec_id"])
+            .select(
+                F.explode(
+                    nearest_pivots(F.col("embedding"), pivot_rows, 3)["pid"]
+                ).alias("list_id")
+            )
+            .collect()
+        ]
+        cand = idx.where(F.col("list_id").isin(probes)).where(
+            F.col("vec_id") != qrow["vec_id"]
+        )
+        enc = cand.select(F.col("vec_id").alias("id"), "codes")
+        one_q = q.where(F.col("vec_id") == qrow["vec_id"])
+        for r in pq_adc_topk(enc, books, one_q, k=4).collect():
+            want[(r["query_id"], r["neighbor_id"])] = r["adc_sim"]
+    assert got == want
+
+
+def test_append_is_content_identical_to_union_encode(spark, vecs):
+    """Frozen-artifact append: build on batch 1, append batch 2 — the
+    codes table must be row-identical to encoding the union against
+    the SAME frozen pivots + codebooks (both halves' append contracts
+    compose)."""
+    from etlhelper_spark.functions.ivfpq import _encode_cols
+    from etlhelper_spark.functions.pq import load_pq_codebooks
+    from etlhelper_spark.functions.similarity import collect_pivot_rows
+
+    b0 = vecs.where(F.col("vec_id") % 2 == 0)
+    b1 = vecs.where(F.col("vec_id") % 2 == 1)
+    d = tempfile.mkdtemp(prefix="ehs_ivfpq_app_")
+    try:
+        build_ivfpq_index(b0, d, nlist=4, m_sub=4, k_codes=4)
+        n1 = append_ivfpq_index(b1, d)
+        assert n1 == b1.count()
+        got = sorted(
+            (r["vec_id"], r["list_id"], tuple(r["codes"]))
+            for r in spark.read.parquet(d).collect()
+        )
+        pivots = spark.read.parquet(f"{d}/_pivots")
+        pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
+        books = load_pq_codebooks(spark, d)
+        want = sorted(
+            (r["vec_id"], r["list_id"], tuple(r["codes"]))
+            for r in vecs.select(
+                F.col("vec_id"),
+                *_encode_cols(books, pivot_rows, "embedding"),
+            ).collect()
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_refine_reranks_shortlist_with_exact_cosine(spark, vecs, index_dir):
+    """With refine: the result must be exactly the ADC shortlist
+    re-ranked by exact cosine — ids a subset of the shortlist, order
+    by true similarity, ties by neighbor id."""
+    import math
+
+    q = vecs.where(F.col("vec_id") < 2)
+    shortlist = query_ivfpq_index(
+        spark, index_dir, q, k=12, nprobe=3
+    )
+    refined = query_ivfpq_index(
+        spark, index_dir, q, k=3, nprobe=3, refine=vecs, refine_factor=4
+    )
+    sl = {
+        (r["query_id"], r["neighbor_id"]) for r in shortlist.collect()
+    }
+    emb = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    rows = refined.collect()
+    assert all((r["query_id"], r["neighbor_id"]) in sl for r in rows)
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        # exact re-rank: the returned sim is true cosine, descending
+        for r in rs:
+            assert r["sim"] == pytest.approx(
+                cos(emb[qid], emb[r["neighbor_id"]]), abs=5e-5
+            )
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
