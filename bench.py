@@ -214,6 +214,7 @@ HEADLINE = [
     "q225_shard_manifest",
     "q226_null_drift",
     "q229_ivfpq_recall",
+    "q230_chi2_vs_state",
 ]
 
 

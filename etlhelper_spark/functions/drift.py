@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from .util import literal_frame
 
 __all__ = [
+    "chi2_report",
     "equal_width_bin",
     "histogram_counts",
     "psi_report",
@@ -156,6 +157,63 @@ def psi_report(
         )
         .cast("double")
         .alias("psi_total"),
+    )
+
+
+def chi2_report(
+    counts_a: DataFrame, counts_b: DataFrame
+) -> DataFrame:
+    """Per-category chi-square contributions + the total for a 2 x C
+    independence test between two categorical count tables
+    ``(category, cnt)`` — the categorical sibling of psi_report, same
+    output discipline: ``(category, cnt_a, cnt_b, chi2_cell,
+    chi2_total)`` with per-cell terms rounded to 6dp then summed as
+    exact decimals, so the total is independent of partitioning and
+    summation order.
+
+    Cells: for category c, e_side(c) = n_side x (cnt_a+cnt_b)(c) / n
+    and chi2_cell(c) = sum over both sides of (o - e)^2 / e — the
+    textbook contingency arithmetic, exactly restatable in SQL (the
+    oracle discipline). A category absent from one side counts 0
+    there (full join); everything after the two count scans is
+    O(categories)."""
+    from pyspark.sql.window import Window
+
+    a = counts_a.select("category", F.col("cnt").alias("cnt_a"))
+    b = counts_b.select("category", F.col("cnt").alias("cnt_b"))
+    j = a.join(b, "category", "full").select(
+        "category",
+        F.coalesce("cnt_a", F.lit(0).cast("long")).alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0).cast("long")).alias("cnt_b"),
+    )
+    tot = j.agg(
+        F.sum("cnt_a").alias("na"), F.sum("cnt_b").alias("nb")
+    )
+    n = (F.col("na") + F.col("nb")).cast("double")
+    ct = (F.col("cnt_a") + F.col("cnt_b")).cast("double")
+    ea = F.col("na") * ct / n
+    eb = F.col("nb") * ct / n
+    cell = (F.col("cnt_a") - ea) * (F.col("cnt_a") - ea) / ea + (
+        F.col("cnt_b") - eb
+    ) * (F.col("cnt_b") - eb) / eb
+    with_cells = j.crossJoin(F.broadcast(tot)).select(
+        "category", "cnt_a", "cnt_b", _dec6(cell).alias("chi2_cell")
+    )
+    # O(categories) rows: the unbounded window is a deliberate
+    # tiny-frame op (psi_report's contract)
+    return with_cells.select(
+        "category",
+        "cnt_a",
+        "cnt_b",
+        "chi2_cell",
+        F.round(
+            F.sum(F.col("chi2_cell").cast("decimal(30,10)")).over(
+                Window.partitionBy()
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("chi2_total"),
     )
 
 

@@ -35,8 +35,11 @@ from pyspark.sql import functions as F
 from .dedup_state import _latest_version
 
 __all__ = [
+    "category_counts_incremental",
+    "chi2_against_state",
     "histogram_incremental",
     "read_histogram_state",
+    "read_category_state",
     "psi_against_state",
 ]
 
@@ -107,6 +110,88 @@ def read_histogram_state(spark, state_dir: str, batch_id: int) -> DataFrame:
             f"read_histogram_state: no state versions under {subdir}"
         )
     return out
+
+
+def category_counts_incremental(
+    new_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    col: str,
+    state_partitions: int = 1,
+) -> DataFrame:
+    """The CATEGORICAL member of this family: fold *new_df*'s ``col``
+    value counts into the persisted category state and return the
+    updated state ``(category, cnt, col)``. Exact integer counts merge
+    by addition, so the accumulated state is bit-identical to the
+    one-shot count of the union — the histogram contract without
+    edges (categories are their own bins; a category first seen in
+    batch N simply appears then). State stays O(distinct categories)
+    for the curation columns this is for (source, language, license —
+    10s to 1000s of values), regardless of batch count; the column
+    name rides in the rows so a mis-pointed apply fails loudly instead
+    of silently merging different columns' counts. NULLs count under
+    their own category (a null-rate shift IS drift). Versioned
+    ``v<batch>`` writes — replay-idempotent like every state here."""
+    spark = new_df.sparkSession
+    subdir = os.path.join(state_dir, "cats")
+    delta = (
+        new_df.groupBy(F.col(col).alias("category"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    prior = _latest_version(spark, subdir, batch_id)
+    if prior is not None:
+        meta = prior.select("col").first()
+        if meta["col"] != col:
+            raise ValueError(
+                f"category_counts_incremental: state at {subdir} counts "
+                f"column {meta['col']!r} — got {col!r}"
+            )
+        merged = (
+            delta.unionByName(prior.select("category", "cnt"))
+            .groupBy("category")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    else:
+        merged = delta
+    state = merged.select("category", "cnt", F.lit(col).alias("col"))
+    state.repartition(state_partitions).write.mode("overwrite").parquet(
+        os.path.join(subdir, f"v{int(batch_id)}")
+    )
+    return spark.read.parquet(os.path.join(subdir, f"v{int(batch_id)}"))
+
+
+def read_category_state(spark, state_dir: str, batch_id: int) -> DataFrame:
+    """Newest persisted category state strictly below *batch_id*."""
+    subdir = os.path.join(state_dir, "cats")
+    out = _latest_version(spark, subdir, batch_id)
+    if out is None:
+        raise ValueError(
+            f"read_category_state: no state versions under {subdir}"
+        )
+    return out
+
+
+def chi2_against_state(
+    new_df: DataFrame, state_dir: str, batch_id: int
+) -> DataFrame:
+    """Chi-square of the NEW batch's categorical distribution against
+    the accumulated state — the categorical admission gate beside
+    psi_against_state (a curation loop monitors source/language/
+    license mixes across vintages exactly like its numeric columns):
+    ``(category, cnt_a, cnt_b, chi2_cell, chi2_total)`` where side a
+    is the state, side b the candidate batch. The monitored column
+    comes from the state rows (no side channel); cost is one scan of
+    the new batch + O(categories)."""
+    from ..functions.drift import chi2_report
+
+    spark = new_df.sparkSession
+    state = read_category_state(spark, state_dir, batch_id)
+    col = state.select("col").first()["col"]
+    new_counts = (
+        new_df.groupBy(F.col(col).alias("category"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return chi2_report(state.select("category", "cnt"), new_counts)
 
 
 def psi_against_state(

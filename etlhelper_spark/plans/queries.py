@@ -12019,6 +12019,80 @@ def q229_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate(bf, approx)
 
 
+@query(
+    "q230_chi2_vs_state",
+    """
+    WITH a AS (
+        SELECT source AS category, CAST(count(*) AS BIGINT) AS cnt_a
+        FROM documents WHERE doc_id % 3 < 2 GROUP BY source
+    ), b AS (
+        SELECT source AS category, CAST(count(*) AS BIGINT) AS cnt_b
+        FROM documents WHERE doc_id % 3 = 2 GROUP BY source
+    ), j AS (
+        SELECT coalesce(a.category, b.category) AS category,
+               coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+        FROM a FULL JOIN b ON a.category = b.category
+    ), tot AS (
+        SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
+               CAST(sum(cnt_b) AS BIGINT) AS nb
+        FROM j
+    ), cells AS (
+        SELECT category, cnt_a, cnt_b,
+               CAST(round(CAST(
+                   (cnt_a - CAST(na AS DOUBLE) * (cnt_a + cnt_b)
+                        / CAST(na + nb AS DOUBLE))
+                 * (cnt_a - CAST(na AS DOUBLE) * (cnt_a + cnt_b)
+                        / CAST(na + nb AS DOUBLE))
+                 / (CAST(na AS DOUBLE) * (cnt_a + cnt_b)
+                        / CAST(na + nb AS DOUBLE))
+                 + (cnt_b - CAST(nb AS DOUBLE) * (cnt_a + cnt_b)
+                        / CAST(na + nb AS DOUBLE))
+                 * (cnt_b - CAST(nb AS DOUBLE) * (cnt_a + cnt_b)
+                        / CAST(na + nb AS DOUBLE))
+                 / (CAST(nb AS DOUBLE) * (cnt_a + cnt_b)
+                        / CAST(na + nb AS DOUBLE))
+               AS DECIMAL(30,10)), 6) AS DOUBLE) AS chi2_cell
+        FROM j, tot
+    )
+    SELECT category, cnt_a, cnt_b, chi2_cell,
+           CAST(round(sum(CAST(chi2_cell AS DECIMAL(30,10))) OVER (), 6)
+                AS DOUBLE) AS chi2_total
+    FROM cells
+    """,
+)
+def q230_chi2_vs_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATEGORICAL drift against persisted state (operators/
+    drift_state.py::category_counts_incremental + chi2_against_state)
+    — the admission gate a curation loop runs on its source/language/
+    license mixes before folding a vintage in, beside the numeric
+    PSI/KS gates (q206). Two applies fold the %3=0 and %3=1 vintages
+    into the versioned category state (exact integer counts merge by
+    addition — accumulated state == one-shot count of the union); the
+    %3=2 candidate then scores a 2 x C chi-square against the
+    accumulated counts, per-cell terms 6dp-rounded and decimal-summed
+    (partitioning-independent total). The monitored column rides in
+    the state rows, so a mis-pointed apply fails loudly. The oracle
+    restates the full contingency arithmetic from the raw table."""
+    from ..operators.dedup_state import prune_state_versions
+    from ..operators.drift_state import (
+        category_counts_incremental,
+        chi2_against_state,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="ehs_cat_state_")
+    category_counts_incremental(
+        d.where(F.pmod("doc_id", F.lit(3)) == 0), work, 0, "source"
+    )
+    category_counts_incremental(
+        d.where(F.pmod("doc_id", F.lit(3)) == 1), work, 1, "source"
+    )
+    prune_state_versions(work, "cats", keep=1)
+    return chi2_against_state(
+        d.where(F.pmod("doc_id", F.lit(3)) == 2), work, 2
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -242,3 +242,86 @@ def test_psi_against_state_reads_edges_from_state(spark):
 def test_read_histogram_state_missing_raises(spark):
     with pytest.raises(ValueError, match="no state versions"):
         read_histogram_state(spark, "/tmp/ehs_drift_nonexistent", 5)
+
+
+# ------------------------------------------------- categorical state
+def _cats(spark, vals, col="src"):
+    return spark.createDataFrame([(v,) for v in vals], f"{col} string")
+
+
+def test_category_state_sequential_equals_oneshot(spark):
+    from etlhelper_spark.operators.drift_state import (
+        category_counts_incremental,
+        read_category_state,
+    )
+
+    work = tempfile.mkdtemp(prefix="ehs_cat_t_")
+    try:
+        category_counts_incremental(
+            _cats(spark, ["a", "a", "b"]), work, 0, "src"
+        )
+        category_counts_incremental(
+            _cats(spark, ["b", "c", None]), work, 1, "src"
+        )
+        st = {
+            r["category"]: r["cnt"]
+            for r in read_category_state(spark, work, 2).collect()
+        }
+        # accumulated state == one-shot counts of the union; a category
+        # first seen in batch 1 appears, NULL counts as its own bucket
+        assert st == {"a": 2, "b": 2, "c": 1, None: 1}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_category_state_column_mismatch_raises(spark):
+    from etlhelper_spark.operators.drift_state import (
+        category_counts_incremental,
+    )
+
+    work = tempfile.mkdtemp(prefix="ehs_cat_t_")
+    try:
+        category_counts_incremental(_cats(spark, ["a"]), work, 0, "src")
+        with pytest.raises(ValueError, match="counts column"):
+            category_counts_incremental(
+                _cats(spark, ["a"], col="other"), work, 1, "other"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_chi2_against_state_matches_closed_form(spark):
+    from etlhelper_spark.functions.drift import chi2_report
+    from etlhelper_spark.operators.drift_state import (
+        category_counts_incremental,
+        chi2_against_state,
+    )
+
+    work = tempfile.mkdtemp(prefix="ehs_cat_t_")
+    try:
+        category_counts_incremental(
+            _cats(spark, ["a"] * 30 + ["b"] * 10), work, 0, "src"
+        )
+        out = {
+            r["category"]: r
+            for r in chi2_against_state(
+                _cats(spark, ["a"] * 10 + ["b"] * 30), work, 1
+            ).collect()
+        }
+        # closed form: na=nb=40, col totals a:40 b:40 -> every e=20;
+        # cell chi2 = (30-20)^2/20 + (10-20)^2/20 = 10 per category
+        assert out["a"]["chi2_cell"] == pytest.approx(10.0)
+        assert out["b"]["chi2_cell"] == pytest.approx(10.0)
+        assert out["a"]["chi2_total"] == pytest.approx(20.0)
+        # identical distributions -> chi2 == 0
+        same = chi2_report(
+            spark.createDataFrame(
+                [("a", 30), ("b", 10)], "category string, cnt long"
+            ),
+            spark.createDataFrame(
+                [("a", 30), ("b", 10)], "category string, cnt long"
+            ),
+        ).collect()
+        assert all(r["chi2_cell"] == 0.0 for r in same)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
