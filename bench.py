@@ -215,6 +215,7 @@ HEADLINE = [
     "q226_null_drift",
     "q229_ivfpq_recall",
     "q230_chi2_vs_state",
+    "q231_quarantine_accounting",
 ]
 
 

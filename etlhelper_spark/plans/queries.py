@@ -12093,6 +12093,77 @@ def q230_chi2_vs_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q231_quarantine_accounting",
+    """
+    WITH src AS (
+        SELECT event_id,
+               CASE WHEN event_id % 89 = 0 THEN 'x' || event_id
+                    ELSE CAST(event_id % 100 AS VARCHAR) END AS code,
+               value
+        FROM events
+    ), rej AS (SELECT * FROM src WHERE event_id % 89 = 0)
+    SELECT 'cannot cast code to int' AS reason,
+           CAST(count(*) AS BIGINT) AS n_rejects,
+           CAST(sum(event_id) AS BIGINT) AS id_checksum,
+           (SELECT CAST(count(*) AS BIGINT) FROM src) AS processed,
+           CAST(count(*) AS BIGINT) AS failed
+    FROM rej
+    """,
+)
+def q231_quarantine_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END reject accounting through the on_error quarantine
+    path (reference on_error contract, etlhelper etl.py:305-320;
+    distributed here as operators/jdbc_sink.py::validate_rows — pure
+    JVM casts + boolean algebra, no UDF, no shuffle): a copy_rows load
+    with PLANTED constraint violations (event_id % 89 == 0 rows carry
+    a non-numeric code against the target's int column) must (a)
+    dead-letter exactly those rows to on_error as FailedRow pairs, (b)
+    report processed INCLUDING the failed rows (the reference's
+    processed-includes-failed contract, etl.py:233-339), and (c) land
+    only the valid rows in the destination. The returned frame is the
+    reject ledger a production load writes: per-reason count, an id
+    checksum over the dead-lettered rows, and the (processed, failed)
+    totals — all restated by the oracle from the planted predicate."""
+    from collections import defaultdict
+
+    from ..connect import connect_files
+    from ..functions.util import literal_frame
+    from ..operators import copy_rows
+
+    src = connect_files(sf_dir, spark=spark)
+    dest_dir = tempfile.mkdtemp(prefix="ehs_quar_")
+    dest = connect_files(dest_dir, spark=spark)
+    seed = spark.createDataFrame(
+        [], "event_id long, code int, value double"
+    )
+    dest.write_dataframe(seed, "sink")  # typed target to validate against
+    rejects = []
+    processed, failed = copy_rows(
+        "SELECT event_id, "
+        "CASE WHEN event_id % 89 = 0 THEN concat('x', event_id) "
+        "ELSE CAST(event_id % 100 AS STRING) END AS code, value "
+        "FROM events",
+        src,
+        "INSERT INTO sink (event_id, code, value) VALUES (?, ?, ?)",
+        dest,
+        on_error=rejects.extend,
+    )
+    by_reason: dict[str, list[int]] = defaultdict(list)
+    for fr in rejects:
+        by_reason[str(fr.exception)].append(int(fr.row["event_id"]))
+    rows = [
+        (reason, len(ids), sum(ids), processed, failed)
+        for reason, ids in sorted(by_reason.items())
+    ]
+    return literal_frame(
+        spark,
+        rows,
+        "reason string, n_rejects long, id_checksum long, "
+        "processed long, failed long",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
