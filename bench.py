@@ -7,7 +7,11 @@ Headline set covers every operator family (scan/filter, star join,
 window, as-of, sessionize, streaming-equivalent windows, dedup exact +
 minhash LSH + simhash + jaccard, knn, text stats, multimodal) while
 excluding the deliberately quadratic demos (brute-force all-pairs) at
-bench scale — those have their LSH-bucketed counterparts here instead.
+bench scale — those have their LSH-bucketed counterparts here instead —
+and the deliberately LONG iterative trainers (q227/q228's 64-round BPE:
+~20s of per-round job overhead on tiny vocab by design; the 3-round
+q195/q212/q218 family times the same kernels, and SCALE_PROBE.md
+measures the 64-round path at 1M docs).
 """
 
 from __future__ import annotations
@@ -216,6 +220,7 @@ HEADLINE = [
     "q229_ivfpq_recall",
     "q230_chi2_vs_state",
     "q231_quarantine_accounting",
+    "q232_lsh_bucket_guard",
 ]
 
 

@@ -240,6 +240,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding.
 
@@ -248,10 +249,36 @@ def minhash_lsh_candidates(
     O(n²) comparison becomes an equi-join on (band, band_key) —
     the only shuffle is on bucket keys, which is what makes this
     viable on billions of documents.
-    """
+
+    *max_bucket* is the mass-duplication guard: a band bucket holding
+    B members emits B(B-1)/2 pairs, so a corpus where 30% of documents
+    are byte-identical puts 0.3n members in EVERY band's bucket and
+    the join is output-quadratic no matter how it executes — the
+    pairs genuinely exist. Buckets larger than *max_bucket* are
+    therefore SKIPPED (detected by one combinable count over band
+    keys; the oversized-key list is bounded by n*bands/max_bucket
+    rows, so the anti-join is left to AQE — broadcast when the list
+    is small, which mass duplication guarantees, hash otherwise).
+    The semantics argument mirrors the PPJoin document-frequency cap
+    (q215) and winnowing's stop-fingerprint cap: members of an
+    oversized bucket are overwhelmingly exact/near-exact duplicate
+    CLUSTERS, which the exact-dedup tier (dedup_exact /
+    duplicate_clusters) identifies for O(n) — a production pipeline
+    collapses those first and reserves LSH for the genuinely fuzzy
+    tail. Default None preserves exact emit-every-pair semantics."""
     band_keys = minhash_band_keys(
         df, id_col, text_col, num_hashes, bands, shingle_size
     )
+    if max_bucket is not None:
+        hot = (
+            band_keys.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > int(max_bucket))
+            .select("band", "band_key")
+        )
+        band_keys = band_keys.join(
+            hot, ["band", "band_key"], "left_anti"
+        )
     a = band_keys.alias("a")
     b = band_keys.alias("b")
     return (

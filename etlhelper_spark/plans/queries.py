@@ -12164,6 +12164,80 @@ def q231_quarantine_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q232_lsh_bucket_guard",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id,
+               'mass duplicate body planted for the guard' AS text
+        FROM documents
+    ), toks AS (
+        SELECT doc_id AS id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM corpus
+    ), sh AS (
+        SELECT DISTINCT id, shingle FROM (
+            SELECT id, array_to_string(t[i:i+2], ' ') AS shingle
+            FROM (SELECT id, t, unnest(range(1, len(t)-1)) AS i FROM toks)
+        ) WHERE shingle <> ''
+    ), sigs AS (
+        SELECT id, seed,
+               min((((2654435761 * (seed+1)) % 2147483647)
+                      * (CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647)
+                    + (40503 * (seed*seed+1)) % 2147483647) % 2147483647) AS minhash
+        FROM sh, (SELECT unnest(range(0, 16)) AS seed)
+        GROUP BY id, seed
+    ), bands AS (
+        SELECT id, seed // 4 AS band,
+               md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed))
+                   AS band_key
+        FROM sigs GROUP BY id, seed // 4
+    ), keep AS (
+        SELECT id, band, band_key FROM (
+            SELECT id, band, band_key,
+                   count(*) OVER (PARTITION BY band, band_key) AS n
+            FROM bands
+        ) WHERE n <= 32
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM keep a JOIN keep b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+    """,
+)
+def q232_lsh_bucket_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH MASS-DUPLICATION guard under the oracle gate: the
+    corpus is doubled with a byte-identical planted body (every
+    planted doc shares every band bucket, so uncapped banding would
+    emit a |corpus|²-scale pair set — at 30% duplication of a real
+    crawl that join is output-quadratic no matter how it executes),
+    and minhash_lsh_candidates(max_bucket=32) must skip exactly the
+    oversized buckets: one combinable count over band keys + an
+    AQE-sized anti-join (bounded by n*bands/cap keys). Oversized
+    buckets are exact-duplicate clusters the O(n) exact tier already
+    collapses (q23/q37) — production dedups exact FIRST and reserves
+    LSH for the fuzzy tail; the cap makes that ordering enforceable
+    instead of aspirational. The oracle restates banding AND the
+    bucket-size filter; SCALE_PROBE.md measures the guard holding at
+    1M docs with 30% planted duplication."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.lit("mass duplicate body planted for the guard").alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(planted)
+    return minhash_lsh_candidates(
+        corpus,
+        "doc_id",
+        "text",
+        num_hashes=16,
+        bands=4,
+        shingle_size=3,
+        max_bucket=32,
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

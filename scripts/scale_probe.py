@@ -732,6 +732,150 @@ def main() -> None:
     probe("token-budget mixture (10 sources, windowed admit)", n_docs,
           _mix_probe)
 
+    # --- adversarial mass duplication (round-7 probe) ----------------
+    # 30% of the corpus byte-identical: every band bucket of the
+    # planted text holds 0.3n members, so uncapped LSH is
+    # output-quadratic BY CONSTRUCTION (0.3n choose 2 real pairs x
+    # bands) — the guard must skip those buckets while the fuzzy tail
+    # is unaffected, and the PPJoin/containment df-cap must engage the
+    # same way. The planted corpus reuses the normal text generator
+    # for 70% and one fixed body for the rest.
+    adv_path = os.path.join(tmp, "adv_docs")
+    n_adv = n_docs
+    adv_base = spark.range(n_adv).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.pmod("id", F.lit(10)) < 3,
+            F.lit("the planted mass duplicate body repeated verbatim "
+                  "across thirty percent of the corpus"),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(
+                        words,
+                        (
+                            F.pmod(
+                                F.xxhash64(F.col("id") * 7 + F.lit(i)),
+                                F.lit(22),
+                            )
+                            + 1
+                        ).cast("int"),
+                    )
+                    for i in range(10)
+                ],
+            )
+        )
+        .alias("text"),
+    )
+    adv_base.write.mode("overwrite").parquet(adv_path)
+    adv = spark.read.parquet(adv_path)
+    n_adv = adv.count()
+
+    probe(
+        "minhash LSH, 30% byte-identical, max_bucket=64",
+        n_adv,
+        lambda: minhash_lsh_candidates(
+            adv, "doc_id", "text", shingle_size=3,
+            num_hashes=32, bands=8, max_bucket=64,
+        ).count(),
+    )
+
+    def _containment_probe():
+        # the q215 kernel: distinct 5-gram digests, df cap 2..32, pair
+        # join — the planted body's shingles all have df = 0.3n >> 32,
+        # so the cap removes them before the join can fan out
+        from pyspark.sql.window import Window as W
+
+        toks = (
+            adv.where(F.trim("text") != "")
+            .select(
+                "doc_id",
+                F.split(F.trim(F.lower("text")), r"\s+").alias("t"),
+            )
+            .where(F.size("t") >= 5)
+        )
+        sh = (
+            toks.select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 4),
+                        lambda i: F.md5(
+                            F.concat_ws(" ", F.slice("t", i, 5))
+                        ),
+                    )
+                ).alias("g"),
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .select("doc_id", "g")
+        )
+        k = (
+            sh.withColumn(
+                "df", F.count(F.lit(1)).over(W.partitionBy("g"))
+            )
+            .where(F.col("df").between(2, 32))
+            .select("doc_id", "g")
+        )
+        a = k.select(F.col("doc_id").alias("contained_id"), "g")
+        b = k.select(F.col("doc_id").alias("container_id"), "g")
+        return (
+            a.join(b, "g")
+            .where(F.col("contained_id") != F.col("container_id"))
+            .groupBy("contained_id", "container_id")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .count()
+        )
+
+    probe(
+        "containment pairs (df cap 2..32), 30% byte-identical",
+        n_adv,
+        _containment_probe,
+    )
+
+    def _ivfpq_probe():
+        from etlhelper_spark.functions.ivfpq import (
+            build_ivfpq_index,
+            query_ivfpq_index,
+        )
+
+        d = os.path.join(tmp, "ivfpq")
+        build_ivfpq_index(vecs, d, nlist=32, m_sub=8, k_codes=64)
+        out = query_ivfpq_index(
+            spark, d, queries, k=5, nprobe=8,
+            refine=vecs, refine_factor=10,
+        ).count()
+        shutil.rmtree(d, ignore_errors=True)
+        return out
+
+    probe(
+        "IVFPQ build + ADC probe + exact re-rank (32 queries)",
+        n_vecs,
+        _ivfpq_probe,
+    )
+
+    def _bpe64_probe():
+        from etlhelper_spark.operators.bpe_state import (
+            apply_bpe_state,
+            build_bpe_state,
+        )
+
+        work = tempfile.mkdtemp(prefix="ehs_bpe64_probe_")
+        try:
+            build_bpe_state(docs, work, "text", rounds=64)
+            return (
+                apply_bpe_state(docs, work, "text")
+                .agg(F.sum("n_sub"))
+                .first()[0]
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    probe("BPE train(64 rounds) + frozen encode (1M docs)", n_docs,
+          _bpe64_probe)
+
     lines = [
         "# SCALE PROBE — measured operator scaling beyond bench SF",
         "",

@@ -136,3 +136,45 @@ def test_minhash_banding_uses_leftover_seeds(spark):
             for j in range(i + 1, len(ms)):
                 expect.add((ms[i], ms[j]))
     assert got == expect
+
+
+def test_minhash_max_bucket_skips_mass_duplicate_buckets(spark):
+    """The mass-duplication guard: a planted byte-identical group
+    larger than max_bucket contributes NO pairs (its band buckets are
+    all oversized and skipped), while pairs between the genuinely
+    fuzzy documents are unchanged vs the uncapped run. Default None
+    keeps exact emit-every-pair semantics."""
+    from etlhelper_spark.functions.dedup import minhash_lsh_candidates
+
+    # 12 byte-identical docs (0..11) + 2 fuzzy near-dup docs (100, 101)
+    dup = [(i, "the same exact planted document body") for i in range(12)]
+    fuzzy = [
+        (100, "alpha beta gamma delta epsilon zeta"),
+        (101, "alpha beta gamma delta epsilon eta"),
+    ]
+    df = spark.createDataFrame(dup + fuzzy, "doc_id long, text string")
+    kw = dict(num_hashes=16, bands=4, shingle_size=2)
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(df, "doc_id", "text", **kw).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            df, "doc_id", "text", max_bucket=8, **kw
+        ).collect()
+    }
+    # uncapped: all 66 identical pairs present
+    assert {(a, b) for a in range(12) for b in range(12) if a < b} <= uncapped
+    # capped: every pair within the oversized group is gone...
+    assert not any(a < 12 and b < 12 for a, b in capped)
+    # ...and the fuzzy pair survives identically if it was a candidate
+    assert ((100, 101) in capped) == ((100, 101) in uncapped)
+    # a cap ABOVE the group size changes nothing
+    loose = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(
+            df, "doc_id", "text", max_bucket=64, **kw
+        ).collect()
+    }
+    assert loose == uncapped
