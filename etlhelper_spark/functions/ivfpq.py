@@ -36,6 +36,20 @@ encoding depend only on the persisted pivots + codebooks, so an index
 built on batch 1 and appended with batch 2 is content-identical to one
 built over the union.
 
+Known trades, inherited from the halves and shared with every real
+IVFADC deployment: (1) append is parquet mode=append — at-least-once
+replay duplicates a batch's codes (duplicate neighbor candidates at
+probe, never missing ones); exactly-once ingest should route through
+the versioned-state pattern (operators/dedup_state.py) or dedup the
+feed first. (2) rebalance_ivf_index does not apply here because the
+hot-list k-means needs the float vectors and this index deliberately
+does not store them — rebalancing an IVFPQ index reads the hot lists'
+vectors back from the ROW STORE by vec_id (a partition-pruned id
+fetch), splits there, and rewrites only those lists' codes.
+(3) pivots AND codebooks drift from the distribution over time —
+monitor list skew and quantization error, retrain when either
+warrants.
+
 Reference parity note: the reference (a DB-API cursor wrapper,
 /root/reference/etlhelper/etl.py) has no vector search; this completes
 the suite's ANN family with the composed production shape.
@@ -65,22 +79,37 @@ __all__ = [
 ]
 
 
-def _encode_cols(books: dict, pivot_rows: list, vec_col: str):
+def _encode_cols(
+    books: dict, pivot_rows: list, vec_col: str, arrow: bool = False
+):
     """(list_id, codes) columns for one corpus row — the coarse argmax
     and all m subspace argmaxes in ONE projection, zero shuffle, zero
     expansion (clustering.py's literal-fold discipline applied to both
-    halves at once)."""
+    halves at once). With *arrow*, the m subspace argmaxes route
+    through the Arrow-batched numpy kernel (the deployed parameter
+    range k=64+ codes x m=8+ subspaces makes the literal fold
+    interpreted-op-bound — pq._assign's measurement); the coarse
+    argmax stays literal (nlist is small by design)."""
     sd = len(books[0][0][1])
+    if arrow:
+        from .similarity import nearest_pivot_batched
+
+        code_cols = [
+            nearest_pivot_batched(books[j])(
+                F.slice(vec_col, j * sd + 1, sd)
+            )["pid"].cast("int")
+            for j in sorted(books)
+        ]
+    else:
+        code_cols = [
+            nearest_pivot(
+                F.slice(vec_col, j * sd + 1, sd), books[j]
+            )["pid"].cast("int")
+            for j in sorted(books)
+        ]
     return [
         nearest_pivot(F.col(vec_col), pivot_rows)["pid"].alias("list_id"),
-        F.array(
-            *[
-                nearest_pivot(
-                    F.slice(vec_col, j * sd + 1, sd), books[j]
-                )["pid"].cast("int")
-                for j in sorted(books)
-            ]
-        ).alias("codes"),
+        F.array(*code_cols).alias("codes"),
     ]
 
 
@@ -93,6 +122,7 @@ def build_ivfpq_index(
     iterations: int = 2,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool | None = None,
 ) -> tuple[int, int, int]:
     """Train both halves (IVF pivots = the nlist lowest-id vectors,
     ann_index convention; PQ codebooks = pq_train's per-subspace
@@ -100,8 +130,16 @@ def build_ivfpq_index(
     assigns AND encodes every row (single projection — the coarse
     argmax and the m subspace argmaxes are all literal folds), writing
     (vec_id, codes) partitioned by list_id. Returns
-    (n_vectors, nlist, n_rules_per_subspace)."""
+    (n_vectors, nlist, n_rules_per_subspace).
+
+    *arrow* (default auto: m_sub x k_codes >= 256) routes training
+    assignment and encoding through the Arrow-batched numpy argmax —
+    at the deployed parameter range the literal fold is
+    interpreted-op-bound (58s/Lloyd round at 200k vectors, k=64 x m=8,
+    vs ~3s batched); small indexes stay pure-codegen."""
     spark = corpus.sparkSession
+    if arrow is None:
+        arrow = m_sub * k_codes >= 256
     pivots = (
         corpus.orderBy(F.col(corpus_id).asc())
         .limit(nlist)
@@ -110,10 +148,12 @@ def build_ivfpq_index(
         )
     )
     pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
-    books = pq_train(corpus, corpus_id, vec_col, m_sub, k_codes, iterations)
+    books = pq_train(
+        corpus, corpus_id, vec_col, m_sub, k_codes, iterations, arrow=arrow
+    )
     enc = corpus.select(
         F.col(corpus_id).alias("vec_id"),
-        *_encode_cols(books, pivot_rows, vec_col),
+        *_encode_cols(books, pivot_rows, vec_col, arrow=arrow),
     )
     enc.write.partitionBy("list_id").mode("overwrite").parquet(path)
     pivots.write.mode("overwrite").parquet(os.path.join(path, "_pivots"))
@@ -129,6 +169,7 @@ def append_ivfpq_index(
     path: str,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool | None = None,
 ) -> int:
     """Encode a new batch against the FROZEN pivots + codebooks and
     append into the existing ``list_id=`` partitions — one linear scan
@@ -142,9 +183,11 @@ def append_ivfpq_index(
     pivots = spark.read.parquet(os.path.join(path, "_pivots"))
     pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
     books = load_pq_codebooks(spark, path)
+    if arrow is None:
+        arrow = len(books) * len(books[0]) >= 256
     enc = new_corpus.select(
         F.col(corpus_id).alias("vec_id"),
-        *_encode_cols(books, pivot_rows, vec_col),
+        *_encode_cols(books, pivot_rows, vec_col, arrow=arrow),
     ).localCheckpoint()  # encode + scan the batch ONCE (write + count)
     enc.write.partitionBy("list_id").mode("append").parquet(path)
     return enc.count()

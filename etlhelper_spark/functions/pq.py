@@ -82,12 +82,15 @@ def pq_train(
     m_sub: int = 4,
     k_codes: int = 8,
     iterations: int = 2,
+    arrow: bool = False,
 ) -> dict[int, list[tuple[int, list[float]]]]:
     """Train per-subspace codebooks: spherical k-means with
     deterministic seeds (the k_codes lowest-id vectors' subvectors,
     6dp-rounded), *iterations* Lloyd rounds, ALL subspaces per corpus
     scan. Returns {sub: [(code, centroid), ...]} with centroids
-    6dp-rounded.
+    6dp-rounded. *arrow* routes the per-round assignment through the
+    Arrow-batched numpy argmax — the large-codebook path (see
+    _assign); keep the default for oracle-pinned training.
 
     Code ids are DENSE 0..k-1 in seed-id order — never the raw vector
     ids. Raw ids at the 10^10-vector scale this module targets are
@@ -129,7 +132,7 @@ def pq_train(
         for j in range(m_sub)
     }
     for _ in range(iterations - 1):
-        assigned = _assign(vecs, books, sd)
+        assigned = _assign(vecs, books, sd, arrow=arrow)
         # every subspace's members in ONE combinable aggregate:
         # (sub, code, pos) -> mean component, rounded per the contract
         trips = assigned.select(
@@ -166,16 +169,38 @@ def pq_train(
     return books
 
 
-def _assign(vecs: DataFrame, books: dict, sd: int) -> DataFrame:
-    """One projection computing every subspace's nearest code —
-    m literal folds, zero shuffle, zero expansion."""
+def _assign(
+    vecs: DataFrame, books: dict, sd: int, arrow: bool = False
+) -> DataFrame:
+    """One projection computing every subspace's nearest code — m
+    literal folds (zero shuffle, zero expansion), or with *arrow* the
+    Arrow-batched numpy argmax (nearest_pivot_batched's rationale: the
+    literal fold does k x sub_dim interpreted higher-order ops per row
+    per subspace, so at k=64 x m=8 it is ~4k interpreted ops/row —
+    measured 58s/Lloyd round at 200k vectors vs ~3s batched; one numpy
+    matmul per Arrow batch per subspace scores every (row, code) pair
+    at once). Tie-break parity modulo one ulp — oracle-pinned PQ
+    queries keep the literal path (pq_train's default)."""
+    if not arrow:
+        return vecs.select(
+            "id",
+            "vec",
+            *[
+                nearest_pivot(
+                    F.slice("vec", j * sd + 1, sd), books[j]
+                ).alias(f"__b{j}")
+                for j in sorted(books)
+            ],
+        )
+    from .similarity import nearest_pivot_batched
+
     return vecs.select(
         "id",
         "vec",
         *[
-            nearest_pivot(F.slice("vec", j * sd + 1, sd), books[j]).alias(
-                f"__b{j}"
-            )
+            nearest_pivot_batched(books[j])(
+                F.slice("vec", j * sd + 1, sd)
+            ).alias(f"__b{j}")
             for j in sorted(books)
         ],
     )
@@ -199,12 +224,15 @@ def pq_encode(
     books: dict,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow: bool = False,
 ) -> DataFrame:
     """Encode the corpus to (id, codes array<int>): one scan, m
-    literal folds — after this the float payload never moves again."""
+    literal folds (or the Arrow-batched argmax with *arrow* — the
+    large-codebook path) — after this the float payload never moves
+    again."""
     sd = _sub_dim(df, vec_col, len(books))
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    assigned = _assign(vecs, books, sd)
+    assigned = _assign(vecs, books, sd, arrow=arrow)
     return assigned.select(
         "id",
         F.array(

@@ -179,3 +179,44 @@ def test_refine_reranks_shortlist_with_exact_cosine(spark, vecs, index_dir):
             )
         sims = [r["sim"] for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_arrow_encode_matches_literal_encode(spark, vecs):
+    """The Arrow-batched assignment must produce the same codes and
+    list assignment as the literal-fold path on the same frozen
+    artifacts (tie-break parity: argmax-first == (sim desc, code asc)
+    modulo one ulp — pinned deterministically on this corpus)."""
+    from etlhelper_spark.functions.ivfpq import _encode_cols
+    from etlhelper_spark.functions.pq import pq_train
+    from etlhelper_spark.functions.similarity import collect_pivot_rows
+
+    books = pq_train(vecs, m_sub=4, k_codes=8, iterations=2)
+    pivots = vecs.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("list_id"),
+        F.col("embedding").alias("pivot"),
+    )
+    pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
+    lit = sorted(
+        (r["vec_id"], r["list_id"], tuple(r["codes"]))
+        for r in vecs.select(
+            "vec_id", *_encode_cols(books, pivot_rows, "embedding")
+        ).collect()
+    )
+    arr = sorted(
+        (r["vec_id"], r["list_id"], tuple(r["codes"]))
+        for r in vecs.select(
+            "vec_id",
+            *_encode_cols(books, pivot_rows, "embedding", arrow=True),
+        ).collect()
+    )
+    assert arr == lit
+
+
+def test_arrow_train_matches_literal_train(spark, vecs):
+    """Arrow-batched Lloyd assignment must learn the same codebooks as
+    the literal path (same 6dp rounding, same tie-breaks)."""
+    from etlhelper_spark.functions.pq import pq_train
+
+    lit = pq_train(vecs, m_sub=4, k_codes=8, iterations=2)
+    arr = pq_train(vecs, m_sub=4, k_codes=8, iterations=2, arrow=True)
+    assert arr == lit
