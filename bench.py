@@ -221,6 +221,7 @@ HEADLINE = [
     "q230_chi2_vs_state",
     "q231_quarantine_accounting",
     "q232_lsh_bucket_guard",
+    "q233_embedding_drift",
 ]
 
 

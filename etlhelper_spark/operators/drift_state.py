@@ -37,7 +37,10 @@ from .dedup_state import _latest_version
 __all__ = [
     "category_counts_incremental",
     "chi2_against_state",
+    "embedding_drift_against_state",
+    "embedding_moments_incremental",
     "histogram_incremental",
+    "read_embedding_state",
     "read_histogram_state",
     "read_category_state",
     "psi_against_state",
@@ -192,6 +195,165 @@ def chi2_against_state(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return chi2_report(state.select("category", "cnt"), new_counts)
+
+
+def embedding_moments_incremental(
+    new_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    vec_col: str = "embedding",
+    state_partitions: int = 1,
+) -> DataFrame:
+    """The EMBEDDING member of this family: fold *new_df*'s vectors
+    into persisted per-dimension first moments ``(pos, n, s, dim)``
+    (1-based position, count, component sum) — the state behind
+    centroid-drift monitoring of an embedding corpus across vintages
+    (an encoder change, a scraper shift, or a domain-mix move shows up
+    as the centroid walking before any downstream metric does).
+
+    Sums accumulate as DECIMAL(38,10): every component is cast to
+    DECIMAL(30,10) BEFORE summation, so per-batch sums are exact and
+    order/partitioning-independent (a double sum's partial-merge order
+    would make the state hash-unstable — the covariance module's
+    discipline applied to a persisted artifact), and merging with
+    prior state is exact decimal addition — sequential applies equal
+    the one-shot moments of the union bit-for-bit. State is O(dim)
+    forever; the dimension rides in the rows and a mismatched apply
+    fails loudly. Versioned ``v<batch>`` writes, replay-idempotent."""
+    spark = new_df.sparkSession
+    subdir = os.path.join(state_dir, "emb")
+    d0 = new_df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(d0["d"]) if d0 is not None else 0
+    delta = (
+        new_df.select(F.posexplode(vec_col).alias("pos0", "val"))
+        .groupBy((F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast("decimal(30,10)")).alias("s"),
+        )
+    )
+    prior = _latest_version(spark, subdir, batch_id)
+    if prior is not None:
+        meta = prior.select("dim").first()
+        if int(meta["dim"]) != dim:
+            raise ValueError(
+                f"embedding_moments_incremental: state at {subdir} has "
+                f"dim={meta['dim']} — got dim={dim}"
+            )
+        merged = (
+            delta.select("pos", "n", "s")
+            .unionByName(prior.select("pos", "n", "s"))
+            .groupBy("pos")
+            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        )
+    else:
+        merged = delta
+    state = merged.select(
+        "pos",
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("decimal(38,10)").alias("s"),
+        F.lit(dim).cast("int").alias("dim"),
+    )
+    state.repartition(state_partitions).write.mode("overwrite").parquet(
+        os.path.join(subdir, f"v{int(batch_id)}")
+    )
+    return spark.read.parquet(os.path.join(subdir, f"v{int(batch_id)}"))
+
+
+def read_embedding_state(spark, state_dir: str, batch_id: int) -> DataFrame:
+    """Newest persisted embedding-moment state strictly below
+    *batch_id*."""
+    subdir = os.path.join(state_dir, "emb")
+    out = _latest_version(spark, subdir, batch_id)
+    if out is None:
+        raise ValueError(
+            f"read_embedding_state: no state versions under {subdir}"
+        )
+    return out
+
+
+def embedding_drift_against_state(
+    new_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid drift of the NEW batch's embeddings against the
+    accumulated moments — the embedding admission gate beside the
+    numeric (PSI/KS) and categorical (chi-square) ones:
+    ``(pos, mean_a, mean_b, shift, centroid_cos)`` where side a is the
+    state centroid, side b the candidate batch's, shift = mean_b -
+    mean_a (6dp), and centroid_cos the cosine between the two mean
+    vectors (4dp — a centroid that stops pointing the same way is the
+    cheapest possible encoder/domain-shift alarm). Means divide the
+    exact decimal sums as doubles and round through DECIMAL(30,10)
+    (the cross-engine float discipline); the cosine's d-term sums
+    accumulate as exact decimals so the result is partitioning-
+    independent. Cost: one scan of the new batch + O(dim)."""
+    from pyspark.sql.window import Window
+
+    spark = new_df.sparkSession
+    state = read_embedding_state(spark, state_dir, batch_id)
+    a = state.select(
+        "pos",
+        F.round(
+            (F.col("s").cast("double") / F.col("n")).cast(
+                "decimal(30,10)"
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("mean_a"),
+    )
+    b = (
+        new_df.select(F.posexplode(vec_col).alias("pos0", "val"))
+        .groupBy((F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.sum(F.col("val").cast("decimal(30,10)")).alias("sb"),
+        )
+        .select(
+            "pos",
+            F.round(
+                (F.col("sb").cast("double") / F.col("nb")).cast(
+                    "decimal(30,10)"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("mean_b"),
+        )
+    )
+    j = a.join(b, "pos")
+    # O(dim) rows from here on: exact-decimal dot/norm sums make the
+    # cosine independent of partitioning (the unbounded window is a
+    # deliberate tiny-frame op, psi_report's contract)
+    dot = F.sum((F.col("mean_a") * F.col("mean_b")).cast("decimal(30,10)"))
+    na2 = F.sum((F.col("mean_a") * F.col("mean_a")).cast("decimal(30,10)"))
+    nb2 = F.sum((F.col("mean_b") * F.col("mean_b")).cast("decimal(30,10)"))
+    w = Window.partitionBy()
+    return j.select(
+        "pos",
+        "mean_a",
+        "mean_b",
+        F.round(
+            (F.col("mean_b") - F.col("mean_a")).cast("decimal(30,10)"), 6
+        )
+        .cast("double")
+        .alias("shift"),
+        F.round(
+            (
+                dot.over(w).cast("double")
+                / (
+                    F.sqrt(na2.over(w).cast("double"))
+                    * F.sqrt(nb2.over(w).cast("double"))
+                )
+            ).cast("decimal(30,10)"),
+            4,
+        )
+        .cast("double")
+        .alias("centroid_cos"),
+    )
 
 
 def psi_against_state(

@@ -12238,6 +12238,78 @@ def q232_lsh_bucket_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q233_embedding_drift",
+    """
+    WITH dims AS (SELECT unnest(range(1, 65)) AS pos),
+    a AS (
+        SELECT d.pos,
+               CAST(round(CAST(
+                   CAST(sum(CAST(e.embedding[d.pos] AS DECIMAL(30,10)))
+                        AS DOUBLE) / count(*)
+               AS DECIMAL(30,10)), 6) AS DOUBLE) AS mean_a
+        FROM embeddings e, dims d WHERE e.vec_id % 3 < 2
+        GROUP BY d.pos
+    ), b AS (
+        SELECT d.pos,
+               CAST(round(CAST(
+                   CAST(sum(CAST(e.embedding[d.pos] AS DECIMAL(30,10)))
+                        AS DOUBLE) / count(*)
+               AS DECIMAL(30,10)), 6) AS DOUBLE) AS mean_b
+        FROM embeddings e, dims d WHERE e.vec_id % 3 = 2
+        GROUP BY d.pos
+    ), j AS (SELECT pos, mean_a, mean_b FROM a JOIN b USING (pos)),
+    tot AS (
+        SELECT CAST(sum(CAST(mean_a * mean_b AS DECIMAL(30,10)))
+                    AS DOUBLE) AS dot,
+               CAST(sum(CAST(mean_a * mean_a AS DECIMAL(30,10)))
+                    AS DOUBLE) AS na2,
+               CAST(sum(CAST(mean_b * mean_b AS DECIMAL(30,10)))
+                    AS DOUBLE) AS nb2
+        FROM j
+    )
+    SELECT pos, mean_a, mean_b,
+           CAST(round(CAST(mean_b - mean_a AS DECIMAL(30,10)), 6)
+                AS DOUBLE) AS shift,
+           CAST(round(CAST(dot / (sqrt(na2) * sqrt(nb2))
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS centroid_cos
+    FROM j, tot
+    """,
+)
+def q233_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING drift against persisted state (operators/
+    drift_state.py::embedding_moments_incremental +
+    embedding_drift_against_state) — the third drift modality beside
+    numeric PSI/KS (q206) and categorical chi-square (q230): an
+    encoder swap, scraper shift, or domain-mix move walks the corpus
+    CENTROID before any downstream metric notices. Two applies fold
+    the %3=0 and %3=1 vintages into per-dimension exact-decimal first
+    moments (component sums accumulate as DECIMAL — order- and
+    partitioning-independent, so sequential applies equal one-shot
+    moments bit-for-bit); the %3=2 candidate then reports per-dim mean
+    shift plus the cosine between the two centroid vectors. All
+    post-scan work is O(dim). The oracle restates the decimal-sum
+    means and the cosine arithmetic from the raw table."""
+    from ..operators.dedup_state import prune_state_versions
+    from ..operators.drift_state import (
+        embedding_drift_against_state,
+        embedding_moments_incremental,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="ehs_emb_state_")
+    embedding_moments_incremental(
+        e.where(F.pmod("vec_id", F.lit(3)) == 0), work, 0
+    )
+    embedding_moments_incremental(
+        e.where(F.pmod("vec_id", F.lit(3)) == 1), work, 1
+    )
+    prune_state_versions(work, "emb", keep=1)
+    return embedding_drift_against_state(
+        e.where(F.pmod("vec_id", F.lit(3)) == 2), work, 2
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -325,3 +325,81 @@ def test_chi2_against_state_matches_closed_form(spark):
         assert all(r["chi2_cell"] == 0.0 for r in same)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ------------------------------------------------- embedding state
+def _embs(spark, rows):
+    return spark.createDataFrame(
+        [(list(map(float, v)),) for v in rows], "embedding array<double>"
+    )
+
+
+def test_embedding_moments_sequential_equals_oneshot(spark):
+    from etlhelper_spark.operators.drift_state import (
+        embedding_moments_incremental,
+        read_embedding_state,
+    )
+
+    seq = tempfile.mkdtemp(prefix="ehs_emb_t_")
+    one = tempfile.mkdtemp(prefix="ehs_emb_t_")
+    try:
+        b0 = _embs(spark, [[1.25, 2.0], [3.5, -1.0]])
+        b1 = _embs(spark, [[0.5, 0.25]])
+        embedding_moments_incremental(b0, seq, 0)
+        embedding_moments_incremental(b1, seq, 1)
+        embedding_moments_incremental(
+            _embs(spark, [[1.25, 2.0], [3.5, -1.0], [0.5, 0.25]]), one, 0
+        )
+        got = sorted(
+            (r["pos"], r["n"], float(r["s"]))
+            for r in read_embedding_state(spark, seq, 9).collect()
+        )
+        want = sorted(
+            (r["pos"], r["n"], float(r["s"]))
+            for r in read_embedding_state(spark, one, 9).collect()
+        )
+        # exact decimal sums: sequential applies == one-shot, bit-for-bit
+        assert got == want == [(1, 3, 5.25), (2, 3, 1.25)]
+    finally:
+        shutil.rmtree(seq, ignore_errors=True)
+        shutil.rmtree(one, ignore_errors=True)
+
+
+def test_embedding_moments_dim_mismatch_raises(spark):
+    from etlhelper_spark.operators.drift_state import (
+        embedding_moments_incremental,
+    )
+
+    work = tempfile.mkdtemp(prefix="ehs_emb_t_")
+    try:
+        embedding_moments_incremental(_embs(spark, [[1.0, 2.0]]), work, 0)
+        with pytest.raises(ValueError, match="dim="):
+            embedding_moments_incremental(
+                _embs(spark, [[1.0, 2.0, 3.0]]), work, 1
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_embedding_drift_identical_centroids(spark):
+    from etlhelper_spark.operators.drift_state import (
+        embedding_drift_against_state,
+        embedding_moments_incremental,
+    )
+
+    work = tempfile.mkdtemp(prefix="ehs_emb_t_")
+    try:
+        embedding_moments_incremental(
+            _embs(spark, [[1.0, 0.0], [3.0, 2.0]]), work, 0
+        )
+        out = {
+            r["pos"]: r
+            for r in embedding_drift_against_state(
+                _embs(spark, [[2.0, 1.0]]), work, 1
+            ).collect()
+        }
+        # both centroids are (2.0, 1.0): zero shift, cosine exactly 1
+        assert out[1]["shift"] == 0.0 and out[2]["shift"] == 0.0
+        assert out[1]["centroid_cos"] == 1.0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
