@@ -222,6 +222,7 @@ HEADLINE = [
     "q231_quarantine_accounting",
     "q232_lsh_bucket_guard",
     "q233_embedding_drift",
+    "q234_ivfpq_append",
 ]
 
 

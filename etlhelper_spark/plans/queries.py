@@ -12310,6 +12310,109 @@ def q233_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q234_ivfpq_append",
+    """
+    WITH dims AS (SELECT unnest(range(1, 17)) AS pos),
+    subs AS (SELECT unnest(range(0, 4)) AS sub),
+    base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 < 2),
+    c0 AS (
+        SELECT s.sub,
+               row_number() OVER (PARTITION BY s.sub ORDER BY e.vec_id)
+                   - 1 AS code,
+               list_transform(
+                   e.embedding[s.sub*16+1 : s.sub*16+16]::DOUBLE[],
+                   x -> CAST(round(CAST(x AS DECIMAL(30,10)), 6) AS DOUBLE)
+               ) AS centroid
+        FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8) e, subs s
+    ), a1 AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT e.vec_id, c.sub, c.code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, c.sub
+                       ORDER BY list_cosine_similarity(
+                           e.embedding[c.sub*16+1 : c.sub*16+16]::DOUBLE[],
+                           c.centroid) DESC, c.code ASC
+                   ) AS rn
+            FROM base e, c0 c
+        ) WHERE rn = 1
+    ), c1 AS (
+        SELECT sub, code, list(rv ORDER BY pos) AS centroid FROM (
+            SELECT a.sub, a.code, d.pos,
+                   CAST(round(CAST(avg(e.embedding[a.sub*16 + d.pos])
+                        AS DECIMAL(30,10)), 6) AS DOUBLE) AS rv
+            FROM a1 a JOIN base e USING (vec_id), dims d
+            GROUP BY a.sub, a.code, d.pos
+        ) GROUP BY sub, code
+    ), enc AS (
+        SELECT vec_id,
+               max(CASE WHEN sub = 0 THEN code END) AS k0,
+               max(CASE WHEN sub = 1 THEN code END) AS k1,
+               max(CASE WHEN sub = 2 THEN code END) AS k2,
+               max(CASE WHEN sub = 3 THEN code END) AS k3
+        FROM (
+            SELECT vec_id, sub, code FROM (
+                SELECT e.vec_id, c.sub, c.code,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id, c.sub
+                           ORDER BY list_cosine_similarity(
+                               e.embedding[c.sub*16+1 : c.sub*16+16]::DOUBLE[],
+                               c.centroid) DESC, c.code ASC
+                       ) AS rn
+                FROM embeddings e, c1 c
+            ) WHERE rn = 1
+        ) GROUP BY vec_id
+    ), p AS (
+        SELECT vec_id AS list_id, embedding::DOUBLE[] AS pivot
+        FROM base ORDER BY vec_id LIMIT 8
+    ), coarse AS (
+        SELECT vec_id, list_id FROM (
+            SELECT e.vec_id, p.list_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], p.pivot) DESC,
+                           p.list_id ASC
+                   ) AS rn
+            FROM embeddings e, p
+        ) WHERE rn = 1
+    )
+    SELECT enc.vec_id, coarse.list_id, k0, k1, k2, k3
+    FROM enc JOIN coarse USING (vec_id)
+    """,
+)
+def q234_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ index APPEND under the oracle gate (functions/ivfpq.py::
+    build_ivfpq_index / append_ivfpq_index) — both halves' frozen-
+    artifact contracts composed and restated from scratch: pivots AND
+    codebooks train on the %3<2 vintage only; the %3>=2 batch encodes
+    against the FROZEN artifacts and appends into the existing
+    list_id partitions (one linear scan, zero shuffle, O(batch) write
+    of m-byte codes). The result read back must equal the oracle's
+    union encode — q198's codebook chain plus q180's coarse
+    assignment, so any drift in either half's append path (stale
+    pivots, wrong codebooks, missed/doubled rows) breaks the hash.
+    Probe-level equality is additionally pinned in tests/
+    test_ivfpq.py."""
+    from ..functions.ivfpq import append_ivfpq_index, build_ivfpq_index
+
+    e = _t(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="ehs_ivfpq_app_")
+    b0 = e.where(F.pmod("vec_id", F.lit(3)) < 2)
+    b1 = e.where(F.pmod("vec_id", F.lit(3)) >= 2)
+    build_ivfpq_index(b0, work, nlist=8, m_sub=4, k_codes=8, iterations=2)
+    append_ivfpq_index(b1, work)
+    idx = spark.read.parquet(work)
+    return idx.select(
+        "vec_id",
+        F.col("list_id").cast("long").alias("list_id"),
+        F.col("codes")[0].alias("k0"),
+        F.col("codes")[1].alias("k1"),
+        F.col("codes")[2].alias("k2"),
+        F.col("codes")[3].alias("k3"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
