@@ -19,8 +19,14 @@ from .frequency_state import (
 )
 from .sample_state import weighted_sample_incremental
 from .drift_state import (
+    category_counts_incremental,
+    chi2_against_state,
+    embedding_drift_against_state,
+    embedding_moments_incremental,
     histogram_incremental,
     psi_against_state,
+    read_category_state,
+    read_embedding_state,
     read_histogram_state,
 )
 from .quantile_state import (
@@ -94,8 +100,14 @@ __all__ = [
     "read_dedup_verdicts",
     "read_index_top",
     "streaming_dedup_exact",
+    "category_counts_incremental",
+    "chi2_against_state",
+    "embedding_drift_against_state",
+    "embedding_moments_incremental",
     "histogram_incremental",
     "psi_against_state",
+    "read_category_state",
+    "read_embedding_state",
     "read_histogram_state",
     "quantile_sketch_incremental",
     "quantiles_from_state",
