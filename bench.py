@@ -223,6 +223,7 @@ HEADLINE = [
     "q232_lsh_bucket_guard",
     "q233_embedding_drift",
     "q234_ivfpq_append",
+    "q235_stream_category_gate",
 ]
 
 

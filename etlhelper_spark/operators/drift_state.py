@@ -356,6 +356,70 @@ def embedding_drift_against_state(
     )
 
 
+def streaming_category_gate(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    col: str,
+) -> None:
+    """STREAMING categorical admission gate — the chi-square gate run
+    per micro-batch against the MOVING accumulated state, then the
+    batch folded in (the continuously-curating corpus loop:
+    streaming_dedup_exact's ledger composed with the drift family):
+    each availableNow micro-batch (micro-batch id = state batch id, so
+    replays overwrite both their gate verdict and their state version
+    — idempotent under at-least-once) first scores
+    ``chi2_against_state`` against the counts accumulated from every
+    EARLIER batch, writes the verdict ``(batch, n_rows, chi2_total)``
+    to ``out_dir/batch=<id>``, and then merges its own counts via
+    ``category_counts_incremental``. The first batch has no prior
+    state — it folds in silently with no verdict (nothing to gate
+    against). Per-batch cost: one scan of the batch + O(categories).
+
+    Policy (quarantine vs admit on a hot chi-square) is the caller's —
+    the gate is the measurement, and recording it BEFORE the merge is
+    what makes a post-hoc audit of 'which vintage moved the mix'
+    possible at all."""
+    from ..functions.util import literal_frame
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        n_rows = batch_df.count()
+        try:
+            gate = chi2_against_state(batch_df, state_dir, batch_id)
+            total = gate.select("chi2_total").first()
+            rows = [
+                (
+                    int(batch_id),
+                    int(n_rows),
+                    float(total["chi2_total"]),
+                )
+            ]
+        except ValueError:
+            rows = []  # first batch: no prior state to score against
+        if rows:
+            # the batch id is the partition DIRECTORY (batch=<id>), so
+            # the written frame must not carry a `batch` data column —
+            # partition discovery at read time supplies it
+            literal_frame(
+                spark,
+                [r[1:] for r in rows],
+                "n_rows long, chi2_total double",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={int(batch_id)}")
+            )
+        category_counts_incremental(batch_df, state_dir, batch_id, col)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def psi_against_state(
     new_df: DataFrame,
     state_dir: str,

@@ -12413,6 +12413,113 @@ def q234_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chi2_total_sql(batch: int, where_a: str, where_b: str) -> str:
+    """One-row (batch, n_rows, chi2_total) restating chi2_report's
+    2 x C arithmetic between two document vintages — the per-gate
+    building block of the streaming admission-gate oracle (q235),
+    mirroring q230's cell arithmetic exactly."""
+    return f"""
+    SELECT {batch} AS batch,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+            WHERE {where_b}) AS n_rows,
+           CAST(round(sum(CAST(chi2_cell AS DECIMAL(30,10))), 6)
+                AS DOUBLE) AS chi2_total
+    FROM (
+        SELECT CAST(round(CAST(
+                   (cnt_a - CAST(na AS DOUBLE) * (cnt_a + cnt_b)
+                        / CAST(na + nb AS DOUBLE))
+                 * (cnt_a - CAST(na AS DOUBLE) * (cnt_a + cnt_b)
+                        / CAST(na + nb AS DOUBLE))
+                 / (CAST(na AS DOUBLE) * (cnt_a + cnt_b)
+                        / CAST(na + nb AS DOUBLE))
+                 + (cnt_b - CAST(nb AS DOUBLE) * (cnt_a + cnt_b)
+                        / CAST(na + nb AS DOUBLE))
+                 * (cnt_b - CAST(nb AS DOUBLE) * (cnt_a + cnt_b)
+                        / CAST(na + nb AS DOUBLE))
+                 / (CAST(nb AS DOUBLE) * (cnt_a + cnt_b)
+                        / CAST(na + nb AS DOUBLE))
+               AS DECIMAL(30,10)), 6) AS DOUBLE) AS chi2_cell
+        FROM (
+            SELECT coalesce(a.category, b.category) AS category,
+                   coalesce(cnt_a, 0) AS cnt_a,
+                   coalesce(cnt_b, 0) AS cnt_b
+            FROM (
+                SELECT source AS category,
+                       CAST(count(*) AS BIGINT) AS cnt_a
+                FROM documents WHERE {where_a} GROUP BY source
+            ) a FULL JOIN (
+                SELECT source AS category,
+                       CAST(count(*) AS BIGINT) AS cnt_b
+                FROM documents WHERE {where_b} GROUP BY source
+            ) b ON a.category = b.category
+        ) j, (
+            SELECT CAST(sum(CASE WHEN {where_a} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS na,
+                   CAST(sum(CASE WHEN {where_b} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nb
+            FROM documents
+        ) tot
+    )
+    """
+
+
+@query(
+    "q235_stream_category_gate",
+    _chi2_total_sql(1, "doc_id % 3 = 0", "doc_id % 3 = 1")
+    + " UNION ALL "
+    + _chi2_total_sql(2, "doc_id % 3 < 2", "doc_id % 3 = 2"),
+)
+def q235_stream_category_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING categorical admission gate (operators/drift_state.py
+    ::streaming_category_gate) — the chi-square drift gate run inside
+    the micro-batch loop against the MOVING accumulated state: three
+    file-batches of documents arrive in pinned modification-time order
+    (q181's feed construction); batch 0 folds in silently (nothing to
+    gate against), batch 1 scores against batch 0's counts, batch 2
+    against batches 0+1's — each verdict written BEFORE the batch
+    merges, so a post-hoc audit of 'which vintage moved the source
+    mix' reads straight off the ledger. Micro-batch id = state batch
+    id: replays overwrite their own verdict and state version
+    (idempotent under at-least-once). The oracle restates both gates'
+    full 2 x C contingency arithmetic from the raw table."""
+    import glob as _glob
+    import time
+
+    from ..operators.drift_state import streaming_category_gate
+
+    configure_session(spark)
+    work = tempfile.mkdtemp(prefix="ehs_catgate_")
+    feed = os.path.join(work, "feed")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    parts_seen: set = set()
+    t0 = time.time() - 1000
+    for i in range(3):
+        d.where(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(feed)
+        new = set(_glob.glob(os.path.join(feed, "part-*"))) - parts_seen
+        for p in new:
+            os.utime(p, (t0 + 100 * i, t0 + 100 * i))
+        parts_seen |= new
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    streaming_category_gate(
+        stream,
+        os.path.join(work, "state"),
+        os.path.join(work, "ckpt"),
+        os.path.join(work, "gates"),
+        "source",
+    )
+    return spark.read.parquet(os.path.join(work, "gates")).select(
+        F.col("batch").cast("long").alias("batch"),
+        "n_rows",
+        "chi2_total",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
