@@ -403,3 +403,77 @@ def test_embedding_drift_identical_centroids(spark):
         assert out[1]["centroid_cos"] == 1.0
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_streaming_category_gate_replay_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batch id) must overwrite its own
+    verdict and state version — gate values and final counts identical
+    to the single-delivery run (at-least-once safety)."""
+    from etlhelper_spark.operators.drift_state import (
+        read_category_state,
+        streaming_category_gate,
+    )
+
+    feed = str(tmp_path / "feed")
+    b0 = _cats(spark, ["a"] * 3 + ["b"])
+    b1 = _cats(spark, ["a"] + ["b"] * 3)
+    b0.coalesce(1).write.mode("overwrite").parquet(feed)
+    import glob as g
+    import os as o
+    import time as t
+
+    t0 = t.time() - 1000
+    first = set(g.glob(feed + "/part-*"))
+    for p in first:
+        o.utime(p, (t0, t0))
+    b1.coalesce(1).write.mode("append").parquet(feed)
+    for p in set(g.glob(feed + "/part-*")) - first:
+        o.utime(p, (t0 + 100, t0 + 100))
+
+    def run(tag):
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        streaming_category_gate(
+            stream,
+            str(tmp_path / f"state_{tag}"),
+            str(tmp_path / f"ckpt_{tag}"),
+            str(tmp_path / f"gates_{tag}"),
+            "src",
+        )
+        gates = {
+            r["batch"]: (r["n_rows"], r["chi2_total"])
+            for r in spark.read.parquet(
+                str(tmp_path / f"gates_{tag}")
+            ).collect()
+        }
+        state = {
+            r["category"]: r["cnt"]
+            for r in read_category_state(
+                spark, str(tmp_path / f"state_{tag}"), 99
+            ).collect()
+        }
+        return gates, state
+
+    gates1, state1 = run("a")
+    # replay batch 1 by hand against the drained state (same batch id)
+    from etlhelper_spark.operators.drift_state import (
+        category_counts_incremental,
+        chi2_against_state,
+    )
+
+    chi_replay = chi2_against_state(
+        b1, str(tmp_path / "state_a"), 1
+    ).select("chi2_total").first()["chi2_total"]
+    category_counts_incremental(b1, str(tmp_path / "state_a"), 1, "src")
+    state_replayed = {
+        r["category"]: r["cnt"]
+        for r in read_category_state(
+            spark, str(tmp_path / "state_a"), 99
+        ).collect()
+    }
+    assert state_replayed == state1 == {"a": 4, "b": 4}
+    assert chi_replay == gates1[1][1]
+    assert gates1[1][0] == 4
