@@ -392,6 +392,13 @@ def main() -> None:
         pass
     # Full per-query map goes to a file; stdout gets ONE COMPACT line
     # (total + slowest five) so the driver's tail-capture always parses.
+    # intra-artifact noise floor: how far the SAME query moved between
+    # this run's own passes — the scale against which delta_vs_prev
+    # should be read (this machine wobbles ±8% run-to-run at the
+    # total level; a per-query delta inside the spread is noise)
+    run_spread = round(
+        sum(max(ts) - min(ts) for ts in runs.values()), 3
+    )
     full = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -399,6 +406,7 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "passes": n_passes,
+        "run_spread_sec": run_spread,
         "delta_vs_prev": delta_vs_prev,
         "prev_shared_total_sec": prev_total,
         "sf": sf_val,
