@@ -224,6 +224,8 @@ HEADLINE = [
     "q233_embedding_drift",
     "q234_ivfpq_append",
     "q235_stream_category_gate",
+    "q236_lsh_tuning",
+    "q237_logit_calibration",
 ]
 
 

@@ -8,6 +8,7 @@ whole-stage codegen); Python only appears in clearly-marked stubs.
 
 from .dedup import (
     dedup_exact,
+    lsh_tuning,
     duplicate_clusters,
     embedding_near_duplicates,
     minhash_signatures,
@@ -17,6 +18,7 @@ from .dedup import (
     semantic_dedup,
     simhash,
 )
+from .calibrate import logit_train
 from .clustering import kmeans_assignments
 from .drift import (
     equal_width_bin,
@@ -99,8 +101,10 @@ __all__ = [
     "in_filter_join",
     "ivf_topk",
     "kmeans_assignments",
+    "logit_train",
     "language_id",
     "lsh_bucket_topk",
+    "lsh_tuning",
     "minhash_lsh_candidates",
     "minhash_signatures",
     "ngram_jaccard_pairs",

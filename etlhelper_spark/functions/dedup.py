@@ -295,6 +295,81 @@ def minhash_lsh_candidates(
     )
 
 
+def lsh_tuning(
+    spark,
+    threshold: float,
+    num_hashes: int = 16,
+    grid: int = 200,
+) -> DataFrame:
+    """LSH banding PARAMETER TUNER — the design math behind every
+    minhash_lsh_candidates call, run as a plan so it is verifiable:
+    for each clean banding geometry (bands b dividing *num_hashes*,
+    r = num_hashes/b rows per band), the S-curve
+    ``p(s) = 1 - (1 - s^r)^b`` gives the probability a pair with true
+    Jaccard s becomes a candidate. The tuner integrates the curve on a
+    *grid*-point midpoint rule: false-positive area below *threshold*
+    (pairs you will verify and discard), false-negative area above it
+    (near-duplicates banding will MISS — the unrecoverable side).
+
+    Returns one row per geometry: (bands, rows_per_band, fp_area,
+    fn_area, total_err, best) with areas 6dp-rounded (per-term
+    decimal rounding, so the sums are partitioning-independent) and
+    ``best`` marking the minimum total error. Cost: |divisors| x grid
+    rows — driver-trivial, but expressed as a plan so the DuckDB
+    oracle can restate the integration exactly (q236)."""
+    from .util import literal_frame
+
+    H = int(num_hashes)
+    geoms = [(b, H // b) for b in range(1, H + 1) if H % b == 0]
+    g = literal_frame(spark, geoms, "bands int, rows_per_band int")
+    pts = spark.range(int(grid)).select(
+        ((F.col("id") + 0.5) / F.lit(float(grid))).alias("s")
+    )
+    p = 1.0 - F.pow(
+        1.0 - F.pow(F.col("s"), F.col("rows_per_band")), F.col("bands")
+    )
+    t = float(threshold)
+    dec = lambda c: F.round(c.cast("decimal(30,10)"), 6).cast(  # noqa: E731
+        "decimal(30,10)"
+    )
+    terms = g.crossJoin(pts).select(
+        "bands",
+        "rows_per_band",
+        dec(
+            F.when(F.col("s") < t, p / F.lit(float(grid))).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("fp_term"),
+        dec(
+            F.when(F.col("s") >= t, (1.0 - p) / F.lit(float(grid)))
+            .otherwise(F.lit(0.0))
+        ).alias("fn_term"),
+    )
+    agg = terms.groupBy("bands", "rows_per_band").agg(
+        F.round(F.sum("fp_term"), 6).cast("double").alias("fp_area"),
+        F.round(F.sum("fn_term"), 6).cast("double").alias("fn_area"),
+    )
+    from pyspark.sql.window import Window
+
+    # |divisors| rows: the unbounded window is a deliberate tiny-frame op
+    w = Window.partitionBy()
+    return agg.select(
+        "bands",
+        "rows_per_band",
+        "fp_area",
+        "fn_area",
+        F.round(
+            (F.col("fp_area") + F.col("fn_area")).cast("decimal(30,10)"), 6
+        )
+        .cast("double")
+        .alias("total_err"),
+    ).withColumn(
+        "best",
+        F.col("total_err")
+        == F.min("total_err").over(w),
+    )
+
+
 # ----------------------------------------------------------------------
 # n-gram Jaccard
 # ----------------------------------------------------------------------

@@ -12520,6 +12520,133 @@ def q235_stream_category_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q236_lsh_tuning",
+    """
+    WITH geoms AS (
+        SELECT b AS bands, 16 // b AS rows_per_band
+        FROM (SELECT unnest(range(1, 17)) AS b) WHERE 16 % b = 0
+    ), pts AS (
+        SELECT (unnest(range(0, 200)) + 0.5) / 200.0 AS s
+    ), terms AS (
+        SELECT bands, rows_per_band,
+               CAST(round(CAST(CASE WHEN s < 0.5 THEN
+                   (1.0 - power(1.0 - power(s, rows_per_band), bands))
+                       / 200.0
+                   ELSE 0.0 END AS DECIMAL(30,10)), 6)
+                   AS DECIMAL(30,10)) AS fp_term,
+               CAST(round(CAST(CASE WHEN s >= 0.5 THEN
+                   power(1.0 - power(s, rows_per_band), bands) / 200.0
+                   ELSE 0.0 END AS DECIMAL(30,10)), 6)
+                   AS DECIMAL(30,10)) AS fn_term
+        FROM geoms, pts
+    ), agg AS (
+        SELECT bands, rows_per_band,
+               CAST(round(sum(fp_term), 6) AS DOUBLE) AS fp_area,
+               CAST(round(sum(fn_term), 6) AS DOUBLE) AS fn_area
+        FROM terms GROUP BY 1, 2
+    ), tot AS (
+        SELECT bands, rows_per_band, fp_area, fn_area,
+               CAST(round(CAST(fp_area + fn_area AS DECIMAL(30,10)), 6)
+                    AS DOUBLE) AS total_err
+        FROM agg
+    )
+    SELECT bands, rows_per_band, fp_area, fn_area, total_err,
+           total_err = min(total_err) OVER () AS best
+    FROM tot
+    """,
+)
+def q236_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding parameter TUNER (functions/dedup.py::lsh_tuning) —
+    the design math behind every banding call, verifiable as a plan:
+    for each clean geometry of 16 minhashes (b bands of r rows,
+    b | 16) the S-curve 1-(1-s^r)^b integrates on a 200-point midpoint
+    grid into false-positive area below the 0.5 threshold (candidates
+    you verify and discard) and false-negative area above it
+    (near-duplicates banding MISSES — the unrecoverable side); `best`
+    marks the minimum-total-error geometry. q29/q177's b=4, r=4 choice
+    comes from exactly this curve. Per-term 6dp decimal rounding makes
+    the integrals partitioning-independent; the oracle restates the
+    full integration."""
+    from ..functions.dedup import lsh_tuning
+
+    return lsh_tuning(spark, threshold=0.5, num_hashes=16, grid=200)
+
+
+@query(
+    "q237_logit_calibration",
+    """
+    WITH feat AS (
+        SELECT n_chars / 100.0 AS x1,
+               (doc_id % 10) / 10.0 AS x2,
+               CAST(lang = 'en' AS INT) AS y
+        FROM documents
+    ), r1 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(0.5 - y AS DECIMAL(30,10))) AS gb,
+               sum(CAST((0.5 - y) * x1 AS DECIMAL(30,10))) AS g1,
+               sum(CAST((0.5 - y) * x2 AS DECIMAL(30,10))) AS g2
+        FROM feat
+    ), p1 AS (
+        SELECT n,
+               CAST(round(CAST(0.0 - ((0.5 * CAST(gb AS DOUBLE)) / n)
+                    AS DECIMAL(30,10)), 6) AS DOUBLE) AS b1,
+               CAST(round(CAST(0.0 - ((0.5 * CAST(g1 AS DOUBLE)) / n)
+                    AS DECIMAL(30,10)), 6) AS DOUBLE) AS w11,
+               CAST(round(CAST(0.0 - ((0.5 * CAST(g2 AS DOUBLE)) / n)
+                    AS DECIMAL(30,10)), 6) AS DOUBLE) AS w12
+        FROM r1
+    ), r2 AS (
+        SELECT sum(CAST(
+                   (1.0 / (1.0 + exp(-(b1 + w11 * x1 + w12 * x2))) - y)
+                   AS DECIMAL(30,10))) AS gb,
+               sum(CAST(
+                   ((1.0 / (1.0 + exp(-(b1 + w11 * x1 + w12 * x2))) - y)
+                    * x1) AS DECIMAL(30,10))) AS g1,
+               sum(CAST(
+                   ((1.0 / (1.0 + exp(-(b1 + w11 * x1 + w12 * x2))) - y)
+                    * x2) AS DECIMAL(30,10))) AS g2
+        FROM feat, p1
+    )
+    SELECT '__bias__' AS term,
+           CAST(round(CAST(b1 - ((0.5 * CAST(gb AS DOUBLE)) / n)
+                AS DECIMAL(30,10)), 6) AS DOUBLE) AS weight
+    FROM r2, p1
+    UNION ALL
+    SELECT 'x1',
+           CAST(round(CAST(w11 - ((0.5 * CAST(g1 AS DOUBLE)) / n)
+                AS DECIMAL(30,10)), 6) AS DOUBLE)
+    FROM r2, p1
+    UNION ALL
+    SELECT 'x2',
+           CAST(round(CAST(w12 - ((0.5 * CAST(g2 AS DOUBLE)) / n)
+                AS DECIMAL(30,10)), 6) AS DOUBLE)
+    FROM r2, p1
+    """,
+)
+def q237_logit_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPERVISED quality-classifier calibration trained IN-ENGINE
+    (functions/calibrate.py::logit_train) — distributed full-batch
+    logistic regression, 2 GD rounds from zero weights on (scaled
+    doc length, a deliberately-uninformative control feature) against
+    the lang='en' label: the step that turns the suite's fixed-weight
+    scorers (q153) into learned ones without the corpus leaving the
+    engine. Every gradient component is ONE combinable aggregate per
+    round with per-row terms rounded to exact decimals before the sum
+    (partitioning cannot move a bit); weight updates go through the
+    _round6_py bit-mirror, so the oracle — the identical two rounds
+    unrolled in SQL — reproduces every weight bit-for-bit (the q141
+    unrolled-Lloyd discipline applied to an optimizer)."""
+    from ..functions.calibrate import logit_train
+
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("n_chars") / 100.0).alias("x1"),
+        (F.pmod("doc_id", F.lit(10)) / 10.0).alias("x2"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return logit_train(d, ["x1", "x2"], "y", rounds=2, lr=0.5)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
