@@ -223,7 +223,21 @@ def embedding_moments_incremental(
     spark = new_df.sparkSession
     subdir = os.path.join(state_dir, "emb")
     d0 = new_df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = int(d0["d"]) if d0 is not None else 0
+    prior = _latest_version(spark, subdir, batch_id)
+    if d0 is None:
+        # empty batch: carry the prior state forward unchanged as this
+        # batch's version (the ledger stays dense); with no prior there
+        # is nothing meaningful to persist — fail loudly
+        if prior is None:
+            raise ValueError(
+                "embedding_moments_incremental: empty batch and no "
+                f"prior state under {subdir}"
+            )
+        prior.repartition(state_partitions).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(subdir, f"v{int(batch_id)}"))
+        return spark.read.parquet(os.path.join(subdir, f"v{int(batch_id)}"))
+    dim = int(d0["d"])
     delta = (
         new_df.select(F.posexplode(vec_col).alias("pos0", "val"))
         .groupBy((F.col("pos0") + 1).alias("pos"))
@@ -232,7 +246,6 @@ def embedding_moments_incremental(
             F.sum(F.col("val").cast("decimal(30,10)")).alias("s"),
         )
     )
-    prior = _latest_version(spark, subdir, batch_id)
     if prior is not None:
         meta = prior.select("dim").first()
         if int(meta["dim"]) != dim:
@@ -386,6 +399,8 @@ def streaming_category_gate(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         n_rows = batch_df.count()
+        if n_rows == 0:
+            return  # empty micro-batch: nothing to gate or fold
         try:
             gate = chi2_against_state(batch_df, state_dir, batch_id)
             total = gate.select("chi2_total").first()
