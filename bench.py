@@ -226,6 +226,8 @@ HEADLINE = [
     "q235_stream_category_gate",
     "q236_lsh_tuning",
     "q237_logit_calibration",
+    "q238_filtered_ann",
+    "q239_forget_state",
 ]
 
 

@@ -47,6 +47,7 @@ def build_ivf_index(
     nlist: int = 16,
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    attr_cols: list[str] | None = None,
 ) -> tuple[int, int]:
     """Assign every corpus vector to its nearest pivot and persist the
     inverted lists as a parquet table partitioned by ``list_id``.
@@ -57,7 +58,13 @@ def build_ivf_index(
     codegen argmax projection: the corpus is scanned once and written
     once, with NO shuffle anywhere in the build (the old
     broadcast-join + Window form shuffled an nlist×-expanded corpus).
-    Returns (n_vectors, nlist)."""
+
+    *attr_cols* makes the index COVERING for filtered search: those
+    corpus columns ride in the index rows, so an attribute predicate
+    at query time pushes into the pruned scan (PushedFilters) instead
+    of forcing a join back to the row store — the standard layout for
+    'nearest neighbors WHERE lang = ...' workloads. Returns
+    (n_vectors, nlist)."""
     pivots = (
         corpus.orderBy(F.col(corpus_id).asc())
         .limit(nlist)
@@ -66,12 +73,16 @@ def build_ivf_index(
         )
     )
     pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
+    attrs = list(attr_cols or [])
     c = corpus.select(
-        F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("vec")
+        F.col(corpus_id).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        *[F.col(a) for a in attrs],
     )
     assigned = c.select(
         "vec_id",
         "vec",
+        *attrs,
         nearest_pivot(F.col("vec"), pivot_rows)["pid"].alias("list_id"),
     )
     assigned.write.partitionBy("list_id").mode("overwrite").parquet(path)
@@ -109,12 +120,22 @@ def append_ivf_index(
     spark = new_corpus.sparkSession
     pivots = spark.read.parquet(os.path.join(path, "_pivots"))
     pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
+    # a covering index's attribute columns are discovered from the
+    # stored schema, so appends stay layout-identical automatically
+    attrs = [
+        f.name
+        for f in spark.read.parquet(path).schema.fields
+        if f.name not in ("vec_id", "vec", "list_id")
+    ]
     c = new_corpus.select(
-        F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("vec")
+        F.col(corpus_id).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        *[F.col(a) for a in attrs],
     )
     assigned = c.select(
         "vec_id",
         "vec",
+        *attrs,
         nearest_pivot(F.col("vec"), pivot_rows)["pid"].alias("list_id"),
     ).localCheckpoint()  # assign + scan the batch ONCE: the write and
     # the returned count both read the checkpoint, not the source plan
@@ -130,6 +151,7 @@ def query_ivf_index(
     nprobe: int = 4,
     query_id: str = "vec_id",
     vec_col: str = "embedding",
+    attr_filter=None,
 ) -> DataFrame:
     """Top-k cosine search against a persisted IVF index.
 
@@ -137,7 +159,16 @@ def query_ivf_index(
     ``nprobe`` nearest lists, and the union of probed list ids becomes
     a literal IN-filter on the partition column — the scan prunes
     every unprobed directory before reading a byte. Exact cosine +
-    per-query top-k run only within each query's own probed lists."""
+    per-query top-k run only within each query's own probed lists.
+
+    *attr_filter* (a Column or SQL string over the index's covering
+    attribute columns — build_ivf_index's ``attr_cols``) is FILTERED
+    SEARCH: the predicate applies to the already-pruned scan and
+    pushes into the parquet reader (PushedFilters, plan-asserted in
+    tests), so 'top-k WHERE lang = x' reads only matching rows of
+    probed lists — never a join back to the row store. Recall caveat
+    is the standard one: a filter that excludes most of a probed list
+    effectively shrinks nprobe; raise nprobe for selective filters."""
     pivots = spark.read.parquet(os.path.join(path, "_pivots"))
     pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
     q = queries.select(
@@ -157,6 +188,8 @@ def query_ivf_index(
         for r in q_probes.select("list_id").distinct().collect()
     )
     index = spark.read.parquet(path).where(F.col("list_id").isin(probed))
+    if attr_filter is not None:
+        index = index.where(attr_filter)
     scored = (
         index.join(F.broadcast(q_probes), "list_id")
         .where(F.col("query_id") != F.col("vec_id"))

@@ -196,6 +196,77 @@ def compact_dedup_state(
     return len(batch_dirs)
 
 
+def forget_from_dedup_state(
+    spark,
+    state_dir: str,
+    ids,
+    state_partitions: int = 1,
+) -> int:
+    """ERASE documents from the exact-dedup fingerprint state — the
+    right-to-be-forgotten operation a first-seen ledger needs: the
+    state maps each content fingerprint to its first-seen SURVIVOR, so
+    when a survivor document is deleted from the corpus, its state
+    rows must go too. The operational semantics of erasure here:
+    future duplicates of the forgotten content are re-admitted as NEW
+    first-seen documents (the content's exemplar no longer exists to
+    point at — keeping the fingerprint would keep dedup verdicts
+    referencing a deleted document forever, which is exactly what
+    erasure forbids). Content whose survivor is NOT in *ids* is
+    untouched.
+
+    *ids* is a Python list (bounded erasure requests) or a one-column
+    DataFrame of ids (bulk erasure feeds — anti-joined, never
+    collected). The rewrite reuses the versioned-compaction
+    machinery: every live row EXCEPT the forgotten survivors' writes
+    to a fresh ``base_v<k+1>``, the ``_COMPACTED`` marker lands only
+    after the write completes (a complete state visible at every
+    instant — compact_dedup_state's crash contract), then old
+    versions and appends are removed. Cost: one state scan + an
+    O(|state|) write — the state is |distinct contents| rows, never
+    the corpus. Returns the number of erased state rows."""
+    import shutil
+
+    from pyspark.sql import DataFrame as _DF
+
+    subdir = os.path.join(state_dir, "exact")
+    batch_dirs = _prior_batches(subdir, 2**62)
+    cur = _current_base(subdir)
+    sources = ([cur] if cur else []) + batch_dirs
+    if not sources:
+        raise ValueError(
+            f"forget_from_dedup_state: no state under {subdir}"
+        )
+    merged = spark.read.parquet(*sources)
+    if isinstance(ids, _DF):
+        doomed = ids.select(
+            F.col(ids.columns[0]).alias("survivor_id")
+        ).distinct()
+        kept = merged.join(doomed, "survivor_id", "left_anti")
+        n_forgotten = (
+            merged.join(doomed, "survivor_id", "left_semi").count()
+        )
+    else:
+        id_list = [int(x) for x in ids]
+        kept = merged.where(~F.col("survivor_id").isin(id_list))
+        n_forgotten = merged.where(
+            F.col("survivor_id").isin(id_list)
+        ).count()
+    versions = _base_versions(subdir)
+    nxt = (versions[-1][0] + 1) if versions else 1
+    new_base = os.path.join(subdir, f"base_v{nxt}")
+    kept.select("fingerprint", "survivor_id", "batch").repartition(
+        state_partitions
+    ).write.mode("overwrite").parquet(new_base)
+    with open(os.path.join(new_base, _BASE_MARKER), "w"):
+        pass  # marker LAST: the new version becomes visible atomically
+    for _v, p in versions:
+        shutil.rmtree(p, ignore_errors=True)
+    shutil.rmtree(os.path.join(subdir, "base"), ignore_errors=True)
+    for p in batch_dirs:
+        shutil.rmtree(p, ignore_errors=True)
+    return int(n_forgotten)
+
+
 def prune_state_versions(
     state_dir: str, store: str, keep: int = 2
 ) -> int:

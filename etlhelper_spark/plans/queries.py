@@ -12647,6 +12647,128 @@ def q237_logit_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logit_train(d, ["x1", "x2"], "y", rounds=2, lr=0.5)
 
 
+@query(
+    "q238_filtered_ann",
+    """
+    WITH c AS (
+        SELECT vec_id, embedding, vec_id % 5 AS cat FROM embeddings
+    ), bf AS (
+        SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       q.embedding::DOUBLE[], x.embedding::DOUBLE[]) DESC,
+                       x.vec_id ASC
+               ) AS rank,
+               round(list_cosine_similarity(
+                   q.embedding::DOUBLE[], x.embedding::DOUBLE[]), 4) AS sim
+        FROM c q JOIN c x ON q.vec_id <> x.vec_id AND x.cat = 2
+        WHERE q.vec_id % 20 = 10
+    )
+    SELECT count(DISTINCT query_id) AS n_queries,
+           CAST(count(*) FILTER (rank <= 5) AS BIGINT) AS n_truth,
+           CAST(round(CAST(avg(sim) FILTER (rank = 1)
+                AS DECIMAL(30,10)), 4) AS DOUBLE) AS avg_top1_sim,
+           true AS recall_ok
+    FROM bf
+    """,
+)
+def q238_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — 'top-k nearest WHERE category = 2',
+    the workload shape most production ANN queries actually have
+    (language/license/source constraints): the IVF index is built
+    COVERING (functions/ann_index.py::build_ivf_index attr_cols), so
+    the attribute predicate pushes into the already-pruned parquet
+    scan (PushedFilters — plan-asserted in tests/test_ann_index.py)
+    instead of joining back to the row store; only matching rows of
+    probed lists are ever read. Gated like q140: exact FILTERED brute
+    force hash-verified by the oracle, recall@5 >= 0.8 pinned in-plan
+    (the filter keeps ~1/5 of each probed list, so nprobe=12 of 16
+    carries the recall)."""
+    from ..functions.ann_index import build_ivf_index, query_ivf_index
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.pmod("vec_id", F.lit(5)).alias("cat")
+    )
+    q = e.where(F.col("vec_id") % 20 == 10)
+    work = tempfile.mkdtemp(prefix="ehs_ivf_filt_")
+    build_ivf_index(e, work, nlist=16, attr_cols=["cat"])
+    approx = query_ivf_index(
+        spark, work, q, k=5, nprobe=12, attr_filter=F.col("cat") == 2
+    ).select("query_id", "neighbor_id")
+    bf = brute_force_topk(q, e.where(F.col("cat") == 2), k=5)
+    return _recall_gate(bf, approx)
+
+
+@query(
+    "q239_forget_state",
+    _DOUBLED_DOCS
+    + """
+    , fp AS (
+        SELECT doc_id, doc_id % 3 AS b,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint
+        FROM all_docs
+    ), hist AS (SELECT * FROM fp WHERE b < 2),
+    hsurv AS (
+        SELECT DISTINCT fingerprint,
+               first_value(doc_id) OVER (
+                   PARTITION BY fingerprint ORDER BY b, doc_id
+               ) AS s
+        FROM hist
+    ), keep AS (SELECT fingerprint, s FROM hsurv WHERE s % 7 <> 0),
+    b2 AS (SELECT doc_id, fingerprint FROM fp WHERE b = 2),
+    loc AS (
+        SELECT fingerprint, min(doc_id) AS local_s FROM b2
+        GROUP BY fingerprint
+    )
+    SELECT d.doc_id AS id, d.fingerprint,
+           coalesce(k.s, l.local_s) AS survivor_id,
+           d.doc_id = coalesce(k.s, l.local_s) AS kept
+    FROM b2 d
+    LEFT JOIN keep k USING (fingerprint)
+    JOIN loc l USING (fingerprint)
+    """,
+)
+def q239_forget_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN erasure from the dedup ledger
+    (operators/dedup_state.py::forget_from_dedup_state) — the state
+    maps content to its first-seen SURVIVOR, so deleting a document
+    from the corpus must delete its state rows too, or dedup verdicts
+    reference the erased document forever. Two applies build the
+    fingerprint state over the doubled corpus's %3<2 batches; every
+    survivor with id % 7 == 0 is then erased (as a DataFrame feed —
+    anti-joined, never collected) through the crash-safe versioned
+    base rewrite; batch %3=2 applies afterwards. The oracle restates
+    the semantics end-to-end: duplicates of RETAINED content still
+    dedup to the historical survivor, duplicates of FORGOTTEN content
+    are re-admitted as new first-seen documents (the exemplar no
+    longer exists to point at). Cost: one |distinct contents|-row
+    state scan + rewrite — never the corpus."""
+    from ..operators.dedup_state import (
+        dedup_exact_incremental,
+        forget_from_dedup_state,
+    )
+
+    work = tempfile.mkdtemp(prefix="ehs_forget_")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionAll(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    for i in range(2):
+        dedup_exact_incremental(
+            doubled.where(F.pmod("doc_id", F.lit(3)) == i), work, i
+        )
+    state = spark.read.parquet(os.path.join(work, "exact"))
+    doomed = state.where(
+        F.pmod("survivor_id", F.lit(7)) == 0
+    ).select("survivor_id")
+    forget_from_dedup_state(spark, work, doomed)
+    return dedup_exact_incremental(
+        doubled.where(F.pmod("doc_id", F.lit(3)) == 2), work, 2
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

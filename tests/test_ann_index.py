@@ -228,3 +228,71 @@ def test_rebalance_leaves_degenerate_identical_lists(spark):
         assert sizes[-1] >= 100 and split >= 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_filtered_search_pushes_attr_filter_into_scan(spark, vecs):
+    """Covering-index filtered search: the attribute predicate must
+    reach the parquet reader of the pruned scan (PushedFilters), and
+    results must equal post-filtering an unfiltered probe of the same
+    lists."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ehs_ivf_attr_")
+    try:
+        corpus = vecs.select(
+            "vec_id", "embedding", F.pmod("vec_id", F.lit(3)).alias("cat")
+        )
+        build_ivf_index(corpus, d, nlist=8, attr_cols=["cat"])
+        q = corpus.where(F.col("vec_id") < 3)
+        out = query_ivf_index(
+            spark, d, q, k=4, nprobe=3, attr_filter=F.col("cat") == 1
+        )
+        rows = out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        scan_lines = [
+            ln for ln in plan.splitlines() if "PushedFilters" in ln
+        ]
+        assert any("cat" in ln for ln in scan_lines)
+        # equivalence: unfiltered probe of the same lists, then filter
+        cats = {
+            r["vec_id"]: r["cat"] for r in corpus.collect()
+        }
+        unfiltered = query_ivf_index(spark, d, q, k=10_000, nprobe=3)
+        want = {}
+        for r in unfiltered.collect():
+            if cats[r["neighbor_id"]] == 1:
+                want.setdefault(r["query_id"], []).append(
+                    (r["neighbor_id"], r["sim"])
+                )
+        for qid in want:
+            want[qid] = [
+                nb
+                for nb, _s in sorted(
+                    want[qid], key=lambda t: (-t[1], t[0])
+                )[:4]
+            ]
+        got = {}
+        for r in sorted(
+            rows, key=lambda r: (r["query_id"], r["rank"])
+        ):
+            got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        assert got == want
+        # append discovers the covering columns from the stored schema
+        extra = corpus.where(F.col("vec_id") >= 90).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            "embedding",
+            "cat",
+        )
+        from etlhelper_spark.functions.ann_index import append_ivf_index
+
+        n = append_ivf_index(extra, d)
+        assert n == extra.count()
+        idx = spark.read.parquet(d)
+        assert "cat" in idx.columns and idx.where(
+            F.col("vec_id") >= 100000
+        ).count() == n
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)

@@ -690,3 +690,54 @@ def test_span_state_replay_is_idempotent(spark, tmp_path):
     assert _span_rows(
         span_dedup_incremental(b1, state, 1, n=3)
     ) == [(1, 3, 0, 0.0)]
+
+
+def test_forget_from_dedup_state(spark):
+    """Erasure semantics: rows whose survivor is forgotten vanish
+    (future duplicates re-admit as new first-seen); retained content
+    still dedups to its historical survivor; the rewrite lands as a
+    marked base version with the appends folded away."""
+    import glob
+    import os
+
+    from etlhelper_spark.operators.dedup_state import (
+        forget_from_dedup_state,
+    )
+
+    work = tempfile.mkdtemp(prefix="ehs_forget_t_")
+    try:
+        dedup_exact_incremental(
+            spark.createDataFrame(
+                [(7, "erase me"), (3, "keep me")], ["doc_id", "text"]
+            ),
+            work,
+            0,
+        )
+        n = forget_from_dedup_state(spark, work, [7])
+        assert n == 1
+        sub = os.path.join(work, "exact")
+        assert os.path.exists(os.path.join(sub, "base_v1", "_COMPACTED"))
+        assert glob.glob(os.path.join(sub, "batch=*")) == []
+        v = {
+            r["id"]: (r["survivor_id"], r["kept"])
+            for r in dedup_exact_incremental(
+                spark.createDataFrame(
+                    [(100, "ERASE  me"), (101, "KEEP me")],
+                    ["doc_id", "text"],
+                ),
+                work,
+                1,
+            ).collect()
+        }
+        # forgotten content re-admits as new first-seen; retained
+        # content still dedups to the historical survivor
+        assert v[100] == (100, True)
+        assert v[101] == (3, False)
+        # erasing an id that survives nothing is a no-op
+        assert forget_from_dedup_state(spark, work, [99999]) == 0
+        with pytest.raises(ValueError, match="no state under"):
+            forget_from_dedup_state(
+                spark, tempfile.mkdtemp(prefix="ehs_empty_"), [1]
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
