@@ -228,6 +228,7 @@ HEADLINE = [
     "q237_logit_calibration",
     "q238_filtered_ann",
     "q239_forget_state",
+    "q240_stream_ivfpq_ingest",
 ]
 
 

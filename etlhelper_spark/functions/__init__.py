@@ -52,6 +52,7 @@ from .ivfpq import (
     append_ivfpq_index,
     build_ivfpq_index,
     query_ivfpq_index,
+    streaming_ivfpq_ingest,
 )
 from .util import (
     heavy_hitters,
@@ -90,6 +91,7 @@ __all__ = [
     "append_ivfpq_index",
     "build_ivfpq_index",
     "query_ivfpq_index",
+    "streaming_ivfpq_ingest",
     "append_pq_codes",
     "build_pq_index",
     "load_pq_codebooks",

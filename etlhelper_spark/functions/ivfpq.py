@@ -37,11 +37,14 @@ built on batch 1 and appended with batch 2 is content-identical to one
 built over the union.
 
 Known trades, inherited from the halves and shared with every real
-IVFADC deployment: (1) append is parquet mode=append — at-least-once
-replay duplicates a batch's codes (duplicate neighbor candidates at
-probe, never missing ones); exactly-once ingest should route through
-the versioned-state pattern (operators/dedup_state.py) or dedup the
-feed first. (2) rebalance_ivf_index does not apply here because the
+IVFADC deployment: (1) on the PLAIN layout, append is parquet
+mode=append — at-least-once replay duplicates a batch's codes
+(duplicate neighbor candidates at probe, never missing ones); the
+VERSIONED-INGEST layout (build_ivfpq_index(versioned_ingest=True) +
+batch-id appends / streaming_ivfpq_ingest) removes this: each batch
+overwrites exactly its own (list_id, ingest_batch) cells under
+dynamic partition overwrite, so redelivery is idempotent.
+(2) rebalance_ivf_index does not apply here because the
 hot-list k-means needs the float vectors and this index deliberately
 does not store them — rebalancing an IVFPQ index reads the hot lists'
 vectors back from the ROW STORE by vec_id (a partition-pruned id
@@ -75,6 +78,7 @@ __all__ = [
     "append_ivfpq_index",
     "build_ivfpq_index",
     "query_ivfpq_index",
+    "streaming_ivfpq_ingest",
 ]
 
 
@@ -122,6 +126,7 @@ def build_ivfpq_index(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     arrow: bool | None = None,
+    versioned_ingest: bool = False,
 ) -> tuple[int, int, int]:
     """Train both halves (IVF pivots = the nlist lowest-id vectors,
     ann_index convention; PQ codebooks = pq_train's per-subspace
@@ -135,7 +140,16 @@ def build_ivfpq_index(
     assignment and encoding through the Arrow-batched numpy argmax —
     at the deployed parameter range the literal fold is
     interpreted-op-bound (58s/Lloyd round at 200k vectors, k=64 x m=8,
-    vs ~3s batched); small indexes stay pure-codegen."""
+    vs ~3s batched); small indexes stay pure-codegen.
+
+    *versioned_ingest* adds a second partition dimension
+    ``ingest_batch`` (the build's rows land under ingest_batch=0):
+    appends then carry a batch id and overwrite EXACTLY their own
+    (list, batch) cells under dynamic partition overwrite — the
+    layout that makes streaming ingest replay-IDEMPOTENT
+    (streaming_ivfpq_ingest). Probes are unaffected: list_id stays
+    the leading partition key, so pruning is identical, and the extra
+    column is simply not selected."""
     spark = corpus.sparkSession
     if arrow is None:
         arrow = m_sub * k_codes >= 256
@@ -154,7 +168,14 @@ def build_ivfpq_index(
         F.col(corpus_id).alias("vec_id"),
         *_encode_cols(books, pivot_rows, vec_col, arrow=arrow),
     )
-    enc.write.partitionBy("list_id").mode("overwrite").parquet(path)
+    if versioned_ingest:
+        enc.select(
+            "*", F.lit(0).alias("ingest_batch")
+        ).write.partitionBy("list_id", "ingest_batch").mode(
+            "overwrite"
+        ).parquet(path)
+    else:
+        enc.write.partitionBy("list_id").mode("overwrite").parquet(path)
     pivots.write.mode("overwrite").parquet(os.path.join(path, "_pivots"))
     pq_codebook_df(spark, books).write.mode("overwrite").parquet(
         os.path.join(path, "_codebooks")
@@ -169,6 +190,7 @@ def append_ivfpq_index(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     arrow: bool | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """Encode a new batch against the FROZEN pivots + codebooks and
     append into the existing ``list_id=`` partitions — one linear scan
@@ -177,19 +199,82 @@ def append_ivfpq_index(
     contracts compose, pinned in tests). The shared trade: pivots AND
     codebooks drift from the distribution over time — monitor list
     skew (rebalance_ivf_index's trigger) and quantization error, and
-    retrain when either warrants. Returns the appended count."""
+    retrain when either warrants. Returns the appended count.
+
+    On a VERSIONED-INGEST index (built with versioned_ingest=True),
+    *batch_id* is required and the write becomes replay-IDEMPOTENT:
+    dynamic partition overwrite replaces exactly this batch's
+    (list_id, ingest_batch=batch_id) cells, so an at-least-once
+    redelivery overwrites its own rows instead of duplicating them —
+    the exactly-once contract streaming ingest needs. On the plain
+    layout, parquet append applies (a replay duplicates the batch;
+    see the module docstring's trade #1)."""
     spark = new_corpus.sparkSession
     pivots = spark.read.parquet(os.path.join(path, "_pivots"))
     pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
     books = load_pq_codebooks(spark, path)
     if arrow is None:
         arrow = len(books) * len(books[0]) >= 256
+    versioned = "ingest_batch" in spark.read.parquet(path).columns
+    if versioned and batch_id is None:
+        raise ValueError(
+            "append_ivfpq_index: index at "
+            f"{path} is versioned-ingest — pass batch_id"
+        )
     enc = new_corpus.select(
         F.col(corpus_id).alias("vec_id"),
         *_encode_cols(books, pivot_rows, vec_col, arrow=arrow),
     ).localCheckpoint()  # encode + scan the batch ONCE (write + count)
-    enc.write.partitionBy("list_id").mode("append").parquet(path)
+    if versioned:
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        old = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
+            enc.select(
+                "*", F.lit(int(batch_id)).alias("ingest_batch")
+            ).write.partitionBy("list_id", "ingest_batch").mode(
+                "overwrite"
+            ).parquet(path)
+        finally:
+            spark.conf.set(mode_key, old)
+    else:
+        enc.write.partitionBy("list_id").mode("append").parquet(path)
     return enc.count()
+
+
+def streaming_ivfpq_ingest(
+    stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """STREAMING ANN ingest with exactly-once semantics — the
+    continuously-arriving-embeddings loop (new documents are embedded
+    upstream and must become searchable without rebuilds): every
+    micro-batch encodes against the FROZEN pivots + codebooks and
+    lands under its own (list_id, ingest_batch) partition cells via
+    dynamic partition overwrite, with micro-batch id + 1 as the
+    ingest batch (the build owns ingest_batch=0). A redelivered
+    micro-batch therefore overwrites exactly its own rows — the
+    replay-idempotent ledger (streaming_dedup_exact's contract applied
+    to the index). Requires an index built with
+    versioned_ingest=True. Starts and drains an availableNow query."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_ivfpq_index(
+            batch_df, path, corpus_id, vec_col, batch_id=int(batch_id) + 1
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def _collected_query_probes(

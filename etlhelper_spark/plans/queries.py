@@ -12769,6 +12769,144 @@ def q239_forget_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q240_stream_ivfpq_ingest",
+    """
+    WITH dims AS (SELECT unnest(range(1, 17)) AS pos),
+    subs AS (SELECT unnest(range(0, 4)) AS sub),
+    base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+    c0 AS (
+        SELECT s.sub,
+               row_number() OVER (PARTITION BY s.sub ORDER BY e.vec_id)
+                   - 1 AS code,
+               list_transform(
+                   e.embedding[s.sub*16+1 : s.sub*16+16]::DOUBLE[],
+                   x -> CAST(round(CAST(x AS DECIMAL(30,10)), 6) AS DOUBLE)
+               ) AS centroid
+        FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8) e, subs s
+    ), a1 AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT e.vec_id, c.sub, c.code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, c.sub
+                       ORDER BY list_cosine_similarity(
+                           e.embedding[c.sub*16+1 : c.sub*16+16]::DOUBLE[],
+                           c.centroid) DESC, c.code ASC
+                   ) AS rn
+            FROM base e, c0 c
+        ) WHERE rn = 1
+    ), c1 AS (
+        SELECT sub, code, list(rv ORDER BY pos) AS centroid FROM (
+            SELECT a.sub, a.code, d.pos,
+                   CAST(round(CAST(avg(e.embedding[a.sub*16 + d.pos])
+                        AS DECIMAL(30,10)), 6) AS DOUBLE) AS rv
+            FROM a1 a JOIN base e USING (vec_id), dims d
+            GROUP BY a.sub, a.code, d.pos
+        ) GROUP BY sub, code
+    ), enc AS (
+        SELECT vec_id,
+               max(CASE WHEN sub = 0 THEN code END) AS k0,
+               max(CASE WHEN sub = 1 THEN code END) AS k1,
+               max(CASE WHEN sub = 2 THEN code END) AS k2,
+               max(CASE WHEN sub = 3 THEN code END) AS k3
+        FROM (
+            SELECT vec_id, sub, code FROM (
+                SELECT e.vec_id, c.sub, c.code,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id, c.sub
+                           ORDER BY list_cosine_similarity(
+                               e.embedding[c.sub*16+1 : c.sub*16+16]::DOUBLE[],
+                               c.centroid) DESC, c.code ASC
+                       ) AS rn
+                FROM embeddings e, c1 c
+            ) WHERE rn = 1
+        ) GROUP BY vec_id
+    ), p AS (
+        SELECT vec_id AS list_id, embedding::DOUBLE[] AS pivot
+        FROM base ORDER BY vec_id LIMIT 8
+    ), coarse AS (
+        SELECT vec_id, list_id FROM (
+            SELECT e.vec_id, p.list_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], p.pivot) DESC,
+                           p.list_id ASC
+                   ) AS rn
+            FROM embeddings e, p
+        ) WHERE rn = 1
+    )
+    SELECT enc.vec_id, coarse.list_id,
+           CAST(CASE WHEN enc.vec_id % 3 = 0 THEN 0
+                     ELSE (enc.vec_id % 3) END AS BIGINT) AS ingest_batch,
+           k0, k1, k2, k3
+    FROM enc JOIN coarse USING (vec_id)
+    """,
+)
+def q240_stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN ingest with EXACTLY-ONCE semantics (functions/
+    ivfpq.py::streaming_ivfpq_ingest) — continuously-arriving
+    embeddings become searchable without rebuilds: the index builds
+    VERSIONED on the %3=0 vintage (pivots + codebooks frozen,
+    ingest_batch=0), then the %3=1 and %3=2 vintages arrive as two
+    mtime-ordered files (q181's feed construction) and each
+    availableNow micro-batch encodes against the frozen artifacts and
+    lands under its own (list_id, ingest_batch) partition cells via
+    dynamic partition overwrite — a redelivered micro-batch overwrites
+    exactly its own rows (replay idempotence is pytest-pinned; the
+    oracle pins content). Read back, the index must equal the
+    from-scratch union encode with the batch lineage attached: q234's
+    oracle plus the ingest_batch column derived from the residue that
+    routed each vector. Probes are unaffected — list_id stays the
+    leading partition key."""
+    import glob as _glob
+    import time
+
+    from ..functions.ivfpq import build_ivfpq_index, streaming_ivfpq_ingest
+
+    configure_session(spark)
+    work = tempfile.mkdtemp(prefix="ehs_ivfpq_stream_")
+    feed = os.path.join(work, "feed")
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    build_ivfpq_index(
+        e.where(F.pmod("vec_id", F.lit(3)) == 0),
+        os.path.join(work, "idx"),
+        nlist=8,
+        m_sub=4,
+        k_codes=8,
+        iterations=2,
+        versioned_ingest=True,
+    )
+    parts_seen: set = set()
+    t0 = time.time() - 1000
+    for i in (1, 2):
+        e.where(F.pmod("vec_id", F.lit(3)) == i).coalesce(1).write.mode(
+            "append" if i > 1 else "overwrite"
+        ).parquet(feed)
+        new = set(_glob.glob(os.path.join(feed, "part-*"))) - parts_seen
+        for p in new:
+            os.utime(p, (t0 + 100 * i, t0 + 100 * i))
+        parts_seen |= new
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    streaming_ivfpq_ingest(
+        stream, os.path.join(work, "idx"), os.path.join(work, "ckpt")
+    )
+    idx = spark.read.parquet(os.path.join(work, "idx"))
+    return idx.select(
+        "vec_id",
+        F.col("list_id").cast("long").alias("list_id"),
+        F.col("ingest_batch").cast("long").alias("ingest_batch"),
+        F.col("codes")[0].alias("k0"),
+        F.col("codes")[1].alias("k1"),
+        F.col("codes")[2].alias("k2"),
+        F.col("codes")[3].alias("k3"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

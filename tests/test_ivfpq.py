@@ -220,3 +220,40 @@ def test_arrow_train_matches_literal_train(spark, vecs):
     lit = pq_train(vecs, m_sub=4, k_codes=8, iterations=2)
     arr = pq_train(vecs, m_sub=4, k_codes=8, iterations=2, arrow=True)
     assert arr == lit
+
+
+def test_versioned_ingest_replay_is_idempotent(spark, vecs):
+    """The versioned-ingest layout: an append redelivered with the
+    same batch id must overwrite exactly its own (list_id,
+    ingest_batch) cells — the final table is identical to the
+    single-delivery run, and other batches' rows are untouched."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="ehs_ivfpq_ver_")
+    try:
+        b0 = vecs.where(F.col("vec_id") % 3 == 0)
+        b1 = vecs.where(F.col("vec_id") % 3 == 1)
+        build_ivfpq_index(
+            b0, d, nlist=4, m_sub=4, k_codes=4, versioned_ingest=True
+        )
+        n = append_ivfpq_index(b1, d, batch_id=1)
+        assert n == b1.count()
+        once = sorted(
+            (r["vec_id"], r["list_id"], r["ingest_batch"], tuple(r["codes"]))
+            for r in spark.read.parquet(d).collect()
+        )
+        # redeliver the SAME batch id: dynamic overwrite, no duplicates
+        append_ivfpq_index(b1, d, batch_id=1)
+        replay = sorted(
+            (r["vec_id"], r["list_id"], r["ingest_batch"], tuple(r["codes"]))
+            for r in spark.read.parquet(d).collect()
+        )
+        assert replay == once
+        # batch lineage is intact
+        batches = {r["ingest_batch"] for r in spark.read.parquet(d).collect()}
+        assert batches == {0, 1}
+        # a versioned index refuses an unversioned append
+        with pytest.raises(ValueError, match="pass batch_id"):
+            append_ivfpq_index(b1, d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
