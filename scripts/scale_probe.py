@@ -876,6 +876,52 @@ def main() -> None:
     probe("BPE train(64 rounds) + frozen encode (1M docs)", n_docs,
           _bpe64_probe)
 
+    def _forget_probe():
+        # right-to-be-forgotten at state scale: 1M-doc fingerprint
+        # state, erase ~1% of survivors through the versioned rewrite
+        from etlhelper_spark.operators.dedup_state import (
+            dedup_exact_incremental,
+            forget_from_dedup_state,
+        )
+
+        work = tempfile.mkdtemp(prefix="ehs_forget_probe_")
+        try:
+            dedup_exact_incremental(docs, work, 0)
+            state = spark.read.parquet(os.path.join(work, "exact"))
+            doomed = state.where(
+                F.pmod("survivor_id", F.lit(100)) == 0
+            ).select("survivor_id")
+            return forget_from_dedup_state(spark, work, doomed)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    probe("dedup-state forget (~1% survivors, 1M-doc state)", n_docs,
+          _forget_probe)
+
+    def _filtered_ann_probe():
+        # covering-index filtered search: attribute predicate pushed
+        # into the pruned scan, 32 queries
+        from etlhelper_spark.functions.ann_index import (
+            build_ivf_index,
+            query_ivf_index,
+        )
+
+        d = os.path.join(tmp, "ivf_filt")
+        attrs = vecs.select(
+            "vec_id", "embedding",
+            F.pmod("vec_id", F.lit(5)).alias("cat"),
+        )
+        build_ivf_index(attrs, d, nlist=32, attr_cols=["cat"])
+        out = query_ivf_index(
+            spark, d, queries, k=5, nprobe=8,
+            attr_filter=F.col("cat") == 2,
+        ).count()
+        shutil.rmtree(d, ignore_errors=True)
+        return out
+
+    probe("filtered ANN (covering IVF, pushed predicate, 32 queries)",
+          n_vecs, _filtered_ann_probe)
+
     lines = [
         "# SCALE PROBE — measured operator scaling beyond bench SF",
         "",
