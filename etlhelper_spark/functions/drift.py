@@ -176,13 +176,23 @@ def chi2_report(
     textbook contingency arithmetic, exactly restatable in SQL (the
     oracle discipline). A category absent from one side counts 0
     there (full join); everything after the two count scans is
-    O(categories)."""
+    O(categories). The join is null-safe: a NULL category present on
+    both sides matches itself (category_counts_incremental's contract
+    that NULLs count under their own category — a null-rate shift IS
+    drift), instead of splitting into two zero-filled rows that would
+    inflate chi2_total."""
     from pyspark.sql.window import Window
 
-    a = counts_a.select("category", F.col("cnt").alias("cnt_a"))
-    b = counts_b.select("category", F.col("cnt").alias("cnt_b"))
-    j = a.join(b, "category", "full").select(
-        "category",
+    a = counts_a.select(
+        F.col("category").alias("cat_a"), F.col("cnt").alias("cnt_a")
+    )
+    b = counts_b.select(
+        F.col("category").alias("cat_b"), F.col("cnt").alias("cnt_b")
+    )
+    j = a.join(
+        b, F.col("cat_a").eqNullSafe(F.col("cat_b")), "full"
+    ).select(
+        F.coalesce("cat_a", "cat_b").alias("category"),
         F.coalesce("cnt_a", F.lit(0).cast("long")).alias("cnt_a"),
         F.coalesce("cnt_b", F.lit(0).cast("long")).alias("cnt_b"),
     )

@@ -153,6 +153,7 @@ def build_ivfpq_index(
     spark = corpus.sparkSession
     if arrow is None:
         arrow = m_sub * k_codes >= 256
+    arrow = bool(arrow)
     pivots = (
         corpus.orderBy(F.col(corpus_id).asc())
         .limit(nlist)
@@ -180,8 +181,50 @@ def build_ivfpq_index(
     pq_codebook_df(spark, books).write.mode("overwrite").parquet(
         os.path.join(path, "_codebooks")
     )
+    # one-row sidecar: appends must take the SAME encode path the
+    # build did (the arrow decision is part of the frozen contract —
+    # the literal fold and the numpy argmax differ by one ulp on ties,
+    # so deriving it from SURVIVING codebook entries could flip it)
+    _write_ivfpq_meta(
+        spark,
+        path,
+        m_sub=m_sub,
+        k_codes=k_codes,
+        arrow=arrow,
+        versioned_ingest=bool(versioned_ingest),
+    )
     n = spark.read.parquet(path).count()
     return n, nlist, len(books[0])
+
+
+def _write_ivfpq_meta(spark, path: str, **meta) -> None:
+    """Persist the build-time decisions appends/probes must reuse
+    (``_meta``, one row): m_sub, k_codes, the arrow encode-path
+    choice, and the versioned-ingest layout flag."""
+    spark.createDataFrame(
+        [
+            (
+                int(meta["m_sub"]),
+                int(meta["k_codes"]),
+                bool(meta["arrow"]),
+                bool(meta["versioned_ingest"]),
+            )
+        ],
+        "m_sub int, k_codes int, arrow boolean, versioned_ingest boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "_meta")
+    )
+
+
+def _read_ivfpq_meta(spark, path: str) -> dict | None:
+    """The build-time ``_meta`` sidecar as a dict, or None for an
+    index written before the sidecar existed (legacy fallbacks then
+    apply)."""
+    p = os.path.join(path, "_meta")
+    if not os.path.isdir(p):
+        return None
+    row = spark.read.parquet(p).first()
+    return None if row is None else row.asDict()
 
 
 def append_ivfpq_index(
@@ -213,9 +256,21 @@ def append_ivfpq_index(
     pivots = spark.read.parquet(os.path.join(path, "_pivots"))
     pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
     books = load_pq_codebooks(spark, path)
+    meta = _read_ivfpq_meta(spark, path)
     if arrow is None:
-        arrow = len(books) * len(books[0]) >= 256
-    versioned = "ingest_batch" in spark.read.parquet(path).columns
+        # the build's own decision (sidecar) — NOT surviving codebook
+        # entries, which shrink when clusters empty and could flip the
+        # encode path (one-ulp tie divergence) near the 256 boundary
+        arrow = (
+            bool(meta["arrow"])
+            if meta is not None
+            else len(books) * len(books[0]) >= 256
+        )
+    versioned = (
+        bool(meta["versioned_ingest"])
+        if meta is not None
+        else "ingest_batch" in spark.read.parquet(path).columns
+    )
     if versioned and batch_id is None:
         raise ValueError(
             "append_ivfpq_index: index at "

@@ -28,6 +28,7 @@ from .drift_state import (
     read_category_state,
     read_embedding_state,
     read_histogram_state,
+    streaming_category_gate,
 )
 from .quantile_state import (
     quantile_sketch_incremental,
@@ -107,6 +108,7 @@ __all__ = [
     "histogram_incremental",
     "psi_against_state",
     "read_category_state",
+    "streaming_category_gate",
     "read_embedding_state",
     "read_histogram_state",
     "quantile_sketch_incremental",

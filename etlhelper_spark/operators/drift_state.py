@@ -44,6 +44,7 @@ __all__ = [
     "read_histogram_state",
     "read_category_state",
     "psi_against_state",
+    "streaming_category_gate",
 ]
 
 
@@ -222,7 +223,21 @@ def embedding_moments_incremental(
     fails loudly. Versioned ``v<batch>`` writes, replay-idempotent."""
     spark = new_df.sparkSession
     subdir = os.path.join(state_dir, "emb")
-    d0 = new_df.select(F.size(F.col(vec_col)).alias("d")).first()
+    # one combinable agg over the WHOLE batch, not a first-row peek: a
+    # ragged batch (mixed vector lengths) must fail loudly here —
+    # posexplode would otherwise accumulate different n per position
+    # and silently skew the per-dimension means downstream
+    d0 = new_df.agg(
+        F.min(F.size(F.col(vec_col))).alias("dmin"),
+        F.max(F.size(F.col(vec_col))).alias("dmax"),
+    ).first()
+    if d0 is not None and d0["dmin"] is None:
+        d0 = None  # empty batch: min/max over zero rows are NULL
+    if d0 is not None and int(d0["dmin"]) != int(d0["dmax"]):
+        raise ValueError(
+            "embedding_moments_incremental: ragged batch — vector "
+            f"sizes range {d0['dmin']}..{d0['dmax']} (must be uniform)"
+        )
     prior = _latest_version(spark, subdir, batch_id)
     if d0 is None:
         # empty batch: carry the prior state forward unchanged as this
@@ -237,7 +252,7 @@ def embedding_moments_incremental(
             "overwrite"
         ).parquet(os.path.join(subdir, f"v{int(batch_id)}"))
         return spark.read.parquet(os.path.join(subdir, f"v{int(batch_id)}"))
-    dim = int(d0["d"])
+    dim = int(d0["dmin"])
     delta = (
         new_df.select(F.posexplode(vec_col).alias("pos0", "val"))
         .groupBy((F.col("pos0") + 1).alias("pos"))

@@ -11807,7 +11807,11 @@ def _bpe_oracle_words_cte(
     name: str, where: str, with_freq: bool = True
 ) -> str:
     """Word-table CTE pair ``<name>w`` / ``<name>0`` — (word, freq, s)
-    or (word, s) — for the generated BPE oracles."""
+    or (word, s) — for the generated BPE oracles. The unrolled
+    position CTEs downstream cap at 64 symbols per word, so a longer
+    word FAILS LOUDLY here (error()) instead of silently dropping
+    pair positions the engine counts — the Spark side mirrors the
+    same bound with its own loud check (_bpe_assert_max_word_len)."""
     freq_sel = ", count(*) AS freq" if with_freq else ""
     freq_col = "freq, " if with_freq else ""
     return f"""{name}w AS MATERIALIZED (
@@ -11816,9 +11820,34 @@ def _bpe_oracle_words_cte(
         FROM documents WHERE trim(text) <> '' AND {where}
     ) WHERE w <> '' GROUP BY w
 ), {name}0 AS MATERIALIZED (
-    SELECT word, {freq_col}[word[i] FOR i IN range(1, len(word)+1)] AS s
+    SELECT word, {freq_col}
+           CASE WHEN len(word) > 64
+                THEN error('BPE oracle: word exceeds the 64-symbol unroll')
+                ELSE [word[i] FOR i IN range(1, len(word)+1)] END AS s
     FROM {name}w
 )"""
+
+
+def _bpe_assert_max_word_len(d: DataFrame, limit: int = 64) -> None:
+    """Loud Spark-side mirror of the generated BPE oracle's 64-symbol
+    position unroll: the engine (zip_with over the full symbol array)
+    handles any word length, but the oracle cannot — so a corpus word
+    beyond the bound must fail HERE, not surface as an undiagnosable
+    hash mismatch. One tiny agg over the documents batch."""
+    mx = (
+        d.where(F.trim("text") != "")
+        .select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .agg(F.max(F.length("w")).alias("mx"))
+        .first()
+    )
+    if mx is not None and mx["mx"] is not None and int(mx["mx"]) > limit:
+        raise ValueError(
+            f"BPE generated oracle supports words up to {limit} symbols; "
+            f"corpus has a word of length {mx['mx']}"
+        )
 
 
 def _bpe_oracle_train_ctes(rounds: int) -> str:
@@ -11903,6 +11932,7 @@ def q227_bpe_train64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import bpe_merges
 
     d = _t(spark, sf_dir, "documents")
+    _bpe_assert_max_word_len(d)
     return bpe_merges(d, "text", rounds=_BPE64_ROUNDS)
 
 
@@ -11943,6 +11973,7 @@ def q228_bpe_apply64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe_state import apply_bpe_state, build_bpe_state
 
     d = _t(spark, sf_dir, "documents")
+    _bpe_assert_max_word_len(d)
     b_train = d.where(F.pmod("doc_id", F.lit(3)) < 2)
     b_new = d.where(F.pmod("doc_id", F.lit(3)) == 2)
     work = tempfile.mkdtemp(prefix="ehs_bpe64_")
@@ -12031,7 +12062,7 @@ def q229_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), j AS (
         SELECT coalesce(a.category, b.category) AS category,
                coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
-        FROM a FULL JOIN b ON a.category = b.category
+        FROM a FULL JOIN b ON a.category IS NOT DISTINCT FROM b.category
     ), tot AS (
         SELECT CAST(sum(cnt_a) AS BIGINT) AS na,
                CAST(sum(cnt_b) AS BIGINT) AS nb
@@ -12451,7 +12482,7 @@ def _chi2_total_sql(batch: int, where_a: str, where_b: str) -> str:
                 SELECT source AS category,
                        CAST(count(*) AS BIGINT) AS cnt_b
                 FROM documents WHERE {where_b} GROUP BY source
-            ) b ON a.category = b.category
+            ) b ON a.category IS NOT DISTINCT FROM b.category
         ) j, (
             SELECT CAST(sum(CASE WHEN {where_a} THEN 1 ELSE 0 END)
                         AS BIGINT) AS na,

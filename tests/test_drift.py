@@ -477,3 +477,53 @@ def test_streaming_category_gate_replay_idempotent(spark, tmp_path):
     assert state_replayed == state1 == {"a": 4, "b": 4}
     assert chi_replay == gates1[1][1]
     assert gates1[1][0] == 4
+
+
+# ---------------------------------------------------- r8 ADVICE regressions
+def test_chi2_report_null_category_matches_itself(spark):
+    """A NULL category present on BOTH sides is one contingency row
+    (eqNullSafe join), not two zero-filled rows inflating chi2_total —
+    category_counts_incremental's 'NULLs count under their own
+    category' contract (r7 ADVICE, drift.py chi2_report)."""
+    from etlhelper_spark.functions.drift import chi2_report
+
+    a = spark.createDataFrame(
+        [("x", 10), (None, 10)], "category string, cnt long"
+    )
+    b = spark.createDataFrame(
+        [("x", 10), (None, 10)], "category string, cnt long"
+    )
+    rows = chi2_report(a, b).collect()
+    assert len(rows) == 2  # x + the single matched NULL row
+    by_cat = {r["category"]: r for r in rows}
+    assert by_cat[None]["cnt_a"] == 10 and by_cat[None]["cnt_b"] == 10
+    # identical distributions: zero drift, which the broken join
+    # (NULL splitting into two one-sided rows) reports as nonzero
+    assert rows[0]["chi2_total"] == 0.0
+
+
+def test_chi2_report_null_one_sided_still_zero_fills(spark):
+    from etlhelper_spark.functions.drift import chi2_report
+
+    a = spark.createDataFrame(
+        [("x", 10), (None, 5)], "category string, cnt long"
+    )
+    b = spark.createDataFrame([("x", 10)], "category string, cnt long")
+    by_cat = {r["category"]: r for r in chi2_report(a, b).collect()}
+    assert by_cat[None]["cnt_b"] == 0
+    assert by_cat[None]["chi2_total"] > 0.0
+
+
+def test_embedding_moments_ragged_batch_fails_loudly(spark, tmp_path):
+    """Mixed vector lengths must raise (r7 ADVICE: a first-row-only
+    dim check let ragged batches silently skew per-dimension means)."""
+    from etlhelper_spark.operators.drift_state import (
+        embedding_moments_incremental,
+    )
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+        "id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        embedding_moments_incremental(ragged, str(tmp_path / "st"), 0)
