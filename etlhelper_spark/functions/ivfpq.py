@@ -60,6 +60,7 @@ the suite's ANN family with the composed production shape.
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,7 +78,10 @@ from .similarity import collect_pivot_rows, nearest_pivot
 __all__ = [
     "append_ivfpq_index",
     "build_ivfpq_index",
+    "compact_ivfpq_ingest",
+    "ivfpq_ingest_watermark",
     "query_ivfpq_index",
+    "read_ivfpq_rows",
     "streaming_ivfpq_ingest",
 ]
 
@@ -276,6 +280,15 @@ def append_ivfpq_index(
             "append_ivfpq_index: index at "
             f"{path} is versioned-ingest — pass batch_id"
         )
+    if versioned:
+        w = ivfpq_ingest_watermark(path)
+        if w is not None and int(batch_id) <= w:
+            # the batch is already FOLDED into the compacted base — a
+            # redelivery must be dropped, not re-appended (re-writing
+            # its (list, batch) cells would double its rows against
+            # the base copy; this drop is the post-compaction half of
+            # the exactly-once contract)
+            return 0
     enc = new_corpus.select(
         F.col(corpus_id).alias("vec_id"),
         *_encode_cols(books, pivot_rows, vec_col, arrow=arrow),
@@ -295,6 +308,162 @@ def append_ivfpq_index(
     else:
         enc.write.partitionBy("list_id").mode("append").parquet(path)
     return enc.count()
+
+
+_INGEST_MARKER = "_COMPACTED"
+
+
+def _ingest_base_versions(path: str) -> list[tuple[int, str, int]]:
+    """COMPLETE compacted ingest bases under *path* (``_ibase_v<k>``
+    dirs whose ``_COMPACTED`` marker — written LAST, carrying the
+    watermark — exists), version-ascending as (version, dir,
+    watermark). A dir whose write crashed mid-flight has no marker and
+    is invisible (dedup_state's versioned-base discipline)."""
+    out = []
+    for p in glob.glob(os.path.join(path, "_ibase_v*")):
+        marker = os.path.join(p, _INGEST_MARKER)
+        if not os.path.exists(marker):
+            continue
+        try:
+            v = int(os.path.basename(p)[len("_ibase_v"):])
+            with open(marker) as fh:
+                w = int(fh.read().strip())
+        except (ValueError, OSError):
+            continue
+        out.append((v, p, w))
+    return sorted(out)
+
+
+def ivfpq_ingest_watermark(path: str) -> int | None:
+    """The newest complete compacted base's watermark W — every ingest
+    batch with ``batch_id <= W`` is folded into the base, and a replay
+    of one is DROPPED by append_ivfpq_index (that drop is what keeps
+    at-least-once redelivery idempotent after the fold). None if the
+    index was never compacted."""
+    versions = _ingest_base_versions(path)
+    return versions[-1][2] if versions else None
+
+
+def read_ivfpq_rows(spark: SparkSession, path: str) -> DataFrame:
+    """The index's EFFECTIVE code rows ``(vec_id, list_id, codes)`` —
+    the newest complete compacted base plus every live partition cell
+    ABOVE its watermark. Both sides are partitioned by list_id, so a
+    probe's literal IN-filter prunes directories on each exactly as on
+    the uncompacted layout. Crash-tolerant by construction: leftover
+    folded cells (a crash between marker and cleanup) sit at
+    ``ingest_batch <= W`` and are filtered out, never double-read."""
+    versions = _ingest_base_versions(path)
+    # cells must actually hold data files: compaction may leave empty
+    # list_id= shells behind (their batch subdirs folded away)
+    cells_exist = bool(
+        glob.glob(os.path.join(path, "list_id=*", "ingest_batch=*"))
+        or glob.glob(os.path.join(path, "list_id=*", "*.parquet"))
+    )
+    cols = ["vec_id", "list_id", "codes"]
+    frames = []
+    if versions:
+        frames.append(spark.read.parquet(versions[-1][1]).select(*cols))
+    if cells_exist:
+        live = spark.read.parquet(path)
+        if versions and "ingest_batch" in live.columns:
+            live = live.where(
+                F.col("ingest_batch") > F.lit(int(versions[-1][2]))
+            )
+        frames.append(live.select(*cols))
+    if not frames:
+        raise ValueError(f"read_ivfpq_rows: no index data under {path}")
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def compact_ivfpq_ingest(
+    spark: SparkSession, path: str, watermark: int
+) -> int:
+    """Fold every ingest batch with ``ingest_batch <= watermark`` into
+    a compacted base — the maintenance operation that keeps a
+    STREAMING ivfpq index's file count bounded: each micro-batch adds
+    one ``(list_id, ingest_batch)`` parquet cell per touched list, and
+    at production batch counts (10^4-10^6 batches x nlist lists) the
+    directory listing + footer reads dominate probe latency (the
+    classic streaming small-file problem).
+
+    Crash-safe via the versioned-base discipline
+    (operators/dedup_state.py::compact_dedup_state): folded rows write
+    to a fresh ``_ibase_v<k+1>`` dir (partitioned by list_id, so probe
+    pruning is unchanged), the ``_COMPACTED`` marker — whose content
+    IS the watermark — lands only after the write completes, and
+    readers always resolve the newest COMPLETE base. A crash before
+    the marker leaves an invisible partial dir; a crash after the
+    marker but before cleanup leaves folded cells on disk that
+    read_ivfpq_rows filters out by watermark. Replay stays idempotent
+    AFTER the fold because append_ivfpq_index DROPS any batch at or
+    below the persisted watermark (its rows are already in the base —
+    re-appending them would double-count).
+
+    Returns the number of partition cells folded away. Watermarks are
+    monotone: raises if *watermark* is below the current one."""
+    import shutil
+
+    meta = _read_ivfpq_meta(spark, path)
+    if not (meta and meta.get("versioned_ingest")):
+        raise ValueError(
+            f"compact_ivfpq_ingest: index at {path} is not "
+            "versioned-ingest (build with versioned_ingest=True)"
+        )
+    w = int(watermark)
+    versions = _ingest_base_versions(path)
+    w_prev = versions[-1][2] if versions else None
+    if w_prev is not None and w < w_prev:
+        raise ValueError(
+            f"compact_ivfpq_ingest: watermark {w} is below the "
+            f"current watermark {w_prev} (watermarks are monotone)"
+        )
+    cols = ["vec_id", "list_id", "codes"]
+    frames = []
+    if versions:
+        frames.append(spark.read.parquet(versions[-1][1]).select(*cols))
+    cell_dirs = [
+        p
+        for p in glob.glob(
+            os.path.join(path, "list_id=*", "ingest_batch=*")
+        )
+        if int(os.path.basename(p).split("=", 1)[1]) <= w
+        and (
+            w_prev is None
+            or int(os.path.basename(p).split("=", 1)[1]) > w_prev
+        )
+    ]
+    if cell_dirs:
+        live = spark.read.parquet(path).where(
+            F.col("ingest_batch") <= F.lit(w)
+            if w_prev is None
+            else (F.col("ingest_batch") > F.lit(w_prev))
+            & (F.col("ingest_batch") <= F.lit(w))
+        )
+        frames.append(live.select(*cols))
+    if not frames:
+        return 0
+    merged = frames[0]
+    for f in frames[1:]:
+        merged = merged.unionByName(f)
+    nxt = (versions[-1][0] + 1) if versions else 1
+    new_base = os.path.join(path, f"_ibase_v{nxt}")
+    merged.write.partitionBy("list_id").mode("overwrite").parquet(new_base)
+    with open(os.path.join(new_base, _INGEST_MARKER), "w") as fh:
+        fh.write(str(w))  # marker LAST: version becomes visible atomically
+    for _v, p, _w in versions:
+        shutil.rmtree(p, ignore_errors=True)
+    folded = 0
+    for p in glob.glob(os.path.join(path, "list_id=*", "ingest_batch=*")):
+        if int(os.path.basename(p).split("=", 1)[1]) <= w:
+            shutil.rmtree(p, ignore_errors=True)
+            folded += 1
+    for p in glob.glob(os.path.join(path, "list_id=*")):
+        if not os.listdir(p):  # prune emptied partition shells
+            shutil.rmtree(p, ignore_errors=True)
+    return folded
 
 
 def streaming_ivfpq_ingest(
@@ -439,7 +608,9 @@ def query_ivfpq_index(
     q_probes, probed = _collected_query_probes(
         spark, queries, books, pivot_rows, nprobe, query_id, vec_col
     )
-    index = spark.read.parquet(path).where(F.col("list_id").isin(probed))
+    index = read_ivfpq_rows(spark, path).where(
+        F.col("list_id").isin(probed)
+    )
     scored = (
         index.join(F.broadcast(q_probes), "list_id")
         .where(F.col("query_id") != F.col("vec_id"))

@@ -12938,6 +12938,164 @@ def q240_stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q241_ivfpq_compact",
+    """
+    WITH dims AS (SELECT unnest(range(1, 17)) AS pos),
+    subs AS (SELECT unnest(range(0, 4)) AS sub),
+    base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+    c0 AS (
+        SELECT s.sub,
+               row_number() OVER (PARTITION BY s.sub ORDER BY e.vec_id)
+                   - 1 AS code,
+               list_transform(
+                   e.embedding[s.sub*16+1 : s.sub*16+16]::DOUBLE[],
+                   x -> CAST(round(CAST(x AS DECIMAL(30,10)), 6) AS DOUBLE)
+               ) AS centroid
+        FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8) e, subs s
+    ), a1 AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT e.vec_id, c.sub, c.code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, c.sub
+                       ORDER BY list_cosine_similarity(
+                           e.embedding[c.sub*16+1 : c.sub*16+16]::DOUBLE[],
+                           c.centroid) DESC, c.code ASC
+                   ) AS rn
+            FROM base e, c0 c
+        ) WHERE rn = 1
+    ), c1 AS (
+        SELECT sub, code, list(rv ORDER BY pos) AS centroid FROM (
+            SELECT a.sub, a.code, d.pos,
+                   CAST(round(CAST(avg(e.embedding[a.sub*16 + d.pos])
+                        AS DECIMAL(30,10)), 6) AS DOUBLE) AS rv
+            FROM a1 a JOIN base e USING (vec_id), dims d
+            GROUP BY a.sub, a.code, d.pos
+        ) GROUP BY sub, code
+    ), enc AS (
+        SELECT vec_id,
+               max(CASE WHEN sub = 0 THEN code END) AS k0,
+               max(CASE WHEN sub = 1 THEN code END) AS k1,
+               max(CASE WHEN sub = 2 THEN code END) AS k2,
+               max(CASE WHEN sub = 3 THEN code END) AS k3
+        FROM (
+            SELECT vec_id, sub, code FROM (
+                SELECT e.vec_id, c.sub, c.code,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id, c.sub
+                           ORDER BY list_cosine_similarity(
+                               e.embedding[c.sub*16+1 : c.sub*16+16]::DOUBLE[],
+                               c.centroid) DESC, c.code ASC
+                       ) AS rn
+                FROM embeddings e, c1 c
+            ) WHERE rn = 1
+        ) GROUP BY vec_id
+    ), p AS (
+        SELECT vec_id AS list_id, embedding::DOUBLE[] AS pivot
+        FROM base ORDER BY vec_id LIMIT 8
+    ), coarse AS (
+        SELECT vec_id, list_id FROM (
+            SELECT e.vec_id, p.list_id,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(
+                           e.embedding::DOUBLE[], p.pivot) DESC,
+                           p.list_id ASC
+                   ) AS rn
+            FROM embeddings e, p
+        ) WHERE rn = 1
+    )
+    SELECT enc.vec_id, coarse.list_id, k0, k1, k2, k3,
+           CAST(2 AS BIGINT) AS watermark
+    FROM enc JOIN coarse USING (vec_id)
+    """,
+)
+def q241_ivfpq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARKED COMPACTION of the streaming IVFPQ ingest layout
+    (functions/ivfpq.py::compact_ivfpq_ingest) — the maintenance pass
+    that keeps a month of production micro-batches from burying the
+    probe in small files: every availableNow batch adds one
+    (list_id, ingest_batch) parquet cell per touched list, and at
+    10^4-10^6 batches the directory listing + footer reads dominate
+    probe latency. This query runs the full lifecycle: build versioned
+    on the %4=0 vintage, stream-ingest the %4=1..3 vintages as THREE
+    mtime-ordered micro-batches, fold batches <= 2 into a compacted
+    ``_ibase_v1`` (crash-safe marker-LAST, dedup_state's discipline;
+    the marker carries the watermark), then REPLAY folded batch 2 —
+    which append_ivfpq_index must DROP (its rows already live in the
+    base; the in-plan check fails loudly if any row lands). The
+    effective read-back must hash-match the never-compacted oracle:
+    the union encode over all four vintages, exactly q240's arithmetic
+    minus the batch lineage the fold erases."""
+    import glob as _glob
+    import time
+
+    from ..functions.ivfpq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_ingest,
+        ivfpq_ingest_watermark,
+        read_ivfpq_rows,
+        streaming_ivfpq_ingest,
+    )
+
+    configure_session(spark)
+    work = tempfile.mkdtemp(prefix="ehs_ivfpq_compact_")
+    feed = os.path.join(work, "feed")
+    idx = os.path.join(work, "idx")
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    build_ivfpq_index(
+        e.where(F.pmod("vec_id", F.lit(4)) == 0),
+        idx,
+        nlist=8,
+        m_sub=4,
+        k_codes=8,
+        iterations=2,
+        versioned_ingest=True,
+    )
+    parts_seen: set = set()
+    t0 = time.time() - 1000
+    for i in (1, 2, 3):
+        e.where(F.pmod("vec_id", F.lit(4)) == i).coalesce(1).write.mode(
+            "append" if i > 1 else "overwrite"
+        ).parquet(feed)
+        new = set(_glob.glob(os.path.join(feed, "part-*"))) - parts_seen
+        for p in new:
+            os.utime(p, (t0 + 100 * i, t0 + 100 * i))
+        parts_seen |= new
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    streaming_ivfpq_ingest(stream, idx, os.path.join(work, "ckpt"))
+    folded = compact_ivfpq_ingest(spark, idx, watermark=2)
+    if folded <= 0 or ivfpq_ingest_watermark(idx) != 2:
+        raise ValueError(
+            f"compaction did not fold (folded={folded}, "
+            f"watermark={ivfpq_ingest_watermark(idx)})"
+        )
+    # replay FOLDED micro-batch 2 (ingest batch id 2): must be dropped
+    replayed = append_ivfpq_index(
+        e.where(F.pmod("vec_id", F.lit(4)) == 2), idx, batch_id=2
+    )
+    if replayed != 0:
+        raise ValueError(
+            f"replayed folded batch landed {replayed} rows (must drop)"
+        )
+    return read_ivfpq_rows(spark, idx).select(
+        "vec_id",
+        F.col("list_id").cast("long").alias("list_id"),
+        F.col("codes")[0].alias("k0"),
+        F.col("codes")[1].alias("k1"),
+        F.col("codes")[2].alias("k2"),
+        F.col("codes")[3].alias("k3"),
+        F.lit(int(ivfpq_ingest_watermark(idx))).cast("long").alias(
+            "watermark"
+        ),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

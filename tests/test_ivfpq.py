@@ -257,3 +257,156 @@ def test_versioned_ingest_replay_is_idempotent(spark, vecs):
             append_ivfpq_index(b1, d)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------------- watermarked compaction
+@pytest.fixture()
+def versioned_index(spark, vecs, tmp_path):
+    """Versioned-ingest index: build on %3==0, append %3==1 as batch 1
+    and %3==2 as batch 2."""
+    d = str(tmp_path / "vidx")
+    build_ivfpq_index(
+        vecs.where(F.pmod("vec_id", F.lit(3)) == 0),
+        d,
+        nlist=8,
+        m_sub=4,
+        k_codes=8,
+        iterations=2,
+        versioned_ingest=True,
+    )
+    append_ivfpq_index(
+        vecs.where(F.pmod("vec_id", F.lit(3)) == 1), d, batch_id=1
+    )
+    append_ivfpq_index(
+        vecs.where(F.pmod("vec_id", F.lit(3)) == 2), d, batch_id=2
+    )
+    return d
+
+
+def _effective(spark, path):
+    from etlhelper_spark.functions.ivfpq import read_ivfpq_rows
+
+    return {
+        (r["vec_id"], r["list_id"], tuple(r["codes"]))
+        for r in read_ivfpq_rows(spark, path).collect()
+    }
+
+
+def test_compact_preserves_content_and_drops_replays(
+    spark, vecs, versioned_index
+):
+    """Folding batches <= W changes NOTHING a reader sees, and a
+    replayed folded batch is DROPPED (appended count 0, content
+    unchanged) — the post-compaction half of the exactly-once
+    contract."""
+    import glob as g
+    import os
+
+    from etlhelper_spark.functions.ivfpq import (
+        compact_ivfpq_ingest,
+        ivfpq_ingest_watermark,
+    )
+
+    before = _effective(spark, versioned_index)
+    folded = compact_ivfpq_ingest(spark, versioned_index, watermark=1)
+    assert folded > 0
+    assert ivfpq_ingest_watermark(versioned_index) == 1
+    assert _effective(spark, versioned_index) == before
+    # no live cells at ingest_batch <= 1 remain
+    live = g.glob(
+        os.path.join(versioned_index, "list_id=*", "ingest_batch=*")
+    )
+    assert all(
+        int(os.path.basename(p).split("=")[1]) > 1 for p in live
+    )
+    # replay of folded batch 1: dropped, content unchanged
+    n = append_ivfpq_index(
+        vecs.where(F.pmod("vec_id", F.lit(3)) == 1),
+        versioned_index,
+        batch_id=1,
+    )
+    assert n == 0
+    assert _effective(spark, versioned_index) == before
+    # batch 2 is ABOVE the watermark: replay still overwrites its own
+    # cells idempotently (the pre-compaction contract, unchanged)
+    n2 = append_ivfpq_index(
+        vecs.where(F.pmod("vec_id", F.lit(3)) == 2),
+        versioned_index,
+        batch_id=2,
+    )
+    assert n2 > 0
+    assert _effective(spark, versioned_index) == before
+
+
+def test_compact_probe_equality_and_second_fold(spark, vecs, versioned_index):
+    """Probe results are identical before/after compaction, and a
+    SECOND fold (monotone watermark) composes: base_v2 absorbs base_v1
+    plus the (1, 2] cells."""
+    from etlhelper_spark.functions.ivfpq import (
+        compact_ivfpq_ingest,
+        ivfpq_ingest_watermark,
+    )
+
+    q = vecs.where(F.col("vec_id") < 3)
+    before = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in query_ivfpq_index(
+            spark, versioned_index, q, k=4, nprobe=3
+        ).collect()
+    }
+    compact_ivfpq_ingest(spark, versioned_index, watermark=1)
+    mid = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in query_ivfpq_index(
+            spark, versioned_index, q, k=4, nprobe=3
+        ).collect()
+    }
+    assert mid == before
+    compact_ivfpq_ingest(spark, versioned_index, watermark=2)
+    assert ivfpq_ingest_watermark(versioned_index) == 2
+    after = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in query_ivfpq_index(
+            spark, versioned_index, q, k=4, nprobe=3
+        ).collect()
+    }
+    assert after == before
+    with pytest.raises(ValueError, match="monotone"):
+        compact_ivfpq_ingest(spark, versioned_index, watermark=1)
+
+
+def test_compact_crash_windows(spark, vecs, versioned_index):
+    """Both crash windows leave a correct reader view: (a) a base dir
+    without its marker is invisible; (b) marker present but folded
+    cells not yet deleted — the watermark filter excludes them (no
+    double-read)."""
+    import os
+    import shutil as sh
+
+    from etlhelper_spark.functions.ivfpq import (
+        _INGEST_MARKER,
+        compact_ivfpq_ingest,
+        ivfpq_ingest_watermark,
+    )
+
+    before = _effective(spark, versioned_index)
+    # (a) simulate crash BEFORE marker: partial base dir, no marker
+    partial = os.path.join(versioned_index, "_ibase_v1")
+    os.makedirs(partial, exist_ok=True)
+    assert ivfpq_ingest_watermark(versioned_index) is None
+    assert _effective(spark, versioned_index) == before
+    sh.rmtree(partial)
+    # (b) real compaction, then RESTORE folded cells to simulate a
+    # crash after the marker but before cleanup
+    snap = tempfile.mkdtemp(prefix="ehs_snap_")
+    sh.copytree(versioned_index, snap, dirs_exist_ok=True)
+    compact_ivfpq_ingest(spark, versioned_index, watermark=2)
+    for p in os.listdir(snap):
+        if p.startswith("list_id="):
+            sh.copytree(
+                os.path.join(snap, p),
+                os.path.join(versioned_index, p),
+                dirs_exist_ok=True,
+            )
+    assert _effective(spark, versioned_index) == before
+    sh.rmtree(snap, ignore_errors=True)
