@@ -1,0 +1,458 @@
+"""Right-to-be-forgotten across EVERY derived artifact — the
+compliance completion of forget_from_dedup_state (which erases only
+the exact-fingerprint ledger): a real deletion request must also purge
+the MinHash band state, the embedding-LSH signature state, the span
+digest state, the inverted index (postings + stats), and the ANN /
+IVFPQ indexes — a forgotten document whose vector is still searchable,
+or whose tokens still rank in BM25 stats, is a compliance FAILURE, not
+a partial success.
+
+Design per store, matching each layer's own durability discipline:
+
+- **Append-only dedup states** (bands / embedding_lsh / spans,
+  operators/dedup_state.py layout): the versioned-base rewrite
+  forget_from_dedup_state introduced — merge base+appends, anti-join
+  the doomed rows out, write a fresh ``base_v<k+1>``, marker LAST, so
+  a complete state is visible at every instant and a crash anywhere
+  leaves either the old or the new state, never a torn one. Cost:
+  O(state) scan+write, never the corpus.
+- **Inverted index** (operators/index_state.py): postings get the
+  same versioned rewrite; stats are RECOMPUTED from the kept postings
+  into a fresh ``v<k+1>`` version (exact by construction — no
+  subtract-to-zero edge cases), so df/cf no longer count the
+  forgotten document's tokens.
+- **ANN / IVFPQ indexes** (functions/ann_index.py, ivfpq.py):
+  partition-LOCAL anti-join rewrite — the doomed ids' lists are
+  discovered with one semi-join (bounded: |ids| lists at most), only
+  those ``list_id=`` partitions rewrite under dynamic partition
+  overwrite, and partitions emptied entirely are deleted explicitly
+  (dynamic overwrite only replaces partitions PRESENT in the written
+  frame — an emptied cell would otherwise silently keep its rows).
+  The IVFPQ compacted base (``_ibase_v<k>``) gets the same
+  partition-local rewrite inside the base dir. At 10^10 vectors this
+  touches |ids| partitions out of nlist, not the index.
+
+Erasure SEMANTICS follow forget_from_dedup_state's contract: future
+duplicates of forgotten content re-admit as NEW (the exemplar is
+gone; keeping its signatures would keep verdicts referencing deleted
+data forever). For the span store, grams shared with RETAINED
+documents survive when the retained corpus is provided — a shared
+window is not the forgotten document's data alone.
+
+Reference parity note: the reference (a DB-API cursor wrapper,
+/root/reference/etlhelper/etl.py) has no state stores; this module
+completes THIS suite's incremental-state family with the deletion
+path every production data-governance story requires.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup_state import (
+    _BASE_MARKER,
+    _base_versions,
+    _current_base,
+    _prior_batches,
+    forget_from_dedup_state,
+)
+
+__all__ = [
+    "forget_everywhere",
+    "forget_from_ann_index",
+    "forget_from_bands_state",
+    "forget_from_embedding_lsh_state",
+    "forget_from_index_state",
+    "forget_from_ivfpq_index",
+    "forget_from_span_state",
+]
+
+
+def _doomed_frame(spark, ids) -> DataFrame:
+    """Normalize *ids* (Python list for bounded requests, one-column
+    DataFrame for bulk feeds) to a distinct one-column ``__fid`` frame
+    — anti-joined downstream, never collected."""
+    if isinstance(ids, DataFrame):
+        return ids.select(F.col(ids.columns[0]).alias("__fid")).distinct()
+    return spark.createDataFrame(
+        [(int(x),) for x in ids], "__fid long"
+    ).distinct()
+
+
+def _versioned_erase(
+    spark,
+    subdir: str,
+    keep_fn,
+    count_fn,
+    state_partitions: int = 1,
+) -> int:
+    """forget_from_dedup_state's crash-safe rewrite, generalized:
+    merge the store's base+appends, write ``keep_fn(merged)`` to a
+    fresh ``base_v<k+1>``, marker LAST, then remove old versions and
+    folded appends. Returns ``count_fn(merged)`` (the erased count,
+    computed before the rewrite)."""
+    batch_dirs = _prior_batches(subdir, 2**62)
+    cur = _current_base(subdir)
+    sources = ([cur] if cur else []) + batch_dirs
+    if not sources:
+        raise ValueError(f"_versioned_erase: no state under {subdir}")
+    merged = spark.read.parquet(*sources)
+    n_forgotten = int(count_fn(merged))
+    kept = keep_fn(merged)
+    versions = _base_versions(subdir)
+    nxt = (versions[-1][0] + 1) if versions else 1
+    new_base = os.path.join(subdir, f"base_v{nxt}")
+    kept.repartition(state_partitions).write.mode("overwrite").parquet(
+        new_base
+    )
+    with open(os.path.join(new_base, _BASE_MARKER), "w"):
+        pass  # marker LAST: the new version becomes visible atomically
+    for _v, p in versions:
+        shutil.rmtree(p, ignore_errors=True)
+    shutil.rmtree(os.path.join(subdir, "base"), ignore_errors=True)
+    for p in batch_dirs:
+        shutil.rmtree(p, ignore_errors=True)
+    return n_forgotten
+
+
+def forget_from_bands_state(
+    spark, state_dir: str, ids, state_partitions: int = 1
+) -> int:
+    """Erase documents from the MinHash band state (``bands`` store,
+    rows (id, band, band_key, batch)): every band row keyed by a
+    forgotten id is removed, so future near-duplicates of the
+    forgotten text no longer collide with a deleted document. Returns
+    the number of erased band rows."""
+    doomed = _doomed_frame(spark, ids)
+    return _versioned_erase(
+        spark,
+        os.path.join(state_dir, "bands"),
+        lambda m: m.join(
+            F.broadcast(doomed), m["id"] == doomed["__fid"], "left_anti"
+        ).select("id", "band", "band_key", "batch"),
+        lambda m: m.join(
+            F.broadcast(doomed), m["id"] == doomed["__fid"], "left_semi"
+        ).count(),
+        state_partitions,
+    )
+
+
+def forget_from_embedding_lsh_state(
+    spark, state_dir: str, ids, state_partitions: int = 1
+) -> int:
+    """Erase documents from the embedding-LSH signature state
+    (``embedding_lsh`` store, ONE row per distinct vector:
+    (rep_id, members, v, sigs, batch)): forgotten ids leave their
+    group's ``members``; a group emptied entirely is dropped — its
+    vector payload and signatures go with it (the vector IS the
+    forgotten content); a surviving group re-anchors on its lowest
+    remaining member (members are kept sorted, the store's rep
+    convention). Returns the number of member slots erased."""
+    doomed = _doomed_frame(spark, ids)
+
+    def keep(m: DataFrame) -> DataFrame:
+        ex = m.select(
+            F.col("rep_id").alias("__orig_rep"),
+            "v",
+            "sigs",
+            "batch",
+            F.explode("members").alias("__m"),
+        )
+        kept_members = ex.join(
+            F.broadcast(doomed), ex["__m"] == doomed["__fid"], "left_anti"
+        )
+        return (
+            kept_members.groupBy("__orig_rep", "batch")
+            .agg(
+                F.first("v").alias("v"),
+                F.first("sigs").alias("sigs"),
+                F.sort_array(F.collect_list("__m")).alias("members"),
+            )
+            .select(
+                F.element_at("members", 1).alias("rep_id"),
+                "members",
+                "v",
+                "sigs",
+                "batch",
+            )
+        )
+
+    def count(m: DataFrame) -> int:
+        ex = m.select(F.explode("members").alias("__m"))
+        return ex.join(
+            F.broadcast(doomed), ex["__m"] == doomed["__fid"], "left_semi"
+        ).count()
+
+    return _versioned_erase(
+        spark,
+        os.path.join(state_dir, "embedding_lsh"),
+        keep,
+        count,
+        state_partitions,
+    )
+
+
+def _span_grams(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """The distinct window digests of *docs* — the SAME md5 n-token
+    kernel span_dedup_incremental writes into the state, so erasure
+    removes exactly what ingestion added."""
+    toks = (
+        docs.where(F.trim(F.col(text_col)) != "")
+        .select(F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("t"))
+        .where(F.size("t") >= int(n))
+    )
+    return toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (int(n) - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, int(n)))),
+            )
+        ).alias("g")
+    ).distinct()
+
+
+def forget_from_span_state(
+    spark,
+    state_dir: str,
+    forgotten_docs: DataFrame,
+    retained_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    state_partitions: int = 4,
+) -> int:
+    """Erase a set of documents' window digests from the span-dedup
+    state (``spans`` store, rows (g, batch)). The state stores bare
+    digests (no doc attribution — that is what makes it O(distinct
+    spans)), so erasure needs the forgotten documents' TEXT to
+    recompute their digests. With *retained_docs* (the surviving
+    corpus, or any superset of it), digests shared with retained
+    documents SURVIVE — a shared window is not the forgotten
+    document's data alone; without it, every forgotten digest is
+    removed (erring toward re-admission, never toward referencing
+    deleted data). Returns the number of erased digest rows."""
+    fg = _span_grams(forgotten_docs, id_col, text_col, n)
+    if retained_docs is not None:
+        fg = fg.join(
+            _span_grams(retained_docs, id_col, text_col, n), "g", "left_anti"
+        )
+    fg = fg.localCheckpoint()  # consumed by both the anti-join and count
+    return _versioned_erase(
+        spark,
+        os.path.join(state_dir, "spans"),
+        lambda m: m.join(fg, "g", "left_anti").select("g", "batch"),
+        lambda m: m.join(fg, "g", "left_semi").count(),
+        state_partitions,
+    )
+
+
+def forget_from_index_state(
+    spark, state_dir: str, ids, state_partitions: int = 1
+) -> int:
+    """Erase documents from the inverted index: their posting rows
+    leave the ``postings`` store (versioned rewrite), and the ``stats``
+    state (token -> (df, cf)) is RECOMPUTED from the kept postings
+    into a fresh version — so document frequencies and collection
+    frequencies no longer count the forgotten documents' tokens, and a
+    token appearing only in forgotten documents vanishes entirely.
+    Returns the number of erased posting rows."""
+    doomed = _doomed_frame(spark, ids)
+    postings_dir = os.path.join(state_dir, "postings")
+    n = _versioned_erase(
+        spark,
+        postings_dir,
+        lambda m: m.join(
+            F.broadcast(doomed), m["doc_id"] == doomed["__fid"], "left_anti"
+        ).select("token", "doc_id", "n", "batch"),
+        lambda m: m.join(
+            F.broadcast(doomed), m["doc_id"] == doomed["__fid"], "left_semi"
+        ).count(),
+        state_partitions,
+    )
+    # stats: exact recompute from the kept postings (no subtraction
+    # edge cases), written as the next version so _latest_version
+    # resolves it; subsequent ingest batch ids must stay above it —
+    # the same monotone-batch contract every store here already has
+    stats_dir = os.path.join(state_dir, "stats")
+    stats_versions = sorted(
+        int(os.path.basename(p)[1:])
+        for p in glob.glob(os.path.join(stats_dir, "v*"))
+        if os.path.basename(p)[1:].isdigit()
+    )
+    if stats_versions:
+        kept = spark.read.parquet(os.path.join(postings_dir, "base_v*"))
+        recomputed = kept.groupBy("token").agg(
+            F.count("*").alias("n"), F.sum("n").alias("cf")
+        )
+        out = os.path.join(stats_dir, f"v{stats_versions[-1] + 1}")
+        recomputed.repartition(state_partitions).write.mode(
+            "overwrite"
+        ).parquet(out)
+    return n
+
+
+def _partition_local_erase(
+    spark, data_dir: str, doomed: DataFrame, part_cols: list[str]
+) -> int:
+    """Anti-join rewrite of ONLY the partitions holding doomed rows:
+    one semi-join discovers the affected partitions (bounded by |ids|),
+    dynamic partition overwrite rewrites exactly those, and partitions
+    emptied entirely are deleted explicitly (dynamic overwrite cannot
+    touch a partition absent from the written frame). Returns erased
+    row count."""
+    df = spark.read.parquet(data_dir)
+    hit = df.join(
+        F.broadcast(doomed), df["vec_id"] == doomed["__fid"], "left_semi"
+    )
+    affected = [tuple(r) for r in hit.select(*part_cols).distinct().collect()]
+    if not affected:
+        return 0
+    n_erased = hit.count()
+    cond = None
+    for vals in affected:
+        c = F.lit(True)
+        for col, v in zip(part_cols, vals):
+            c = c & (F.col(col) == F.lit(v))
+        cond = c if cond is None else (cond | c)
+    kept = (
+        df.where(cond)
+        .join(
+            F.broadcast(doomed), df["vec_id"] == doomed["__fid"], "left_anti"
+        )
+        .localCheckpoint()
+    )
+    survivors = {
+        tuple(r) for r in kept.select(*part_cols).distinct().collect()
+    }
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        if survivors:
+            kept.write.partitionBy(*part_cols).mode("overwrite").parquet(
+                data_dir
+            )
+    finally:
+        spark.conf.set(mode_key, old)
+    for vals in affected:
+        if tuple(vals) in survivors:
+            continue
+        sub = os.path.join(
+            data_dir, *[f"{c}={v}" for c, v in zip(part_cols, vals)]
+        )
+        shutil.rmtree(sub, ignore_errors=True)
+    for p in glob.glob(os.path.join(data_dir, f"{part_cols[0]}=*")):
+        if os.path.isdir(p) and not os.listdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+    return int(n_erased)
+
+
+def forget_from_ann_index(spark, path: str, ids) -> int:
+    """Erase vectors from a persisted IVF index (functions/
+    ann_index.py layout: ``list_id=`` partitions of (vec_id, vec
+    [, attrs])): partition-local anti-join rewrite — only the lists
+    holding forgotten ids are read back and rewritten; pivots are
+    untouched (they are centroids, not rows — if a pivot was SEEDED
+    from a forgotten vector at build time, rebuild or rebalance the
+    index: seeds are k-means initializers, not stored content).
+    Returns the number of erased vectors."""
+    doomed = _doomed_frame(spark, ids)
+    return _partition_local_erase(spark, path, doomed, ["list_id"])
+
+
+def forget_from_ivfpq_index(spark, path: str, ids) -> int:
+    """Erase vectors from a persisted IVFPQ index — both layers: live
+    ``(list_id[, ingest_batch])`` partition cells AND the newest
+    compacted ``_ibase_v<k>`` base, each rewritten partition-locally.
+    A forgotten document's codes are its content (PQ codes
+    reconstruct an approximation of the vector), so they must go.
+    Returns the number of erased code rows."""
+    from ..functions.ivfpq import _ingest_base_versions, _read_ivfpq_meta
+
+    doomed = _doomed_frame(spark, ids)
+    total = 0
+    meta = _read_ivfpq_meta(spark, path)
+    versioned = bool(meta and meta.get("versioned_ingest"))
+    cells_exist = bool(
+        glob.glob(os.path.join(path, "list_id=*", "ingest_batch=*"))
+        or glob.glob(os.path.join(path, "list_id=*", "*.parquet"))
+    )
+    if cells_exist:
+        part_cols = (
+            ["list_id", "ingest_batch"] if versioned else ["list_id"]
+        )
+        total += _partition_local_erase(spark, path, doomed, part_cols)
+    versions = _ingest_base_versions(path)
+    if versions:
+        total += _partition_local_erase(
+            spark, versions[-1][1], doomed, ["list_id"]
+        )
+    return total
+
+
+def forget_everywhere(
+    spark,
+    ids,
+    dedup_state_dir: str | None = None,
+    span_docs: DataFrame | None = None,
+    span_retained: DataFrame | None = None,
+    span_n: int = 8,
+    index_state_dir: str | None = None,
+    ivf_index_paths=(),
+    ivfpq_index_paths=(),
+    state_partitions: int = 1,
+) -> dict[str, int]:
+    """ONE deletion request, EVERY derived artifact: orchestrates the
+    per-store erasures over whichever stores exist — the exact
+    fingerprint ledger, MinHash bands, embedding-LSH signatures, span
+    digests (when *span_docs* carries the forgotten documents' text),
+    the inverted index, and any number of ANN / IVFPQ indexes. Stores
+    whose directories are absent are skipped silently (a pipeline that
+    never built a band state has nothing to erase). Returns
+    ``{store: erased_count}`` — the audit record a compliance log
+    wants. Partial erasure is a compliance failure: callers should
+    persist this dict and alert on any store that was EXPECTED but
+    skipped."""
+    out: dict[str, int] = {}
+    if dedup_state_dir is not None:
+        if os.path.isdir(os.path.join(dedup_state_dir, "exact")):
+            out["exact"] = forget_from_dedup_state(
+                spark, dedup_state_dir, ids, state_partitions
+            )
+        if os.path.isdir(os.path.join(dedup_state_dir, "bands")):
+            out["bands"] = forget_from_bands_state(
+                spark, dedup_state_dir, ids, state_partitions
+            )
+        if os.path.isdir(os.path.join(dedup_state_dir, "embedding_lsh")):
+            out["embedding_lsh"] = forget_from_embedding_lsh_state(
+                spark, dedup_state_dir, ids, state_partitions
+            )
+        if span_docs is not None and os.path.isdir(
+            os.path.join(dedup_state_dir, "spans")
+        ):
+            out["spans"] = forget_from_span_state(
+                spark,
+                dedup_state_dir,
+                span_docs,
+                span_retained,
+                n=span_n,
+                state_partitions=max(state_partitions, 4),
+            )
+    if index_state_dir is not None and os.path.isdir(
+        os.path.join(index_state_dir, "postings")
+    ):
+        out["inverted_index"] = forget_from_index_state(
+            spark, index_state_dir, ids, state_partitions
+        )
+    for i, p in enumerate(ivf_index_paths):
+        out[f"ivf_index_{i}"] = forget_from_ann_index(spark, p, ids)
+    for i, p in enumerate(ivfpq_index_paths):
+        out[f"ivfpq_index_{i}"] = forget_from_ivfpq_index(spark, p, ids)
+    return out

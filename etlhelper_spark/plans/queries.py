@@ -13096,6 +13096,209 @@ def q241_ivfpq_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q242_forget_everywhere",
+    """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+    vecs AS (SELECT vec_id FROM embeddings WHERE vec_id < 1000),
+    fp AS (
+        SELECT doc_id, doc_id % 2 AS b,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   AS fingerprint
+        FROM docs
+    ), surv AS (
+        SELECT DISTINCT fingerprint,
+               first_value(doc_id) OVER (
+                   PARTITION BY fingerprint ORDER BY b, doc_id
+               ) AS s
+        FROM fp
+    ), toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+        FROM docs WHERE trim(text) <> ''
+    ), grams AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS g
+        FROM (SELECT doc_id, t, unnest(range(1, len(t)-6)) AS i
+              FROM toks WHERE len(t) >= 8)
+    )
+    SELECT 'exact' AS store, fingerprint AS key
+    FROM surv WHERE s % 11 <> 3
+    UNION ALL
+    SELECT 'bands', CAST(doc_id AS VARCHAR) FROM toks
+    WHERE len(t) >= 3 AND doc_id % 11 <> 3
+    UNION ALL
+    SELECT 'embedding_lsh', CAST(vec_id AS VARCHAR) FROM vecs
+    WHERE vec_id % 11 <> 3
+    UNION ALL
+    SELECT 'spans', g FROM (
+        SELECT g, bool_or(doc_id % 11 <> 3) AS has_retained
+        FROM grams GROUP BY g
+    ) WHERE has_retained
+    UNION ALL
+    SELECT 'inverted_index', CAST(doc_id AS VARCHAR) FROM toks
+    WHERE doc_id % 11 <> 3
+    UNION ALL
+    SELECT 'ivf_index', CAST(vec_id AS VARCHAR) FROM vecs
+    WHERE vec_id % 11 <> 3
+    UNION ALL
+    SELECT 'ivfpq_index', CAST(vec_id AS VARCHAR) FROM vecs
+    WHERE vec_id % 11 <> 3
+    """,
+)
+def q242_forget_everywhere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE deletion request, EVERY derived artifact (operators/
+    erasure.py::forget_everywhere) — the compliance completion of
+    q239's exact-ledger erasure: a forgotten document must also leave
+    the MinHash band state, the embedding-LSH signature state, the
+    span digest state (digests shared with RETAINED documents
+    survive — a shared window is not the forgotten document's data
+    alone), the inverted index (postings AND recomputed df/cf stats),
+    and the ANN + IVFPQ indexes (partition-LOCAL anti-join rewrites —
+    only the |ids| affected lists are touched, the base/cell split of
+    a compacted streaming IVFPQ index both covered). The engine
+    builds all seven stores over two %2 vintages, erases every id
+    with ``id % 11 == 3`` through the single orchestrator call (ids
+    as a DataFrame feed — anti-joined, never collected), then audits
+    MEMBERSHIP: one row per (store, surviving key). The oracle
+    restates each store's expected surviving population from the raw
+    tables — any id still present anywhere, or any over-erased
+    survivor, breaks the hash."""
+    from ..functions.ann_index import build_ivf_index
+    from ..functions.ivfpq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_ingest,
+        read_ivfpq_rows,
+    )
+    from ..operators.dedup_state import (
+        dedup_exact_incremental,
+        embedding_lsh_incremental,
+        minhash_incremental,
+        span_dedup_incremental,
+    )
+    from ..operators.erasure import forget_everywhere
+    from ..operators.index_state import inverted_index_incremental
+
+    work = tempfile.mkdtemp(prefix="ehs_forget_all_")
+    st = os.path.join(work, "state")
+    ixst = os.path.join(work, "ixstate")
+    ivf = os.path.join(work, "ivf")
+    ivfpq = os.path.join(work, "ivfpq")
+    # bounded corpus (doc_id/vec_id < 1000): the membership audit is a
+    # LIFECYCLE gate over seven stores, not a throughput probe — the
+    # bound keeps its bench cost flat across scale factors (the same
+    # predicate bounds the oracle)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 1000)
+    )
+    v = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") < 1000)
+    )
+    for i in (0, 1):
+        batch = d.where(F.pmod("doc_id", F.lit(2)) == i)
+        dedup_exact_incremental(batch, st, i + 1)
+        minhash_incremental(batch, st, i + 1)
+        span_dedup_incremental(batch, st, i + 1, n=8)
+        inverted_index_incremental(batch, ixst, i + 1)
+        embedding_lsh_incremental(
+            v.where(F.pmod("vec_id", F.lit(2)) == i), st, i + 1, dim=64
+        )
+    build_ivf_index(v.where(F.pmod("vec_id", F.lit(2)) == 0), ivf, nlist=8)
+    from ..functions.ann_index import append_ivf_index
+
+    append_ivf_index(v.where(F.pmod("vec_id", F.lit(2)) == 1), ivf)
+    build_ivfpq_index(
+        v.where(F.pmod("vec_id", F.lit(2)) == 0),
+        ivfpq,
+        nlist=8,
+        m_sub=4,
+        k_codes=8,
+        iterations=2,
+        versioned_ingest=True,
+    )
+    append_ivfpq_index(
+        v.where(F.pmod("vec_id", F.lit(2)) == 1), ivfpq, batch_id=1
+    )
+    # fold the build into the compacted base so erasure must hit BOTH
+    # layers: forgotten evens live in _ibase_v1, forgotten odds in the
+    # live ingest_batch=1 cells
+    compact_ivfpq_ingest(spark, ivfpq, watermark=0)
+    doomed = d.where(F.pmod("doc_id", F.lit(11)) == 3).select("doc_id")
+    counts = forget_everywhere(
+        spark,
+        doomed,
+        dedup_state_dir=st,
+        span_docs=d.where(F.pmod("doc_id", F.lit(11)) == 3),
+        span_retained=d.where(F.pmod("doc_id", F.lit(11)) != 3),
+        span_n=8,
+        index_state_dir=ixst,
+        ivf_index_paths=[ivf],
+        ivfpq_index_paths=[ivfpq],
+    )
+    expected = {
+        "exact",
+        "bands",
+        "embedding_lsh",
+        "spans",
+        "inverted_index",
+        "ivf_index_0",
+        "ivfpq_index_0",
+    }
+    if set(counts) != expected or any(
+        counts[k] <= 0
+        for k in ("bands", "inverted_index", "ivf_index_0", "ivfpq_index_0")
+    ):
+        raise ValueError(f"erasure incomplete: {counts}")
+
+    def _base(store: str) -> DataFrame:
+        import glob as _glob
+
+        return spark.read.parquet(
+            *_glob.glob(os.path.join(st, store, "base_v*"))
+        )
+
+    key = lambda c: F.col(c).cast("string").alias("key")
+    audits = [
+        _base("exact").select(
+            F.lit("exact").alias("store"), key("fingerprint")
+        ),
+        _base("bands").select("id").distinct().select(
+            F.lit("bands").alias("store"), key("id")
+        ),
+        _base("embedding_lsh")
+        .select(F.explode("members").alias("m"))
+        .distinct()
+        .select(F.lit("embedding_lsh").alias("store"), key("m")),
+        _base("spans").select(
+            F.lit("spans").alias("store"), key("g")
+        ),
+        spark.read.parquet(
+            *__import__("glob").glob(
+                os.path.join(ixst, "postings", "base_v*")
+            )
+        )
+        .select("doc_id")
+        .distinct()
+        .select(F.lit("inverted_index").alias("store"), key("doc_id")),
+        spark.read.parquet(ivf)
+        .select("vec_id")
+        .distinct()
+        .select(F.lit("ivf_index").alias("store"), key("vec_id")),
+        read_ivfpq_rows(spark, ivfpq)
+        .select("vec_id")
+        .distinct()
+        .select(F.lit("ivfpq_index").alias("store"), key("vec_id")),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -1,0 +1,302 @@
+"""Right-to-be-forgotten across every derived artifact
+(operators/erasure.py): per-store erasure contracts, partition-local
+index rewrites, and the forget_everywhere orchestrator."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .where(F.col("doc_id") < 60)
+    )
+
+
+def _vecs(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+# ------------------------------------------------------------ band state
+def test_forget_bands_removes_only_target_rows(spark, tmp_path):
+    from etlhelper_spark.operators.dedup_state import minhash_incremental
+    from etlhelper_spark.operators.erasure import forget_from_bands_state
+
+    d = _docs(spark)
+    st = str(tmp_path / "st")
+    minhash_incremental(d.where("doc_id < 30"), st, 1)
+    minhash_incremental(d.where("doc_id >= 30"), st, 2)
+    all_rows = spark.read.parquet(
+        *glob.glob(os.path.join(st, "bands", "batch=*"))
+    )
+    n_before = all_rows.count()
+    n_target = all_rows.where(F.col("id").isin([3, 31])).count()
+    assert n_target > 0
+    erased = forget_from_bands_state(spark, st, [3, 31])
+    assert erased == n_target
+    base = glob.glob(os.path.join(st, "bands", "base_v*"))
+    assert len(base) == 1
+    after = spark.read.parquet(base[0])
+    assert after.count() == n_before - n_target
+    assert after.where(F.col("id").isin([3, 31])).count() == 0
+    # erased docs re-admit as NEW: a fresh batch carrying doc 3's
+    # exact text collides with nothing erased (its old bands are gone)
+    t3 = d.where("doc_id = 3").select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    pairs = minhash_incremental(t3, st, 3)
+    assert pairs.where(
+        (F.col("id_a") == 3) | (F.col("id_b") == 3)
+    ).count() == 0
+
+
+# ---------------------------------------------------- embedding_lsh state
+def test_forget_embedding_lsh_reanchors_and_drops(spark, tmp_path):
+    from etlhelper_spark.operators.dedup_state import (
+        embedding_lsh_incremental,
+    )
+    from etlhelper_spark.operators.erasure import (
+        forget_from_embedding_lsh_state,
+    )
+
+    v = _vecs(spark).where("vec_id < 20")
+    # plant identical-vector groups: 100/101 share vec 1's embedding,
+    # 200 shares vec 2's
+    base1 = v.where("vec_id = 1").select("embedding")
+    dup = (
+        v.where("vec_id = 1")
+        .select(F.lit(100).alias("vec_id"), "embedding")
+        .union(v.where("vec_id = 1").select(F.lit(101), "embedding"))
+        .union(v.where("vec_id = 2").select(F.lit(200), "embedding"))
+    )
+    st = str(tmp_path / "st")
+    embedding_lsh_incremental(v.union(dup), st, 1, dim=64)
+    rows = {
+        r["rep_id"]: r["members"]
+        for r in spark.read.parquet(
+            os.path.join(st, "embedding_lsh", "batch=1")
+        ).collect()
+    }
+    assert rows[1] == [1, 100, 101]
+    # forget the group anchor (1) and ALL of group 2's members (2, 200)
+    erased = forget_from_embedding_lsh_state(spark, st, [1, 2, 200])
+    assert erased == 3
+    base = glob.glob(os.path.join(st, "embedding_lsh", "base_v*"))[0]
+    after = {
+        r["rep_id"]: r["members"]
+        for r in spark.read.parquet(base).collect()
+    }
+    assert after[100] == [100, 101]  # re-anchored on lowest survivor
+    assert 1 not in after and 2 not in after and 200 not in after
+
+
+# ------------------------------------------------------------- span state
+def test_forget_spans_respects_retained_sharing(spark, tmp_path):
+    from etlhelper_spark.operators.dedup_state import span_dedup_incremental
+    from etlhelper_spark.operators.erasure import forget_from_span_state
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    private = "one two three four five six seven eight"
+    d1 = mk([(1, shared + " " + private)])
+    d2 = mk([(2, shared)])
+    st = str(tmp_path / "st")
+    span_dedup_incremental(d1.union(d2), st, 1, n=8)
+    n_before = spark.read.parquet(
+        os.path.join(st, "spans", "batch=1")
+    ).count()
+    # forget doc 1 but keep digests shared with retained doc 2
+    erased = forget_from_span_state(
+        spark, st, d1, retained_docs=d2, n=8
+    )
+    base = glob.glob(os.path.join(st, "spans", "base_v*"))[0]
+    n_after = spark.read.parquet(base).count()
+    assert erased > 0 and n_after == n_before - erased
+    # doc 2's own window (the shared prefix window) must survive
+    from etlhelper_spark.operators.erasure import _span_grams
+
+    shared_g = {
+        r["g"] for r in _span_grams(d2, "doc_id", "text", 8).collect()
+    }
+    kept_g = {r["g"] for r in spark.read.parquet(base).collect()}
+    assert shared_g <= kept_g
+
+
+# --------------------------------------------------------- inverted index
+def test_forget_index_state_recomputes_stats(spark, tmp_path):
+    from etlhelper_spark.operators.erasure import forget_from_index_state
+    from etlhelper_spark.operators.index_state import (
+        inverted_index_incremental,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    st = str(tmp_path / "st")
+    inverted_index_incremental(
+        mk([(1, "apple banana apple"), (2, "banana cherry")]), st, 1
+    )
+    inverted_index_incremental(mk([(3, "apple durian")]), st, 2)
+    erased = forget_from_index_state(spark, st, [1])
+    assert erased == 2  # doc 1 contributed postings for apple, banana
+    stats_dirs = sorted(glob.glob(os.path.join(st, "stats", "v*")))
+    latest = spark.read.parquet(stats_dirs[-1])
+    got = {r["token"]: (r["n"], r["cf"]) for r in latest.collect()}
+    assert got == {
+        "apple": (1, 1),  # only doc 3 now
+        "banana": (1, 1),  # only doc 2
+        "cherry": (1, 1),
+        "durian": (1, 1),
+    }
+    posts = spark.read.parquet(
+        glob.glob(os.path.join(st, "postings", "base_v*"))[0]
+    )
+    assert posts.where("doc_id = 1").count() == 0
+
+
+# ---------------------------------------------------------- ANN index
+def test_forget_ann_index_is_partition_local(spark, tmp_path):
+    from etlhelper_spark.functions.ann_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+    from etlhelper_spark.operators.erasure import forget_from_ann_index
+
+    v = _vecs(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(v, idx, nlist=8)
+    target = 17
+    hit_list = (
+        spark.read.parquet(idx)
+        .where(F.col("vec_id") == target)
+        .select("list_id")
+        .first()["list_id"]
+    )
+    untouched = [
+        p
+        for p in glob.glob(os.path.join(idx, "list_id=*"))
+        if p != os.path.join(idx, f"list_id={hit_list}")
+    ]
+    sig_before = {
+        p: sorted(os.listdir(p)) for p in untouched
+    }
+    erased = forget_from_ann_index(spark, idx, [target])
+    assert erased == 1
+    # unaffected partitions: file sets untouched (partition-LOCAL)
+    assert {p: sorted(os.listdir(p)) for p in untouched} == sig_before
+    assert (
+        spark.read.parquet(idx).where(F.col("vec_id") == target).count()
+        == 0
+    )
+    # probes no longer surface the forgotten vector
+    q = v.where("vec_id < 2")
+    out = query_ivf_index(spark, idx, q, k=10, nprobe=8)
+    assert out.where(F.col("neighbor_id") == target).count() == 0
+
+
+def test_forget_ann_index_drops_emptied_partition(spark, tmp_path):
+    from etlhelper_spark.functions.ann_index import build_ivf_index
+    from etlhelper_spark.operators.erasure import forget_from_ann_index
+
+    v = _vecs(spark)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(v, idx, nlist=8)
+    # erase an ENTIRE list: its partition dir must vanish (dynamic
+    # overwrite alone cannot delete a partition it writes no rows to)
+    a_list = (
+        spark.read.parquet(idx).groupBy("list_id").count().first()
+    )
+    members = [
+        r["vec_id"]
+        for r in spark.read.parquet(idx)
+        .where(F.col("list_id") == a_list["list_id"])
+        .collect()
+    ]
+    erased = forget_from_ann_index(spark, idx, members)
+    assert erased == len(members)
+    assert not os.path.exists(
+        os.path.join(idx, f"list_id={a_list['list_id']}")
+    )
+    assert spark.read.parquet(idx).where(
+        F.col("vec_id").isin(members)
+    ).count() == 0
+
+
+# ---------------------------------------------------------- IVFPQ index
+def test_forget_ivfpq_cells_and_base(spark, tmp_path):
+    from etlhelper_spark.functions.ivfpq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_ingest,
+        query_ivfpq_index,
+        read_ivfpq_rows,
+    )
+    from etlhelper_spark.operators.erasure import forget_from_ivfpq_index
+
+    v = _vecs(spark)
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(
+        v.where(F.pmod("vec_id", F.lit(3)) == 0),
+        idx,
+        nlist=8,
+        m_sub=4,
+        k_codes=8,
+        iterations=2,
+        versioned_ingest=True,
+    )
+    append_ivfpq_index(
+        v.where(F.pmod("vec_id", F.lit(3)) == 1), idx, batch_id=1
+    )
+    compact_ivfpq_ingest(spark, idx, watermark=0)  # fold build into base
+    append_ivfpq_index(
+        v.where(F.pmod("vec_id", F.lit(3)) == 2), idx, batch_id=2
+    )
+    # forget one id from the BASE (vec 9, %3==0) and one from the live
+    # CELLS (vec 2, %3==2)
+    before = read_ivfpq_rows(spark, idx).count()
+    erased = forget_from_ivfpq_index(spark, idx, [9, 2])
+    assert erased == 2
+    rows = read_ivfpq_rows(spark, idx)
+    assert rows.count() == before - 2
+    assert rows.where(F.col("vec_id").isin([9, 2])).count() == 0
+    out = query_ivfpq_index(
+        spark, idx, v.where("vec_id < 2"), k=10, nprobe=8
+    )
+    assert out.where(F.col("neighbor_id").isin([9, 2])).count() == 0
+
+
+# -------------------------------------------------------- orchestrator
+def test_forget_everywhere_orchestrates_and_skips_missing(spark, tmp_path):
+    from etlhelper_spark.functions.ann_index import build_ivf_index
+    from etlhelper_spark.operators.dedup_state import (
+        dedup_exact_incremental,
+        minhash_incremental,
+    )
+    from etlhelper_spark.operators.erasure import forget_everywhere
+
+    d = _docs(spark)
+    st = str(tmp_path / "st")
+    dedup_exact_incremental(d.where("doc_id < 30"), st, 1)
+    minhash_incremental(d.where("doc_id < 30"), st, 1)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(_vecs(spark), idx, nlist=8)
+    out = forget_everywhere(
+        spark,
+        [3, 7],
+        dedup_state_dir=st,
+        ivf_index_paths=[idx],
+    )
+    # exact + bands erased; embedding_lsh/spans/index skipped (absent)
+    assert set(out) == {"exact", "bands", "ivf_index_0"}
+    assert out["bands"] > 0 and out["ivf_index_0"] == 2
+    assert spark.read.parquet(idx).where(
+        F.col("vec_id").isin([3, 7])
+    ).count() == 0
