@@ -120,6 +120,108 @@ def _encode_cols(
     ]
 
 
+def _pivot_map_col(pivot_rows: list):
+    """Literal ``list_id -> pivot vector`` map (nlist x d literals —
+    bounded by design, the same literal-fold discipline as the coarse
+    argmax): element_at(this, list_id) is the pivot to subtract for
+    residual encoding."""
+    from .similarity import _dlit
+
+    entries = []
+    for pid, vec in pivot_rows:
+        entries.append(F.lit(int(pid)).cast("long"))
+        entries.append(
+            F.expr("array({})".format(", ".join(_dlit(x) for x in vec)))
+        )
+    return F.create_map(*entries)
+
+
+def _encode_frame(
+    corpus: DataFrame,
+    corpus_id: str,
+    books: dict,
+    pivot_rows: list,
+    vec_col: str,
+    arrow: bool,
+    residual: bool,
+) -> DataFrame:
+    """(vec_id, list_id, codes) for a corpus batch — ONE scan, zero
+    shuffle. Raw mode: the single-projection composed argmax
+    (_encode_cols). Residual mode (FAISS-standard IVFADC refinement):
+    codes quantize ``vec - pivot[list_id]`` instead of the raw vector
+    — chained narrow projections (assign, subtract, encode), still one
+    scan; the subtraction is a pure JVM zip_with against the literal
+    pivot map, so the encode stays codegen (or Arrow-batched) with no
+    extra materialization."""
+    if not residual:
+        return corpus.select(
+            F.col(corpus_id).alias("vec_id"),
+            *_encode_cols(books, pivot_rows, vec_col, arrow=arrow),
+        )
+    sd = len(books[0][0][1])
+    assigned = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(vec_col).alias("__v"),
+        nearest_pivot(F.col(vec_col), pivot_rows)["pid"].alias("list_id"),
+    )
+    with_res = assigned.select(
+        "vec_id",
+        "list_id",
+        F.zip_with(
+            "__v",
+            F.element_at(_pivot_map_col(pivot_rows), F.col("list_id")),
+            lambda a, b: a.cast("double") - b,
+        ).alias("__res"),
+    )
+    # residual codes assign by L2, not cosine: centroid MAGNITUDE is
+    # part of the reconstruction pivot + c[code], so direction-only
+    # assignment pairs small residuals with large centroids and the
+    # ADC scores collapse (measured: recall WORSE than raw mode) —
+    # the FAISS-standard metric for exactly this reason
+    if arrow:
+        from .similarity import nearest_pivot_l2_batched
+
+        code_cols = [
+            nearest_pivot_l2_batched(books[j])(
+                F.slice("__res", j * sd + 1, sd)
+            )["pid"].cast("int")
+            for j in sorted(books)
+        ]
+    else:
+        from .similarity import nearest_pivot_l2
+
+        code_cols = [
+            nearest_pivot_l2(F.slice("__res", j * sd + 1, sd), books[j])[
+                "pid"
+            ].cast("int")
+            for j in sorted(books)
+        ]
+    return with_res.select(
+        "vec_id", "list_id", F.array(*code_cols).alias("codes")
+    )
+
+
+def _residual_frame(
+    corpus: DataFrame, corpus_id: str, pivot_rows: list, vec_col: str
+) -> DataFrame:
+    """LAZY (id, __res) projection for residual codebook training:
+    each pq_train Lloyd round recomputes the assignment + subtraction
+    on the fly — one extra literal argmax per row per scan, traded
+    deliberately against materializing a corpus-sized residual copy
+    (the right trade at 100 TB: CPU recompute over storage)."""
+    return corpus.select(
+        F.col(corpus_id),
+        F.zip_with(
+            F.col(vec_col),
+            F.element_at(
+                _pivot_map_col(pivot_rows),
+                nearest_pivot(F.col(vec_col), pivot_rows)["pid"],
+            ),
+            lambda a, b: a.cast("double") - b,
+        ).alias("__res"),
+    )
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     path: str,
@@ -131,6 +233,7 @@ def build_ivfpq_index(
     vec_col: str = "embedding",
     arrow: bool | None = None,
     versioned_ingest: bool = False,
+    residual: bool = False,
 ) -> tuple[int, int, int]:
     """Train both halves (IVF pivots = the nlist lowest-id vectors,
     ann_index convention; PQ codebooks = pq_train's per-subspace
@@ -153,11 +256,22 @@ def build_ivfpq_index(
     layout that makes streaming ingest replay-IDEMPOTENT
     (streaming_ivfpq_ingest). Probes are unaffected: list_id stays
     the leading partition key, so pruning is identical, and the extra
-    column is simply not selected."""
+    column is simply not selected.
+
+    *residual* (the FAISS-standard IVFADC accuracy refinement) trains
+    the PQ codebooks on ``vec - pivot[list_id]`` and stores residual
+    codes: residuals are smaller and more isotropic than raw vectors,
+    so the same m x k code budget buys materially higher recall
+    (q243's gate raises q229's 0.8 bar to 0.9 at the same nprobe).
+    Query-time cost: the per-(query, probed list) scalar dot(q, pivot)
+    and two bounded per-list literal tables ride the already-broadcast
+    probe rows — the index layout, pruning, and append contract are
+    unchanged."""
     spark = corpus.sparkSession
     if arrow is None:
         arrow = m_sub * k_codes >= 256
     arrow = bool(arrow)
+    residual = bool(residual)
     pivots = (
         corpus.orderBy(F.col(corpus_id).asc())
         .limit(nlist)
@@ -166,12 +280,33 @@ def build_ivfpq_index(
         )
     )
     pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
+    if residual:
+        # train on residuals of NON-pivot rows: the nlist lowest-id
+        # vectors ARE the pivots, so their residuals are exactly zero
+        # — and pq_train seeds from the lowest ids, so without this
+        # exclusion every seed is the zero vector and the codebook
+        # collapses to a single near-zero entry (all signal lost)
+        pivot_ids = [int(p) for p, _ in pivot_rows]
+        train_src = _residual_frame(
+            corpus.where(~F.col(corpus_id).isin(pivot_ids)),
+            corpus_id,
+            pivot_rows,
+            vec_col,
+        )
+    else:
+        train_src = corpus
     books = pq_train(
-        corpus, corpus_id, vec_col, m_sub, k_codes, iterations, arrow=arrow
+        train_src,
+        corpus_id,
+        "__res" if residual else vec_col,
+        m_sub,
+        k_codes,
+        iterations,
+        arrow=arrow,
+        metric="l2" if residual else "cosine",
     )
-    enc = corpus.select(
-        F.col(corpus_id).alias("vec_id"),
-        *_encode_cols(books, pivot_rows, vec_col, arrow=arrow),
+    enc = _encode_frame(
+        corpus, corpus_id, books, pivot_rows, vec_col, arrow, residual
     )
     if versioned_ingest:
         enc.select(
@@ -196,6 +331,7 @@ def build_ivfpq_index(
         k_codes=k_codes,
         arrow=arrow,
         versioned_ingest=bool(versioned_ingest),
+        residual=residual,
     )
     n = spark.read.parquet(path).count()
     return n, nlist, len(books[0])
@@ -212,9 +348,11 @@ def _write_ivfpq_meta(spark, path: str, **meta) -> None:
                 int(meta["k_codes"]),
                 bool(meta["arrow"]),
                 bool(meta["versioned_ingest"]),
+                bool(meta.get("residual", False)),
             )
         ],
-        "m_sub int, k_codes int, arrow boolean, versioned_ingest boolean",
+        "m_sub int, k_codes int, arrow boolean, "
+        "versioned_ingest boolean, residual boolean",
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "_meta")
     )
@@ -289,9 +427,9 @@ def append_ivfpq_index(
             # the base copy; this drop is the post-compaction half of
             # the exactly-once contract)
             return 0
-    enc = new_corpus.select(
-        F.col(corpus_id).alias("vec_id"),
-        *_encode_cols(books, pivot_rows, vec_col, arrow=arrow),
+    residual = bool(meta.get("residual", False)) if meta is not None else False
+    enc = _encode_frame(
+        new_corpus, corpus_id, books, pivot_rows, vec_col, arrow, residual
     ).localCheckpoint()  # encode + scan the batch ONCE (write + count)
     if versioned:
         mode_key = "spark.sql.sources.partitionOverwriteMode"
@@ -509,12 +647,22 @@ def _collected_query_probes(
     nprobe: int,
     query_id: str,
     vec_col: str,
+    residual: bool = False,
 ):
     """Driver-side numpy preparation of the bounded query side:
     returns (q_probes frame with one row per (query, probed list)
     carrying query_id/__qnorm/__dt0..__dt{m-1}/list_id, sorted probed
     list ids). Probe ranking matches nearest_pivots' total order
-    (cosine desc, pid asc; zero vectors score -1.0)."""
+    (cosine desc, pid asc; zero vectors score -1.0).
+
+    With *residual*, three extra per-(query, list) fields ride each
+    row — all bounded, all broadcast with the probe frame:
+    ``__qp`` = dot(q, pivot[L]) (the additive coarse term of
+    dot(q, pivot + residual_hat)), ``__pn2`` = |pivot[L]|^2, and
+    ``__pc{j}`` = the k-entry table dot(pivot[L]_j, c_j[.]) — the
+    cross terms of the reconstruction norm. The per-list tables depend
+    only on the list, so they are computed once per list and attached
+    to its probe rows; index-side ADC stays pure codegen lookups."""
     import numpy as np
 
     sd = len(books[0][0][1])
@@ -529,31 +677,128 @@ def _collected_query_probes(
         j: np.array([c for _code, c in books[j]], dtype=np.float64)
         for j in sorted(books)
     }
+    pidx = {int(p): i for i, p in enumerate(pids)}
+    if residual:
+        pn2 = {int(p): float((P[i] * P[i]).sum()) for p, i in pidx.items()}
+        pc = {
+            int(p): [
+                [
+                    float(x)
+                    for x in C[j] @ P[i, j * sd : (j + 1) * sd]
+                ]
+                for j in sorted(books)
+            ]
+            for p, i in pidx.items()
+        }
     rows = []
+    probed_set: set[int] = set()
     for r in qrows:
         v = np.array([float(x) for x in r["qv"]], dtype=np.float64)
         qn = float(np.sqrt((v * v).sum()))
         denom = qn * pn
+        dots = P @ v
         with np.errstate(divide="ignore", invalid="ignore"):
-            sims = np.where(denom > 0.0, (P @ v) / denom, -1.0)
+            sims = np.where(denom > 0.0, dots / denom, -1.0)
         order = np.lexsort((pids, -sims))[: int(nprobe)]
         probes = [int(pids[i]) for i in order]
+        probed_set.update(probes)
         dts = [
             [float(x) for x in C[j] @ v[j * sd : (j + 1) * sd]]
             for j in sorted(books)
         ]
-        rows.append((int(r["qid"]), qn, *dts, probes))
-    schema = (
-        "query_id long, __qnorm double, "
-        + ", ".join(f"__dt{j} array<double>" for j in range(m))
-        + ", __probes array<bigint>"
+        if residual:
+            for L in probes:
+                rows.append(
+                    (
+                        int(r["qid"]),
+                        qn,
+                        *dts,
+                        L,
+                        float(dots[pidx[L]]),
+                        pn2[L],
+                        *pc[L],
+                    )
+                )
+        else:
+            rows.append((int(r["qid"]), qn, *dts, probes))
+    if residual:
+        schema = (
+            "query_id long, __qnorm double, "
+            + ", ".join(f"__dt{j} array<double>" for j in range(m))
+            + ", list_id bigint, __qp double, __pn2 double, "
+            + ", ".join(f"__pc{j} array<double>" for j in range(m))
+        )
+        q_probes = spark.createDataFrame(rows, schema).localCheckpoint(
+            eager=False
+        )
+    else:
+        schema = (
+            "query_id long, __qnorm double, "
+            + ", ".join(f"__dt{j} array<double>" for j in range(m))
+            + ", __probes array<bigint>"
+        )
+        qdf = spark.createDataFrame(rows, schema).localCheckpoint(
+            eager=False
+        )
+        q_probes = qdf.select(
+            "*", F.explode("__probes").alias("list_id")
+        ).drop("__probes")
+    return q_probes, sorted(probed_set)
+
+
+def _adc_sim_col_residual(books: dict):
+    """The 4dp-rounded residual-ADC cosine over a row holding
+    ``codes`` plus the residual probe frame's fields: the dot
+    reconstructs as __qp + sum_j __dt{j}[code_j], the data-side norm
+    as __pn2 + 2 sum_j __pc{j}[code_j] + sum_j |c_j[code_j]|^2 —
+    |pivot + residual_hat|^2 expanded, every term a literal/array
+    lookup, pure codegen (pq._adc_sim_col's discipline with the two
+    coarse cross terms added)."""
+    from .similarity import _dlit as _pq_dlit  # same literal formatting
+
+    codemaps = {
+        j: {code: slot for slot, (code, _c) in enumerate(books[j])}
+        for j in books
+    }
+    norm_tables = {
+        j: [sum(x * x for x in cent) for _code, cent in books[j]]
+        for j in books
+    }
+
+    def slot(j):
+        entries = ", ".join(
+            f"{code}, {s}" for code, s in codemaps[j].items()
+        )
+        return F.expr(f"element_at(map({entries}), codes[{j}]) + 1")
+
+    adc_dot = F.col("__qp")
+    cnorm2 = F.col("__pn2")
+    for j in sorted(books):
+        s = slot(j)
+        adc_dot = adc_dot + F.element_at(F.col(f"__dt{j}"), s)
+        nlit = F.expr(
+            "array({})".format(
+                ", ".join(_pq_dlit(x) for x in norm_tables[j])
+            )
+        )
+        cnorm2 = (
+            cnorm2
+            + F.lit(2.0) * F.element_at(F.col(f"__pc{j}"), s)
+            + F.element_at(nlit, s)
+        )
+    return (
+        F.round(
+            F.coalesce(
+                F.try_divide(
+                    adc_dot,
+                    F.col("__qnorm")
+                    * F.sqrt(F.greatest(cnorm2, F.lit(0.0))),
+                ),
+                F.lit(-1.0),
+            ).cast("decimal(30,10)"),
+            4,
+        ).cast("double")
     )
-    qdf = spark.createDataFrame(rows, schema).localCheckpoint(eager=False)
-    q_probes = qdf.select(
-        "*", F.explode("__probes").alias("list_id")
-    ).drop("__probes")
-    probed = sorted({p for row in rows for p in row[-1]})
-    return q_probes, probed
 
 
 def query_ivfpq_index(
@@ -593,6 +838,8 @@ def query_ivfpq_index(
     pivots = spark.read.parquet(os.path.join(path, "_pivots"))
     pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
     books = load_pq_codebooks(spark, path)
+    meta = _read_ivfpq_meta(spark, path)
+    residual = bool(meta.get("residual", False)) if meta is not None else False
     # Queries are the BOUNDED side (the contract every probe here
     # rests on), so the per-query dot tables, norms, and probe lists
     # compute DRIVER-SIDE in numpy instead of as Catalyst expressions:
@@ -606,15 +853,23 @@ def query_ivfpq_index(
     # fold by one ulp (pairwise vs sequential summation) — absorbed by
     # the 4dp rounding the ADC contract already imposes.
     q_probes, probed = _collected_query_probes(
-        spark, queries, books, pivot_rows, nprobe, query_id, vec_col
+        spark,
+        queries,
+        books,
+        pivot_rows,
+        nprobe,
+        query_id,
+        vec_col,
+        residual=residual,
     )
     index = read_ivfpq_rows(spark, path).where(
         F.col("list_id").isin(probed)
     )
+    adc = _adc_sim_col_residual(books) if residual else _adc_sim_col(books)
     scored = (
         index.join(F.broadcast(q_probes), "list_id")
         .where(F.col("query_id") != F.col("vec_id"))
-        .withColumn("adc_sim", _adc_sim_col(books))
+        .withColumn("adc_sim", adc)
         .select(
             "query_id", F.col("vec_id").alias("neighbor_id"), "adc_sim"
         )

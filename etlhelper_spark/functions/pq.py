@@ -83,6 +83,7 @@ def pq_train(
     k_codes: int = 8,
     iterations: int = 2,
     arrow: bool = False,
+    metric: str = "cosine",
 ) -> dict[int, list[tuple[int, list[float]]]]:
     """Train per-subspace codebooks: spherical k-means with
     deterministic seeds (the k_codes lowest-id vectors' subvectors,
@@ -91,6 +92,13 @@ def pq_train(
     6dp-rounded. *arrow* routes the per-round assignment through the
     Arrow-batched numpy argmax — the large-codebook path (see
     _assign); keep the default for oracle-pinned training.
+
+    *metric* selects the assignment rule: ``cosine`` (spherical, the
+    suite default) or ``l2`` (Euclidean — the FAISS-standard choice
+    for RESIDUAL quantizers, where centroid magnitude is part of the
+    reconstruction and direction-only assignment wrecks it). The
+    centroid recompute (component mean) is the L2-optimal update in
+    both modes, so only the assignment fold changes.
 
     Code ids are DENSE 0..k-1 in seed-id order — never the raw vector
     ids. Raw ids at the 10^10-vector scale this module targets are
@@ -132,7 +140,7 @@ def pq_train(
         for j in range(m_sub)
     }
     for _ in range(iterations - 1):
-        assigned = _assign(vecs, books, sd, arrow=arrow)
+        assigned = _assign(vecs, books, sd, arrow=arrow, metric=metric)
         # every subspace's members in ONE combinable aggregate:
         # (sub, code, pos) -> mean component, rounded per the contract
         trips = assigned.select(
@@ -170,7 +178,11 @@ def pq_train(
 
 
 def _assign(
-    vecs: DataFrame, books: dict, sd: int, arrow: bool = False
+    vecs: DataFrame,
+    books: dict,
+    sd: int,
+    arrow: bool = False,
+    metric: str = "cosine",
 ) -> DataFrame:
     """One projection computing every subspace's nearest code — m
     literal folds (zero shuffle, zero expansion), or with *arrow* the
@@ -180,7 +192,32 @@ def _assign(
     measured 58s/Lloyd round at 200k vectors vs ~3s batched; one numpy
     matmul per Arrow batch per subspace scores every (row, code) pair
     at once). Tie-break parity modulo one ulp — oracle-pinned PQ
-    queries keep the literal path (pq_train's default)."""
+    queries keep the literal path (pq_train's default). *metric* as in
+    pq_train — ``l2`` swaps in the Euclidean kernels, same shape."""
+    if metric == "l2":
+        from .similarity import nearest_pivot_l2, nearest_pivot_l2_batched
+
+        if not arrow:
+            return vecs.select(
+                "id",
+                "vec",
+                *[
+                    nearest_pivot_l2(
+                        F.slice("vec", j * sd + 1, sd), books[j]
+                    ).alias(f"__b{j}")
+                    for j in sorted(books)
+                ],
+            )
+        return vecs.select(
+            "id",
+            "vec",
+            *[
+                nearest_pivot_l2_batched(books[j])(
+                    F.slice("vec", j * sd + 1, sd)
+                ).alias(f"__b{j}")
+                for j in sorted(books)
+            ],
+        )
     if not arrow:
         return vecs.select(
             "id",

@@ -243,6 +243,91 @@ def nearest_pivot_batched(pivot_rows):
     )
 
 
+def nearest_pivot_l2(vec: Column, pivot_rows) -> Column:
+    """Struct (ndist, pid) of the L2-NEAREST pivot — the Euclidean
+    sibling of nearest_pivot for quantizers where MAGNITUDE matters
+    (residual PQ: residual centroids are means, and assigning a small
+    residual to a large same-direction centroid wrecks the
+    reconstruction — exactly what cosine assignment does). Scored as
+    ``||c||^2 - 2 v.c`` (the ||v||^2 term is constant per row, so the
+    argmin is unchanged and the fold stays one dot per pivot); ties
+    break (dist asc, pid asc) via natural struct ordering — same
+    total-order discipline as the cosine kernel."""
+    elems = ", ".join(
+        "named_struct('pid', {pid}L, 'pivot', array({vals}), "
+        "'c2', {c2})".format(
+            pid=int(pid),
+            vals=", ".join(_dlit(x) for x in pvec),
+            c2=_dlit(sum(float(x) * float(x) for x in pvec)),
+        )
+        for pid, pvec in pivot_rows
+    )
+    pivot_lit = F.expr(f"array({elems})")
+    dot = lambda p: F.aggregate(
+        F.zip_with(vec, p["pivot"], lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.array_min(
+        F.transform(
+            pivot_lit,
+            lambda p: F.struct(
+                (p["c2"] - F.lit(2.0) * dot(p)).alias("ndist"),
+                p["pid"].alias("pid"),
+            ),
+        )
+    )
+
+
+def nearest_pivot_l2_batched(pivot_rows):
+    """Arrow-batched numpy form of :func:`nearest_pivot_l2` (the
+    large-codebook path, nearest_pivot_batched's rationale): one
+    matmul per Arrow batch scores ``||c||^2 - 2 v.c`` for every
+    (row, pivot) pair; np.argmin returns the FIRST minimum so ties
+    resolve to the lowest pid — the literal path's total order."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pids = np.array([int(p) for p, _ in pivot_rows], dtype=np.int64)
+    C = np.array([v for _, v in pivot_rows], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    def assign(v):
+        if len(v) == 0:
+            return pd.DataFrame(
+                {
+                    "pid": pd.Series([], dtype="int64"),
+                    "dist": pd.Series([], dtype="float64"),
+                }
+            )
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        scores = c2[None, :] - 2.0 * (M @ C.T)
+        best = scores.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "pid": pids[best],
+                "dist": scores[np.arange(len(best)), best],
+            }
+        )
+
+    return pandas_udf(
+        assign,
+        StructType(
+            [
+                StructField("pid", LongType()),
+                StructField("dist", DoubleType()),
+            ]
+        ),
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -410,3 +410,162 @@ def test_compact_crash_windows(spark, vecs, versioned_index):
             )
     assert _effective(spark, versioned_index) == before
     sh.rmtree(snap, ignore_errors=True)
+
+
+# --------------------------------------------------- residual encoding
+def test_nearest_pivot_l2_respects_magnitude(spark):
+    """The L2 kernel assigns by distance, not direction — the property
+    residual quantization depends on (cosine would send both rows to
+    the larger same-direction centroid)."""
+    from etlhelper_spark.functions.similarity import (
+        nearest_pivot,
+        nearest_pivot_l2,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.1]), (2, [5.0, 5.0])], "id long, v array<double>"
+    )
+    pivots = [(0, [0.2, 0.2]), (1, [6.0, 6.0])]
+    rows = {
+        r["id"]: (r["cos"], r["l2"])
+        for r in df.select(
+            "id",
+            nearest_pivot(F.col("v"), pivots)["pid"].alias("cos"),
+            nearest_pivot_l2(F.col("v"), pivots)["pid"].alias("l2"),
+        ).collect()
+    }
+    assert rows[1][1] == 0 and rows[2][1] == 1  # L2: by magnitude
+    assert rows[1][0] == rows[2][0]  # cosine: direction only
+
+
+def test_l2_batched_matches_literal(spark, vecs):
+    from etlhelper_spark.functions.similarity import (
+        nearest_pivot_l2,
+        nearest_pivot_l2_batched,
+    )
+
+    pivots = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]][:16])
+        for r in vecs.where("vec_id < 6").collect()
+    ]
+    sub = vecs.select("vec_id", F.slice("embedding", 1, 16).alias("v"))
+    lit = {
+        r["vec_id"]: r["p"]
+        for r in sub.select(
+            "vec_id", nearest_pivot_l2(F.col("v"), pivots)["pid"].alias("p")
+        ).collect()
+    }
+    bat = {
+        r["vec_id"]: r["p"]
+        for r in sub.select(
+            "vec_id",
+            nearest_pivot_l2_batched(pivots)(F.col("v"))["pid"].alias("p"),
+        ).collect()
+    }
+    assert lit == bat
+
+
+def test_residual_codebook_not_collapsed(spark, vecs, tmp_path):
+    """Zero-seed regression: the nlist lowest-id vectors ARE the
+    pivots, so their residuals are zero — without excluding them from
+    training seeds, every seed is the zero vector and the codebook
+    collapses to one entry (r8 root-cause)."""
+    from etlhelper_spark.functions.ivfpq import build_ivfpq_index
+    from etlhelper_spark.functions.pq import load_pq_codebooks
+
+    d = str(tmp_path / "ridx")
+    build_ivfpq_index(
+        vecs, d, nlist=8, m_sub=4, k_codes=8, iterations=2, residual=True
+    )
+    books = load_pq_codebooks(spark, d)
+    for j in books:
+        assert len(books[j]) >= 4  # multiple surviving codes
+    # and the codes column actually uses more than one code
+    idx = spark.read.parquet(d)
+    n_codes = idx.select(
+        F.count_distinct(F.col("codes")[0]).alias("n")
+    ).first()["n"]
+    assert n_codes >= 2
+
+
+def test_residual_append_equals_frozen_union_encode(spark, vecs, tmp_path):
+    """The frozen-artifact contract survives residual mode: appending
+    batch 2 equals encoding the union against the same frozen
+    pivots + codebooks."""
+    import os
+    import shutil as sh
+
+    from etlhelper_spark.functions.ivfpq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+    )
+
+    d = str(tmp_path / "a")
+    d2 = str(tmp_path / "b")
+    b0 = vecs.where(F.pmod("vec_id", F.lit(3)) < 2)
+    b1 = vecs.where(F.pmod("vec_id", F.lit(3)) >= 2)
+    build_ivfpq_index(
+        b0, d, nlist=8, m_sub=4, k_codes=8, iterations=2, residual=True
+    )
+    append_ivfpq_index(b1, d)
+    got = {
+        (r["vec_id"], r["list_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(d).collect()
+    }
+    os.makedirs(d2, exist_ok=True)
+    for sub in ("_pivots", "_codebooks", "_meta"):
+        sh.copytree(os.path.join(d, sub), os.path.join(d2, sub))
+    append_ivfpq_index(vecs, d2)
+    want = {
+        (r["vec_id"], r["list_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(d2).collect()
+    }
+    assert got == want
+
+
+def test_residual_adc_matches_numpy_reconstruction(spark, vecs, tmp_path):
+    """The residual ADC column computes exactly
+    cos(q, pivot + c[codes]) — pinned against a numpy restatement
+    (within the 4dp rounding the ADC contract imposes)."""
+    import os
+
+    import numpy as np
+
+    from etlhelper_spark.functions.ivfpq import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+    from etlhelper_spark.functions.pq import load_pq_codebooks
+
+    d = str(tmp_path / "ridx")
+    build_ivfpq_index(
+        vecs, d, nlist=8, m_sub=4, k_codes=8, iterations=2, residual=True
+    )
+    books = load_pq_codebooks(spark, d)
+    sd = len(books[0][0][1])
+    piv = {
+        r["list_id"]: np.array(r["pivot"], dtype=np.float64)
+        for r in spark.read.parquet(os.path.join(d, "_pivots")).collect()
+    }
+    codes = {
+        r["vec_id"]: (r["list_id"], list(r["codes"]))
+        for r in spark.read.parquet(d).collect()
+    }
+    cmap = {j: dict(books[j]) for j in books}
+    V = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in vecs.collect()
+    }
+    q = vecs.where("vec_id < 3")
+    out = query_ivfpq_index(spark, d, q, k=10, nprobe=8).collect()
+    assert out
+    for r in out:
+        L, cs = codes[r["neighbor_id"]]
+        xhat = piv[L].copy()
+        for j in sorted(books):
+            xhat[j * sd : (j + 1) * sd] += np.array(cmap[j][cs[j]])
+        a = V[r["query_id"]]
+        expect = float(
+            a @ xhat / (np.linalg.norm(a) * np.linalg.norm(xhat))
+        )
+        assert abs(r["adc_sim"] - expect) < 1e-3
