@@ -23,12 +23,14 @@ surviving codes with m table lookups per row (pure codegen; no float
 payload, no join on vectors). So a probe reads ~nprobe/nlist of an
 already 16-64x compressed corpus.
 
-Codes quantize the RAW vectors (not residuals against the list pivot):
-cosine-ADC on raw vectors keeps the oracle restatable and the append
-path trivially frozen-artifact; residual encoding is an accuracy
-refinement that drops into ``_encode_cols`` without changing the
-layout, at the cost of per-list dot tables at query time (nlist x m x
-k literals instead of m x k).
+Codes quantize the RAW vectors by default; ``residual=True`` quantizes
+``vec - pivot[list_id]`` instead (the FAISS-standard IVFADC accuracy
+refinement) with L2-assigned codebooks — same layout, same frozen
+append contract, query-time cost one scalar + two bounded literal
+tables per (query, probed list) riding the broadcast probe rows. See
+q243 for the measured contract (and the honesty note: on unclustered
+data residuals are LARGER than raw vectors, so the refinement only
+pays on clustered corpora — the case it exists for).
 
 Both halves follow the suite's frozen-artifact append contract
 (ann_index.append_ivf_index / pq.append_pq_codes): assignment and
@@ -44,11 +46,11 @@ VERSIONED-INGEST layout (build_ivfpq_index(versioned_ingest=True) +
 batch-id appends / streaming_ivfpq_ingest) removes this: each batch
 overwrites exactly its own (list_id, ingest_batch) cells under
 dynamic partition overwrite, so redelivery is idempotent.
-(2) rebalance_ivf_index does not apply here because the
-hot-list k-means needs the float vectors and this index deliberately
-does not store them — rebalancing an IVFPQ index reads the hot lists'
-vectors back from the ROW STORE by vec_id (a partition-pruned id
-fetch), splits there, and rewrites only those lists' codes.
+(2) hot-list splits need the float vectors this index deliberately
+does not store — rebalance_ivfpq_index reads the hot lists' vectors
+back from the ROW STORE by vec_id (a partition-pruned id fetch),
+splits there, and rewrites ONLY those lists' codes (raw codes move
+untouched; residual codes re-encode against the new pivots).
 (3) pivots AND codebooks drift from the distribution over time —
 monitor list skew and quantization error, retrain when either
 warrants.
@@ -82,6 +84,7 @@ __all__ = [
     "ivfpq_ingest_watermark",
     "query_ivfpq_index",
     "read_ivfpq_rows",
+    "rebalance_ivfpq_index",
     "streaming_ivfpq_ingest",
 ]
 
@@ -446,6 +449,259 @@ def append_ivfpq_index(
     else:
         enc.write.partitionBy("list_id").mode("append").parquet(path)
     return enc.count()
+
+
+def rebalance_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    row_store: DataFrame,
+    max_list_size: int,
+    iterations: int = 2,
+    max_rounds: int = 4,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Split HOT lists of a persisted IVFPQ index — the module
+    docstring's documented trade #2 made real: the index deliberately
+    stores no float payload, so the k-means split reads the hot
+    lists' vectors back from *row_store* by vec_id (a partition-pruned
+    id fetch on any vec_id-partitioned store; cold lists are never
+    read, never moved, never rewritten). Each hot list splits with
+    ceil(size/cap)-way spherical k-means (ann_index's
+    rebalance discipline: deterministic lowest-id seeds, one shared
+    scan per Lloyd round behind a CASE on list_id), its rows land
+    under fresh list ids above the current maximum, and the split
+    pivot is replaced by the 6dp-rounded sub-centroids. RAW-mode codes
+    are list-independent and move untouched; RESIDUAL-mode codes
+    re-encode against the new pivots (frozen codebooks — the append
+    contract's artifacts never change here).
+
+    On a VERSIONED-INGEST index the rebalance requires a compacted
+    base covering every delivered batch (compact_ivfpq_ingest first —
+    the operational order a production loop runs anyway): moved rows
+    land in the base, and the watermark fences replayed batches that
+    would otherwise resurrect rows into deleted lists. Raises if the
+    versioned layout has live cells above the watermark or no base.
+
+    NOT crash-atomic, same contract as rebalance_ivf_index: new
+    partitions land before the pivot rewrite and old-directory
+    removal, so a crash can transiently show a vector in both lists
+    (duplicate neighbors, never missing ones); re-running converges.
+    Returns the number of lists split across passes."""
+    total = 0
+    for _ in range(max_rounds):
+        n = _ivfpq_rebalance_pass(
+            spark,
+            path,
+            row_store,
+            max_list_size,
+            iterations,
+            corpus_id,
+            vec_col,
+        )
+        total += n
+        if n == 0:
+            break
+    return total
+
+
+def _ivfpq_rebalance_pass(
+    spark,
+    path: str,
+    row_store: DataFrame,
+    max_list_size: int,
+    iterations: int,
+    corpus_id: str,
+    vec_col: str,
+) -> int:
+    import math
+    import shutil
+
+    from .similarity import _round6_py
+    from .util import literal_frame
+
+    meta = _read_ivfpq_meta(spark, path)
+    residual = bool(meta.get("residual", False)) if meta else False
+    versioned = bool(meta.get("versioned_ingest", False)) if meta else False
+    versions = _ingest_base_versions(path)
+    if versioned:
+        if not versions:
+            raise ValueError(
+                "rebalance_ivfpq_index: versioned-ingest index has no "
+                "compacted base — run compact_ivfpq_ingest first"
+            )
+        live = glob.glob(os.path.join(path, "list_id=*", "ingest_batch=*"))
+        w = versions[-1][2]
+        if any(
+            int(os.path.basename(p).split("=", 1)[1]) > w for p in live
+        ):
+            raise ValueError(
+                "rebalance_ivfpq_index: live ingest cells above the "
+                f"watermark {w} — compact them into the base first"
+            )
+    rows = read_ivfpq_rows(spark, path)
+    sizes = rows.groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    hot = {
+        int(r["list_id"]): int(r["n"])
+        for r in sizes
+        if r["n"] > max_list_size
+    }
+    if not hot:
+        return 0
+    pivots_path = os.path.join(path, "_pivots")
+    pivots = spark.read.parquet(pivots_path).collect()
+    next_id = max(int(r["list_id"]) for r in pivots) + 1
+    keep_pivots = {
+        int(r["list_id"]): [float(x) for x in r["pivot"]] for r in pivots
+    }
+    # the row-store fetch: hot code rows keyed by vec_id pick up their
+    # float vectors — the ONLY contact with floats in this module
+    store = row_store.select(
+        F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    members = (
+        rows.where(F.col("list_id").isin(list(hot)))
+        .select("list_id", "vec_id", "codes")
+        .join(store, "vec_id")
+        .localCheckpoint()
+    )
+    k_split = {
+        L: max(2, int(math.ceil(n / max_list_size))) for L, n in hot.items()
+    }
+    w = Window.partitionBy("list_id").orderBy(F.asc("vec_id"))
+    seed_rows = (
+        members.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max(k_split.values()))
+        .collect()
+    )
+    books: dict[int, list] = {L: [] for L in hot}
+    for r in sorted(seed_rows, key=lambda r: (r["list_id"], r["rn"])):
+        L = int(r["list_id"])
+        if len(books[L]) < k_split[L]:
+            books[L].append(
+                (len(books[L]), [_round6_py(float(x)) for x in r["vec"]])
+            )
+
+    def assign_col():
+        expr = None
+        for L in sorted(books):
+            c = nearest_pivot(F.col("vec"), books[L])["pid"]
+            cond = F.col("list_id") == L
+            expr = F.when(cond, c) if expr is None else expr.when(cond, c)
+        return expr
+
+    def recompute(frame):
+        return (
+            frame.select(
+                "list_id", "sub", F.posexplode("vec").alias("pos", "val")
+            )
+            .groupBy("list_id", "sub", "pos")
+            .agg(
+                F.round(F.avg("val").cast("decimal(30,10)"), 6)
+                .cast("double")
+                .alias("cv")
+            )
+            .groupBy("list_id", "sub")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda st: st["cv"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+
+    for _ in range(iterations - 1):
+        crows = recompute(members.withColumn("sub", assign_col()))
+        books = {L: [] for L in hot}
+        for r in sorted(crows, key=lambda r: (r["list_id"], r["sub"])):
+            books[int(r["list_id"])].append(
+                (int(r["sub"]), [float(x) for x in r["centroid"]])
+            )
+    final = members.withColumn("sub", assign_col()).localCheckpoint()
+    cents = recompute(final)
+    present: dict[int, list] = {}
+    for r in cents:
+        present.setdefault(int(r["list_id"]), []).append(
+            (int(r["sub"]), [float(x) for x in r["centroid"]])
+        )
+    id_map: dict[tuple[int, int], int] = {}
+    doomed: list[int] = []
+    for L in sorted(hot):
+        cells = sorted(present.get(L, []))
+        if len(cells) < 2:
+            continue  # degenerate (identical vectors): cannot split
+        for s, cent in cells:
+            id_map[(L, s)] = next_id
+            keep_pivots[next_id] = cent
+            next_id += 1
+        del keep_pivots[L]
+        doomed.append(L)
+    if not id_map:
+        return 0
+    mapping = F.create_map(
+        *[
+            F.lit(x)
+            for (L, s), nid in id_map.items()
+            for x in (f"{L}_{s}", nid)
+        ]
+    )
+    mkey = F.concat_ws("_", F.col("list_id"), F.col("sub"))
+    moved = final.withColumn("new_list", mapping[mkey]).where(
+        F.col("new_list").isNotNull()
+    )
+    if residual:
+        # residual codes are pivot-relative: re-encode moved rows
+        # against their NEW pivot (frozen codebooks, L2 assignment —
+        # build/append's exact kernel)
+        from .similarity import nearest_pivot_l2
+
+        pq_books = load_pq_codebooks(spark, path)
+        sd = len(pq_books[0][0][1])
+        new_pivot_rows = sorted(
+            (nid, keep_pivots[nid]) for nid in id_map.values()
+        )
+        res = F.zip_with(
+            "vec",
+            F.element_at(_pivot_map_col(new_pivot_rows), F.col("new_list")),
+            lambda a, b: a.cast("double") - b,
+        )
+        moved = moved.withColumn("__res", res).select(
+            "vec_id",
+            F.col("new_list").alias("list_id"),
+            F.array(
+                *[
+                    nearest_pivot_l2(
+                        F.slice("__res", j * sd + 1, sd), pq_books[j]
+                    )["pid"].cast("int")
+                    for j in sorted(pq_books)
+                ]
+            ).alias("codes"),
+        )
+    else:
+        moved = moved.select(
+            "vec_id", F.col("new_list").alias("list_id"), "codes"
+        )
+    target = versions[-1][1] if versioned else path
+    moved.select("vec_id", "codes", "list_id").write.partitionBy(
+        "list_id"
+    ).mode("append").parquet(target)
+    new_pivots = literal_frame(
+        spark,
+        sorted(keep_pivots.items()),
+        "list_id bigint, pivot array<double>",
+    )
+    new_pivots.write.mode("overwrite").parquet(pivots_path)
+    for L in doomed:
+        shutil.rmtree(
+            os.path.join(path, f"list_id={L}"), ignore_errors=True
+        )
+        if versioned:
+            shutil.rmtree(
+                os.path.join(versions[-1][1], f"list_id={L}"),
+                ignore_errors=True,
+            )
+    return len(doomed)
 
 
 _INGEST_MARKER = "_COMPACTED"

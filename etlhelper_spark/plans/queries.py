@@ -13441,6 +13441,150 @@ def q243_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw_row.unionByName(res_row)
 
 
+@query(
+    "q244_ivfpq_rebalance",
+    """
+    WITH dims AS (SELECT unnest(range(1, 17)) AS pos),
+    subs AS (SELECT unnest(range(0, 4)) AS sub),
+    base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+    c0 AS (
+        SELECT s.sub,
+               row_number() OVER (PARTITION BY s.sub ORDER BY e.vec_id)
+                   - 1 AS code,
+               list_transform(
+                   e.embedding[s.sub*16+1 : s.sub*16+16]::DOUBLE[],
+                   x -> CAST(round(CAST(x AS DECIMAL(30,10)), 6) AS DOUBLE)
+               ) AS centroid
+        FROM (SELECT * FROM base ORDER BY vec_id LIMIT 8) e, subs s
+    ), a1 AS (
+        SELECT vec_id, sub, code FROM (
+            SELECT e.vec_id, c.sub, c.code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, c.sub
+                       ORDER BY list_cosine_similarity(
+                           e.embedding[c.sub*16+1 : c.sub*16+16]::DOUBLE[],
+                           c.centroid) DESC, c.code ASC
+                   ) AS rn
+            FROM base e, c0 c
+        ) WHERE rn = 1
+    ), c1 AS (
+        SELECT sub, code, list(rv ORDER BY pos) AS centroid FROM (
+            SELECT a.sub, a.code, d.pos,
+                   CAST(round(CAST(avg(e.embedding[a.sub*16 + d.pos])
+                        AS DECIMAL(30,10)), 6) AS DOUBLE) AS rv
+            FROM a1 a JOIN base e USING (vec_id), dims d
+            GROUP BY a.sub, a.code, d.pos
+        ) GROUP BY sub, code
+    )
+    SELECT vec_id,
+           max(CASE WHEN sub = 0 THEN code END) AS k0,
+           max(CASE WHEN sub = 1 THEN code END) AS k1,
+           max(CASE WHEN sub = 2 THEN code END) AS k2,
+           max(CASE WHEN sub = 3 THEN code END) AS k3,
+           true AS ok
+    FROM (
+        SELECT vec_id, sub, code FROM (
+            SELECT e.vec_id, c.sub, c.code,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id, c.sub
+                       ORDER BY list_cosine_similarity(
+                           e.embedding[c.sub*16+1 : c.sub*16+16]::DOUBLE[],
+                           c.centroid) DESC, c.code ASC
+                   ) AS rn
+            FROM embeddings e, c1 c
+        ) WHERE rn = 1
+    ) GROUP BY vec_id
+    """,
+)
+def q244_ivfpq_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOT-LIST rebalance of the composed IVFPQ index (functions/
+    ivfpq.py::rebalance_ivfpq_index) — the documented trade the index
+    makes real: codes-only storage means the k-means split must fetch
+    the hot lists' float vectors from the ROW STORE by vec_id (cold
+    lists are never read or rewritten). The lifecycle exercised here
+    is the production one: build VERSIONED, stream-style append, fold
+    into the compacted base (the rebalance requires it — the watermark
+    fences replays that would resurrect rows into deleted lists),
+    split every hot list (cap = ceil(n/12) makes all 8 initial lists
+    hot), and verify THREE invariants in-plan: the maximum list size
+    strictly shrank to within the cap, membership is exactly
+    preserved, and a FULL probe (nprobe = all lists) returns
+    bit-identical results before and after — raw-mode codes are
+    list-independent, so a physical re-layout must not move a single
+    ADC score. The oracle restates the (vec_id, codes) payload as the
+    from-scratch union encode (q234's arithmetic over the whole
+    corpus): any lost, duplicated, or mutated code row breaks the
+    hash."""
+    from ..functions.ivfpq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_ingest,
+        query_ivfpq_index,
+        read_ivfpq_rows,
+        rebalance_ivfpq_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="ehs_ivfpq_reb_")
+    path = os.path.join(work, "idx")
+    n0, _, _ = build_ivfpq_index(
+        e.where(F.pmod("vec_id", F.lit(2)) == 0),
+        path,
+        nlist=8,
+        m_sub=4,
+        k_codes=8,
+        iterations=2,
+        versioned_ingest=True,
+    )
+    append_ivfpq_index(
+        e.where(F.pmod("vec_id", F.lit(2)) == 1), path, batch_id=1
+    )
+    compact_ivfpq_ingest(spark, path, watermark=1)
+    n = read_ivfpq_rows(spark, path).count()
+    cap = -(-n // 12)  # ceil(n/12): every initial list (~n/8) is hot
+    q = e.where(F.col("vec_id") < 5)
+    probe = lambda npr: {  # noqa: E731
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in query_ivfpq_index(spark, path, q, k=10, nprobe=npr).collect()
+    }
+    sizes = lambda: [  # noqa: E731
+        int(r["n"])
+        for r in read_ivfpq_rows(spark, path)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    before_sizes = sizes()
+    before_probe = probe(len(before_sizes))
+    split = rebalance_ivfpq_index(
+        spark, path, row_store=e, max_list_size=cap
+    )
+    after_sizes = sizes()
+    after_probe = probe(len(after_sizes))
+    ok = bool(
+        split > 0
+        and max(after_sizes) < max(before_sizes)
+        and max(after_sizes) <= cap
+        and sum(after_sizes) == n
+        and after_probe == before_probe
+    )
+    if not ok:
+        raise ValueError(
+            f"rebalance broke an invariant: split={split}, "
+            f"sizes {max(before_sizes)}->{max(after_sizes)} cap={cap}, "
+            f"n {n}->{sum(after_sizes)}, "
+            f"probe_equal={after_probe == before_probe}"
+        )
+    return read_ivfpq_rows(spark, path).select(
+        "vec_id",
+        F.col("codes")[0].alias("k0"),
+        F.col("codes")[1].alias("k1"),
+        F.col("codes")[2].alias("k2"),
+        F.col("codes")[3].alias("k3"),
+        F.lit(ok).alias("ok"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
