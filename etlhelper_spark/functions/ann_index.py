@@ -37,6 +37,7 @@ __all__ = [
     "append_ivf_index",
     "build_ivf_index",
     "query_ivf_index",
+    "query_ivf_index_adaptive",
     "rebalance_ivf_index",
 ]
 
@@ -209,6 +210,98 @@ def query_ivf_index(
             "query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim")
         )
     )
+
+def query_ivf_index_adaptive(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe0: int = 2,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    attr_filter=None,
+) -> DataFrame:
+    """FILTERED top-k search with ADAPTIVE probe widening — the
+    production form of query_ivf_index's documented recall caveat: a
+    selective attribute filter (1/50 instead of q238's 1/5) empties
+    most of a probed list, so any FIXED nprobe either under-recalls
+    selective filters or over-scans permissive ones. Here each query
+    starts at *nprobe0*, and queries whose filtered top-k came back
+    SHORT (fewer than k survivors — the shortlist didn't fill) re-probe
+    with nprobe doubled, until the shortlist fills or nprobe reaches
+    nlist (at which point the scan IS the exact filtered search and
+    recall is 1.0 by construction). Satisfied queries never re-probe:
+    each widening round runs only the deficient subset, and the
+    per-round candidate counts are a bounded |queries|-row collect —
+    the same bounded-query-side contract every probe in this suite
+    makes.
+
+    Returns (query_id, neighbor_id, rank, sim, nprobe_used, n_iters):
+    the probe width and iteration count each query actually needed —
+    the observability a production gate wants (a creeping n_iters
+    distribution says the filter got more selective or the lists more
+    skewed). Deterministic: widening decisions are exact row counts,
+    never float comparisons."""
+    pivots = spark.read.parquet(os.path.join(path, "_pivots"))
+    nlist = pivots.count()
+    out_parts = []
+    pending = queries
+    nprobe = max(1, int(nprobe0))
+    iters = 0
+    while True:
+        iters += 1
+        got = query_ivf_index(
+            spark,
+            path,
+            pending,
+            k=k,
+            nprobe=min(nprobe, nlist),
+            query_id=query_id,
+            vec_col=vec_col,
+            attr_filter=attr_filter,
+        ).localCheckpoint()  # consumed by the count AND the result
+        counts = {
+            r["query_id"]: int(r["n"])
+            for r in got.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        pending_ids = [
+            int(r[query_id])
+            for r in pending.select(query_id).collect()
+        ]
+        deficient = [
+            q for q in pending_ids if counts.get(q, 0) < int(k)
+        ]
+        done_now = (
+            got
+            if nprobe >= nlist or not deficient
+            else got.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [(int(x),) for x in deficient], "query_id long"
+                    )
+                ),
+                "query_id",
+                "left_anti",
+            )
+        )
+        out_parts.append(
+            done_now.select(
+                "*",
+                F.lit(min(nprobe, nlist)).alias("nprobe_used"),
+                F.lit(iters).alias("n_iters"),
+            )
+        )
+        if nprobe >= nlist or not deficient:
+            break
+        pending = queries.where(F.col(query_id).isin(deficient))
+        nprobe = min(nprobe * 2, nlist)
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
 
 def rebalance_ivf_index(
     spark: SparkSession,

@@ -13585,6 +13585,124 @@ def q244_ivfpq_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q245_adaptive_nprobe",
+    """
+    WITH c AS (
+        SELECT vec_id, embedding, vec_id % 50 AS cat FROM embeddings
+    ), piv AS (
+        SELECT vec_id AS list_id, embedding AS pivot FROM c
+        ORDER BY vec_id LIMIT 16
+    ), assign AS (
+        SELECT vec_id, cat, list_id FROM (
+            SELECT x.vec_id, x.cat, p.list_id,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id
+                       ORDER BY list_cosine_similarity(
+                           x.embedding::DOUBLE[], p.pivot::DOUBLE[]) DESC,
+                           p.list_id ASC
+                   ) AS rn
+            FROM c x, piv p
+        ) WHERE rn = 1
+    ), qlists AS (
+        SELECT q.vec_id AS query_id, p.list_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       q.embedding::DOUBLE[], p.pivot::DOUBLE[]) DESC,
+                       p.list_id ASC
+               ) AS lrank
+        FROM c q, piv p WHERE q.vec_id % 20 = 10
+    ), lvl AS (
+        SELECT unnest([1, 2, 3, 4]) AS it, unnest([2, 4, 8, 16]) AS np
+    ), cand AS (
+        SELECT ql.query_id, l.it, l.np, count(a.vec_id) AS n_cand
+        FROM qlists ql
+        JOIN lvl l ON ql.lrank <= l.np
+        LEFT JOIN assign a
+          ON a.list_id = ql.list_id AND a.cat = 7
+             AND a.vec_id <> ql.query_id
+        GROUP BY ql.query_id, l.it, l.np
+    ), pick AS (
+        SELECT query_id,
+               coalesce(min(it) FILTER (n_cand >= 5), 4) AS n_iters
+        FROM cand GROUP BY query_id
+    )
+    SELECT query_id, CAST(n_iters AS INT) AS n_iters,
+           CAST(CASE n_iters WHEN 1 THEN 2 WHEN 2 THEN 4
+                WHEN 3 THEN 8 ELSE 16 END AS INT) AS nprobe_used,
+           true AS recall_ok
+    FROM pick
+    """,
+)
+def q245_adaptive_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE probe widening for SELECTIVE filtered ANN (functions/
+    ann_index.py::query_ivf_index_adaptive) — q238 fixes nprobe=12
+    because its 1/5 filter keeps enough of every probed list; a
+    production filter of UNKNOWN selectivity (here 1/50 — a rare
+    language or license) cannot be served by any fixed width: each
+    query starts at nprobe=2 and doubles until its filtered top-k
+    fills or the probe covers every list (where the scan IS the exact
+    filtered search). The oracle restates the widening schedule
+    per-query from first principles — assign every corpus row to its
+    list, rank each query's lists, and compute the first doubling
+    level at which >= k filtered candidates fall inside the probed
+    prefix — so a wrong stopping decision (too eager OR too lazy)
+    breaks the hash, not just a recall average. The in-plan gate pins
+    recall@5 >= 0.8 against the exact filtered brute force, and a
+    loud check asserts the loop actually widened (a 1/50 filter at
+    nprobe=2 over ~31-row lists cannot fill a 5-shortlist
+    immediately)."""
+    from ..functions.ann_index import (
+        build_ivf_index,
+        query_ivf_index_adaptive,
+    )
+    from ..functions.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.pmod("vec_id", F.lit(50)).alias("cat")
+    )
+    q = e.where(F.col("vec_id") % 20 == 10)
+    work = tempfile.mkdtemp(prefix="ehs_ivf_adapt_")
+    build_ivf_index(e, work, nlist=16, attr_cols=["cat"])
+    out = query_ivf_index_adaptive(
+        spark,
+        work,
+        q,
+        k=5,
+        nprobe0=2,
+        attr_filter=F.col("cat") == 7,
+    ).localCheckpoint()
+    # recall gate vs the exact filtered brute force
+    bf = brute_force_topk(q, e.where(F.col("cat") == 7), k=5)
+    n_truth = bf.count()
+    n_hits = bf.join(
+        out.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).count()
+    recall_ok = bool(n_truth > 0 and n_hits / n_truth >= 0.8)
+    widened = out.agg(F.max("n_iters").alias("m")).first()["m"]
+    if not recall_ok or widened < 2:
+        raise ValueError(
+            f"adaptive probe failed: recall={n_hits}/{n_truth}, "
+            f"max_iters={widened}"
+        )
+    return (
+        out.groupBy("query_id")
+        .agg(
+            F.max("n_iters").cast("int").alias("n_iters"),
+            F.max("nprobe_used").cast("int").alias("nprobe_used"),
+        )
+        .select(
+            "query_id",
+            "n_iters",
+            "nprobe_used",
+            F.lit(recall_ok).alias("recall_ok"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

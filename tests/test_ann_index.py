@@ -296,3 +296,76 @@ def test_filtered_search_pushes_attr_filter_into_scan(spark, vecs):
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------- adaptive nprobe
+def test_adaptive_probe_widens_and_matches_exact(spark, tmp_path):
+    """Selective filter: queries widen until the shortlist fills (or
+    every list is probed, where results equal the exact filtered
+    search); permissive filter: nobody widens past round 1."""
+    from etlhelper_spark.functions.ann_index import (
+        build_ivf_index,
+        query_ivf_index,
+        query_ivf_index_adaptive,
+    )
+    from etlhelper_spark.functions.similarity import brute_force_topk
+
+    vecs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id", "embedding", F.pmod("vec_id", F.lit(25)).alias("cat")
+    )
+    idx = str(tmp_path / "idx")
+    build_ivf_index(vecs, idx, nlist=8, attr_cols=["cat"])
+    q = vecs.where("vec_id % 10 = 3")
+    out = query_ivf_index_adaptive(
+        spark, idx, q, k=5, nprobe0=1, attr_filter=F.col("cat") == 3
+    )
+    rows = out.collect()
+    assert max(r["n_iters"] for r in rows) >= 2  # the loop engaged
+    # queries that widened to ALL lists must equal exact filtered search
+    full = {r["query_id"] for r in rows if r["nprobe_used"] == 8}
+    if full:
+        bf = brute_force_topk(
+            q.where(F.col("vec_id").isin(list(full))),
+            vecs.where("cat = 3"),
+            k=5,
+        )
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in rows
+            if r["query_id"] in full
+        }
+        want = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+        assert want <= got
+    # permissive filter: one round for everyone
+    out2 = query_ivf_index_adaptive(
+        spark, idx, q, k=5, nprobe0=8, attr_filter=F.col("cat").isNotNull()
+    )
+    assert {r["n_iters"] for r in out2.collect()} == {1}
+
+
+def test_adaptive_probe_unfillable_query_stops_at_nlist(spark, tmp_path):
+    """A filter with fewer than k matches corpus-wide can never fill
+    the shortlist — the loop must stop at nprobe=nlist and return what
+    exists, not spin."""
+    from etlhelper_spark.functions.ann_index import (
+        build_ivf_index,
+        query_ivf_index_adaptive,
+    )
+
+    vecs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id", "embedding", F.pmod("vec_id", F.lit(100)).alias("cat")
+    )
+    idx = str(tmp_path / "idx")
+    build_ivf_index(vecs, idx, nlist=8, attr_cols=["cat"])
+    q = vecs.where("vec_id = 3")
+    # cat == 3: exactly ceil(100/100) == 1 corpus row (vec 3 itself,
+    # excluded as self) at sf0.001's 100 vectors -> 0 candidates
+    out = query_ivf_index_adaptive(
+        spark, idx, q, k=5, nprobe0=2, attr_filter=F.col("cat") == 3
+    )
+    rows = out.collect()
+    assert rows == [] or all(r["nprobe_used"] == 8 for r in rows)
