@@ -11,7 +11,13 @@ bench scale — those have their LSH-bucketed counterparts here instead —
 and the deliberately LONG iterative trainers (q227/q228's 64-round BPE:
 ~20s of per-round job overhead on tiny vocab by design; the 3-round
 q195/q212/q218 family times the same kernels, and SCALE_PROBE.md
-measures the 64-round path at 1M docs).
+measures the 64-round path at 1M docs). Same exclusion for the two
+multi-store LIFECYCLE gates: q242 (seven-store erasure orchestration
+— dozens of fixed-overhead jobs over a deliberately bounded corpus;
+the per-store erase kernels ARE timed via SCALE_PROBE's
+forget-at-state-scale rows) and q243 (an A/B comparison harness that
+builds TWO indexes plus a brute-force truth — q229/q234/q241/q244
+time the production IVFPQ paths).
 """
 
 from __future__ import annotations
@@ -229,6 +235,9 @@ HEADLINE = [
     "q238_filtered_ann",
     "q239_forget_state",
     "q240_stream_ivfpq_ingest",
+    "q241_ivfpq_compact",
+    "q244_ivfpq_rebalance",
+    "q245_adaptive_nprobe",
 ]
 
 
@@ -371,6 +380,32 @@ def main() -> None:
                 f"# pass {p + 1}/{n_passes} {name}: {dt:.2f}s ({n} rows)",
                 file=sys.stderr,
             )
+    # The top decile gets EXTRA min-of-N passes: the heavy queries
+    # carry most of the artifact's noise (BENCH_r07 measured a 56.5s
+    # pass-to-pass spread on a 173s total, concentrated in the
+    # multi-second tail), and one more sample of ~20 queries costs
+    # ~30s while tightening exactly the timings delta_vs_prev is read
+    # against. SPARK_GRAFT_BENCH_TOPDECILE_PASSES=0 disables.
+    extra = max(
+        0, int(os.environ.get("SPARK_GRAFT_BENCH_TOPDECILE_PASSES", "1"))
+    )
+    if extra and n_passes > 1:
+        decile = max(1, len(HEADLINE) // 10)
+        slow = sorted(
+            runs, key=lambda name: min(runs[name]), reverse=True
+        )[:decile]
+        for p in range(extra):
+            clear_stage_caches()
+            for name in slow:
+                t0 = time.time()
+                n = QUERIES[name](spark, SF_DIR).count()
+                dt = round(time.time() - t0, 3)
+                runs[name].append(dt)
+                print(
+                    f"# decile pass {p + 1}/{extra} {name}: "
+                    f"{dt:.2f}s ({n} rows)",
+                    file=sys.stderr,
+                )
     timings = {name: min(ts) for name, ts in runs.items()}
 
     total = round(sum(timings.values()), 3)

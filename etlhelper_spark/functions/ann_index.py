@@ -220,21 +220,27 @@ def query_ivf_index_adaptive(
     query_id: str = "vec_id",
     vec_col: str = "embedding",
     attr_filter=None,
+    oversample: int = 4,
 ) -> DataFrame:
     """FILTERED top-k search with ADAPTIVE probe widening — the
     production form of query_ivf_index's documented recall caveat: a
     selective attribute filter (1/50 instead of q238's 1/5) empties
     most of a probed list, so any FIXED nprobe either under-recalls
     selective filters or over-scans permissive ones. Here each query
-    starts at *nprobe0*, and queries whose filtered top-k came back
-    SHORT (fewer than k survivors — the shortlist didn't fill) re-probe
-    with nprobe doubled, until the shortlist fills or nprobe reaches
-    nlist (at which point the scan IS the exact filtered search and
-    recall is 1.0 by construction). Satisfied queries never re-probe:
-    each widening round runs only the deficient subset, and the
-    per-round candidate counts are a bounded |queries|-row collect —
-    the same bounded-query-side contract every probe in this suite
-    makes.
+    starts at *nprobe0*, and queries whose filtered OVERSAMPLED
+    shortlist came back short (fewer than k x *oversample* survivors)
+    re-probe with nprobe doubled, until the shortlist fills or nprobe
+    reaches nlist (at which point the scan IS the exact filtered
+    search and recall is 1.0 by construction); the final answer trims
+    to top-k. Oversampling is what makes count-based stopping honest:
+    merely finding k candidates says nothing about whether the TRUE
+    top-k were probed, but demanding oversample x k forces coverage
+    proportional to the filter's selectivity (the same
+    refine_factor logic query_ivfpq_index's two-tier probe uses).
+    Satisfied queries never re-probe: each widening round runs only
+    the deficient subset, and the per-round candidate counts are a
+    bounded |queries|-row collect — the same bounded-query-side
+    contract every probe in this suite makes.
 
     Returns (query_id, neighbor_id, rank, sim, nprobe_used, n_iters):
     the probe width and iteration count each query actually needed —
@@ -248,13 +254,14 @@ def query_ivf_index_adaptive(
     pending = queries
     nprobe = max(1, int(nprobe0))
     iters = 0
+    shortlist = int(k) * max(1, int(oversample))
     while True:
         iters += 1
         got = query_ivf_index(
             spark,
             path,
             pending,
-            k=k,
+            k=shortlist,
             nprobe=min(nprobe, nlist),
             query_id=query_id,
             vec_col=vec_col,
@@ -271,7 +278,7 @@ def query_ivf_index_adaptive(
             for r in pending.select(query_id).collect()
         ]
         deficient = [
-            q for q in pending_ids if counts.get(q, 0) < int(k)
+            q for q in pending_ids if counts.get(q, 0) < shortlist
         ]
         done_now = (
             got
@@ -300,7 +307,7 @@ def query_ivf_index_adaptive(
     out = out_parts[0]
     for p in out_parts[1:]:
         out = out.unionByName(p)
-    return out
+    return out.where(F.col("rank") <= int(k))
 
 
 def rebalance_ivf_index(

@@ -13588,8 +13588,15 @@ def q244_ivfpq_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q245_adaptive_nprobe",
     """
-    WITH c AS (
-        SELECT vec_id, embedding, vec_id % 50 AS cat FROM embeddings
+    WITH centers AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id < 64
+    ), c AS (
+        SELECT e.vec_id,
+               [ct.cv[j] + 0.1 * e.embedding[j]
+                FOR j IN range(1, len(e.embedding)+1)] AS embedding,
+               e.vec_id % 50 AS cat
+        FROM embeddings e JOIN centers ct ON e.vec_id % 64 = ct.cid
     ), piv AS (
         SELECT vec_id AS list_id, embedding AS pivot FROM c
         ORDER BY vec_id LIMIT 16
@@ -13625,7 +13632,7 @@ def q244_ivfpq_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ql.query_id, l.it, l.np
     ), pick AS (
         SELECT query_id,
-               coalesce(min(it) FILTER (n_cand >= 5), 4) AS n_iters
+               coalesce(min(it) FILTER (n_cand >= 20), 4) AS n_iters
         FROM cand GROUP BY query_id
     )
     SELECT query_id, CAST(n_iters AS INT) AS n_iters,
@@ -13641,26 +13648,46 @@ def q245_adaptive_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     because its 1/5 filter keeps enough of every probed list; a
     production filter of UNKNOWN selectivity (here 1/50 — a rare
     language or license) cannot be served by any fixed width: each
-    query starts at nprobe=2 and doubles until its filtered top-k
-    fills or the probe covers every list (where the scan IS the exact
-    filtered search). The oracle restates the widening schedule
+    query starts at nprobe=2 and doubles until its OVERSAMPLED
+    shortlist (k x 4 = 20 filtered candidates — merely finding k says
+    nothing about whether the TRUE top-k were probed) fills or the
+    probe covers every list (where the scan IS the exact filtered
+    search). The corpus is the q243 clustered construction — the data
+    shape where probed-prefix coverage correlates with recall, i.e.
+    where a stopping rule is MEANINGFUL (on the deliberately
+    unclustered embeddings recall is ~nprobe/nlist for ANY stopping
+    rule — measured 0.29 at early stop — because the true neighbors
+    are uniform across lists; that regime needs q238's fixed wide
+    probe, not adaptivity). The oracle restates the widening schedule
     per-query from first principles — assign every corpus row to its
     list, rank each query's lists, and compute the first doubling
-    level at which >= k filtered candidates fall inside the probed
+    level at which >= 20 filtered candidates fall inside the probed
     prefix — so a wrong stopping decision (too eager OR too lazy)
     breaks the hash, not just a recall average. The in-plan gate pins
-    recall@5 >= 0.8 against the exact filtered brute force, and a
-    loud check asserts the loop actually widened (a 1/50 filter at
-    nprobe=2 over ~31-row lists cannot fill a 5-shortlist
-    immediately)."""
+    recall@5 >= 0.8 against the exact filtered brute force (measured
+    1.0 at sf0.01, 0.91 at sf0.1), and a loud check asserts the loop
+    actually widened."""
     from ..functions.ann_index import (
         build_ivf_index,
         query_ivf_index_adaptive,
     )
     from ..functions.similarity import brute_force_topk
 
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", F.pmod("vec_id", F.lit(50)).alias("cat")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centers = emb.where(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    e = (
+        emb.withColumn("cid", F.pmod("vec_id", F.lit(64)))
+        .join(F.broadcast(centers), "cid")
+        .select(
+            "vec_id",
+            F.zip_with(
+                "cv", "embedding", lambda c, x: c + F.lit(0.1) * x
+            ).alias("embedding"),
+            F.pmod("vec_id", F.lit(50)).alias("cat"),
+        )
+        .localCheckpoint()
     )
     q = e.where(F.col("vec_id") % 20 == 10)
     work = tempfile.mkdtemp(prefix="ehs_ivf_adapt_")
@@ -13672,6 +13699,7 @@ def q245_adaptive_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         nprobe0=2,
         attr_filter=F.col("cat") == 7,
+        oversample=4,
     ).localCheckpoint()
     # recall gate vs the exact filtered brute force
     bf = brute_force_topk(q, e.where(F.col("cat") == 7), k=5)

@@ -922,6 +922,145 @@ def main() -> None:
     probe("filtered ANN (covering IVF, pushed predicate, 32 queries)",
           n_vecs, _filtered_ann_probe)
 
+    # --- round-8 additions: IVFPQ lifecycle at scale ---------------
+    ivfpq_ing = os.path.join(tmp, "ivfpq_ing")
+
+    def _ivfpq_versioned_ingest_probe():
+        # 8 ingest batches onto a versioned index: one (list, batch)
+        # parquet cell per touched list per batch — the small-file
+        # accumulation the compactor exists for
+        from etlhelper_spark.functions.ivfpq import (
+            append_ivfpq_index,
+            build_ivfpq_index,
+        )
+
+        build_ivfpq_index(
+            vecs.where(F.col("vec_id") % 9 == 0), ivfpq_ing,
+            nlist=32, m_sub=8, k_codes=64, versioned_ingest=True,
+        )
+        total = 0
+        for b in range(1, 9):
+            total += append_ivfpq_index(
+                vecs.where(F.col("vec_id") % 9 == b), ivfpq_ing,
+                batch_id=b,
+            )
+        return total
+
+    probe("IVFPQ versioned ingest (build + 8 micro-batches)", n_vecs,
+          _ivfpq_versioned_ingest_probe)
+
+    def _ivfpq_probe_only():
+        from etlhelper_spark.functions.ivfpq import query_ivfpq_index
+
+        return query_ivfpq_index(
+            spark, ivfpq_ing, queries, k=5, nprobe=8
+        ).count()
+
+    probe("IVFPQ probe PRE-compaction (8 ingest batches on disk)",
+          n_vecs, _ivfpq_probe_only)
+
+    def _ivfpq_compact_probe():
+        from etlhelper_spark.functions.ivfpq import compact_ivfpq_ingest
+
+        return compact_ivfpq_ingest(spark, ivfpq_ing, watermark=8)
+
+    probe("IVFPQ compaction (fold 8 batches into base, marker-last)",
+          n_vecs, _ivfpq_compact_probe)
+
+    probe("IVFPQ probe POST-compaction (single base, same queries)",
+          n_vecs, _ivfpq_probe_only)
+
+    def _ivfpq_forget_probe():
+        # partition-local erasure: ~1% of ids leave both the compacted
+        # base and any live cells; cold lists untouched
+        from etlhelper_spark.operators.erasure import (
+            forget_from_ivfpq_index,
+        )
+
+        ids = [int(i) for i in range(0, n_vecs, 100)]
+        return forget_from_ivfpq_index(spark, ivfpq_ing, ids)
+
+    probe("IVFPQ forget (partition-local, ~1% of vectors)", n_vecs,
+          _ivfpq_forget_probe)
+
+    def _ivfpq_rebalance_probe():
+        # hot-list split via the row store (the codes-only index
+        # never stored the floats)
+        from etlhelper_spark.functions.ivfpq import (
+            rebalance_ivfpq_index,
+        )
+
+        cap = -(-n_vecs // 64)
+        return rebalance_ivfpq_index(
+            spark, ivfpq_ing, row_store=vecs, max_list_size=cap,
+            max_rounds=2,
+        )
+
+    probe("IVFPQ rebalance (row-store fetch, cap n/64, 2 rounds)",
+          n_vecs, _ivfpq_rebalance_probe)
+
+    def _ivfpq_residual_probe():
+        from etlhelper_spark.functions.ivfpq import build_ivfpq_index
+
+        d = os.path.join(tmp, "ivfpq_res")
+        out = build_ivfpq_index(
+            vecs, d, nlist=32, m_sub=8, k_codes=64, residual=True
+        )[0]
+        shutil.rmtree(d, ignore_errors=True)
+        return out
+
+    probe("IVFPQ residual build (L2 codebooks, Arrow encode)", n_vecs,
+          _ivfpq_residual_probe)
+
+    def _adaptive_ann_probe():
+        # 1/50-selective filter: queries widen until the shortlist
+        # fills — the per-round counts are a bounded 32-row collect
+        from etlhelper_spark.functions.ann_index import (
+            build_ivf_index,
+            query_ivf_index_adaptive,
+        )
+
+        d = os.path.join(tmp, "ivf_adapt")
+        attrs = vecs.select(
+            "vec_id", "embedding",
+            F.pmod("vec_id", F.lit(50)).alias("cat"),
+        )
+        build_ivf_index(attrs, d, nlist=32, attr_cols=["cat"])
+        out = query_ivf_index_adaptive(
+            spark, d, queries, k=5, nprobe0=2,
+            attr_filter=F.col("cat") == 7,
+        ).count()
+        shutil.rmtree(d, ignore_errors=True)
+        return out
+
+    probe("adaptive filtered ANN (1/50 filter, widening, 32 queries)",
+          n_vecs, _adaptive_ann_probe)
+
+    def _bands_forget_probe():
+        # erase ~1% of a 1M-doc band state through the versioned
+        # rewrite (the forget_everywhere hot path for near-dup state)
+        from etlhelper_spark.operators.dedup_state import (
+            minhash_incremental,
+        )
+        from etlhelper_spark.operators.erasure import (
+            forget_from_bands_state,
+        )
+
+        work = tempfile.mkdtemp(prefix="ehs_bforget_probe_")
+        try:
+            minhash_incremental(docs, work, 0, state_partitions=8)
+            ids = [int(i) for i in range(0, n_docs, 100)]
+            return forget_from_bands_state(
+                spark, work, ids, state_partitions=8
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    probe("band-state forget (~1% of 1M-doc band state)", n_docs,
+          _bands_forget_probe)
+
+    shutil.rmtree(ivfpq_ing, ignore_errors=True)
+
     lines = [
         "# SCALE PROBE — measured operator scaling beyond bench SF",
         "",
