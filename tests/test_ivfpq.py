@@ -653,3 +653,25 @@ def test_rebalance_residual_membership_and_reencode(spark, vecs, tmp_path):
                 for code, c in books[j]
             ]
             assert min(dists)[1] == r["codes"][j]
+
+
+def test_compacted_probe_still_prunes_partitions(spark, vecs, versioned_index):
+    """After the fold, the probe's literal IN-filter must prune the
+    COMPACTED BASE's list directories exactly as it pruned cells."""
+    from etlhelper_spark.functions.ivfpq import (
+        compact_ivfpq_ingest,
+        query_ivfpq_index,
+    )
+
+    compact_ivfpq_ingest(spark, versioned_index, watermark=2)
+    q = vecs.where(F.col("vec_id") < 2)
+    out = query_ivfpq_index(spark, versioned_index, q, k=3, nprobe=2)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert scan_lines
+    assert any(
+        "list_id" in ln and "IN" in ln.upper() for ln in scan_lines
+    )
