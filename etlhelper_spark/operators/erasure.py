@@ -287,7 +287,9 @@ def forget_from_index_state(
         if os.path.basename(p)[1:].isdigit()
     )
     if stats_versions:
-        kept = spark.read.parquet(os.path.join(postings_dir, "base_v*"))
+        # newest COMPLETE base only (marker-checked) — a glob would
+        # also read a crash-orphaned partial version
+        kept = spark.read.parquet(_current_base(postings_dir))
         recomputed = kept.groupBy("token").agg(
             F.count("*").alias("n"), F.sum("n").alias("cf")
         )
@@ -374,12 +376,29 @@ def forget_from_ivfpq_index(spark, path: str, ids) -> int:
     A forgotten document's codes are its content (PQ codes
     reconstruct an approximation of the vector), so they must go.
     Returns the number of erased code rows."""
-    from ..functions.ivfpq import _ingest_base_versions, _read_ivfpq_meta
+    from ..functions.ivfpq import (
+        _ingest_base_versions as _ivfpq_versions,
+    )
+    from ..functions.ivfpq import _read_ivfpq_meta
 
     doomed = _doomed_frame(spark, ids)
     total = 0
     meta = _read_ivfpq_meta(spark, path)
     versioned = bool(meta and meta.get("versioned_ingest"))
+    versions0 = _ivfpq_versions(path)
+    if versioned and versions0:
+        # finish any interrupted compaction cleanup first: cells at or
+        # below the watermark are dead (their rows live in the base) —
+        # erasing "from" them would double-count the erased rows
+        w = versions0[-1][2]
+        for p in glob.glob(
+            os.path.join(path, "list_id=*", "ingest_batch=*")
+        ):
+            if int(os.path.basename(p).split("=", 1)[1]) <= w:
+                shutil.rmtree(p, ignore_errors=True)
+        for p in glob.glob(os.path.join(path, "list_id=*")):
+            if os.path.isdir(p) and not os.listdir(p):
+                shutil.rmtree(p, ignore_errors=True)
     cells_exist = bool(
         glob.glob(os.path.join(path, "list_id=*", "ingest_batch=*"))
         or glob.glob(os.path.join(path, "list_id=*", "*.parquet"))
@@ -389,7 +408,7 @@ def forget_from_ivfpq_index(spark, path: str, ids) -> int:
             ["list_id", "ingest_batch"] if versioned else ["list_id"]
         )
         total += _partition_local_erase(spark, path, doomed, part_cols)
-    versions = _ingest_base_versions(path)
+    versions = _ivfpq_versions(path)
     if versions:
         total += _partition_local_erase(
             spark, versions[-1][1], doomed, ["list_id"]
