@@ -15,9 +15,10 @@ measures the 64-round path at 1M docs). Same exclusion for the two
 multi-store LIFECYCLE gates: q242 (seven-store erasure orchestration
 — dozens of fixed-overhead jobs over a deliberately bounded corpus;
 the per-store erase kernels ARE timed via SCALE_PROBE's
-forget-at-state-scale rows) and q243 (an A/B comparison harness that
-builds TWO indexes plus a brute-force truth — q229/q234/q241/q244
-time the production IVFPQ paths).
+forget-at-state-scale rows) and the A/B comparison harnesses q243 and
+q248, which build TWO indexes plus a brute-force truth —
+q229/q234/q241/q244 time the production IVFPQ paths, and q247 times
+the rotation-free selection scan.
 """
 
 from __future__ import annotations
@@ -238,6 +239,8 @@ HEADLINE = [
     "q241_ivfpq_compact",
     "q244_ivfpq_rebalance",
     "q245_adaptive_nprobe",
+    "q246_decontaminate",
+    "q247_dsir_select",
 ]
 
 
