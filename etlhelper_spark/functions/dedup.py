@@ -507,6 +507,162 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_distance_join(
+    a: DataFrame,
+    b: DataFrame,
+    max_dist: int = 1,
+    q: int = 2,
+    id_col: str = "id",
+    str_col: str = "s",
+) -> DataFrame:
+    """String-similarity join: all pairs (a, b) with Levenshtein
+    distance ≤ *max_dist*, via Ed-Join-style positional q-gram prefix
+    filtering (Xiao, Wang & Lin 2008) — the edit-distance member of
+    the similarity-join family next to ``ngram_jaccard_pairs``'s
+    PPJoin. The reference's cursor surface has no analogue; this is
+    the record-linkage primitive (match dirty names/titles against a
+    master list) every large ETL deployment eventually needs.
+
+    Why not a theta join: ``A JOIN B ON levenshtein(...) <= d`` plans
+    a BroadcastNestedLoopJoin — |A|×|B| verifications, dead at scale.
+    Instead, exact candidate pruning:
+
+    - each string's q-grams are occurrence-tagged ((gram, k) for the
+      k-th occurrence, so duplicate grams count as multiset overlap)
+      and globally ordered by ascending gram document-frequency;
+    - one edit destroys at most q gram occurrences, so strings within
+      distance d share all but ≤ q·d occurrences — among the first
+      q·d+1 occurrences of each string (its RAREST grams), at least
+      one is shared. Candidate generation is therefore an EQUI-join
+      on (gram, k) restricted to those short prefixes: the shuffle
+      lands on rare grams, never on the 'Customer#'-style shared stem
+      every row carries;
+    - the length filter |len(a)−len(b)| ≤ d prunes before the
+      verify, and verification uses Spark's threshold form of
+      levenshtein (early-abandon at d+1, JVM codegen).
+
+    Strings too short for the theorem to bite (fewer than q·d+1
+    q-grams on BOTH sides, i.e. len ≤ q·d+q−1) route through an
+    explicit length-band equi-join block instead — exact, and bounded
+    because any feasible partner of a short string is itself short.
+    Candidate volume there is quadratic in the count of equal-length
+    tiny strings; real corpora of names/titles don't live there, and
+    the main path's SCALE_PROBE worst case (every row sharing an
+    18-char stem) exercises the frequency-ordered prefix instead.
+
+    Inputs must expose (*id_col*, *str_col*); for a self-join pass the
+    same frame twice and keep ``id_a < id_b`` downstream. Returns
+    (id_a, id_b, dist), both orientations for a self-join.
+    """
+    from pyspark import StorageLevel
+
+    d = int(max_dist)
+    if d < 1:
+        raise ValueError("max_dist must be >= 1 (use dedup_exact for exact)")
+    q = int(q)
+    small_len = q * d + q - 1  # max length with <= q*d grams
+    pref_len = q * d + 1
+
+    A = a.select(F.col(id_col).alias("id"), F.col(str_col).alias("s")).where(
+        F.col(str_col).isNotNull()
+    )
+    B = b.select(F.col(id_col).alias("id"), F.col(str_col).alias("s")).where(
+        F.col(str_col).isNotNull()
+    )
+    u = A.withColumn("side", F.lit("a")).unionByName(
+        B.withColumn("side", F.lit("b"))
+    )
+
+    # ---- main path: strings with at least one q-gram ----------------
+    gram_rows = (
+        u.where(F.length("s") >= q)
+        .select(
+            "side",
+            "id",
+            "s",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s") - q + 1),
+                    lambda i: F.col("s").substr(i, F.lit(q)),
+                )
+            ).alias("gram"),
+        )
+        # k-th occurrence of this gram within the string: duplicate
+        # grams match multiset-wise (k aligns with k), keeping the
+        # count-filter theorem exact for strings like 'aaaa'
+        .withColumn(
+            "occ",
+            F.row_number().over(
+                Window.partitionBy("side", "id", "gram").orderBy(F.lit(1))
+            ),
+        )
+    )
+    dfreq = gram_rows.groupBy("gram").agg(F.count("*").alias("df"))
+    prefixes = (
+        gram_rows.join(dfreq, "gram")
+        .groupBy("side", "id", "s")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("df", "gram", "occ"))),
+                1,
+                pref_len,
+            ).alias("pre")
+        )
+        # consumed twice (a-side and b-side explode below)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def _side(tag: str, suf: str) -> DataFrame:
+        return prefixes.where(F.col("side") == tag).select(
+            F.col("id").alias(f"id_{suf}"),
+            F.col("s").alias(f"s_{suf}"),
+            F.explode("pre").alias("p"),
+        ).select(
+            f"id_{suf}",
+            f"s_{suf}",
+            F.col("p.gram").alias("gram"),
+            F.col("p.occ").alias("occ"),
+        )
+
+    cand_main = (
+        _side("a", "a")
+        .join(_side("b", "b"), ["gram", "occ"])
+        .where(
+            F.abs(F.length("s_a") - F.length("s_b")) <= d
+        )
+        .select("id_a", "s_a", "id_b", "s_b")
+    )
+
+    # ---- small-string block: len <= q*d+q-1 on both sides -----------
+    small_a = A.where(F.length("s") <= small_len)
+    small_b = B.where(F.length("s") <= small_len).withColumn(
+        "lb", F.length("s")
+    )
+    cand_small = (
+        small_a.select(
+            F.col("id").alias("id_a"),
+            F.col("s").alias("s_a"),
+            F.explode(
+                F.sequence(
+                    F.greatest(F.length("s") - d, F.lit(0)),
+                    F.length("s") + d,
+                )
+            ).alias("lb"),
+        )
+        .join(small_b, "lb")
+        .select(
+            "id_a", "s_a", F.col("id").alias("id_b"), F.col("s").alias("s_b")
+        )
+    )
+
+    cand = cand_main.unionByName(cand_small).distinct()
+    return (
+        cand.withColumn("dist", F.levenshtein("s_a", "s_b", d))
+        .where((F.col("dist") >= 0) & (F.col("dist") <= d))
+        .select("id_a", "id_b", "dist")
+    )
+
+
 # ----------------------------------------------------------------------
 # SimHash
 # ----------------------------------------------------------------------

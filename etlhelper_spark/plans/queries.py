@@ -14031,6 +14031,162 @@ def q248_opq_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(out.select(F.lit("opq").alias("variant"), "*"))
 
 
+@query(
+    "q249_edit_join",
+    """
+    WITH n AS (
+        SELECT p_name AS s, count(*) AS cnt FROM part GROUP BY 1
+    ), near AS (
+        SELECT a.s, coalesce(sum(b.cnt), 0) AS n_near
+        FROM n a LEFT JOIN n b
+          ON a.s <> b.s
+         AND abs(length(a.s) - length(b.s)) <= 1
+         AND levenshtein(a.s, b.s) = 1
+        GROUP BY a.s
+    )
+    SELECT p.p_partkey AS id,
+           CAST(n.cnt - 1 AS BIGINT) AS n_exact,
+           CAST(coalesce(near.n_near, 0) AS BIGINT) AS n_near
+    FROM part p
+    JOIN n ON p.p_name = n.s
+    LEFT JOIN near ON p.p_name = near.s
+    """,
+)
+def q249_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance SIMILARITY JOIN (functions/dedup.py::
+    edit_distance_join — Ed-Join prefix filtering, Xiao et al. 2008),
+    shaped the way it must run at 100 TB: the part names are collapsed
+    to their DISTINCT values first (the exact-dedup tier — byte-equal
+    mass never enters the similarity join, the same argument as LSH's
+    max_bucket cap), the q-gram prefix join runs over distinct names
+    only, and per-part neighbourhood stats come back via two
+    broadcastable joins on the name. The oracle restates the whole
+    thing as the naive levenshtein theta self-join DuckDB can afford
+    at sf0.01. Output per part: how many OTHER parts carry the exact
+    same name, and how many sit at edit distance exactly 1."""
+    from ..functions.dedup import edit_distance_join
+
+    parts = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("s")
+    )
+    names = parts.groupBy("s").agg(F.count("*").alias("cnt"))
+    nn = names.select(F.col("s").alias("id"), "s")
+    pairs = edit_distance_join(nn, nn, max_dist=1).where(
+        F.col("id_a") != F.col("id_b")
+    )
+    near = (
+        pairs.join(
+            names.select(F.col("s").alias("id_b"), F.col("cnt").alias("cb")),
+            "id_b",
+        )
+        .groupBy("id_a")
+        .agg(F.sum("cb").alias("n_near"))
+        .select(F.col("id_a").alias("s"), "n_near")
+    )
+    return (
+        parts.join(F.broadcast(names), "s")
+        .join(F.broadcast(near), "s", "left")
+        .select(
+            "id",
+            (F.col("cnt") - 1).cast("long").alias("n_exact"),
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near"),
+        )
+    )
+
+
+@query(
+    "q250_record_linkage",
+    """
+    WITH dirty AS (
+        SELECT c_custkey AS did,
+               CASE c_custkey % 3
+                 WHEN 0 THEN substr(c_name, 1, 9 + c_custkey % 8)
+                             || substr(c_name, 11 + c_custkey % 8)
+                 WHEN 1 THEN substr(c_name, 1, 9 + c_custkey % 8)
+                             || 'X' || substr(c_name, 11 + c_custkey % 8)
+                 ELSE substr(c_name, 1, 10 + c_custkey % 8)
+                      || 'Z' || substr(c_name, 11 + c_custkey % 8)
+               END AS s
+        FROM customer
+    ), pairs AS (
+        SELECT d.did, m.c_custkey AS mid,
+               levenshtein(d.s, m.c_name) AS dist
+        FROM dirty d JOIN customer m
+          ON abs(length(d.s) - length(m.c_name)) <= 1
+        WHERE levenshtein(d.s, m.c_name) <= 1
+    )
+    SELECT did AS id,
+           count(*) AS n_cand,
+           CAST(min(dist) AS INT) AS min_dist,
+           bool_or(did = mid) AS linked
+    FROM pairs GROUP BY did
+    """,
+)
+def q250_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECORD LINKAGE — match a dirty feed against a master list
+    (functions/dedup.py::edit_distance_join; the fuzzy-matching recipe
+    the reference's copy_rows+transform users hand-roll in Python,
+    reference docs 'recipes'): every customer name gets one planted
+    deterministic typo (delete / substitute-'X' / insert-'Z' at a
+    custkey-derived digit position — restated verbatim in the oracle),
+    and the ED-join must recover the linkage. Master names share the
+    17-char 'Customer#0000…' stem, the prefix filter's worst case —
+    the global df-ordering routes candidate generation through the
+    RARE tail digits instead, so the equi-join shuffle never lands on
+    the stem grams. An in-plan gate raises unless every dirty row
+    links back to its own master (dist 1 by construction). Output per
+    dirty row: candidate count (neighbouring custkeys legitimately
+    collide within one edit), min distance, and the link verdict."""
+    from ..functions.dedup import edit_distance_join
+
+    c = _t(spark, sf_dir, "customer")
+    mode = F.col("c_custkey") % 3
+    dirty = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            mode == 0,
+            F.expr(
+                "concat(substring(c_name, 1, 9 + c_custkey % 8),"
+                " substring(c_name, 11 + c_custkey % 8))"
+            ),
+        )
+        .when(
+            mode == 1,
+            F.expr(
+                "concat(substring(c_name, 1, 9 + c_custkey % 8),"
+                " 'X', substring(c_name, 11 + c_custkey % 8))"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "concat(substring(c_name, 1, 10 + c_custkey % 8),"
+                " 'Z', substring(c_name, 11 + c_custkey % 8))"
+            )
+        )
+        .alias("s"),
+    )
+    master = c.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("s"))
+    out = (
+        edit_distance_join(dirty, master, max_dist=1)
+        .groupBy("id_a")
+        .agg(
+            F.count("*").alias("n_cand"),
+            F.min("dist").cast("int").alias("min_dist"),
+            F.bool_or(F.col("id_b") == F.col("id_a")).alias("linked"),
+        )
+        .select(F.col("id_a").alias("id"), "n_cand", "min_dist", "linked")
+        .localCheckpoint()
+    )
+    n_total = c.count()
+    n_linked = out.where("linked").count()
+    if n_linked != n_total:
+        raise ValueError(
+            f"record linkage failed: {n_linked}/{n_total} dirty rows "
+            "linked back to their master"
+        )
+    return out
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -1,0 +1,134 @@
+"""edit_distance_join — exactness vs a brute-force oracle, multiset
+(duplicate-gram) handling, the small-string block, the self-join
+convention, and partition invariance.
+
+The brute-force comparisons use Python's own Levenshtein so the test
+oracle shares no code with the operator under test.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlhelper_spark.functions import edit_distance_join
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _truth(rows_a, rows_b, d):
+    return {
+        (ia, ib, _lev(sa, sb))
+        for ia, sa in rows_a
+        for ib, sb in rows_b
+        if abs(len(sa) - len(sb)) <= d and _lev(sa, sb) <= d
+    }
+
+
+def _run(spark, rows_a, rows_b, d, q=2):
+    a = spark.createDataFrame(rows_a, "id long, s string")
+    b = spark.createDataFrame(rows_b, "id long, s string")
+    out = edit_distance_join(a, b, max_dist=d, q=q)
+    return {(r["id_a"], r["id_b"], r["dist"]) for r in out.collect()}
+
+
+def test_matches_bruteforce_dense_corpus(spark):
+    # small alphabet + short strings => many near-pairs, exercising
+    # the prefix filter where misses would actually show
+    rng = random.Random(7)
+    rows_a = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(4, 9))))
+        for i in range(120)
+    ]
+    rows_b = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.randint(4, 9))))
+        for i in range(120)
+    ]
+    for d in (1, 2):
+        assert _run(spark, rows_a, rows_b, d) == _truth(rows_a, rows_b, d)
+
+
+def test_duplicate_grams_multiset_exact(spark):
+    # 'aaaa'-style strings: every q-gram identical; occurrence tagging
+    # must keep these pairs (a set-semantics prefix would drop them)
+    rows = [(1, "aaaa"), (2, "aaaaa"), (3, "aaab"), (4, "bbbb"), (5, "aaaa")]
+    got = _run(spark, rows, rows, 1)
+    assert got == _truth(rows, rows, 1)
+    assert (1, 5, 0) in got and (1, 2, 1) in got and (1, 3, 1) in got
+
+
+def test_small_string_block(spark):
+    # strings at/below q*d+q-1 chars have too few grams for the
+    # theorem — the length-band block must cover them, incl. empty
+    rows_a = [(1, ""), (2, "a"), (3, "ab"), (4, "abc"), (5, "xyz")]
+    rows_b = [(10, "b"), (11, "ab"), (12, "abd"), (13, "abcd"), (14, "")]
+    for d in (1, 2):
+        assert _run(spark, rows_a, rows_b, d) == _truth(rows_a, rows_b, d)
+
+
+def test_mixed_lengths_cross_block_boundary(spark):
+    # pairs straddling the small/main boundary (len 3 vs len 4 at
+    # q=2,d=1 where small_len=3) must appear exactly once
+    rows = [(1, "abc"), (2, "abcd"), (3, "abd"), (4, "abcde"), (5, "zz")]
+    got = _run(spark, rows, rows, 1)
+    assert got == _truth(rows, rows, 1)
+
+
+def test_threshold_excludes_above_d(spark):
+    rows_a = [(1, "kitten")]
+    rows_b = [(2, "sitting"), (3, "kitten"), (4, "mitten")]
+    got = _run(spark, rows_a, rows_b, 1)
+    assert got == {(1, 3, 0), (1, 4, 1)}
+    got2 = _run(spark, rows_a, rows_b, 3)
+    assert (1, 2, 3) in got2
+
+
+def test_partition_invariance(spark):
+    rng = random.Random(13)
+    rows = [
+        (i, "".join(rng.choice("abcd") for _ in range(rng.randint(3, 10))))
+        for i in range(80)
+    ]
+    a = spark.createDataFrame(rows, "id long, s string")
+    base = edit_distance_join(a, a, max_dist=2)
+    got1 = {tuple(r) for r in base.collect()}
+    a7 = a.repartition(7)
+    got7 = {
+        tuple(r) for r in edit_distance_join(a7, a7, max_dist=2).collect()
+    }
+    assert got1 == got7 == _truth(rows, rows, 2)
+
+
+def test_nulls_dropped_and_bad_maxdist(spark):
+    a = spark.createDataFrame([(1, "abc"), (2, None)], "id long, s string")
+    got = _run(spark, [(1, "abc"), (2, None)], [(3, "abd")], 1)
+    assert got == {(1, 3, 1)}
+    with pytest.raises(ValueError):
+        edit_distance_join(a, a, max_dist=0)
+
+
+def test_shared_stem_goes_through_rare_grams(spark):
+    # the record-linkage shape: every string shares a long stem; the
+    # df-ordered prefix must still find the pairs (and only them)
+    rows_a = [(i, f"Customer#{i:09d}") for i in range(60)]
+    rows_b = [(100 + i, f"Customer#{i:09d}"[:-1] + "X") for i in range(60)]
+    got = _run(spark, rows_a, rows_b, 1)
+    assert got == _truth(rows_a, rows_b, 1)
+    # each dirty name links to the 10 masters differing only in the
+    # final digit (substituting X back to any digit is one edit)
+    for i in range(6):
+        assert (i, 100 + i, 1) in got
