@@ -241,6 +241,8 @@ HEADLINE = [
     "q245_adaptive_nprobe",
     "q246_decontaminate",
     "q247_dsir_select",
+    "q249_edit_join",
+    "q250_record_linkage",
 ]
 
 

@@ -507,6 +507,33 @@ def ngram_jaccard_pairs(
     )
 
 
+def _deletion_variants(col: str, d: int):
+    """Array column: every string reachable from *col* by at most *d*
+    character deletions (the string itself included), duplicates
+    removed. Expression-only (whole-stage codegen); empty/short
+    strings get the explicit empty-branch guard because Spark's
+    sequence(1, 0) runs DESCENDING rather than empty."""
+    d1 = (
+        f"if(length({col}) >= 1,"
+        f" transform(sequence(1, length({col})),"
+        f"  i -> concat(substring({col}, 1, i-1), substring({col}, i+1))),"
+        f" array())"
+    )
+    if d == 1:
+        return F.expr(f"array_distinct(concat(array({col}), {d1}))")
+    # unordered position pairs i < j, both deleted from the original
+    d2 = (
+        f"if(length({col}) >= 2,"
+        f" flatten(transform(sequence(2, length({col})),"
+        f"  j -> transform(sequence(1, j-1),"
+        f"   i -> concat(substring({col}, 1, i-1),"
+        f"              substring({col}, i+1, j-i-1),"
+        f"              substring({col}, j+1))))),"
+        f" array())"
+    )
+    return F.expr(f"array_distinct(concat(array({col}), {d1}, {d2}))")
+
+
 def edit_distance_join(
     a: DataFrame,
     b: DataFrame,
@@ -514,54 +541,64 @@ def edit_distance_join(
     q: int = 2,
     id_col: str = "id",
     str_col: str = "s",
+    strategy: str = "auto",
 ) -> DataFrame:
     """String-similarity join: all pairs (a, b) with Levenshtein
-    distance ≤ *max_dist*, via Ed-Join-style positional q-gram prefix
-    filtering (Xiao, Wang & Lin 2008) — the edit-distance member of
-    the similarity-join family next to ``ngram_jaccard_pairs``'s
-    PPJoin. The reference's cursor surface has no analogue; this is
-    the record-linkage primitive (match dirty names/titles against a
+    distance ≤ *max_dist* — the edit-distance member of the
+    similarity-join family next to ``ngram_jaccard_pairs``'s PPJoin.
+    The reference's cursor surface has no analogue; this is the
+    record-linkage primitive (match dirty names/titles against a
     master list) every large ETL deployment eventually needs.
 
     Why not a theta join: ``A JOIN B ON levenshtein(...) <= d`` plans
     a BroadcastNestedLoopJoin — |A|×|B| verifications, dead at scale.
-    Instead, exact candidate pruning:
+    Two exact candidate-pruning strategies instead:
 
-    - each string's q-grams are occurrence-tagged ((gram, k) for the
-      k-th occurrence, so duplicate grams count as multiset overlap)
-      and globally ordered by ascending gram document-frequency;
-    - one edit destroys at most q gram occurrences, so strings within
-      distance d share all but ≤ q·d occurrences — among the first
-      q·d+1 occurrences of each string (its RAREST grams), at least
-      one is shared. Candidate generation is therefore an EQUI-join
-      on (gram, k) restricted to those short prefixes: the shuffle
-      lands on rare grams, never on the 'Customer#'-style shared stem
-      every row carries;
-    - the length filter |len(a)−len(b)| ≤ d prunes before the
-      verify, and verification uses Spark's threshold form of
-      levenshtein (early-abandon at d+1, JVM codegen).
+    ``deletes`` (SymSpell/FastSS; default for d ≤ 2): two strings
+    within edit distance d share at least one EXACT common string in
+    their ≤d-deletion neighbourhoods (align the edit script: delete
+    the substituted/deleted chars from one side, the substituted/
+    inserted ones from the other — ≤ d deletions each). Candidate
+    generation is an equi-join on the variant string, whose key space
+    has the full entropy of the strings themselves — it survives even
+    the adversarial corpus where a million names share a 9-char stem
+    and differ only in a digit tail (measured in SCALE_PROBE.md),
+    where ANY gram-based filter degenerates because no gram is rare.
+    Cost: 1+L+L(L-1)/2 variants per string at d=2, so this is for
+    name/title-length strings; for long strings pass strategy="grams".
 
-    Strings too short for the theorem to bite (fewer than q·d+1
-    q-grams on BOTH sides, i.e. len ≤ q·d+q−1) route through an
-    explicit length-band equi-join block instead — exact, and bounded
-    because any feasible partner of a short string is itself short.
-    Candidate volume there is quadratic in the count of equal-length
-    tiny strings; real corpora of names/titles don't live there, and
-    the main path's SCALE_PROBE worst case (every row sharing an
-    18-char stem) exercises the frequency-ordered prefix instead.
+    ``grams`` (Ed-Join, Xiao et al. 2008): each string's q-grams are
+    occurrence-tagged ((gram, k) for the k-th occurrence, so duplicate
+    grams count as multiset overlap) and globally ordered by ascending
+    gram document-frequency. One edit destroys at most q gram
+    occurrences, so strings within distance d share all but ≤ q·d
+    occurrences — among the first q·d+1 occurrences of each string
+    (its RAREST grams), at least one is shared. Candidates come from
+    an equi-join on (gram, k) over those short prefixes; linear in
+    variant-free gram volume, the right trade for LONG strings or
+    d > 2, but dependent on gram entropy. Strings too short for the
+    theorem (len ≤ q·d+q−1 on both sides) route through an explicit
+    length-band equi-join block — exact, and bounded because any
+    feasible partner of a short string is itself short.
+
+    Both paths prune |len(a)−len(b)| ≤ d before verification, and
+    verification uses Spark's threshold form of levenshtein
+    (early-abandon at d+1, JVM codegen).
 
     Inputs must expose (*id_col*, *str_col*); for a self-join pass the
     same frame twice and keep ``id_a < id_b`` downstream. Returns
     (id_a, id_b, dist), both orientations for a self-join.
     """
-    from pyspark import StorageLevel
-
     d = int(max_dist)
     if d < 1:
         raise ValueError("max_dist must be >= 1 (use dedup_exact for exact)")
-    q = int(q)
-    small_len = q * d + q - 1  # max length with <= q*d grams
-    pref_len = q * d + 1
+    if strategy == "auto":
+        strategy = "deletes" if d <= 2 else "grams"
+    if strategy == "deletes" and d > 2:
+        raise ValueError(
+            "deletes strategy supports max_dist <= 2 "
+            "(variant count is O(len^d)); use strategy='grams'"
+        )
 
     A = a.select(F.col(id_col).alias("id"), F.col(str_col).alias("s")).where(
         F.col(str_col).isNotNull()
@@ -569,6 +606,39 @@ def edit_distance_join(
     B = b.select(F.col(id_col).alias("id"), F.col(str_col).alias("s")).where(
         F.col(str_col).isNotNull()
     )
+
+    if strategy == "deletes":
+        va = A.select(
+            F.col("id").alias("id_a"),
+            F.col("s").alias("s_a"),
+            F.explode(_deletion_variants("s", d)).alias("v"),
+        )
+        vb = B.select(
+            F.col("id").alias("id_b"),
+            F.col("s").alias("s_b"),
+            F.explode(_deletion_variants("s", d)).alias("v"),
+        )
+        cand = (
+            va.join(vb, "v")
+            .where(F.abs(F.length("s_a") - F.length("s_b")) <= d)
+            .select("id_a", "s_a", "id_b", "s_b")
+            .distinct()
+        )
+        return (
+            cand.withColumn("dist", F.levenshtein("s_a", "s_b", d))
+            .where((F.col("dist") >= 0) & (F.col("dist") <= d))
+            .select("id_a", "id_b", "dist")
+        )
+
+    if strategy != "grams":
+        raise ValueError(f"unknown strategy: {strategy!r}")
+
+    from pyspark import StorageLevel
+
+    q = int(q)
+    small_len = q * d + q - 1  # max length with <= q*d grams
+    pref_len = q * d + 1
+
     u = A.withColumn("side", F.lit("a")).unionByName(
         B.withColumn("side", F.lit("b"))
     )

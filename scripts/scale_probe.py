@@ -149,6 +149,41 @@ def main() -> None:
             num_hashes=32, bands=8,
         ).count(),
     )
+
+    # edit-distance join, deliberately adversarial: every name shares
+    # a 9-char stem and differs only in the digit tail — ZERO rare
+    # grams, the corpus shape that kills any gram-prefix filter. The
+    # deletes (SymSpell) path must hold a linear rate here because its
+    # equi-join key is the full-entropy variant string.
+    from etlhelper_spark.functions.dedup import edit_distance_join
+
+    def _edit_join_probe(d: int, n: int) -> int:
+        master = spark.range(n).select(
+            F.col("id"),
+            F.concat(F.lit("Customer#"), F.lpad("id", 9, "0")).alias("s"),
+        )
+        dirty = master.select(
+            (F.col("id") + n).alias("id"),
+            F.expr(
+                "concat(substring(s, 1, 9 + id % 8), 'X',"
+                " substring(s, 11 + id % 8))"
+            ).alias("s"),
+        )
+        return edit_distance_join(dirty, master, max_dist=d).count()
+
+    probe(
+        "edit-distance join d=1 (1M dirty x 1M master, shared stem)",
+        2 * args.docs,
+        lambda: _edit_join_probe(1, args.docs),
+    )
+    # d=2 runs at 1/10 scale: dense consecutive ids put ~700 masters
+    # within 2 edits of every dirty name, so the OUTPUT (not the
+    # filter) is what grows — ~70M pairs at 100k rows already
+    probe(
+        "edit-distance join d=2 (100k x 100k, shared stem, dense ids)",
+        2 * args.docs // 10,
+        lambda: _edit_join_probe(2, args.docs // 10),
+    )
     queries = vecs.where(F.col("vec_id") < 32)
     probe(
         "LSH bucket top-k (32 queries)",

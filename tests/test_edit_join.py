@@ -39,16 +39,17 @@ def _truth(rows_a, rows_b, d):
     }
 
 
-def _run(spark, rows_a, rows_b, d, q=2):
+def _run(spark, rows_a, rows_b, d, q=2, strategy="auto"):
     a = spark.createDataFrame(rows_a, "id long, s string")
     b = spark.createDataFrame(rows_b, "id long, s string")
-    out = edit_distance_join(a, b, max_dist=d, q=q)
+    out = edit_distance_join(a, b, max_dist=d, q=q, strategy=strategy)
     return {(r["id_a"], r["id_b"], r["dist"]) for r in out.collect()}
 
 
-def test_matches_bruteforce_dense_corpus(spark):
+@pytest.mark.parametrize("strategy", ["deletes", "grams"])
+def test_matches_bruteforce_dense_corpus(spark, strategy):
     # small alphabet + short strings => many near-pairs, exercising
-    # the prefix filter where misses would actually show
+    # the candidate filters where misses would actually show
     rng = random.Random(7)
     rows_a = [
         (i, "".join(rng.choice("abc") for _ in range(rng.randint(4, 9))))
@@ -59,33 +60,51 @@ def test_matches_bruteforce_dense_corpus(spark):
         for i in range(120)
     ]
     for d in (1, 2):
-        assert _run(spark, rows_a, rows_b, d) == _truth(rows_a, rows_b, d)
+        assert _run(spark, rows_a, rows_b, d, strategy=strategy) == _truth(
+            rows_a, rows_b, d
+        )
 
 
-def test_duplicate_grams_multiset_exact(spark):
+@pytest.mark.parametrize("strategy", ["deletes", "grams"])
+def test_duplicate_grams_multiset_exact(spark, strategy):
     # 'aaaa'-style strings: every q-gram identical; occurrence tagging
-    # must keep these pairs (a set-semantics prefix would drop them)
+    # (grams) / variant dedup (deletes) must keep these pairs
     rows = [(1, "aaaa"), (2, "aaaaa"), (3, "aaab"), (4, "bbbb"), (5, "aaaa")]
-    got = _run(spark, rows, rows, 1)
+    got = _run(spark, rows, rows, 1, strategy=strategy)
     assert got == _truth(rows, rows, 1)
     assert (1, 5, 0) in got and (1, 2, 1) in got and (1, 3, 1) in got
 
 
-def test_small_string_block(spark):
+@pytest.mark.parametrize("strategy", ["deletes", "grams"])
+def test_small_string_block(spark, strategy):
     # strings at/below q*d+q-1 chars have too few grams for the
     # theorem — the length-band block must cover them, incl. empty
     rows_a = [(1, ""), (2, "a"), (3, "ab"), (4, "abc"), (5, "xyz")]
     rows_b = [(10, "b"), (11, "ab"), (12, "abd"), (13, "abcd"), (14, "")]
     for d in (1, 2):
-        assert _run(spark, rows_a, rows_b, d) == _truth(rows_a, rows_b, d)
+        assert _run(spark, rows_a, rows_b, d, strategy=strategy) == _truth(
+            rows_a, rows_b, d
+        )
 
 
 def test_mixed_lengths_cross_block_boundary(spark):
     # pairs straddling the small/main boundary (len 3 vs len 4 at
     # q=2,d=1 where small_len=3) must appear exactly once
     rows = [(1, "abc"), (2, "abcd"), (3, "abd"), (4, "abcde"), (5, "zz")]
-    got = _run(spark, rows, rows, 1)
+    got = _run(spark, rows, rows, 1, strategy="grams")
     assert got == _truth(rows, rows, 1)
+
+
+def test_deletes_rejects_large_d_and_bad_strategy(spark):
+    a = spark.createDataFrame([(1, "abc")], "id long, s string")
+    with pytest.raises(ValueError):
+        edit_distance_join(a, a, max_dist=3, strategy="deletes")
+    with pytest.raises(ValueError):
+        edit_distance_join(a, a, max_dist=1, strategy="bogus")
+    # auto falls back to grams at d=3 and stays exact
+    rows = [(1, "abcdef"), (2, "abcxyz"), (3, "qrstuv")]
+    got = _run(spark, rows, rows, 3, strategy="auto")
+    assert got == _truth(rows, rows, 3)
 
 
 def test_threshold_excludes_above_d(spark):
@@ -97,18 +116,22 @@ def test_threshold_excludes_above_d(spark):
     assert (1, 2, 3) in got2
 
 
-def test_partition_invariance(spark):
+@pytest.mark.parametrize("strategy", ["deletes", "grams"])
+def test_partition_invariance(spark, strategy):
     rng = random.Random(13)
     rows = [
         (i, "".join(rng.choice("abcd") for _ in range(rng.randint(3, 10))))
         for i in range(80)
     ]
     a = spark.createDataFrame(rows, "id long, s string")
-    base = edit_distance_join(a, a, max_dist=2)
+    base = edit_distance_join(a, a, max_dist=2, strategy=strategy)
     got1 = {tuple(r) for r in base.collect()}
     a7 = a.repartition(7)
     got7 = {
-        tuple(r) for r in edit_distance_join(a7, a7, max_dist=2).collect()
+        tuple(r)
+        for r in edit_distance_join(
+            a7, a7, max_dist=2, strategy=strategy
+        ).collect()
     }
     assert got1 == got7 == _truth(rows, rows, 2)
 
@@ -121,12 +144,13 @@ def test_nulls_dropped_and_bad_maxdist(spark):
         edit_distance_join(a, a, max_dist=0)
 
 
-def test_shared_stem_goes_through_rare_grams(spark):
-    # the record-linkage shape: every string shares a long stem; the
-    # df-ordered prefix must still find the pairs (and only them)
+@pytest.mark.parametrize("strategy", ["deletes", "grams"])
+def test_shared_stem_goes_through_rare_grams(spark, strategy):
+    # the record-linkage shape: every string shares a long stem; both
+    # strategies must still find the pairs (and only them)
     rows_a = [(i, f"Customer#{i:09d}") for i in range(60)]
     rows_b = [(100 + i, f"Customer#{i:09d}"[:-1] + "X") for i in range(60)]
-    got = _run(spark, rows_a, rows_b, 1)
+    got = _run(spark, rows_a, rows_b, 1, strategy=strategy)
     assert got == _truth(rows_a, rows_b, 1)
     # each dirty name links to the 10 masters differing only in the
     # final digit (substituting X back to any digit is one edit)
