@@ -243,6 +243,8 @@ HEADLINE = [
     "q247_dsir_select",
     "q249_edit_join",
     "q250_record_linkage",
+    "q251_incremental_linkage",
+    "q252_entity_resolution",
 ]
 
 

@@ -1,0 +1,149 @@
+"""Persisted record-linkage index — the SymSpell deletion-variant
+index as incremental state, so a dirty feed links against a master
+list WITHOUT recomputing the master's variant neighbourhood per batch.
+
+Why state: functions/dedup.py::edit_distance_join recomputes both
+sides' deletion variants on every call. In production the master list
+is large, slowly-growing, and reused across thousands of link calls —
+its variants are a classic build-once artifact. This module persists
+them as an append-only parquet store (one ``batch=<id>`` dir per
+master batch, the dedup_state versioned-ingest convention), and
+``link_batch`` explodes ONLY the incoming feed.
+
+Replay contract (at-least-once safe): a redelivered master batch
+overwrites its own ``batch=<id>`` dir — same rows, same place,
+idempotent. The ``max_dist`` the index was built for rides as a
+column on every row (the bloom store's m/k pattern); appending or
+linking with a different distance raises instead of silently mixing
+neighbourhood radii.
+
+At 100 TB: variants are 1+L+L(L-1)/2 rows per master name (d=2), all
+expression-generated (codegen, no Python). The link join is an
+equi-join on the full-entropy variant string — shuffle keys stay
+well-distributed even when every master shares a long stem (measured
+in SCALE_PROBE.md against 1M same-stem names). Reference parity note:
+the reference (a DB-API cursor wrapper) has no linkage machinery;
+this extends the suite's incremental-state family.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.dedup import _deletion_variants
+
+__all__ = [
+    "append_linkage_masters",
+    "link_batch",
+    "read_linkage_state",
+]
+
+
+def _variants_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "variants")
+
+
+def _existing_dist(spark, state_dir: str) -> int | None:
+    """max_dist the persisted index was built with, or None if empty."""
+    sub = _variants_dir(state_dir)
+    if not glob.glob(os.path.join(sub, "batch=*")):
+        return None
+    ds = [
+        r["d"]
+        for r in spark.read.parquet(sub).select("d").distinct().collect()
+    ]
+    if len(ds) != 1:
+        raise ValueError(
+            f"corrupt linkage index at {state_dir}: mixed max_dist {ds}"
+        )
+    return int(ds[0])
+
+
+def append_linkage_masters(
+    master_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    max_dist: int = 1,
+    id_col: str = "id",
+    str_col: str = "s",
+) -> str:
+    """Fold a master batch into the persisted variant index; returns
+    the batch dir written. Idempotent under replay (the batch
+    overwrites its own dir). Raises if the store was built with a
+    different *max_dist* — neighbourhood radii must not mix."""
+    d = int(max_dist)
+    if d < 1 or d > 2:
+        raise ValueError("linkage index supports max_dist in {1, 2}")
+    spark = master_df.sparkSession
+    prior = _existing_dist(spark, state_dir)
+    if prior is not None and prior != d:
+        raise ValueError(
+            f"linkage index at {state_dir} was built with max_dist="
+            f"{prior}; refusing to append with max_dist={d}"
+        )
+    rows = (
+        master_df.select(
+            F.col(id_col).alias("id"), F.col(str_col).alias("s")
+        )
+        .where(F.col(str_col).isNotNull())
+        .select(
+            "id",
+            "s",
+            F.explode(_deletion_variants("s", d)).alias("v"),
+            F.lit(d).alias("d"),
+        )
+    )
+    target = os.path.join(_variants_dir(state_dir), f"batch={int(batch_id)}")
+    rows.write.mode("overwrite").parquet(target)
+    return target
+
+
+def read_linkage_state(spark, state_dir: str) -> DataFrame:
+    """All persisted master variant rows (id, s, v, d)."""
+    sub = _variants_dir(state_dir)
+    if not glob.glob(os.path.join(sub, "batch=*")):
+        raise ValueError(f"no linkage index at {state_dir}")
+    return spark.read.parquet(sub)
+
+
+def link_batch(
+    batch_df: DataFrame,
+    state_dir: str,
+    id_col: str = "id",
+    str_col: str = "s",
+) -> DataFrame:
+    """Link a dirty feed against the persisted master index: returns
+    (id_a = feed id, id_b = master id, dist) for every pair within the
+    index's max_dist. Only the FEED side computes variants here; the
+    master side streams from parquet. Exact: variant equi-join, then
+    length filter, then threshold levenshtein verification."""
+    spark = batch_df.sparkSession
+    state = read_linkage_state(spark, state_dir)
+    d = _existing_dist(spark, state_dir)
+    feed = (
+        batch_df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
+        .where(F.col(str_col).isNotNull())
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("s").alias("s_a"),
+            F.explode(_deletion_variants("s", d)).alias("v"),
+        )
+    )
+    masters = state.select(
+        F.col("id").alias("id_b"), F.col("s").alias("s_b"), "v"
+    )
+    cand = (
+        feed.join(masters, "v")
+        .where(F.abs(F.length("s_a") - F.length("s_b")) <= d)
+        .select("id_a", "s_a", "id_b", "s_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("s_a", "s_b", d))
+        .where((F.col("dist") >= 0) & (F.col("dist") <= d))
+        .select("id_a", "id_b", "dist")
+    )

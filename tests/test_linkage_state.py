@@ -1,0 +1,97 @@
+"""linkage_state — the persisted SymSpell variant index: two-batch
+append equals one-shot build, replay idempotence, the max_dist mixing
+guard, and the empty-store loud failure.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from etlhelper_spark.functions import edit_distance_join
+from etlhelper_spark.operators import (
+    append_linkage_masters,
+    link_batch,
+    read_linkage_state,
+)
+
+
+@pytest.fixture()
+def state_dir():
+    d = tempfile.mkdtemp(prefix="ehs_linkage_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _masters(spark, n=40):
+    return spark.createDataFrame(
+        [(i, f"Customer#{i:09d}") for i in range(n)], "id long, s string"
+    )
+
+
+def _dirty(spark, n=40):
+    # one substitution per name at an id-derived digit position
+    rows = []
+    for i in range(n):
+        s = f"Customer#{i:09d}"
+        p = 9 + (i % 8)
+        rows.append((1000 + i, s[:p] + "X" + s[p + 1 :]))
+    return spark.createDataFrame(rows, "id long, s string")
+
+
+def _pairs(df):
+    return {(r["id_a"], r["id_b"], r["dist"]) for r in df.collect()}
+
+
+def test_two_batch_append_equals_oneshot_join(spark, state_dir):
+    m = _masters(spark)
+    d = _dirty(spark)
+    append_linkage_masters(m.where("id % 2 = 0"), state_dir, 0, max_dist=1)
+    append_linkage_masters(m.where("id % 2 = 1"), state_dir, 1, max_dist=1)
+    got = _pairs(link_batch(d, state_dir))
+    want = _pairs(edit_distance_join(d, m, max_dist=1))
+    assert got == want and len(got) > 0
+    # every dirty row links to its own master at distance 1
+    assert all((1000 + i, i, 1) in got for i in range(40))
+
+
+def test_replay_is_idempotent(spark, state_dir):
+    m = _masters(spark)
+    append_linkage_masters(m, state_dir, 0, max_dist=1)
+    before = _pairs(link_batch(_dirty(spark), state_dir))
+    n_rows = read_linkage_state(spark, state_dir).count()
+    # redelivered batch overwrites its own dir: same rows, same links
+    append_linkage_masters(m, state_dir, 0, max_dist=1)
+    assert read_linkage_state(spark, state_dir).count() == n_rows
+    assert _pairs(link_batch(_dirty(spark), state_dir)) == before
+
+
+def test_max_dist_mixing_guard(spark, state_dir):
+    m = _masters(spark, 10)
+    append_linkage_masters(m, state_dir, 0, max_dist=1)
+    with pytest.raises(ValueError, match="max_dist"):
+        append_linkage_masters(m, state_dir, 1, max_dist=2)
+    with pytest.raises(ValueError):
+        append_linkage_masters(m, state_dir, 2, max_dist=3)
+
+
+def test_empty_store_fails_loudly(spark, state_dir):
+    with pytest.raises(ValueError, match="no linkage index"):
+        link_batch(_dirty(spark, 5), state_dir)
+
+
+def test_d2_links_two_edit_typos(spark, state_dir):
+    m = _masters(spark, 20)
+    append_linkage_masters(m, state_dir, 0, max_dist=2)
+    # two substitutions: only reachable at d=2
+    rows = [
+        (2000 + i, f"Customer#{i:09d}"[:10] + "XY" + f"Customer#{i:09d}"[12:])
+        for i in range(20)
+    ]
+    d2 = spark.createDataFrame(rows, "id long, s string")
+    got = _pairs(link_batch(d2, state_dir))
+    want = _pairs(edit_distance_join(d2, m, max_dist=2))
+    assert got == want
+    assert all((2000 + i, i, 2) in got for i in range(20))
