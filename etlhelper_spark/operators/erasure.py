@@ -426,6 +426,7 @@ def forget_everywhere(
     index_state_dir: str | None = None,
     ivf_index_paths=(),
     ivfpq_index_paths=(),
+    linkage_state_dir: str | None = None,
     state_partitions: int = 1,
 ) -> dict[str, int]:
     """ONE deletion request, EVERY derived artifact: orchestrates the
@@ -474,4 +475,12 @@ def forget_everywhere(
         out[f"ivf_index_{i}"] = forget_from_ann_index(spark, p, ids)
     for i, p in enumerate(ivfpq_index_paths):
         out[f"ivfpq_index_{i}"] = forget_from_ivfpq_index(spark, p, ids)
+    if linkage_state_dir is not None and os.path.isdir(
+        os.path.join(linkage_state_dir, "variants")
+    ):
+        from .linkage_state import forget_from_linkage_state
+
+        out["linkage_index"] = forget_from_linkage_state(
+            spark, linkage_state_dir, ids
+        )
     return out

@@ -28,16 +28,17 @@ this extends the suite's incremental-state family.
 
 from __future__ import annotations
 
-import glob
 import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.dedup import _deletion_variants
+from .dedup_state import _current_base, _prior_batches
 
 __all__ = [
     "append_linkage_masters",
+    "forget_from_linkage_state",
     "link_batch",
     "read_linkage_state",
 ]
@@ -47,14 +48,28 @@ def _variants_dir(state_dir: str) -> str:
     return os.path.join(state_dir, "variants")
 
 
+def _sources(state_dir: str) -> list[str]:
+    """All complete store pieces: the newest marker-checked erased/
+    compacted base (if any) plus every batch append. During the
+    crash window between an erase's marker write and its cleanup of
+    the folded batch dirs, rows appear TWICE — harmless here by
+    construction, because link_batch dedups candidate pairs before
+    verification and erase counts distinct ids (the reason this store
+    can use the simple resolution rather than dedup_state's carried-
+    batch filtering)."""
+    sub = _variants_dir(state_dir)
+    cur = _current_base(sub)
+    return ([cur] if cur else []) + _prior_batches(sub, 2**62)
+
+
 def _existing_dist(spark, state_dir: str) -> int | None:
     """max_dist the persisted index was built with, or None if empty."""
-    sub = _variants_dir(state_dir)
-    if not glob.glob(os.path.join(sub, "batch=*")):
+    src = _sources(state_dir)
+    if not src:
         return None
     ds = [
         r["d"]
-        for r in spark.read.parquet(sub).select("d").distinct().collect()
+        for r in spark.read.parquet(*src).select("d").distinct().collect()
     ]
     if len(ds) != 1:
         raise ValueError(
@@ -104,10 +119,36 @@ def append_linkage_masters(
 
 def read_linkage_state(spark, state_dir: str) -> DataFrame:
     """All persisted master variant rows (id, s, v, d)."""
-    sub = _variants_dir(state_dir)
-    if not glob.glob(os.path.join(sub, "batch=*")):
+    src = _sources(state_dir)
+    if not src:
         raise ValueError(f"no linkage index at {state_dir}")
-    return spark.read.parquet(sub)
+    return spark.read.parquet(*src)
+
+
+def forget_from_linkage_state(spark, state_dir: str, ids) -> int:
+    """Right-to-be-forgotten for the linkage index: a deletion request
+    for master records must stop a dirty feed from LINKING to them —
+    a forgotten customer whose name variants still match incoming
+    records is a compliance failure (the erasure.py contract). Same
+    crash-safe versioned rewrite as every other store: merge base +
+    appends, anti-join the doomed ids out, fresh ``base_v<k+1>``,
+    marker LAST. Returns the number of variant rows erased. As with
+    the other stores, a later REPLAY of an old master batch re-admits
+    its rows — deleting the record from the upstream master source is
+    the caller's half of the contract."""
+    from .erasure import _doomed_frame, _versioned_erase
+
+    doomed = _doomed_frame(spark, ids)
+    return _versioned_erase(
+        spark,
+        _variants_dir(state_dir),
+        lambda m: m.join(
+            F.broadcast(doomed), m["id"] == doomed["__fid"], "left_anti"
+        ).select("id", "s", "v", "d"),
+        lambda m: m.join(
+            F.broadcast(doomed), m["id"] == doomed["__fid"], "left_semi"
+        ).count(),
+    )
 
 
 def link_batch(

@@ -14383,6 +14383,115 @@ def q252_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q253_forget_linkage",
+    """
+    WITH dirty AS (
+        SELECT c_custkey AS did,
+               CASE c_custkey % 3
+                 WHEN 0 THEN substr(c_name, 1, 9 + c_custkey % 8)
+                             || substr(c_name, 11 + c_custkey % 8)
+                 WHEN 1 THEN substr(c_name, 1, 9 + c_custkey % 8)
+                             || 'X' || substr(c_name, 11 + c_custkey % 8)
+                 ELSE substr(c_name, 1, 10 + c_custkey % 8)
+                      || 'Z' || substr(c_name, 11 + c_custkey % 8)
+               END AS s
+        FROM customer
+    ), kept AS (
+        SELECT c_custkey, c_name FROM customer WHERE c_custkey % 10 <> 3
+    ), pairs AS (
+        SELECT d.did, m.c_custkey AS mid,
+               levenshtein(d.s, m.c_name) AS dist
+        FROM dirty d JOIN kept m
+          ON abs(length(d.s) - length(m.c_name)) <= 1
+        WHERE levenshtein(d.s, m.c_name) <= 1
+    )
+    SELECT did AS id,
+           count(*) AS n_cand,
+           CAST(min(dist) AS INT) AS min_dist,
+           bool_or(did = mid) AS linked
+    FROM pairs GROUP BY did
+    """,
+)
+def q253_forget_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten for the LINKAGE index
+    (operators/linkage_state.py::forget_from_linkage_state, wired into
+    erasure.py::forget_everywhere): after erasing every 10th master
+    from the persisted variant index, the dirty feed must no longer
+    link to the forgotten records — their own typo'd feed rows lose
+    their exact-master link (pinned by an in-plan gate AND the
+    oracle's ``linked`` column), while links to retained neighbouring
+    masters survive untouched. The oracle restates erasure as linkage
+    against ``customer WHERE c_custkey % 10 <> 3``, so the hash pins
+    the erase to EXACTLY the requested rows — over-erasure (dropping
+    a retained master's variants) and under-erasure (a forgotten
+    master still linkable) both flip it. The doomed set enters as a
+    DataFrame feed, anti-joined inside the versioned rewrite, never
+    collected."""
+    import shutil
+    import tempfile
+
+    from ..operators.linkage_state import (
+        append_linkage_masters,
+        forget_from_linkage_state,
+        link_batch,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    master = c.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("s")
+    )
+    mode = F.col("c_custkey") % 3
+    dirty = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            mode == 0,
+            F.expr(
+                "concat(substring(c_name, 1, 9 + c_custkey % 8),"
+                " substring(c_name, 11 + c_custkey % 8))"
+            ),
+        )
+        .when(
+            mode == 1,
+            F.expr(
+                "concat(substring(c_name, 1, 9 + c_custkey % 8),"
+                " 'X', substring(c_name, 11 + c_custkey % 8))"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "concat(substring(c_name, 1, 10 + c_custkey % 8),"
+                " 'Z', substring(c_name, 11 + c_custkey % 8))"
+            )
+        )
+        .alias("s"),
+    )
+    work = tempfile.mkdtemp(prefix="ehs_linkage_q253_")
+    try:
+        append_linkage_masters(master, work, 0, max_dist=1)
+        doomed = master.where(F.col("id") % 10 == 3).select("id")
+        forget_from_linkage_state(spark, work, doomed)
+        out = (
+            link_batch(dirty, work)
+            .groupBy("id_a")
+            .agg(
+                F.count("*").alias("n_cand"),
+                F.min("dist").cast("int").alias("min_dist"),
+                F.bool_or(F.col("id_b") == F.col("id_a")).alias("linked"),
+            )
+            .select(F.col("id_a").alias("id"), "n_cand", "min_dist", "linked")
+            .localCheckpoint()
+        )
+        n_ghost = out.where((F.col("id") % 10 == 3) & F.col("linked")).count()
+        if n_ghost:
+            raise ValueError(
+                f"erasure leak: {n_ghost} forgotten masters still linkable"
+            )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

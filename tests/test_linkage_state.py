@@ -13,6 +13,7 @@ import pytest
 from etlhelper_spark.functions import edit_distance_join
 from etlhelper_spark.operators import (
     append_linkage_masters,
+    forget_from_linkage_state,
     link_batch,
     read_linkage_state,
 )
@@ -80,6 +81,54 @@ def test_max_dist_mixing_guard(spark, state_dir):
 def test_empty_store_fails_loudly(spark, state_dir):
     with pytest.raises(ValueError, match="no linkage index"):
         link_batch(_dirty(spark, 5), state_dir)
+
+
+def test_forget_removes_master_from_linkage(spark, state_dir):
+    m = _masters(spark)
+    append_linkage_masters(m.where("id % 2 = 0"), state_dir, 0, max_dist=1)
+    append_linkage_masters(m.where("id % 2 = 1"), state_dir, 1, max_dist=1)
+    doomed = [3, 7, 12]
+    n_rows = read_linkage_state(spark, state_dir).count()
+    n_erased = forget_from_linkage_state(spark, state_dir, doomed)
+    # a master contributes its DISTINCT deletion variants (repeated
+    # chars collapse: deleting any of the zeros gives the same string)
+    expect = sum(
+        len({s} | {s[:i] + s[i + 1 :] for i in range(len(s))})
+        for s in (f"Customer#{i:09d}" for i in doomed)
+    )
+    assert n_erased == expect
+    assert read_linkage_state(spark, state_dir).count() == n_rows - n_erased
+    got = _pairs(link_batch(_dirty(spark), state_dir))
+    want = _pairs(
+        edit_distance_join(
+            _dirty(spark), m.where(~m["id"].isin(doomed)), max_dist=1
+        )
+    )
+    assert got == want
+    assert not any(mid in doomed for _, mid, _ in got)
+    # the store keeps working: an append after the erase is linkable
+    append_linkage_masters(
+        spark.createDataFrame([(900, "Customer#000000003")], "id long, s string"),
+        state_dir,
+        2,
+        max_dist=1,
+    )
+    got2 = _pairs(link_batch(_dirty(spark), state_dir))
+    assert (1003, 900, 1) in got2
+
+
+def test_forget_via_orchestrator(spark, state_dir):
+    from etlhelper_spark.operators import forget_everywhere
+
+    m = _masters(spark, 10)
+    append_linkage_masters(m, state_dir, 0, max_dist=1)
+    s4 = "Customer#000000004"
+    expect = len({s4} | {s4[:i] + s4[i + 1 :] for i in range(len(s4))})
+    out = forget_everywhere(spark, [4], linkage_state_dir=state_dir)
+    assert out == {"linkage_index": expect}
+    assert not any(
+        mid == 4 for _, mid, _ in _pairs(link_batch(_dirty(spark, 10), state_dir))
+    )
 
 
 def test_d2_links_two_edit_typos(spark, state_dir):
