@@ -15,7 +15,9 @@ measures the 64-round path at 1M docs). Same exclusion for the two
 multi-store LIFECYCLE gates: q242 (seven-store erasure orchestration
 — dozens of fixed-overhead jobs over a deliberately bounded corpus;
 the per-store erase kernels ARE timed via SCALE_PROBE's
-forget-at-state-scale rows) and the A/B comparison harnesses q243 and
+forget-at-state-scale rows), the single-store erasure lifecycle q253
+(same rationale; SCALE_PROBE times the linkage erase kernel), and the
+A/B comparison harnesses q243 and
 q248, which build TWO indexes plus a brute-force truth —
 q229/q234/q241/q244 time the production IVFPQ paths, and q247 times
 the rotation-free selection scan.

@@ -184,6 +184,61 @@ def main() -> None:
         2 * args.docs // 10,
         lambda: _edit_join_probe(2, args.docs // 10),
     )
+
+    # linkage-state lifecycle at the same adversarial corpus: persist
+    # the 1M-master variant index once, link a 100k feed against the
+    # parquet-resident state, then erase 10k masters (versioned
+    # anti-join rewrite) and re-link
+    from etlhelper_spark.operators.linkage_state import (
+        append_linkage_masters,
+        forget_from_linkage_state,
+        link_batch,
+    )
+
+    linkage_dir = os.path.join(tmp, "linkage_state")
+
+    def _linkage_build_probe() -> int:
+        n = args.docs
+        master = spark.range(n).select(
+            F.col("id"),
+            F.concat(F.lit("Customer#"), F.lpad("id", 9, "0")).alias("s"),
+        )
+        append_linkage_masters(master, linkage_dir, 0, max_dist=1)
+        return 1
+
+    def _linkage_feed(n_feed: int):
+        return spark.range(n_feed).select(
+            (F.col("id") + args.docs).alias("id"),
+            F.expr(
+                "concat(substring(concat('Customer#', lpad(id, 9, '0')),"
+                " 1, 9 + id % 8), 'X',"
+                " substring(concat('Customer#', lpad(id, 9, '0')),"
+                " 11 + id % 8))"
+            ).alias("s"),
+        )
+
+    probe(
+        "linkage index build (1M masters, persisted variants)",
+        args.docs,
+        _linkage_build_probe,
+    )
+    probe(
+        "linkage link_batch (100k feed vs 1M-master state)",
+        args.docs // 10,
+        lambda: link_batch(_linkage_feed(args.docs // 10), linkage_dir).count(),
+    )
+    probe(
+        "linkage erase 10k masters + re-link (versioned rewrite)",
+        args.docs,
+        lambda: (
+            forget_from_linkage_state(
+                spark,
+                linkage_dir,
+                spark.range(0, args.docs, 100).select(F.col("id")),
+            ),
+            link_batch(_linkage_feed(args.docs // 100), linkage_dir).count(),
+        )[-1],
+    )
     queries = vecs.where(F.col("vec_id") < 32)
     probe(
         "LSH bucket top-k (32 queries)",
