@@ -63,19 +63,16 @@ def _sources(state_dir: str) -> list[str]:
 
 
 def _existing_dist(spark, state_dir: str) -> int | None:
-    """max_dist the persisted index was built with, or None if empty."""
-    src = _sources(state_dir)
-    if not src:
-        return None
-    ds = [
-        r["d"]
-        for r in spark.read.parquet(*src).select("d").distinct().collect()
-    ]
-    if len(ds) != 1:
-        raise ValueError(
-            f"corrupt linkage index at {state_dir}: mixed max_dist {ds}"
-        )
-    return int(ds[0])
+    """max_dist the persisted index was built with, or None if empty.
+    Reads ONE row from one store piece — append_linkage_masters
+    enforces per-store consistency at write time, so any piece's d is
+    THE store's d; a full-store distinct here would make every append
+    and link O(state) just to read a parameter."""
+    for p in _sources(state_dir):
+        row = spark.read.parquet(p).select("d").first()
+        if row is not None:
+            return int(row["d"])
+    return None
 
 
 def append_linkage_masters(

@@ -185,6 +185,23 @@ def test_sql_udf_inlines_no_python_eval(spark):
     assert "CASE WHEN" in plan  # body inlined as an expression
 
 
+def test_edit_join_no_nested_loop(spark):
+    """The entire point of edit_distance_join: a levenshtein-theta
+    join would plan BroadcastNestedLoopJoin/CartesianProduct; both
+    candidate strategies must stay equi-join shaped."""
+    from etlhelper_spark.functions import edit_distance_join
+
+    a = spark.createDataFrame(
+        [(i, f"Customer#{i:09d}") for i in range(50)], "id long, s string"
+    )
+    for strategy in ("deletes", "grams"):
+        plan = explain_str(
+            edit_distance_join(a, a, max_dist=1, strategy=strategy)
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
 def test_corpus_count_pinned():
     """One corpus number everywhere: every declared query has an
     oracle, and the documented count can't silently drift from the
