@@ -136,6 +136,20 @@ def test_partition_invariance(spark, strategy):
     assert got1 == got7 == _truth(rows, rows, 2)
 
 
+@pytest.mark.parametrize("strategy", ["deletes", "grams"])
+def test_unicode_codepoint_semantics(spark, strategy):
+    # Spark's length/substring/levenshtein are code-point based; the
+    # operator must agree with Python's character-level reference on
+    # multi-byte text (accents, CJK) for both strategies
+    rows = [
+        (1, "café"), (2, "cafe"), (3, "cafés"),
+        (4, "naïve"), (5, "naive"),
+        (6, "日本語"), (7, "日本誤"), (8, "日本語です"),
+    ]
+    got = _run(spark, rows, rows, 1, strategy=strategy)
+    assert got == _truth(rows, rows, 1)
+
+
 def test_nulls_dropped_and_bad_maxdist(spark):
     a = spark.createDataFrame([(1, "abc"), (2, None)], "id long, s string")
     got = _run(spark, [(1, "abc"), (2, None)], [(3, "abd")], 1)
