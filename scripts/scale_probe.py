@@ -1158,6 +1158,10 @@ def main() -> None:
         f"(~{n_docs // 5000}x the sf0.1 document count), local[32].",
         "Generated by scripts/scale_probe.py; timings are steady-state-",
         "adjacent (one JVM, operators run once each after session warm).",
+        "Single-shot rates carry first-run JIT/page-cache variance of",
+        "up to ~2-3x across sessions (measured: exact dedup 207k rows/s",
+        "cold vs 1.07M warm in one JVM); read rows for rate COLLAPSE",
+        "(quadratic blowup) relative to input size, not for +-2x drift.",
         "",
         "| operator | wall (s) | input rows | rows/sec |",
         "|---|---|---|---|",
