@@ -41,6 +41,7 @@ __all__ = [
     "forget_from_linkage_state",
     "link_batch",
     "read_linkage_state",
+    "streaming_link",
 ]
 
 
@@ -120,6 +121,40 @@ def read_linkage_state(spark, state_dir: str) -> DataFrame:
     if not src:
         raise ValueError(f"no linkage index at {state_dir}")
     return spark.read.parquet(*src)
+
+
+def streaming_link(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    id_col: str = "id",
+    str_col: str = "s",
+) -> None:
+    """Streaming record linkage — the continuous-ingest loop of the
+    linkage family (the same pattern as streaming_dedup_exact /
+    streaming_dedup_embedding): every micro-batch of the dirty feed
+    links against the persisted master index inside foreachBatch, and
+    its matches land in ``out_dir/batch=<micro_batch_id>``. A
+    redelivered micro-batch overwrites its OWN partition with the
+    identical deterministic result (the index is read-only here), so
+    the loop is idempotent under at-least-once. The union over batch
+    partitions equals one batch-mode link_batch over the whole feed —
+    the q254 oracle's contract. Starts and drains an availableNow
+    query."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        link_batch(batch_df, state_dir, id_col, str_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"batch={int(batch_id)}"))
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def forget_from_linkage_state(spark, state_dir: str, ids) -> int:

@@ -14492,6 +14492,136 @@ def q253_forget_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "q254_stream_linkage",
+    """
+    WITH dirty AS (
+        SELECT c_custkey AS did,
+               CASE c_custkey % 3
+                 WHEN 0 THEN substr(c_name, 1, 9 + c_custkey % 8)
+                             || substr(c_name, 11 + c_custkey % 8)
+                 WHEN 1 THEN substr(c_name, 1, 9 + c_custkey % 8)
+                             || 'X' || substr(c_name, 11 + c_custkey % 8)
+                 ELSE substr(c_name, 1, 10 + c_custkey % 8)
+                      || 'Z' || substr(c_name, 11 + c_custkey % 8)
+               END AS s
+        FROM customer
+    ), pairs AS (
+        SELECT d.did, m.c_custkey AS mid,
+               levenshtein(d.s, m.c_name) AS dist
+        FROM dirty d JOIN customer m
+          ON abs(length(d.s) - length(m.c_name)) <= 1
+        WHERE levenshtein(d.s, m.c_name) <= 1
+    )
+    SELECT did AS id,
+           count(*) AS n_cand,
+           CAST(min(dist) AS INT) AS min_dist,
+           bool_or(did = mid) AS linked,
+           CAST(did % 2 AS INT) AS src_batch
+    FROM pairs GROUP BY did
+    """,
+)
+def q254_stream_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING record linkage (operators/linkage_state.py::
+    streaming_link — the linkage family's continuous-ingest loop,
+    same foreachBatch discipline as the streaming dedup modalities):
+    the dirty feed arrives as two mtime-ordered files (custkey
+    parity), each availableNow micro-batch links against the
+    persisted master index, and its matches land under their own
+    ``batch=<id>`` partition (a redelivered batch overwrites exactly
+    its own rows — the result is deterministic because the index is
+    read-only during linking). The oracle restates the drained union
+    as ONE batch link over the whole feed WITH the micro-batch
+    lineage attached (src_batch = custkey parity, the file routing),
+    so the hash pins both the linkage values and which batch produced
+    each row."""
+    import glob as _glob
+    import shutil
+    import time
+
+    from ..operators.linkage_state import (
+        append_linkage_masters,
+        streaming_link,
+    )
+
+    configure_session(spark)
+    c = _t(spark, sf_dir, "customer")
+    master = c.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("s")
+    )
+    mode = F.col("c_custkey") % 3
+    dirty = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            mode == 0,
+            F.expr(
+                "concat(substring(c_name, 1, 9 + c_custkey % 8),"
+                " substring(c_name, 11 + c_custkey % 8))"
+            ),
+        )
+        .when(
+            mode == 1,
+            F.expr(
+                "concat(substring(c_name, 1, 9 + c_custkey % 8),"
+                " 'X', substring(c_name, 11 + c_custkey % 8))"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "concat(substring(c_name, 1, 10 + c_custkey % 8),"
+                " 'Z', substring(c_name, 11 + c_custkey % 8))"
+            )
+        )
+        .alias("s"),
+    )
+    work = tempfile.mkdtemp(prefix="ehs_linkage_q254_")
+    feed = os.path.join(work, "feed")
+    out_dir = os.path.join(work, "out")
+    try:
+        append_linkage_masters(master, os.path.join(work, "idx"), 0,
+                               max_dist=1)
+        parts_seen: set = set()
+        t0 = time.time() - 1000
+        for i in (0, 1):
+            dirty.where(F.col("id") % 2 == i).coalesce(1).write.mode(
+                "append" if i else "overwrite"
+            ).parquet(feed)
+            new = set(_glob.glob(os.path.join(feed, "part-*"))) - parts_seen
+            for p in new:
+                os.utime(p, (t0 + 100 * i, t0 + 100 * i))
+            parts_seen |= new
+        stream = (
+            spark.readStream.schema(dirty.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        streaming_link(
+            stream, os.path.join(work, "idx"), os.path.join(work, "ckpt"),
+            out_dir,
+        )
+        out = (
+            spark.read.parquet(out_dir)
+            .groupBy("id_a")
+            .agg(
+                F.count("*").alias("n_cand"),
+                F.min("dist").cast("int").alias("min_dist"),
+                F.bool_or(F.col("id_b") == F.col("id_a")).alias("linked"),
+                F.max("batch").cast("int").alias("src_batch"),
+            )
+            .select(
+                F.col("id_a").alias("id"),
+                "n_cand",
+                "min_dist",
+                "linked",
+                "src_batch",
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -131,6 +131,53 @@ def test_forget_via_orchestrator(spark, state_dir):
     )
 
 
+def test_streaming_link_drains_and_replays(spark, state_dir, tmp_path):
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etlhelper_spark.operators import link_batch, streaming_link
+
+    m = _masters(spark)
+    append_linkage_masters(m, state_dir, 0, max_dist=1)
+    d = _dirty(spark)
+    feed = str(tmp_path / "feed")
+    out_dir = str(tmp_path / "out")
+    seen: set = set()
+    t0 = time.time() - 1000
+    for i in (0, 1):
+        d.where(F.col("id") % 2 == i).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(feed)
+        new = set(glob.glob(os.path.join(feed, "part-*"))) - seen
+        for p in new:
+            os.utime(p, (t0 + 100 * i, t0 + 100 * i))
+        seen |= new
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    streaming_link(stream, state_dir, str(tmp_path / "ckpt"), out_dir)
+    drained = spark.read.parquet(out_dir)
+    # two micro-batches, partitioned by their id
+    assert {r["batch"] for r in drained.select("batch").distinct().collect()} == {0, 1}
+    got = {(r["id_a"], r["id_b"], r["dist"]) for r in drained.collect()}
+    want = _pairs(link_batch(d, state_dir))
+    assert got == want
+    # redelivery of micro-batch 1 overwrites its own partition: same rows
+    link_batch(d.where("id % 2 = 1"), state_dir).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "batch=1"))
+    again = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert again == want
+
+
 def test_d2_links_two_edit_typos(spark, state_dir):
     m = _masters(spark, 20)
     append_linkage_masters(m, state_dir, 0, max_dist=2)
