@@ -481,6 +481,6 @@ def forget_everywhere(
         from .linkage_state import forget_from_linkage_state
 
         out["linkage_index"] = forget_from_linkage_state(
-            spark, linkage_state_dir, ids
+            spark, linkage_state_dir, ids, state_partitions
         )
     return out

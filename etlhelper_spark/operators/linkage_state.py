@@ -157,7 +157,9 @@ def streaming_link(
     q.awaitTermination()
 
 
-def forget_from_linkage_state(spark, state_dir: str, ids) -> int:
+def forget_from_linkage_state(
+    spark, state_dir: str, ids, state_partitions: int = 1
+) -> int:
     """Right-to-be-forgotten for the linkage index: a deletion request
     for master records must stop a dirty feed from LINKING to them —
     a forgotten customer whose name variants still match incoming
@@ -180,6 +182,7 @@ def forget_from_linkage_state(spark, state_dir: str, ids) -> int:
         lambda m: m.join(
             F.broadcast(doomed), m["id"] == doomed["__fid"], "left_semi"
         ).count(),
+        state_partitions,
     )
 
 
