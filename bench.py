@@ -247,6 +247,8 @@ HEADLINE = [
     "q250_record_linkage",
     "q251_incremental_linkage",
     "q252_entity_resolution",
+    "q254_stream_linkage",
+    "q255_sssp",
 ]
 
 

@@ -100,3 +100,55 @@ def weighted_pagerank(
     return ranks.select(
         F.col("__id").alias(id_col), F.col("__rank").alias("rank")
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Single-source shortest distances reachable within *max_hops*
+    edges — bounded Bellman-Ford as a DataFrame loop, the
+    shortest-path member of the iterative family next to
+    weighted_pagerank and duplicate_clusters' label propagation.
+
+    Semantics are EXPLICITLY hop-bounded: the result is
+    min(sum of weights) over all paths of length <= max_hops. That is
+    what makes the operator cycle-safe AND exactly restatable as a
+    depth-bounded recursive-CTE oracle (an unbounded min-dist
+    recursion never terminates on a cyclic graph); for distances
+    under a known diameter, pass max_hops >= diameter.
+
+    Per round: ONE join of the frontier-bearing distance table onto
+    edges keyed by src (at scale: edges pre-partitioned on src, the
+    distance table is the small side early on) and a min-aggregate —
+    the classic iterative-relaxation shuffle pattern. localCheckpoint
+    truncates the per-round lineage growth (the duplicate_clusters /
+    bpe_merges hygiene). Weights should be integral or decimal: exact
+    addition keeps every round order- and partition-independent.
+
+    Returns (node, dist) for every node reached within the bound.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).alias("__src"),
+        F.col(dst_col).alias("__dst"),
+        F.col(weight_col).alias("__w"),
+    )
+    src_dt = e.schema["__src"].dataType.simpleString()
+    dist = spark.createDataFrame([(source, 0)], f"node {src_dt}, dist long")
+    for _ in range(int(max_hops)):
+        relaxed = dist.join(e, dist["node"] == e["__src"]).select(
+            F.col("__dst").alias("node"),
+            (F.col("dist") + F.col("__w")).cast("long").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

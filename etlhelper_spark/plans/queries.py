@@ -14622,6 +14622,63 @@ def q254_stream_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "q255_sssp",
+    """
+    WITH RECURSIVE n AS (
+        SELECT count(*) AS n FROM customer
+    ), e AS (
+        SELECT c_custkey AS src, (3 * c_custkey + 1) % n.n AS dst,
+               1 + c_custkey % 7 AS w
+        FROM customer, n
+        UNION ALL
+        SELECT c_custkey, (5 * c_custkey + 2 + c_custkey % 11) % n.n,
+               1 + c_custkey % 5
+        FROM customer, n
+    ), walk(node, dist, hops) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+        UNION ALL
+        SELECT e.dst, w.dist + e.w, w.hops + 1
+        FROM walk w JOIN e ON e.src = w.node
+        WHERE w.hops < 10
+    )
+    SELECT node, min(dist) AS dist FROM walk GROUP BY node
+    """,
+)
+def q255_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source SHORTEST PATHS, hop-bounded (functions/graph.py::
+    shortest_paths — bounded Bellman-Ford as a DataFrame loop, the
+    shortest-path member of the iterative family beside PageRank, CC,
+    and k-means). The graph is a deterministic sparse expander over
+    the customer keys (two NON-commuting affine out-edges per node — commuting maps
+    would collapse the reachable set to O(hops^2) nodes — integer
+    weights from key residues, restated verbatim in the oracle), so distances are
+    exact integers and the ≤10-hop bound makes the recursive-CTE
+    oracle's path enumeration finite (degree 2 → ≤2^11 paths) while
+    the ENGINE never enumerates paths at all: one edges join + one
+    min-aggregate per round, the relaxation shuffle pattern that
+    scales to billion-edge graphs. Hop-bounding is also what makes
+    min-dist recursion well-defined on a cyclic graph — both sides
+    compute 'shortest distance using at most 10 edges'."""
+    from ..functions.graph import shortest_paths
+
+    c = _t(spark, sf_dir, "customer")
+    n = c.count()
+    k = F.col("c_custkey")
+    e = c.select(
+        k.alias("src"),
+        ((3 * k + 1) % n).alias("dst"),
+        (1 + k % 7).alias("w"),
+    ).unionByName(
+        c.select(
+            k.alias("src"),
+            ((5 * k + 2 + k % 11) % n).alias("dst"),
+            (1 + k % 5).alias("w"),
+        )
+    )
+    return shortest_paths(e, 0, max_hops=10).select("node", "dist")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -60,3 +60,50 @@ def test_more_iterations_shift_mass_to_cycle(spark, tiny_graph):
     # D only ever receives the base mass; cycle members exceed it
     assert got[3] == pytest.approx((1.0 - 0.85) / 4.0, abs=1e-9)
     assert all(got[i] > got[3] for i in range(3))
+
+
+def test_shortest_paths_matches_bounded_bellman_ford(spark):
+    """shortest_paths == a Python hop-bounded Bellman-Ford on a small
+    cyclic weighted graph (incl. a strictly-cheaper long path)."""
+    import random
+
+    from etlhelper_spark.functions.graph import shortest_paths
+
+    rng = random.Random(11)
+    edges = [(i, rng.randrange(20), 1 + rng.randrange(5))
+             for i in range(20) for _ in range(2)]
+    # a long cheap chain that beats a short expensive hop
+    edges += [(0, 10, 9), (0, 11, 1), (11, 12, 1), (12, 10, 1)]
+    K = 6
+
+    def ref():
+        dist = {0: 0}
+        for _ in range(K):
+            nxt = dict(dist)
+            for s, d, w in edges:
+                if s in dist and dist[s] + w < nxt.get(d, 1 << 60):
+                    nxt[d] = dist[s] + w
+            dist = nxt
+        return dist
+
+    e = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["node"]: r["dist"] for r in shortest_paths(e, 0, K).collect()}
+    assert got == ref()
+    assert got[10] == 3  # the 3-hop path, not the direct w=9 edge
+    # partition invariance
+    got7 = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(e.repartition(7), 0, K).collect()
+    }
+    assert got7 == got
+
+
+def test_shortest_paths_hop_bound_semantics(spark):
+    from etlhelper_spark.functions.graph import shortest_paths
+
+    # chain 0->1->2->3, each w=1: with max_hops=2 node 3 is unreachable
+    e = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1)], "src long, dst long, w long"
+    )
+    got = {r["node"]: r["dist"] for r in shortest_paths(e, 0, 2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}

@@ -178,6 +178,32 @@ def test_streaming_link_drains_and_replays(spark, state_dir, tmp_path):
     assert again == want
 
 
+def test_crash_window_incomplete_base_invisible(spark, state_dir):
+    """An erase whose base_v<k> write crashed before the marker must
+    be invisible: readers keep serving the old complete state (the
+    _COMPACTED marker-last discipline shared with dedup_state)."""
+    import os
+
+    m = _masters(spark, 20)
+    append_linkage_masters(m, state_dir, 0, max_dist=1)
+    before = _pairs(link_batch(_dirty(spark, 20), state_dir))
+    # simulate a torn erase: half-written base dir, NO marker
+    torn = os.path.join(state_dir, "variants", "base_v1")
+    os.makedirs(torn, exist_ok=True)
+    read_linkage_state(spark, state_dir).limit(3).write.mode(
+        "overwrite"
+    ).parquet(torn)
+    marker = os.path.join(torn, "_COMPACTED")
+    if os.path.exists(marker):
+        os.remove(marker)
+    assert _pairs(link_batch(_dirty(spark, 20), state_dir)) == before
+    # a real erase afterwards overwrites the torn dir and completes
+    n = forget_from_linkage_state(spark, state_dir, [0])
+    assert n > 0
+    after = _pairs(link_batch(_dirty(spark, 20), state_dir))
+    assert after == {(a, b, d) for (a, b, d) in before if b != 0}
+
+
 def test_d2_links_two_edit_typos(spark, state_dir):
     m = _masters(spark, 20)
     append_linkage_masters(m, state_dir, 0, max_dist=2)
