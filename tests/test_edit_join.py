@@ -150,6 +150,44 @@ def test_unicode_codepoint_semantics(spark, strategy):
     assert got == _truth(rows, rows, 1)
 
 
+def test_deletion_variants_match_python_reference(spark):
+    # the deletes strategy's entire correctness rests on the variant
+    # generator: compare the expression against a Python reference on
+    # 400 random strings (mixed lengths 0..12, repeats, unicode)
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etlhelper_spark.functions.dedup import _deletion_variants
+
+    rng = random.Random(29)
+    alphabet = "abZ09#é日"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12))))
+        for i in range(400)
+    ]
+
+    def ref(s, d):
+        out = {s}
+        d1 = {s[:i] + s[i + 1 :] for i in range(len(s))}
+        out |= d1
+        if d == 2:
+            for v in d1:
+                out |= {v[:i] + v[i + 1 :] for i in range(len(v))}
+        return out
+
+    df = spark.createDataFrame(rows, "id long, s string")
+    for d in (1, 2):
+        got = {
+            r["id"]: set(r["v"])
+            for r in df.select(
+                "id", _deletion_variants("s", d).alias("v")
+            ).collect()
+        }
+        for i, s in rows:
+            assert got[i] == ref(s, d), (s, d)
+
+
 def test_nulls_dropped_and_bad_maxdist(spark):
     a = spark.createDataFrame([(1, "abc"), (2, None)], "id long, s string")
     got = _run(spark, [(1, "abc"), (2, None)], [(3, "abd")], 1)
