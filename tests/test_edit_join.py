@@ -197,6 +197,20 @@ def test_nulls_dropped_and_bad_maxdist(spark):
 
 
 @pytest.mark.parametrize("strategy", ["deletes", "grams"])
+def test_custom_column_names(spark):
+    a = spark.createDataFrame(
+        [(1, "kitten"), (2, "mitten")], "custkey long, name string"
+    )
+    got = {
+        tuple(r)
+        for r in edit_distance_join(
+            a, a, max_dist=1, id_col="custkey", str_col="name"
+        ).where("id_a < id_b").collect()
+    }
+    assert got == {(1, 2, 1)}
+
+
+@pytest.mark.parametrize("strategy", ["deletes", "grams"])
 def test_shared_stem_goes_through_rare_grams(spark, strategy):
     # the record-linkage shape: every string shares a long stem; both
     # strategies must still find the pairs (and only them)
