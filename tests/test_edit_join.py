@@ -197,14 +197,15 @@ def test_nulls_dropped_and_bad_maxdist(spark):
 
 
 @pytest.mark.parametrize("strategy", ["deletes", "grams"])
-def test_custom_column_names(spark):
+def test_custom_column_names(spark, strategy):
     a = spark.createDataFrame(
         [(1, "kitten"), (2, "mitten")], "custkey long, name string"
     )
     got = {
         tuple(r)
         for r in edit_distance_join(
-            a, a, max_dist=1, id_col="custkey", str_col="name"
+            a, a, max_dist=1, id_col="custkey", str_col="name",
+            strategy=strategy,
         ).where("id_a < id_b").collect()
     }
     assert got == {(1, 2, 1)}
