@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logit_train"]
+__all__ = ["logit_score", "logit_train"]
 
 
 def logit_train(
@@ -89,3 +89,34 @@ def logit_train(
             )
     out = [("__bias__", float(b))] + [(f, float(w[f])) for f in names]
     return literal_frame(spark, out, "term string, weight double")
+
+
+def logit_score(
+    df: DataFrame,
+    weights: DataFrame,
+    features: list[str],
+    out_col: str = "score",
+) -> DataFrame:
+    """Score *df* with a trained (term, weight) model — the inference
+    half of logit_train: *out_col* = sigmoid(bias + w·x), 6dp-rounded
+    through the cross-engine decimal two-step so scores are
+    hash-stable and oracle-restatable. The weight table is the
+    bounded driver artifact (|features|+1 rows — the codebook
+    contract), collected once and folded into the plan as LITERALS:
+    scoring is a pure projection, one scan, zero joins, zero shuffle
+    — the right shape for scoring 100 TB of candidate pairs."""
+    w = {r["term"]: float(r["weight"]) for r in weights.collect()}
+    missing = [f for f in features if f not in w]
+    if "__bias__" not in w or missing:
+        raise ValueError(
+            f"logit_score: weight table missing terms "
+            f"{['__bias__'] * ('__bias__' not in w) + missing}"
+        )
+    z = F.lit(w["__bias__"])
+    for f in features:
+        z = z + F.lit(w[f]) * F.col(f)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return df.withColumn(
+        out_col,
+        F.round(p.cast("decimal(30,10)"), 6).cast("double"),
+    )

@@ -725,7 +725,13 @@ def edit_distance_join(
         )
     )
 
-    cand = cand_main.unionByName(cand_small).distinct()
+    # Materialize the (small) candidate set eagerly so the gram-prefix
+    # cache can be released before returning: without this, repeated
+    # grams-strategy calls in a long-lived session would pin cached
+    # prefix partitions until eviction (ADVICE r8). localCheckpoint
+    # also truncates the gram-pipeline lineage for the verify stage.
+    cand = cand_main.unionByName(cand_small).distinct().localCheckpoint()
+    prefixes.unpersist()
     return (
         cand.withColumn("dist", F.levenshtein("s_a", "s_b", d))
         .where((F.col("dist") >= 0) & (F.col("dist") <= d))

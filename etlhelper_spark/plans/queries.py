@@ -14679,6 +14679,459 @@ def q255_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shortest_paths(e, 0, max_hops=10).select("node", "dist")
 
 
+@query(
+    "q256_ivfpq_adaptive_nprobe",
+    """
+    WITH centers AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id < 64
+    ), c AS (
+        SELECT e.vec_id,
+               [ct.cv[j] + 0.1 * e.embedding[j]
+                FOR j IN range(1, len(e.embedding)+1)] AS embedding,
+               e.vec_id % 50 AS cat
+        FROM embeddings e JOIN centers ct ON e.vec_id % 64 = ct.cid
+    ), piv AS (
+        SELECT vec_id AS list_id, embedding AS pivot FROM c
+        WHERE vec_id % 3 <> 2
+        ORDER BY vec_id LIMIT 16
+    ), assign AS (
+        SELECT vec_id, cat, list_id FROM (
+            SELECT x.vec_id, x.cat, p.list_id,
+                   row_number() OVER (
+                       PARTITION BY x.vec_id
+                       ORDER BY list_cosine_similarity(
+                           x.embedding::DOUBLE[], p.pivot::DOUBLE[]) DESC,
+                           p.list_id ASC
+                   ) AS rn
+            FROM c x, piv p
+        ) WHERE rn = 1
+    ), qlists AS (
+        SELECT q.vec_id AS query_id, p.list_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       q.embedding::DOUBLE[], p.pivot::DOUBLE[]) DESC,
+                       p.list_id ASC
+               ) AS lrank
+        FROM c q, piv p WHERE q.vec_id % 20 = 10
+    ), lvl AS (
+        SELECT unnest([1, 2, 3, 4]) AS it, unnest([2, 4, 8, 16]) AS np
+    ), cand AS (
+        SELECT ql.query_id, l.it, l.np, count(a.vec_id) AS n_cand
+        FROM qlists ql
+        JOIN lvl l ON ql.lrank <= l.np
+        LEFT JOIN assign a
+          ON a.list_id = ql.list_id AND a.cat = 7
+             AND a.vec_id <> ql.query_id
+        GROUP BY ql.query_id, l.it, l.np
+    ), pick AS (
+        SELECT query_id,
+               coalesce(min(it) FILTER (n_cand >= 20), 4) AS n_iters
+        FROM cand GROUP BY query_id
+    )
+    SELECT query_id, CAST(n_iters AS INT) AS n_iters,
+           CAST(CASE n_iters WHEN 1 THEN 2 WHEN 2 THEN 4
+                WHEN 3 THEN 8 ELSE 16 END AS INT) AS nprobe_used,
+           true AS recall_ok
+    FROM pick
+    """,
+)
+def q256_ivfpq_adaptive_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAPTIVE probe widening COMPOSED onto the IVFPQ path
+    (functions/ivfpq.py::query_ivfpq_index_adaptive — VERDICT r8 #3:
+    q245 built the widening loop for the float IVF index; the
+    production codes-only index still took a fixed nprobe). Full
+    lifecycle on the q243/q245 clustered corpus: build a VERSIONED
+    COVERING index (attr_cols=['cat'] — the 1/50 attribute rides the
+    code rows, so the filter applies inside the pruned scan with no
+    row-store join) on the %3!=2 slice, append the %3==2 slice as
+    ingest batch 1, COMPACT at watermark 1, then run the two-tier
+    adaptive probe: each query widens from nprobe0=2 by doubling until
+    its filtered k x 4 ADC shortlist fills or the probe covers all 16
+    lists, and the final shortlist re-ranks by EXACT cosine against
+    the float row store (_refine_rerank — quantization error costs
+    recall only, never final ordering). The oracle restates the
+    widening schedule per query from first principles — frozen-pivot
+    assignment of every corpus row (append/compact don't change
+    assignment: that IS the frozen contract), per-query list ranking,
+    first doubling level with >= 20 filtered candidates in the probed
+    prefix — so a wrong stopping decision (too eager OR too lazy)
+    breaks the hash. In-plan gates: recall@5 >= 0.8 vs the exact
+    filtered brute force (measured 1.0 at sf0.01), and the loop must
+    actually widen (max n_iters >= 2)."""
+    from ..functions.ivfpq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        compact_ivfpq_ingest,
+        query_ivfpq_index_adaptive,
+    )
+    from ..functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    centers = emb.where(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    e = (
+        emb.withColumn("cid", F.pmod("vec_id", F.lit(64)))
+        .join(F.broadcast(centers), "cid")
+        .select(
+            "vec_id",
+            F.zip_with(
+                "cv", "embedding", lambda c, x: c + F.lit(0.1) * x
+            ).alias("embedding"),
+            F.pmod("vec_id", F.lit(50)).alias("cat"),
+        )
+        .localCheckpoint()
+    )
+    q = e.where(F.col("vec_id") % 20 == 10)
+    work = tempfile.mkdtemp(prefix="ehs_ivfpq_adapt_")
+    idx = os.path.join(work, "idx")
+    build_ivfpq_index(
+        e.where(F.col("vec_id") % 3 != 2),
+        idx,
+        nlist=16,
+        m_sub=4,
+        k_codes=8,
+        versioned_ingest=True,
+        attr_cols=["cat"],
+    )
+    append_ivfpq_index(e.where(F.col("vec_id") % 3 == 2), idx, batch_id=1)
+    compact_ivfpq_ingest(spark, idx, watermark=1)
+    out = query_ivfpq_index_adaptive(
+        spark,
+        idx,
+        q,
+        k=5,
+        nprobe0=2,
+        attr_filter=F.col("cat") == 7,
+        oversample=4,
+        refine=e.select("vec_id", "embedding"),
+    ).localCheckpoint()
+    bf = brute_force_topk(q, e.where(F.col("cat") == 7), k=5)
+    n_truth = bf.count()
+    n_hits = bf.join(
+        out.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).count()
+    recall_ok = bool(n_truth > 0 and n_hits / n_truth >= 0.8)
+    widened = out.agg(F.max("n_iters").alias("m")).first()["m"]
+    if not recall_ok or widened < 2:
+        raise ValueError(
+            f"ivfpq adaptive probe failed: recall={n_hits}/{n_truth}, "
+            f"max_iters={widened}"
+        )
+    return (
+        out.groupBy("query_id")
+        .agg(
+            F.max("n_iters").cast("int").alias("n_iters"),
+            F.max("nprobe_used").cast("int").alias("nprobe_used"),
+        )
+        .select(
+            "query_id",
+            "n_iters",
+            "nprobe_used",
+            F.lit(recall_ok).alias("recall_ok"),
+        )
+    )
+
+
+@query(
+    "q257_match_scoring",
+    """
+    WITH dirty AS (
+        SELECT c_custkey AS did,
+               CASE c_custkey % 3
+                 WHEN 0 THEN substr(c_name, 1, 9 + c_custkey % 8)
+                             || substr(c_name, 11 + c_custkey % 8)
+                 WHEN 1 THEN substr(c_name, 1, 9 + c_custkey % 8)
+                             || 'X' || substr(c_name, 11 + c_custkey % 8)
+                 ELSE substr(c_name, 1, 10 + c_custkey % 8)
+                      || 'Z' || substr(c_name, 11 + c_custkey % 8)
+               END AS s
+        FROM customer
+    ), feat AS (
+        SELECT d.did AS id_a, m.c_custkey AS id_b,
+               CAST(CAST(a.c_nationkey = m.c_nationkey AS INT)
+                    AS DOUBLE) AS x1,
+               CAST(CAST(a.c_mktsegment = m.c_mktsegment AS INT)
+                    AS DOUBLE) AS x2,
+               CAST(d.did = m.c_custkey AS INT) AS y
+        FROM dirty d
+        JOIN customer m
+          ON abs(length(d.s) - length(m.c_name)) <= 1
+         AND levenshtein(d.s, m.c_name) <= 1
+        JOIN customer a ON d.did = a.c_custkey
+    ), r1 AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(CAST(0.5 - y AS DECIMAL(30,10))) AS gb,
+               sum(CAST((0.5 - y) * x1 AS DECIMAL(30,10))) AS g1,
+               sum(CAST((0.5 - y) * x2 AS DECIMAL(30,10))) AS g2
+        FROM feat
+    ), p1 AS (
+        SELECT n,
+               CAST(round(CAST(0.0 - ((0.5 * CAST(gb AS DOUBLE)) / n)
+                    AS DECIMAL(30,10)), 6) AS DOUBLE) AS b1,
+               CAST(round(CAST(0.0 - ((0.5 * CAST(g1 AS DOUBLE)) / n)
+                    AS DECIMAL(30,10)), 6) AS DOUBLE) AS w11,
+               CAST(round(CAST(0.0 - ((0.5 * CAST(g2 AS DOUBLE)) / n)
+                    AS DECIMAL(30,10)), 6) AS DOUBLE) AS w12
+        FROM r1
+    ), r2 AS (
+        SELECT sum(CAST(
+                   (1.0 / (1.0 + exp(-(b1 + w11 * x1 + w12 * x2))) - y)
+                   AS DECIMAL(30,10))) AS gb,
+               sum(CAST(
+                   ((1.0 / (1.0 + exp(-(b1 + w11 * x1 + w12 * x2))) - y)
+                    * x1) AS DECIMAL(30,10))) AS g1,
+               sum(CAST(
+                   ((1.0 / (1.0 + exp(-(b1 + w11 * x1 + w12 * x2))) - y)
+                    * x2) AS DECIMAL(30,10))) AS g2
+        FROM feat, p1
+    ), p2 AS (
+        SELECT CAST(round(CAST(b1 - ((0.5 * CAST(gb AS DOUBLE)) / n)
+                    AS DECIMAL(30,10)), 6) AS DOUBLE) AS b,
+               CAST(round(CAST(w11 - ((0.5 * CAST(g1 AS DOUBLE)) / n)
+                    AS DECIMAL(30,10)), 6) AS DOUBLE) AS w1,
+               CAST(round(CAST(w12 - ((0.5 * CAST(g2 AS DOUBLE)) / n)
+                    AS DECIMAL(30,10)), 6) AS DOUBLE) AS w2
+        FROM r2, p1
+    ), scored AS (
+        SELECT f.id_a, f.id_b, f.x1, f.x2, f.y,
+               CAST(round(CAST(
+                   1.0 / (1.0 + exp(-(p2.b + p2.w1 * f.x1 + p2.w2 * f.x2)))
+                   AS DECIMAL(30,10)), 6) AS DOUBLE) AS score
+        FROM feat f, p2
+    )
+    SELECT id_a, id_b, x1, x2, score, score >= 0.5 AS is_match
+    FROM scored
+    """,
+)
+def q257_match_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATED MATCH SCORING for record linkage (VERDICT r8 #6's
+    scoring half): the edit-distance join proposes candidate pairs
+    (q250's planted-typo dirty feed vs the master list), and a match
+    probability is LEARNED in-engine — functions/calibrate.py::
+    logit_train over exact-field AGREEMENT features (nation-key and
+    market-segment equality: a true link agrees on both by
+    construction, a wrong-master candidate only by chance), labeled
+    by the construction's known truth (id_a = id_b), then every pair
+    scores through logit_score's literal-weight sigmoid projection
+    (one scan, zero joins — the shape that scores 100 TB of candidate
+    pairs). Everything is hash-verifiable: training gradients are
+    exact decimal sums (q237's discipline), weights go through the
+    _round6_py two-step, scores 6dp-round, and the oracle restates
+    the pair generation, BOTH unrolled GD rounds, and the scoring
+    expression. In-plan gates pin the learned model's sanity: both
+    agreement weights come out POSITIVE (agreement raises match
+    probability — a sign flip means the training diverged) and the
+    full-agreement score exceeds the no-agreement score. (Strict
+    pairwise separation is NOT a valid gate: ~1/125 of false
+    candidates coincidentally agree on BOTH fields and legitimately
+    tie the true pairs' score — exactly why production linkage
+    thresholds a calibrated probability instead of trusting any one
+    feature.)"""
+    from ..functions.calibrate import logit_score, logit_train
+    from ..functions.dedup import edit_distance_join
+
+    c = _t(spark, sf_dir, "customer")
+    mode = F.col("c_custkey") % 3
+    dirty = c.select(
+        F.col("c_custkey").alias("id"),
+        F.when(
+            mode == 0,
+            F.expr(
+                "concat(substring(c_name, 1, 9 + c_custkey % 8),"
+                " substring(c_name, 11 + c_custkey % 8))"
+            ),
+        )
+        .when(
+            mode == 1,
+            F.expr(
+                "concat(substring(c_name, 1, 9 + c_custkey % 8),"
+                " 'X', substring(c_name, 11 + c_custkey % 8))"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "concat(substring(c_name, 1, 10 + c_custkey % 8),"
+                " 'Z', substring(c_name, 11 + c_custkey % 8))"
+            )
+        )
+        .alias("s"),
+    )
+    master = c.select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("s")
+    )
+    pairs = edit_distance_join(dirty, master, max_dist=1)
+    attrs_a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+    )
+    attrs_b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+    )
+    feat = (
+        pairs.join(attrs_a, "id_a")
+        .join(attrs_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("nat_a") == F.col("nat_b")).cast("int").cast(
+                "double"
+            ).alias("x1"),
+            (F.col("seg_a") == F.col("seg_b")).cast("int").cast(
+                "double"
+            ).alias("x2"),
+            (F.col("id_a") == F.col("id_b")).cast("int").alias("y"),
+        )
+        .localCheckpoint()  # pairs feed training AND scoring
+    )
+    w = logit_train(feat, ["x1", "x2"], "y", rounds=2, lr=0.5)
+    wm = {r["term"]: float(r["weight"]) for r in w.collect()}
+    if wm["x1"] <= 0 or wm["x2"] <= 0:
+        raise ValueError(
+            f"match scoring learned non-positive agreement weights: {wm}"
+        )
+    scored = logit_score(feat, w, ["x1", "x2"]).localCheckpoint()
+    # full agreement must outscore no agreement (monotone model)
+    bounds = scored.agg(
+        F.min(
+            F.when((F.col("x1") == 1) & (F.col("x2") == 1), F.col("score"))
+        ).alias("hi"),
+        F.max(
+            F.when((F.col("x1") == 0) & (F.col("x2") == 0), F.col("score"))
+        ).alias("lo"),
+    ).first()
+    if bounds["lo"] is not None and bounds["hi"] <= bounds["lo"]:
+        raise ValueError(
+            f"match scoring not monotone in agreement: "
+            f"score(1,1)={bounds['hi']} <= score(0,0)={bounds['lo']}"
+        )
+    return scored.select(
+        "id_a",
+        "id_b",
+        "x1",
+        "x2",
+        "score",
+        (F.col("score") >= 0.5).alias("is_match"),
+    )
+
+
+@query(
+    "q258_golden_records",
+    """
+    WITH recs AS (
+        SELECT c_custkey AS ck, c_custkey * 3 AS rid, 'crm' AS src,
+               1 AS prio, c_custkey % 2 AS v,
+               CASE WHEN c_custkey % 3 <> 0
+                    THEN 'C-' || substr(c_name, 10) END AS phone,
+               CASE WHEN c_custkey % 2 <> 0 THEN c_acctbal END AS bal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_custkey * 3 + 1, 'web',
+               2, (c_custkey + 1) % 2,
+               'W-' || substr(c_name, 10),
+               CASE WHEN c_custkey % 7 <> 0 THEN c_acctbal + 100 END
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_custkey * 3 + 2, 'app',
+               3, c_custkey % 2,
+               CASE WHEN c_custkey % 5 <> 0
+                    THEN 'A-' || substr(c_name, 10) END,
+               c_acctbal + 200
+        FROM customer
+    ), ph AS (
+        SELECT ck, phone, rid, src FROM (
+            SELECT ck, phone, rid, src,
+                   row_number() OVER (
+                       PARTITION BY ck
+                       ORDER BY v DESC, prio ASC, rid ASC
+                   ) AS rn
+            FROM recs WHERE phone IS NOT NULL
+        ) WHERE rn = 1
+    ), bl AS (
+        SELECT ck, bal, rid, src FROM (
+            SELECT ck, bal, rid, src,
+                   row_number() OVER (
+                       PARTITION BY ck
+                       ORDER BY v DESC, prio ASC, rid ASC
+                   ) AS rn
+            FROM recs WHERE bal IS NOT NULL
+        ) WHERE rn = 1
+    ), n AS (
+        SELECT ck, count(*) AS n_records FROM recs GROUP BY ck
+    )
+    SELECT n.ck AS cluster_id, n.n_records,
+           ph.phone, ph.rid AS phone__src_id, ph.src AS phone__source,
+           bl.bal, bl.rid AS bal__src_id, bl.src AS bal__source
+    FROM n
+    LEFT JOIN ph ON n.ck = ph.ck
+    LEFT JOIN bl ON n.ck = bl.ck
+    """,
+)
+def q258_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN RECORDS with per-field provenance (operators/
+    survivorship.py::golden_records — VERDICT r8 #6's survivorship
+    half): q252 picks one canonical ROW per entity; production MDM
+    survives each ATTRIBUTE independently. Three deterministic source
+    systems per customer (crm/web/app: source-prefixed phone strings
+    so the surviving value PROVES its provenance, shifted balances,
+    planted per-source nulls, and version numbers built to TIE on
+    every row — crm and app always share v, so the source-priority
+    tie-break is exercised everywhere, and the all-three-distinct
+    case never hides it). The engine runs ONE groupBy with a max_by
+    payload-struct aggregate per field (no windows, no per-field
+    shuffles — a single partial-aggregatable pass at 100 TB); the
+    oracle restates the policy as per-field row_number picks over
+    (version desc, priority asc, record id asc). Output per entity:
+    each field's survivor plus the record id and source that supplied
+    it."""
+    from ..operators.survivorship import golden_records
+
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    digits = F.expr("substring(c_name, 10)")
+    crm = c.select(
+        ck.alias("ck"),
+        (ck * 3).alias("rid"),
+        F.lit("crm").alias("src"),
+        (ck % 2).alias("v"),
+        F.when(ck % 3 != 0, F.concat(F.lit("C-"), digits)).alias("phone"),
+        F.when(ck % 2 != 0, F.col("c_acctbal")).alias("bal"),
+    )
+    web = c.select(
+        ck.alias("ck"),
+        (ck * 3 + 1).alias("rid"),
+        F.lit("web").alias("src"),
+        ((ck + 1) % 2).alias("v"),
+        F.concat(F.lit("W-"), digits).alias("phone"),
+        F.when(ck % 7 != 0, F.col("c_acctbal") + 100).alias("bal"),
+    )
+    app = c.select(
+        ck.alias("ck"),
+        (ck * 3 + 2).alias("rid"),
+        F.lit("app").alias("src"),
+        (ck % 2).alias("v"),
+        F.when(ck % 5 != 0, F.concat(F.lit("A-"), digits)).alias("phone"),
+        (F.col("c_acctbal") + 200).alias("bal"),
+    )
+    recs = crm.unionByName(web).unionByName(app)
+    return golden_records(
+        recs,
+        "ck",
+        "rid",
+        ["phone", "bal"],
+        "v",
+        "src",
+        {"crm": 1, "web": 2, "app": 3},
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -107,3 +107,57 @@ def test_shortest_paths_hop_bound_semantics(spark):
     )
     got = {r["node"]: r["dist"] for r in shortest_paths(e, 0, 2).collect()}
     assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_shortest_paths_fractional_decimal_weights_exact(spark):
+    """Decimal weights with fractional parts accumulate EXACTLY — the
+    r8 verdict's silent-truncation bug (cast to long floored 1.5 to 1).
+    Exact expected sums hand-computed in Decimal arithmetic."""
+    from decimal import Decimal
+
+    from etlhelper_spark.functions.graph import shortest_paths
+
+    # 0 -(1.5)-> 1 -(0.2)-> 2 ; 0 -(2.0)-> 2 direct; the 2-hop path
+    # wins only if fractions are preserved (floored it would tie at 1)
+    e = spark.createDataFrame(
+        [
+            (0, 1, Decimal("1.5")),
+            (1, 2, Decimal("0.2")),
+            (0, 2, Decimal("2.0")),
+        ],
+        "src long, dst long, w decimal(10,1)",
+    )
+    got = {r["node"]: r["dist"] for r in shortest_paths(e, 0, 3).collect()}
+    assert got == {
+        0: Decimal("0.0"),
+        1: Decimal("1.5"),
+        2: Decimal("1.7"),
+    }
+    # result type carries the weight's scale
+    df = shortest_paths(e, 0, 3)
+    assert df.schema["dist"].dataType.simpleString() == "decimal(38,1)"
+
+
+def test_shortest_paths_rejects_float_weights(spark):
+    from etlhelper_spark.functions.graph import shortest_paths
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.5)], "src long, dst long, w double"
+    )
+    with pytest.raises(ValueError, match="integral or decimal"):
+        shortest_paths(e, 0, 2)
+
+
+def test_pagerank_releases_persisted_storage(spark, tiny_graph):
+    """weighted_pagerank must not leave pinned executor storage behind
+    (the embedding_covariance hygiene precedent)."""
+    nodes, edges = tiny_graph
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    got = weighted_pagerank(nodes, edges, iterations=2).collect()
+    assert len(got) == 4
+    # localCheckpoint of the final ranks legitimately stays (it IS the
+    # returned materialization and is GC-cleaned); the shares persist
+    # must be gone. Allow at most the one checkpoint RDD to remain.
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1
