@@ -369,8 +369,16 @@ def build_ivfpq_index(
 def _write_ivfpq_meta(spark, path: str, **meta) -> None:
     """Persist the build-time decisions appends/probes must reuse
     (``_meta``, one row): m_sub, k_codes, the arrow encode-path
-    choice, and the versioned-ingest layout flag."""
-    spark.createDataFrame(
+    choice, and the versioned-ingest layout flag. Written through
+    literal_frame, NOT createDataFrame: any action on an RDD-backed
+    local frame after coalesce(1) costs ~4s of Python-worker
+    round-trip on this stack (the r8->r9 bisect's measured cause of
+    the q234/ivfpq-build regression — BENCH notes); the literal shape
+    writes in ~0.2s."""
+    from .util import literal_frame
+
+    literal_frame(
+        spark,
         [
             (
                 int(meta["m_sub"]),
@@ -387,36 +395,57 @@ def _write_ivfpq_meta(spark, path: str, **meta) -> None:
     )
 
 
+def _parquet_file_schema_names(src_dir: str) -> list[str] | None:
+    """Column names of ONE parquet data file under *src_dir* (searched
+    one partition level deep), read driver-side from the file footer —
+    schema discovery without a Spark job or a directory-tree listing.
+    Returns None when no data file is found."""
+    import pyarrow.parquet as _pq
+
+    for pat in ("*.parquet", "*=*/*.parquet", "*=*/*=*/*.parquet"):
+        hits = glob.glob(os.path.join(src_dir, pat))
+        if hits:
+            return list(_pq.read_schema(min(hits)).names)
+    return None
+
+
 def _ivfpq_stored_attrs(spark, path: str) -> list[str]:
     """Covering-attribute columns of a persisted IVFPQ index,
     discovered from the stored schema (the append_ivf_index
     convention) — everything beyond the core (vec_id, list_id, codes)
     layout and the versioned-ingest partition column. Empty for plain
-    indexes, so every non-covering code path is byte-identical."""
+    indexes, so every non-covering code path is byte-identical.
+    Reads ONE parquet footer driver-side — a spark.read of the
+    partitioned table here would re-list the whole directory tree on
+    every append/probe (measured ~2s per call at 10^2 cells, growing
+    with the cell count)."""
     core = {"vec_id", "list_id", "codes", "ingest_batch"}
     versions = _ingest_base_versions(path)
-    if versions:
-        src = versions[-1][1]
-    elif glob.glob(os.path.join(path, "list_id=*")):
-        src = path
-    else:
+    src = versions[-1][1] if versions else path
+    names = _parquet_file_schema_names(src)
+    if names is None:
         return []
-    return [
-        f.name
-        for f in spark.read.parquet(src).schema.fields
-        if f.name not in core
-    ]
+    return [n for n in names if n not in core]
 
 
 def _read_ivfpq_meta(spark, path: str) -> dict | None:
     """The build-time ``_meta`` sidecar as a dict, or None for an
     index written before the sidecar existed (legacy fallbacks then
-    apply)."""
+    apply). Driver-side pyarrow read — one tiny footer+page, no Spark
+    job (this runs on EVERY append/probe; the Spark read cost ~0.3s
+    per call)."""
     p = os.path.join(path, "_meta")
     if not os.path.isdir(p):
         return None
-    row = spark.read.parquet(p).first()
-    return None if row is None else row.asDict()
+    import pyarrow.parquet as _pq
+
+    hits = glob.glob(os.path.join(p, "*.parquet"))
+    if not hits:
+        return None
+    tbl = _pq.read_table(min(hits))
+    if tbl.num_rows == 0:
+        return None
+    return {k: v[0] for k, v in tbl.to_pydict().items()}
 
 
 def append_ivfpq_index(

@@ -460,7 +460,12 @@ def _write_chunk(
     distributed `load(DataFrame)`/`copy_rows` paths, not from
     parallelizing a single driver chunk."""
     try:
-        df = _rows_to_dataframe(conn.spark, chunk, columns).coalesce(1)
+        # repartition(1), NOT coalesce(1): one partition = one
+        # transaction either way, but any action on an RDD-backed
+        # local frame after coalesce(1) costs ~4s of Python-worker
+        # round-trip on this stack (the r9 bisect's measured
+        # pathology); the tiny shuffle is ~0.4s
+        df = _rows_to_dataframe(conn.spark, chunk, columns).repartition(1)
         conn.write_dataframe(df, table, mode="append", batchsize=len(chunk))
         return []
     except Exception as exc:

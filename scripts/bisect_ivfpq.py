@@ -37,19 +37,38 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     targets = ["q234_ivfpq_append", "q240_stream_ivfpq_ingest"]
 
-    # one untimed warm pass: codegen + Python workers + streaming machinery
+    # bench.py's shape: a small throwaway build compiles the
+    # assignment/encode codegen, then the REAL shared build is timed
+    # once (it is memoized for the rest of the session — per-pass
+    # timings of ivfpq_index_cached would measure a dict lookup)
+    import shutil
+    import tempfile
+
+    from etlhelper_spark.functions.ivfpq import build_ivfpq_index
+
+    _warm = tempfile.mkdtemp(prefix="ehs_bisect_warm_")
+    build_ivfpq_index(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(512),
+        os.path.join(_warm, "idx"),
+        nlist=8,
+        m_sub=4,
+        k_codes=8,
+    )
+    shutil.rmtree(_warm, ignore_errors=True)
+    t0 = time.time()
     ivfpq_index_cached(spark, SF_DIR)
+    build_sec = round(time.time() - t0, 3)
+    print(f"# ivfpq_index_build: {build_sec:.2f}s", file=sys.stderr)
+
+    # one untimed warm pass: codegen + Python workers + streaming machinery
     for name in targets:
         QUERIES[name](spark, SF_DIR).count()
 
-    runs: dict[str, list[float]] = {"ivfpq_build": []}
+    runs: dict[str, list[float]] = {"ivfpq_build": [build_sec]}
     for name in targets:
         runs[name] = []
     for p in range(PASSES):
         clear_stage_caches()
-        t0 = time.time()
-        ivfpq_index_cached(spark, SF_DIR)
-        runs["ivfpq_build"].append(round(time.time() - t0, 3))
         for name in targets:
             t0 = time.time()
             n = QUERIES[name](spark, SF_DIR).count()
