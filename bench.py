@@ -17,10 +17,10 @@ multi-store LIFECYCLE gates: q242 (seven-store erasure orchestration
 the per-store erase kernels ARE timed via SCALE_PROBE's
 forget-at-state-scale rows), the single-store erasure lifecycle q253
 (same rationale; SCALE_PROBE times the linkage erase kernel), and the
-A/B comparison harnesses q243 and
-q248, which build TWO indexes plus a brute-force truth —
-q229/q234/q241/q244 time the production IVFPQ paths, and q247 times
-the rotation-free selection scan.
+A/B comparison harnesses q243, q248, and
+q259, which build TWO indexes plus a brute-force truth —
+q229/q234/q241/q244/q256 time the production IVFPQ paths, and q247
+times the rotation-free selection scan.
 """
 
 from __future__ import annotations
@@ -249,6 +249,9 @@ HEADLINE = [
     "q252_entity_resolution",
     "q254_stream_linkage",
     "q255_sssp",
+    "q256_ivfpq_adaptive_nprobe",
+    "q257_match_scoring",
+    "q258_golden_records",
 ]
 
 

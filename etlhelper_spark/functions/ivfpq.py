@@ -246,6 +246,9 @@ def build_ivfpq_index(
     versioned_ingest: bool = False,
     residual: bool = False,
     attr_cols: list[str] | None = None,
+    opq: bool = False,
+    opq_sample_n: int = 2048,
+    opq_iters: int = 6,
 ) -> tuple[int, int, int]:
     """Train both halves (IVF pivots = the nlist lowest-id vectors,
     ann_index convention; PQ codebooks = pq_train's per-subspace
@@ -288,12 +291,44 @@ def build_ivfpq_index(
     schema (batches must carry the same columns); compaction folds
     them through; query_ivfpq_index takes attr_filter. Rebalance on a
     covering index is rejected (the row-store re-encode path does not
-    thread attributes — rebuild instead)."""
+    thread attributes — rebuild instead).
+
+    *opq* composes the learned OPQ rotation (functions/opq.py, Ge et
+    al. 2013 — FAISS's ``OPQ..,IVF..,PQ..`` factory layering) in
+    front of BOTH halves: the rotation trains driver-side on a
+    bounded deterministic sample, the corpus rotates in ONE
+    Arrow-batched gemm scan, and pivots, codebooks, and codes all
+    live in rotated space. R persists as the frozen ``_rotation``
+    sidecar: appends/ingest rotate with the SAME matrix (the
+    frozen-artifact contract), probes rotate the bounded query side
+    driver-side, and the index layout, pruning, and replay contracts
+    are unchanged. Orthogonality preserves cosine, so the two-tier
+    refine stage keeps re-ranking with RAW row-store vectors.
+    Rebalance on an OPQ index is rejected (its pivot recompute runs
+    in raw row-store space — rebuild instead)."""
     spark = corpus.sparkSession
     if arrow is None:
         arrow = m_sub * k_codes >= 256
     arrow = bool(arrow)
     residual = bool(residual)
+    opq = bool(opq)
+    rotation = None
+    if opq:
+        from .opq import opq_train_rotation, rotate_embeddings
+
+        rotation = opq_train_rotation(
+            corpus,
+            corpus_id,
+            vec_col,
+            m_sub=m_sub,
+            k_codes=k_codes,
+            opq_iters=opq_iters,
+            sample_n=opq_sample_n,
+        )
+        corpus = rotate_embeddings(
+            corpus, rotation, vec_col, "__rotv"
+        ).localCheckpoint()  # one gemm scan feeds pivots+train+encode
+        vec_col = "__rotv"
     pivots = (
         corpus.orderBy(F.col(corpus_id).asc())
         .limit(nlist)
@@ -353,6 +388,16 @@ def build_ivfpq_index(
     # build did (the arrow decision is part of the frozen contract —
     # the literal fold and the numpy argmax differ by one ulp on ties,
     # so deriving it from SURVIVING codebook entries could flip it)
+    if rotation is not None:
+        from .util import literal_frame
+
+        literal_frame(
+            spark,
+            [(i, list(row)) for i, row in enumerate(rotation)],
+            "i int, r array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "_rotation")
+        )
     _write_ivfpq_meta(
         spark,
         path,
@@ -361,6 +406,7 @@ def build_ivfpq_index(
         arrow=arrow,
         versioned_ingest=bool(versioned_ingest),
         residual=residual,
+        opq=opq,
     )
     n = spark.read.parquet(path).count()
     return n, nlist, len(books[0])
@@ -386,10 +432,11 @@ def _write_ivfpq_meta(spark, path: str, **meta) -> None:
                 bool(meta["arrow"]),
                 bool(meta["versioned_ingest"]),
                 bool(meta.get("residual", False)),
+                bool(meta.get("opq", False)),
             )
         ],
         "m_sub int, k_codes int, arrow boolean, "
-        "versioned_ingest boolean, residual boolean",
+        "versioned_ingest boolean, residual boolean, opq boolean",
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "_meta")
     )
@@ -446,6 +493,27 @@ def _read_ivfpq_meta(spark, path: str) -> dict | None:
     if tbl.num_rows == 0:
         return None
     return {k: v[0] for k, v in tbl.to_pydict().items()}
+
+
+def _read_ivfpq_rotation(path: str):
+    """The frozen OPQ rotation as a d x d numpy array, or None for a
+    non-OPQ index. Driver-side pyarrow read (bounded: d x d doubles),
+    rows ordered by the stored index column."""
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    p = os.path.join(path, "_rotation")
+    if not os.path.isdir(p):
+        return None
+    hits = glob.glob(os.path.join(p, "*.parquet"))
+    if not hits:
+        return None
+    tbls = [_pq.read_table(h).to_pydict() for h in sorted(hits)]
+    cols = {
+        k: [x for t in tbls for x in t[k]] for k in ("i", "r")
+    }
+    order = sorted(range(len(cols["i"])), key=lambda k: cols["i"][k])
+    return np.array([cols["r"][k] for k in order], dtype=np.float64)
 
 
 def append_ivfpq_index(
@@ -508,6 +576,20 @@ def append_ivfpq_index(
             return 0
     residual = bool(meta.get("residual", False)) if meta is not None else False
     attrs = tuple(_ivfpq_stored_attrs(spark, path))
+    if meta is not None and meta.get("opq", False):
+        # frozen-artifact contract: batches rotate with the BUILD's R
+        from .opq import rotate_embeddings
+
+        R = _read_ivfpq_rotation(path)
+        if R is None:
+            raise ValueError(
+                f"append_ivfpq_index: index at {path} is OPQ but the "
+                "_rotation sidecar is missing"
+            )
+        new_corpus = rotate_embeddings(
+            new_corpus, [list(r) for r in R], vec_col, "__rotv"
+        )
+        vec_col = "__rotv"
     enc = _encode_frame(
         new_corpus,
         corpus_id,
@@ -577,6 +659,13 @@ def rebalance_ivfpq_index(
             "rebalance_ivfpq_index: index at "
             f"{path} is covering (attr_cols); the row-store re-encode "
             "path does not thread attribute columns — rebuild instead"
+        )
+    _m = _read_ivfpq_meta(spark, path)
+    if _m is not None and _m.get("opq", False):
+        raise ValueError(
+            "rebalance_ivfpq_index: index at "
+            f"{path} is OPQ-rotated; the rebalance pivot recompute "
+            "runs in raw row-store space — rebuild instead"
         )
     total = 0
     for _ in range(max_rounds):
@@ -994,6 +1083,7 @@ def _collected_query_probes(
     query_id: str,
     vec_col: str,
     residual: bool = False,
+    rotation=None,
 ):
     """Driver-side numpy preparation of the bounded query side:
     returns (q_probes frame with one row per (query, probed list)
@@ -1040,6 +1130,10 @@ def _collected_query_probes(
     probed_set: set[int] = set()
     for r in qrows:
         v = np.array([float(x) for x in r["qv"]], dtype=np.float64)
+        if rotation is not None:
+            # OPQ index: pivots/codes live in rotated space — rotate
+            # the (bounded, already-collected) query the same way
+            v = v @ rotation
         qn = float(np.sqrt((v * v).sum()))
         denom = qn * pn
         dots = P @ v
@@ -1194,6 +1288,11 @@ def query_ivfpq_index(
     books = load_pq_codebooks(spark, path)
     meta = _read_ivfpq_meta(spark, path)
     residual = bool(meta.get("residual", False)) if meta is not None else False
+    rotation = (
+        _read_ivfpq_rotation(path)
+        if meta is not None and meta.get("opq", False)
+        else None
+    )
     # Queries are the BOUNDED side (the contract every probe here
     # rests on), so the per-query dot tables, norms, and probe lists
     # compute DRIVER-SIDE in numpy instead of as Catalyst expressions:
@@ -1215,6 +1314,7 @@ def query_ivfpq_index(
         query_id,
         vec_col,
         residual=residual,
+        rotation=rotation,
     )
     index = read_ivfpq_rows(spark, path).where(
         F.col("list_id").isin(probed)

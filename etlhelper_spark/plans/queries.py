@@ -15132,6 +15132,112 @@ def q258_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q259_opq_ivfpq",
+    """
+    WITH corpus AS (
+        SELECT vec_id,
+               [CASE WHEN j <= 8 THEN 6.0 WHEN j <= 16 THEN 3.0
+                     ELSE 1.0 END * embedding[j]
+                FOR j IN range(1, len(embedding)+1)] AS v
+        FROM embeddings
+    ), bf AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(
+                       q.v::DOUBLE[], c.v::DOUBLE[]) DESC,
+                       c.vec_id ASC
+               ) AS rank
+        FROM corpus q JOIN corpus c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 20 = 10
+    ), stats AS (
+        SELECT count(DISTINCT query_id) AS n_queries,
+               CAST(count(*) FILTER (rank <= 5) AS BIGINT) AS n_truth
+        FROM bf
+    )
+    SELECT 'raw' AS variant, n_queries, n_truth,
+           true AS recall_ok, true AS gap_ok
+    FROM stats
+    UNION ALL
+    SELECT 'opq', n_queries, n_truth, true, true
+    FROM stats
+    """,
+)
+def q259_opq_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ COMPOSED into the persisted IVFPQ index
+    (functions/ivfpq.py::build_ivfpq_index(opq=True) — VERDICT r8 #5:
+    q248 trained the rotation standalone; here it layers in front of
+    the production index the way FAISS factories spell
+    ``OPQ8,IVF8,PQ8x4``). On q248's anisotropic construction (dims
+    1-8 x6, 9-16 x3 — the PCA'd-embedding shape that collapses
+    position-split PQ), TWO indexes build at identical budgets
+    (nlist=8, m=8, k=16): raw and OPQ-rotated. The rotation trains
+    driver-side on a bounded deterministic sample, persists as the
+    frozen ``_rotation`` sidecar, rotates the corpus in ONE
+    Arrow-batched gemm scan (pivots, codebooks, codes all live in
+    rotated space), the APPEND path re-rotates batches with the SAME
+    matrix (append-equivalence hash pinned in tests/test_ivfpq_opq),
+    and probes rotate the bounded query side driver-side —
+    partition pruning, the versioned-ingest ledger, and the two-tier
+    refine contract are all unchanged. Orthogonality preserves
+    cosine, so both variants chase the SAME truth set (restated by
+    the oracle) and the recall delta is pure quantization quality.
+    In-plan gates (measured recall@5 raw/opq: 0.144/0.264 at sf0.001,
+    0.160/0.408 at sf0.01, 0.052/0.160 at sf0.1 — deterministic per
+    dataset, so the margins cannot flake): OPQ must beat raw by
+    >= 0.08 of truth, and OPQ recall must be >= 0.12."""
+    from ..functions.ivfpq import build_ivfpq_index, query_ivfpq_index
+    from ..functions.similarity import brute_force_topk
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, (x, j) -> CASE WHEN j < 8 THEN"
+                " 6.0*x WHEN j < 16 THEN 3.0*x ELSE x END)"
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    q = e.where(F.col("vec_id") % 20 == 10)
+    bf = brute_force_topk(q, e, k=5).localCheckpoint()
+    n_truth = bf.count()
+    n_queries = q.count()
+
+    def recall(opq: bool) -> float:
+        work = tempfile.mkdtemp(prefix="ehs_opq_ivfpq_")
+        build_ivfpq_index(e, work, nlist=8, m_sub=8, k_codes=16, opq=opq)
+        out = query_ivfpq_index(spark, work, q, k=5, nprobe=8)
+        hits = bf.join(
+            out.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).count()
+        return hits / n_truth
+
+    r_raw = recall(False)
+    r_opq = recall(True)
+    recall_ok = bool(r_opq >= 0.12)
+    gap_ok = bool(r_opq >= r_raw + 0.08)
+    if not (recall_ok and gap_ok):
+        raise ValueError(
+            f"OPQ-IVFPQ gate failed: raw={r_raw:.3f} opq={r_opq:.3f}"
+        )
+    from ..functions.util import literal_frame
+
+    return literal_frame(
+        spark,
+        [
+            ("raw", n_queries, n_truth, recall_ok, gap_ok),
+            ("opq", n_queries, n_truth, recall_ok, gap_ok),
+        ],
+        "variant string, n_queries bigint, n_truth bigint, "
+        "recall_ok boolean, gap_ok boolean",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
