@@ -252,6 +252,8 @@ HEADLINE = [
     "q256_ivfpq_adaptive_nprobe",
     "q257_match_scoring",
     "q258_golden_records",
+    "q260_sssp_decimal",
+    "q261_mdm_pipeline",
 ]
 
 

@@ -15238,6 +15238,257 @@ def q259_opq_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q260_sssp_decimal",
+    """
+    WITH RECURSIVE n AS (
+        SELECT count(*) AS n FROM customer
+    ), e AS (
+        SELECT c_custkey AS src, (3 * c_custkey + 1) % n.n AS dst,
+               CAST((1 + c_custkey % 7) AS DECIMAL(10,1)) / 2 AS w
+        FROM customer, n
+        UNION ALL
+        SELECT c_custkey, (5 * c_custkey + 2 + c_custkey % 11) % n.n,
+               CAST((1 + c_custkey % 5) AS DECIMAL(10,1)) / 2
+        FROM customer, n
+    ), walk(node, dist, hops) AS (
+        SELECT CAST(0 AS BIGINT), CAST(0.0 AS DECIMAL(38,1)), 0
+        UNION ALL
+        SELECT e.dst, CAST(w.dist + e.w AS DECIMAL(38,1)), w.hops + 1
+        FROM walk w JOIN e ON e.src = w.node
+        WHERE w.hops < 10
+    )
+    SELECT node, CAST(min(dist) AS DOUBLE) AS dist
+    FROM walk GROUP BY node
+    """,
+)
+def q260_sssp_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest paths with FRACTIONAL DECIMAL weights (functions/
+    graph.py::shortest_paths — the r8 verdict's weight-fidelity fix
+    made a declared gate): q255's expander graph with half-integer
+    decimal(10,1) weights ((1 + key residue) / 2 — every edge cost a
+    multiple of 0.5). The relaxation now carries the weight column's
+    OWN arithmetic — decimal sums accumulate EXACTLY as decimal(38,1)
+    (the pre-fix cast-to-long silently floored 1.5 to 1 and produced
+    wrong distances); float/double weights are rejected outright. The
+    oracle restates the same ≤10-hop recursive walk in decimal and
+    both sides cast the exact result to double only at the output
+    boundary (0.5 multiples are exact doubles). Integer behavior is
+    unchanged — q255's hash is the guard."""
+    from ..functions.graph import shortest_paths
+
+    c = _t(spark, sf_dir, "customer")
+    n = c.count()
+    k = F.col("c_custkey")
+    e = c.select(
+        k.alias("src"),
+        ((3 * k + 1) % n).alias("dst"),
+        (
+            (1 + k % 7).cast("decimal(10,1)") / F.lit(2)
+        ).cast("decimal(10,1)").alias("w"),
+    ).unionByName(
+        c.select(
+            k.alias("src"),
+            ((5 * k + 2 + k % 11) % n).alias("dst"),
+            (
+                (1 + k % 5).cast("decimal(10,1)") / F.lit(2)
+            ).cast("decimal(10,1)").alias("w"),
+        )
+    )
+    return shortest_paths(e, 0, max_hops=10).select(
+        "node", F.col("dist").cast("double").alias("dist")
+    )
+
+
+@query(
+    "q261_mdm_pipeline",
+    """
+    WITH dirty AS (
+        SELECT c_custkey AS did,
+               CASE c_custkey % 3
+                 WHEN 0 THEN substr(c_name, 1, 9 + c_custkey % 8)
+                             || substr(c_name, 11 + c_custkey % 8)
+                 WHEN 1 THEN substr(c_name, 1, 9 + c_custkey % 8)
+                             || 'X' || substr(c_name, 11 + c_custkey % 8)
+                 ELSE substr(c_name, 1, 10 + c_custkey % 8)
+                      || 'Z' || substr(c_name, 11 + c_custkey % 8)
+               END AS s
+        FROM customer
+    ), assigned AS (
+        SELECT did, mid FROM (
+            SELECT d.did, m.c_custkey AS mid,
+                   row_number() OVER (
+                       PARTITION BY d.did
+                       ORDER BY levenshtein(d.s, m.c_name) ASC,
+                                m.c_custkey ASC
+                   ) AS rn
+            FROM dirty d
+            JOIN customer m
+              ON abs(length(d.s) - length(m.c_name)) <= 1
+             AND levenshtein(d.s, m.c_name) <= 1
+            JOIN customer a ON d.did = a.c_custkey
+            WHERE a.c_nationkey = m.c_nationkey
+              AND a.c_mktsegment = m.c_mktsegment
+        ) WHERE rn = 1
+    ), recs AS (
+        SELECT c_custkey AS entity, c_custkey * 2 AS rid, 'crm' AS src,
+               1 AS prio, c_custkey % 3 AS v,
+               CASE WHEN c_custkey % 4 <> 0
+                    THEN 'C-' || substr(c_name, 10) END AS phone,
+               CASE WHEN c_custkey % 3 <> 0 THEN c_acctbal END AS bal
+        FROM customer
+        UNION ALL
+        SELECT asg.mid, w.c_custkey * 2 + 1, 'web',
+               2, (w.c_custkey + 1) % 3,
+               'W-' || substr(w.c_name, 10),
+               CASE WHEN w.c_custkey % 5 <> 0 THEN w.c_acctbal + 50 END
+        FROM assigned asg JOIN customer w ON asg.did = w.c_custkey
+    ), ph AS (
+        SELECT entity, phone, rid, src FROM (
+            SELECT entity, phone, rid, src,
+                   row_number() OVER (
+                       PARTITION BY entity
+                       ORDER BY v DESC, prio ASC, rid ASC
+                   ) AS rn
+            FROM recs WHERE phone IS NOT NULL
+        ) WHERE rn = 1
+    ), bl AS (
+        SELECT entity, bal, rid, src FROM (
+            SELECT entity, bal, rid, src,
+                   row_number() OVER (
+                       PARTITION BY entity
+                       ORDER BY v DESC, prio ASC, rid ASC
+                   ) AS rn
+            FROM recs WHERE bal IS NOT NULL
+        ) WHERE rn = 1
+    ), n AS (
+        SELECT entity, count(*) AS n_records FROM recs GROUP BY entity
+    )
+    SELECT n.entity AS cluster_id, n.n_records,
+           ph.phone, ph.rid AS phone__src_id, ph.src AS phone__source,
+           bl.bal, bl.rid AS bal__src_id, bl.src AS bal__source
+    FROM n
+    LEFT JOIN ph ON n.entity = ph.entity
+    LEFT JOIN bl ON n.entity = bl.entity
+    """,
+)
+def q261_mdm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MDM pipeline END-TO-END — match, assign, survive — the
+    compose every production linkage deployment actually runs, built
+    entirely from this suite's verified pieces: the dirty feed (q250's
+    planted-typo construction) links against the master list through
+    edit_distance_join (candidate pruning via deletion variants, never
+    a nested loop), candidates must AGREE on nation and market segment
+    (the exact-field features q257's calibration showed positive),
+    each feed record is ASSIGNED to its best master (min distance,
+    master id tie-break — a window argmin, deterministic total order;
+    assignment-not-clustering is the shape of feed-vs-master linkage,
+    vs q252's peer-to-peer CC), and golden_records (q258's operator)
+    survives each field across the entity's crm + assigned web records
+    with full per-field provenance. The oracle restates every stage —
+    typo construction, agreement-filtered pairs, argmin assignment,
+    survivorship row_number picks. Scale shape: ED-join candidates are
+    equi-join generated, the argmin is one window over candidates (not
+    corpus), and survivorship is one partial-aggregatable groupBy."""
+    from ..functions.dedup import edit_distance_join
+    from ..operators.survivorship import golden_records
+
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    digits = F.expr("substring(c_name, 10)")
+    mode = ck % 3
+    dirty = c.select(
+        ck.alias("id"),
+        F.when(
+            mode == 0,
+            F.expr(
+                "concat(substring(c_name, 1, 9 + c_custkey % 8),"
+                " substring(c_name, 11 + c_custkey % 8))"
+            ),
+        )
+        .when(
+            mode == 1,
+            F.expr(
+                "concat(substring(c_name, 1, 9 + c_custkey % 8),"
+                " 'X', substring(c_name, 11 + c_custkey % 8))"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "concat(substring(c_name, 1, 10 + c_custkey % 8),"
+                " 'Z', substring(c_name, 11 + c_custkey % 8))"
+            )
+        )
+        .alias("s"),
+    )
+    master = c.select(ck.alias("id"), F.col("c_name").alias("s"))
+    attrs = c.select(
+        ck.alias("aid"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    pairs = (
+        edit_distance_join(dirty, master, max_dist=1)
+        .join(
+            attrs.select(
+                F.col("aid").alias("id_a"),
+                F.col("nat").alias("nat_a"),
+                F.col("seg").alias("seg_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            attrs.select(
+                F.col("aid").alias("id_b"),
+                F.col("nat").alias("nat_b"),
+                F.col("seg").alias("seg_b"),
+            ),
+            "id_b",
+        )
+        .where(
+            (F.col("nat_a") == F.col("nat_b"))
+            & (F.col("seg_a") == F.col("seg_b"))
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(
+        F.col("dist").asc(), F.col("id_b").asc()
+    )
+    assigned = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("id_a").alias("did"), F.col("id_b").alias("mid"))
+    )
+    crm = c.select(
+        ck.alias("entity"),
+        (ck * 2).alias("rid"),
+        F.lit("crm").alias("src"),
+        (ck % 3).alias("v"),
+        F.when(ck % 4 != 0, F.concat(F.lit("C-"), digits)).alias("phone"),
+        F.when(ck % 3 != 0, F.col("c_acctbal")).alias("bal"),
+    )
+    web = (
+        assigned.join(c, assigned["did"] == c["c_custkey"])
+        .select(
+            F.col("mid").alias("entity"),
+            (ck * 2 + 1).alias("rid"),
+            F.lit("web").alias("src"),
+            ((ck + 1) % 3).alias("v"),
+            F.concat(F.lit("W-"), digits).alias("phone"),
+            F.when(ck % 5 != 0, F.col("c_acctbal") + 50).alias("bal"),
+        )
+    )
+    recs = crm.unionByName(web)
+    return golden_records(
+        recs,
+        "entity",
+        "rid",
+        ["phone", "bal"],
+        "v",
+        "src",
+        {"crm": 1, "web": 2},
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -1151,6 +1151,98 @@ def main() -> None:
 
     shutil.rmtree(ivfpq_ing, ignore_errors=True)
 
+    # --- round-9 additions: adaptive/OPQ IVFPQ, survivorship, scoring
+    def _ivfpq_adaptive_covering_probe():
+        # the composed production path: covering attrs ride the code
+        # rows, the 1/50 filter applies inside the pruned scan, and
+        # each query widens until its oversampled shortlist fills
+        from etlhelper_spark.functions.ivfpq import (
+            build_ivfpq_index,
+            query_ivfpq_index_adaptive,
+        )
+
+        d = os.path.join(tmp, "ivfpq_adapt")
+        attrs = vecs.select(
+            "vec_id", "embedding",
+            F.pmod("vec_id", F.lit(50)).alias("cat"),
+        )
+        build_ivfpq_index(
+            attrs, d, nlist=32, m_sub=8, k_codes=64, attr_cols=["cat"]
+        )
+        out = query_ivfpq_index_adaptive(
+            spark, d, queries, k=5, nprobe0=2,
+            attr_filter=F.col("cat") == 7,
+        ).count()
+        shutil.rmtree(d, ignore_errors=True)
+        return out
+
+    probe("IVFPQ adaptive covering build+probe (1/50 filter, 32 queries)",
+          n_vecs, _ivfpq_adaptive_covering_probe)
+
+    def _opq_ivfpq_build_probe():
+        # rotation trains on a bounded driver sample; the corpus pays
+        # ONE extra Arrow gemm scan, then the unchanged build
+        from etlhelper_spark.functions.ivfpq import build_ivfpq_index
+
+        d = os.path.join(tmp, "ivfpq_opq")
+        out = build_ivfpq_index(
+            vecs, d, nlist=32, m_sub=8, k_codes=64, opq=True
+        )[0]
+        shutil.rmtree(d, ignore_errors=True)
+        return out
+
+    probe("OPQ-IVFPQ build (sample train + gemm scan + encode)",
+          n_vecs, _opq_ivfpq_build_probe)
+
+    def _golden_records_probe():
+        # 3 source systems per entity over the 1M-doc id space: one
+        # groupBy with max_by payload structs per field, no windows
+        from etlhelper_spark.operators.survivorship import (
+            golden_records,
+        )
+
+        ck = F.col("doc_id") % 333_333
+        recs = None
+        for s, (prio_mod, null_mod) in enumerate(
+            [(2, 3), (3, 5), (5, 7)]
+        ):
+            part = docs.select(
+                ck.alias("ck"),
+                (F.col("doc_id") * 3 + s).alias("rid"),
+                F.lit(f"src{s}").alias("src"),
+                (F.col("doc_id") % prio_mod).alias("v"),
+                F.when(
+                    F.col("doc_id") % null_mod != 0, F.col("text")
+                ).alias("payload"),
+            )
+            recs = part if recs is None else recs.unionByName(part)
+        return golden_records(
+            recs, "ck", "rid", ["payload"], "v", "src",
+            {"src0": 1, "src1": 2, "src2": 3},
+        ).count()
+
+    probe("golden records (3x1M records, 333k entities, max_by pass)",
+          3 * n_docs, _golden_records_probe)
+
+    def _logit_score_probe():
+        # 2 GD rounds (one combinable aggregate each) + literal-weight
+        # scoring projection over the full corpus
+        from etlhelper_spark.functions.calibrate import (
+            logit_score,
+            logit_train,
+        )
+
+        feat = docs.select(
+            (F.length("text") / 100.0).alias("x1"),
+            (F.pmod("doc_id", F.lit(10)) / 10.0).alias("x2"),
+            (F.pmod("doc_id", F.lit(3)) == 0).cast("int").alias("y"),
+        )
+        w = logit_train(feat, ["x1", "x2"], "y", rounds=2)
+        return logit_score(feat, w, ["x1", "x2"]).count()
+
+    probe("logit train (2 rounds) + score scan (1M rows)", n_docs,
+          _logit_score_probe)
+
     lines = [
         "# SCALE PROBE — measured operator scaling beyond bench SF",
         "",
