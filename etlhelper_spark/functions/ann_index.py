@@ -34,6 +34,7 @@ from .similarity import (
 from .util import literal_frame
 
 __all__ = [
+    "adaptive_widen",
     "append_ivf_index",
     "build_ivf_index",
     "query_ivf_index",
@@ -250,22 +251,59 @@ def query_ivf_index_adaptive(
     never float comparisons."""
     pivots = spark.read.parquet(os.path.join(path, "_pivots"))
     nlist = pivots.count()
+
+    def probe(pending, np_eff, shortlist):
+        return query_ivf_index(
+            spark,
+            path,
+            pending,
+            k=shortlist,
+            nprobe=np_eff,
+            query_id=query_id,
+            vec_col=vec_col,
+            attr_filter=attr_filter,
+        )
+
+    out = adaptive_widen(
+        spark, queries, query_id, nlist, k, nprobe0, oversample, probe
+    )
+    return out.where(F.col("rank") <= int(k))
+
+
+def adaptive_widen(
+    spark: SparkSession,
+    queries: DataFrame,
+    query_id: str,
+    nlist: int,
+    k: int,
+    nprobe0: int,
+    oversample: int,
+    probe_fn,
+) -> DataFrame:
+    """The shared probe-WIDENING loop behind query_ivf_index_adaptive
+    and ivfpq.query_ivfpq_index_adaptive (one implementation — the
+    stopping logic must never diverge between the float and codes
+    paths): each round runs *probe_fn(pending, nprobe, shortlist)*
+    over ONLY the still-deficient queries, counts each query's
+    filtered shortlist (a bounded |queries|-row collect of exact
+    counts — never float comparisons), doubles nprobe for the
+    deficient subset, and stops when every shortlist fills or the
+    probe covers all *nlist* lists. Pending ids are collected ONCE
+    (round 1) and thereafter reused from the deficient list itself —
+    no per-round re-collect. Returns the union of per-round results
+    with nprobe_used/n_iters attached; the caller trims to top-k."""
+    from .util import literal_frame
+
     out_parts = []
     pending = queries
+    pending_ids = None
     nprobe = max(1, int(nprobe0))
     iters = 0
     shortlist = int(k) * max(1, int(oversample))
     while True:
         iters += 1
-        got = query_ivf_index(
-            spark,
-            path,
-            pending,
-            k=shortlist,
-            nprobe=min(nprobe, nlist),
-            query_id=query_id,
-            vec_col=vec_col,
-            attr_filter=attr_filter,
+        got = probe_fn(
+            pending, min(nprobe, nlist), shortlist
         ).localCheckpoint()  # consumed by the count AND the result
         counts = {
             r["query_id"]: int(r["n"])
@@ -273,10 +311,11 @@ def query_ivf_index_adaptive(
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        pending_ids = [
-            int(r[query_id])
-            for r in pending.select(query_id).collect()
-        ]
+        if pending_ids is None:
+            pending_ids = [
+                int(r[query_id])
+                for r in pending.select(query_id).collect()
+            ]
         deficient = [
             q for q in pending_ids if counts.get(q, 0) < shortlist
         ]
@@ -285,8 +324,10 @@ def query_ivf_index_adaptive(
             if nprobe >= nlist or not deficient
             else got.join(
                 F.broadcast(
-                    spark.createDataFrame(
-                        [(int(x),) for x in deficient], "query_id long"
+                    literal_frame(
+                        spark,
+                        [(int(x),) for x in deficient],
+                        "query_id long",
                     )
                 ),
                 "query_id",
@@ -303,11 +344,12 @@ def query_ivf_index_adaptive(
         if nprobe >= nlist or not deficient:
             break
         pending = queries.where(F.col(query_id).isin(deficient))
+        pending_ids = deficient
         nprobe = min(nprobe * 2, nlist)
     out = out_parts[0]
-    for p in out_parts[1:]:
-        out = out.unionByName(p)
-    return out.where(F.col("rank") <= int(k))
+    for part in out_parts[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 def rebalance_ivf_index(

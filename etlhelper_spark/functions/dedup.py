@@ -725,18 +725,23 @@ def edit_distance_join(
         )
     )
 
-    # Materialize the (small) candidate set eagerly so the gram-prefix
-    # cache can be released before returning: without this, repeated
-    # grams-strategy calls in a long-lived session would pin cached
-    # prefix partitions until eviction (ADVICE r8). localCheckpoint
-    # also truncates the gram-pipeline lineage for the verify stage.
-    cand = cand_main.unionByName(cand_small).distinct().localCheckpoint()
-    prefixes.unpersist()
-    return (
+    # Materialize the FILTERED result eagerly (localCheckpoint) so the
+    # gram-prefix cache can be released before returning: without
+    # this, repeated grams-strategy calls in a long-lived session
+    # would pin cached prefix partitions until eviction (ADVICE r8).
+    # The checkpoint sits AFTER verification, so the pre-verification
+    # candidate set — the large intermediate on exactly the long-
+    # string corpora this strategy exists for — still streams through
+    # the threshold levenshtein in one pass and is never stored.
+    cand = cand_main.unionByName(cand_small).distinct()
+    out = (
         cand.withColumn("dist", F.levenshtein("s_a", "s_b", d))
         .where((F.col("dist") >= 0) & (F.col("dist") <= d))
         .select("id_a", "id_b", "dist")
+        .localCheckpoint()
     )
+    prefixes.unpersist()
+    return out
 
 
 # ----------------------------------------------------------------------

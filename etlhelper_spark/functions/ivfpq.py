@@ -465,13 +465,23 @@ def _ivfpq_stored_attrs(spark, path: str) -> list[str]:
     Reads ONE parquet footer driver-side — a spark.read of the
     partitioned table here would re-list the whole directory tree on
     every append/probe (measured ~2s per call at 10^2 cells, growing
-    with the cell count)."""
+    with the cell count). An index that HAS partitions or a compacted
+    base but no locatable data file raises loudly: silently returning
+    [] there would let an append write attr-less rows into a covering
+    index, and attr-filtered probes would then drop those rows with
+    no error (missing neighbors)."""
     core = {"vec_id", "list_id", "codes", "ingest_batch"}
     versions = _ingest_base_versions(path)
+    if not versions and not glob.glob(os.path.join(path, "list_id=*")):
+        return []  # nothing written yet — a plain pre-build path
     src = versions[-1][1] if versions else path
     names = _parquet_file_schema_names(src)
     if names is None:
-        return []
+        raise ValueError(
+            f"_ivfpq_stored_attrs: index at {path} has partitions but "
+            f"no locatable parquet data file under {src} — cannot "
+            "discover covering attributes (corrupt or in-flight index)"
+        )
     return [n for n in names if n not in core]
 
 
@@ -1252,6 +1262,7 @@ def query_ivfpq_index(
     refine: DataFrame | None = None,
     refine_factor: int = 10,
     attr_filter=None,
+    _preloaded: tuple | None = None,
 ) -> DataFrame:
     """Top-k ADC search against a persisted IVFPQ index: partition
     pruning first (each query's nprobe nearest lists; the union of
@@ -1283,16 +1294,22 @@ def query_ivfpq_index(
     row-store join. Like query_ivf_index's, a selective filter at
     fixed nprobe costs recall — query_ivfpq_index_adaptive is the
     production form."""
-    pivots = spark.read.parquet(os.path.join(path, "_pivots"))
-    pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
-    books = load_pq_codebooks(spark, path)
-    meta = _read_ivfpq_meta(spark, path)
+    if _preloaded is not None:
+        # the adaptive widening loop probes up to log2(nlist) rounds —
+        # the frozen artifacts (pivots, codebooks, meta, rotation) are
+        # loaded once there and threaded through instead of re-read
+        pivot_rows, books, meta, rotation = _preloaded
+    else:
+        pivots = spark.read.parquet(os.path.join(path, "_pivots"))
+        pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
+        books = load_pq_codebooks(spark, path)
+        meta = _read_ivfpq_meta(spark, path)
+        rotation = (
+            _read_ivfpq_rotation(path)
+            if meta is not None and meta.get("opq", False)
+            else None
+        )
     residual = bool(meta.get("residual", False)) if meta is not None else False
-    rotation = (
-        _read_ivfpq_rotation(path)
-        if meta is not None and meta.get("opq", False)
-        else None
-    )
     # Queries are the BOUNDED side (the contract every probe here
     # rests on), so the per-query dot tables, norms, and probe lists
     # compute DRIVER-SIDE in numpy instead of as Catalyst expressions:
@@ -1412,17 +1429,17 @@ def query_ivfpq_index_adaptive(
     gap VERDICT r8 named (query_ivfpq_index took a fixed nprobe): a
     selective covering-attribute filter empties most of a probed
     list's code rows, so any fixed nprobe either under-recalls
-    selective filters or over-scans permissive ones. Each query
-    starts at *nprobe0* and doubles until its filtered OVERSAMPLED
-    shortlist (k x *oversample* ADC candidates — merely finding k
-    says nothing about whether the TRUE top-k were probed) fills or
-    the probe covers every list (at which point the pruned scan IS
-    the exact filtered ADC search). Satisfied queries never re-probe:
-    each widening round runs ONLY the deficient subset through
-    query_ivfpq_index (partition-pruned, codes-only, pure-codegen ADC
-    — nothing about the per-round probe changes), and stopping
-    decisions are bounded |queries|-row collects of exact candidate
-    counts, never float comparisons — deterministic at any DoP.
+    selective filters or over-scans permissive ones. The stopping
+    logic is the SHARED ann_index.adaptive_widen loop (one
+    implementation for the float and codes paths): each query starts
+    at *nprobe0* and doubles until its filtered OVERSAMPLED shortlist
+    (k x *oversample* ADC candidates — merely finding k says nothing
+    about whether the TRUE top-k were probed) fills or the probe
+    covers every list (at which point the pruned scan IS the exact
+    filtered ADC search). Satisfied queries never re-probe, stopping
+    decisions are bounded exact-count collects, and the frozen
+    artifacts (pivots, codebooks, meta, rotation) load ONCE and
+    thread through every round.
 
     Returns (query_id, neighbor_id, rank, adc_sim, nprobe_used,
     n_iters) — probe width and iteration count per query, the
@@ -1434,62 +1451,36 @@ def query_ivfpq_index_adaptive(
     ``adc_sim`` — quantization error then costs recall only, exactly
     query_ivfpq_index's two-tier contract, with the widened probe
     deciding WHICH codes ever reach the re-rank."""
+    from .ann_index import adaptive_widen
+
     pivots = spark.read.parquet(os.path.join(path, "_pivots"))
     nlist = pivots.count()
-    out_parts = []
-    pending = queries
-    nprobe = max(1, int(nprobe0))
-    iters = 0
-    shortlist = int(k) * max(1, int(oversample))
-    while True:
-        iters += 1
-        got = query_ivfpq_index(
+    pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
+    books = load_pq_codebooks(spark, path)
+    meta = _read_ivfpq_meta(spark, path)
+    rotation = (
+        _read_ivfpq_rotation(path)
+        if meta is not None and meta.get("opq", False)
+        else None
+    )
+    preloaded = (pivot_rows, books, meta, rotation)
+
+    def probe(pending, np_eff, shortlist):
+        return query_ivfpq_index(
             spark,
             path,
             pending,
             k=shortlist,
-            nprobe=min(nprobe, nlist),
+            nprobe=np_eff,
             query_id=query_id,
             vec_col=vec_col,
             attr_filter=attr_filter,
-        ).localCheckpoint()  # consumed by the count AND the result
-        counts = {
-            r["query_id"]: int(r["n"])
-            for r in got.groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        pending_ids = [
-            int(r[query_id]) for r in pending.select(query_id).collect()
-        ]
-        deficient = [q for q in pending_ids if counts.get(q, 0) < shortlist]
-        done_now = (
-            got
-            if nprobe >= nlist or not deficient
-            else got.join(
-                F.broadcast(
-                    spark.createDataFrame(
-                        [(int(x),) for x in deficient], "query_id long"
-                    )
-                ),
-                "query_id",
-                "left_anti",
-            )
+            _preloaded=preloaded,
         )
-        out_parts.append(
-            done_now.select(
-                "*",
-                F.lit(min(nprobe, nlist)).alias("nprobe_used"),
-                F.lit(iters).alias("n_iters"),
-            )
-        )
-        if nprobe >= nlist or not deficient:
-            break
-        pending = queries.where(F.col(query_id).isin(deficient))
-        nprobe = min(nprobe * 2, nlist)
-    out = out_parts[0]
-    for p in out_parts[1:]:
-        out = out.unionByName(p)
+
+    out = adaptive_widen(
+        spark, queries, query_id, nlist, k, nprobe0, oversample, probe
+    )
     if refine is None:
         return out.where(F.col("rank") <= int(k))
     return _refine_rerank(

@@ -12,7 +12,7 @@ cd "$(dirname "$0")/.."
 echo "== preflight: collect-only over tests/ =="
 python -m pytest tests/ --collect-only -q >/dev/null
 
-touched=$( (git diff --name-only HEAD -- 'tests/*.py';
+touched=$( (git diff --name-only --diff-filter=d HEAD -- 'tests/*.py';
             git ls-files --others --exclude-standard -- 'tests/*.py') | sort -u)
 if [ -n "$touched" ]; then
     echo "== preflight: running touched test files =="
