@@ -64,6 +64,9 @@ REPRESENTATIVE = [
     ("q245_adaptive_nprobe", "adaptive filtered probe: pushed cat filter, pruned widening scans"),
     ("q249_edit_join", "edit-distance join: variant equi-join, no nested-loop join"),
     ("q252_entity_resolution", "fuzzy pairs over distinct names, CC labels joined back"),
+    ("q256_ivfpq_adaptive_nprobe", "covering IVFPQ adaptive probe: attr filter pushed into pruned scan"),
+    ("q258_golden_records", "survivorship: ONE max_by aggregate pass, no windows"),
+    ("q261_mdm_pipeline", "MDM compose: variant equi-join -> argmin window -> max_by survivorship"),
 ]
 
 

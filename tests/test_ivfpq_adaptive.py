@@ -148,6 +148,27 @@ def test_adaptive_refine_carries_observability(spark, vecs, covering_index):
     assert all(r["neighbor_id"] % 10 == 3 for r in rows)
 
 
+def test_covering_filter_pushes_into_pruned_scan(spark, vecs, covering_index):
+    """The covering index's point: the attribute predicate reaches the
+    partition-pruned parquet scan (PushedFilters), and the probe's
+    literal IN-filter prunes list directories (PartitionFilters) —
+    filtered ANN without a row-store join."""
+    q = vecs.where(F.col("vec_id") % 40 == 15).select("vec_id", "embedding")
+    df = query_ivfpq_index(
+        spark, covering_index, q, k=5, nprobe=2,
+        attr_filter=F.col("cat") == 3,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [
+        seg for seg in plan.split("FileScan") if "PushedFilters" in seg
+    ]
+    assert scan, plan
+    pushed = scan[0].split("PushedFilters:")[1].split("\n")[0]
+    assert "cat" in pushed, pushed
+    part = scan[0].split("PartitionFilters:")[1].split("\n")[0]
+    assert "list_id" in part, part
+
+
 def test_rebalance_rejects_covering_index(spark, vecs, covering_index):
     with pytest.raises(ValueError, match="covering"):
         rebalance_ivfpq_index(
