@@ -254,6 +254,7 @@ HEADLINE = [
     "q258_golden_records",
     "q260_sssp_decimal",
     "q261_mdm_pipeline",
+    "q262_incremental_golden",
 ]
 
 

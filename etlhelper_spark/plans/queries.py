@@ -15489,6 +15489,128 @@ def q261_mdm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q262_incremental_golden",
+    """
+    WITH recs AS (
+        SELECT c_custkey AS ck, c_custkey * 3 AS rid, 'crm' AS src,
+               1 AS prio, c_custkey % 2 AS v,
+               CASE WHEN c_custkey % 3 <> 0
+                    THEN 'C-' || substr(c_name, 10) END AS phone,
+               CASE WHEN c_custkey % 2 <> 0 THEN c_acctbal END AS bal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_custkey * 3 + 1, 'web',
+               2, (c_custkey + 1) % 2,
+               'W-' || substr(c_name, 10),
+               CASE WHEN c_custkey % 7 <> 0 THEN c_acctbal + 100 END
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_custkey * 3 + 2, 'app',
+               3, c_custkey % 2,
+               CASE WHEN c_custkey % 5 <> 0
+                    THEN 'A-' || substr(c_name, 10) END,
+               c_acctbal + 200
+        FROM customer
+    ), ph AS (
+        SELECT ck, phone, rid, src FROM (
+            SELECT ck, phone, rid, src,
+                   row_number() OVER (
+                       PARTITION BY ck
+                       ORDER BY v DESC, prio ASC, rid ASC
+                   ) AS rn
+            FROM recs WHERE phone IS NOT NULL
+        ) WHERE rn = 1
+    ), bl AS (
+        SELECT ck, bal, rid, src FROM (
+            SELECT ck, bal, rid, src,
+                   row_number() OVER (
+                       PARTITION BY ck
+                       ORDER BY v DESC, prio ASC, rid ASC
+                   ) AS rn
+            FROM recs WHERE bal IS NOT NULL
+        ) WHERE rn = 1
+    ), n AS (
+        SELECT ck, count(*) AS n_records FROM recs GROUP BY ck
+    )
+    SELECT n.ck AS cluster_id, n.n_records,
+           ph.phone, ph.rid AS phone__src_id, ph.src AS phone__source,
+           bl.bal, bl.rid AS bal__src_id, bl.src AS bal__source
+    FROM n
+    LEFT JOIN ph ON n.ck = ph.ck
+    LEFT JOIN bl ON n.ck = bl.ck
+    """,
+)
+def q262_incremental_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL golden-record state (operators/survivorship_state
+    .py::golden_incremental) — survivorship as PERSISTED MERGEABLE
+    state: the per-field winner under the (version desc, priority asc,
+    id asc) TOTAL order is an associative argmax, so each batch folds
+    as one aggregate pass over the batch plus one outer join against
+    one-row-per-entity state, never a history re-scan. q258's
+    three-source construction arrives as THREE record batches (split
+    by rid % 3 — every entity's records are spread across batches, so
+    cross-batch merging decides every winner), the state is read back,
+    and the oracle is q258's FULL-RECOMPUTE survivorship restatement —
+    merge-equals-recompute is the gate. In-plan: the LAST batch is
+    REPLAYED (v2 recomputes from v1 + batch 2 into the same versioned
+    dir — the dedup_state idempotence convention) and the state must
+    be row-identical; a loud check fails otherwise."""
+    from ..operators.survivorship_state import (
+        golden_incremental,
+        read_golden_state,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    digits = F.expr("substring(c_name, 10)")
+    crm = c.select(
+        ck.alias("ck"),
+        (ck * 3).alias("rid"),
+        F.lit("crm").alias("src"),
+        (ck % 2).alias("v"),
+        F.when(ck % 3 != 0, F.concat(F.lit("C-"), digits)).alias("phone"),
+        F.when(ck % 2 != 0, F.col("c_acctbal")).alias("bal"),
+    )
+    web = c.select(
+        ck.alias("ck"),
+        (ck * 3 + 1).alias("rid"),
+        F.lit("web").alias("src"),
+        ((ck + 1) % 2).alias("v"),
+        F.concat(F.lit("W-"), digits).alias("phone"),
+        F.when(ck % 7 != 0, F.col("c_acctbal") + 100).alias("bal"),
+    )
+    app = c.select(
+        ck.alias("ck"),
+        (ck * 3 + 2).alias("rid"),
+        F.lit("app").alias("src"),
+        (ck % 2).alias("v"),
+        F.when(ck % 5 != 0, F.concat(F.lit("A-"), digits)).alias("phone"),
+        (F.col("c_acctbal") + 200).alias("bal"),
+    )
+    recs = crm.unionByName(web).unionByName(app)
+    args = ("ck", "rid", ["phone", "bal"], "v", "src",
+            {"crm": 1, "web": 2, "app": 3})
+    work = tempfile.mkdtemp(prefix="ehs_golden_state_")
+    for b in range(3):
+        golden_incremental(
+            recs.where(F.pmod("rid", F.lit(3)) == b), work, b, *args
+        )
+    before = read_golden_state(spark, work).localCheckpoint()
+    # replay the LAST batch: the versioned rewrite must be idempotent
+    golden_incremental(
+        recs.where(F.pmod("rid", F.lit(3)) == 2), work, 2, *args
+    )
+    after = read_golden_state(spark, work)
+    n_before = before.count()
+    if (
+        after.count() != n_before
+        or before.exceptAll(after).count() != 0
+    ):
+        raise ValueError("golden-state replay was not idempotent")
+    return before
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -1,0 +1,123 @@
+"""Incremental golden-record state (operators/survivorship_state.py):
+merge-equals-recompute, replay idempotence, new-cluster outer join,
+all-null fields, and partition invariance."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etlhelper_spark.operators.survivorship import golden_records
+from etlhelper_spark.operators.survivorship_state import (
+    golden_incremental,
+    read_golden_state,
+)
+
+ROWS = [
+    (1, 10, "crm", 1, None, 100.0),
+    (1, 11, "web", 3, "W-555", None),
+    (1, 12, "app", 2, "A-555", None),
+    (2, 20, "app", 5, "A-777", None),
+    (2, 21, "crm", 5, "C-777", None),
+    (3, 30, "zzz", 1, "Z-1", 5.0),
+    (3, 31, "zzz", 1, "Z-2", 6.0),
+    # cluster 4 appears ONLY in the last arrival batch (rid % 3 == 2)
+    (4, 41, "web", 0, "W-4", None),
+]
+SCHEMA = "ck long, rid long, src string, v long, phone string, bal double"
+PRIO = {"crm": 1, "web": 2, "app": 3}
+ARGS = ("ck", "rid", ["phone", "bal"], "v", "src", PRIO)
+
+
+@pytest.fixture(scope="module")
+def recs(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def _full(recs):
+    return sorted(map(tuple, golden_records(recs, *ARGS).collect()))
+
+
+def _fold(spark, recs, d, batches=3):
+    for b in range(batches):
+        golden_incremental(
+            recs.where((F.col("rid") % batches) == b), d, b, *ARGS
+        )
+    return sorted(map(tuple, read_golden_state(spark, d).collect()))
+
+
+def test_incremental_equals_full_recompute(spark, recs):
+    d = tempfile.mkdtemp(prefix="ehs_gst_")
+    try:
+        assert _fold(spark, recs, d) == _full(recs)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_replay_is_idempotent(spark, recs):
+    d = tempfile.mkdtemp(prefix="ehs_gst_")
+    try:
+        before = _fold(spark, recs, d)
+        # redeliver the LAST batch: v2 recomputes from v1 + batch 2
+        golden_incremental(
+            recs.where((F.col("rid") % 3) == 2), d, 2, *ARGS
+        )
+        after = sorted(map(tuple, read_golden_state(spark, d).collect()))
+        assert after == before
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_arrival_order_invariance(spark, recs):
+    """Survivorship is an argmax under a total order, so folding the
+    batches in a DIFFERENT order gives the same final state."""
+    d1 = tempfile.mkdtemp(prefix="ehs_gst_")
+    d2 = tempfile.mkdtemp(prefix="ehs_gst_")
+    try:
+        a = _fold(spark, recs, d1)
+        order = [2, 0, 1]
+        for i, b in enumerate(order):
+            golden_incremental(
+                recs.where((F.col("rid") % 3) == b), d2, i, *ARGS
+            )
+        assert sorted(
+            map(tuple, read_golden_state(spark, d2).collect())
+        ) == a
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_partition_invariance(spark, recs):
+    d1 = tempfile.mkdtemp(prefix="ehs_gst_")
+    d2 = tempfile.mkdtemp(prefix="ehs_gst_")
+    try:
+        a = _fold(spark, recs, d1)
+        b = _fold(spark, recs.repartition(7), d2)
+        assert a == b
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_new_cluster_and_all_null_field_merge(spark, recs):
+    d = tempfile.mkdtemp(prefix="ehs_gst_")
+    try:
+        _fold(spark, recs, d)
+        state = {
+            r["cluster_id"]: r.asDict()
+            for r in read_golden_state(spark, d).collect()
+        }
+        # cluster 4 only in batch 2 (outer-join new-cluster path)
+        assert state[4]["phone"] == "W-4"
+        assert state[4]["bal"] is None and state[4]["bal__src_id"] is None
+        # cluster 2's bal is null on every record across all batches
+        assert state[2]["bal"] is None
+        # cross-batch winner: cluster 1 phone from rid 11 (v=3, web)
+        assert (state[1]["phone"], state[1]["phone__source"]) == (
+            "W-555", "web",
+        )
+        assert state[1]["n_records"] == 3
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
