@@ -14923,11 +14923,17 @@ def q257_match_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact decimal sums (q237's discipline), weights go through the
     _round6_py two-step, scores 6dp-round, and the oracle restates
     the pair generation, BOTH unrolled GD rounds, and the scoring
-    expression. In-plan gates pin the learned model's sanity: both
-    agreement weights come out POSITIVE (agreement raises match
-    probability — a sign flip means the training diverged) and the
-    full-agreement score exceeds the no-agreement score. (Strict
-    pairwise separation is NOT a valid gate: ~1/125 of false
+    expression. In-plan gates pin the learned model's sanity: the
+    nation weight (1/25 chance-agreement base rate — strongly
+    informative at any SF) must come out POSITIVE, and the COMBINED
+    full-agreement effect w1+w2 must be positive (score(1,1) >
+    score(0,0)). The segment weight alone is deliberately NOT gated:
+    at a 1/5 base agreement rate and 2 GD steps from zero, its sign
+    tracks true-pair prevalence (positive at sf0.01 where 21% of
+    candidates are true links, marginally negative at sf0.1 where
+    denser keys dilute prevalence below ~1/6) — real logistic-
+    regression behavior on a weak feature, not divergence. (Strict
+    pairwise separation is NOT a valid gate either: ~1/125 of false
     candidates coincidentally agree on BOTH fields and legitimately
     tie the true pairs' score — exactly why production linkage
     thresholds a calibrated probability instead of trusting any one
@@ -14993,9 +14999,9 @@ def q257_match_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = logit_train(feat, ["x1", "x2"], "y", rounds=2, lr=0.5)
     wm = {r["term"]: float(r["weight"]) for r in w.collect()}
-    if wm["x1"] <= 0 or wm["x2"] <= 0:
+    if wm["x1"] <= 0 or wm["x1"] + wm["x2"] <= 0:
         raise ValueError(
-            f"match scoring learned non-positive agreement weights: {wm}"
+            f"match scoring learned non-positive agreement effect: {wm}"
         )
     scored = logit_score(feat, w, ["x1", "x2"]).localCheckpoint()
     # full agreement must outscore no agreement (monotone model)
