@@ -255,6 +255,7 @@ HEADLINE = [
     "q260_sssp_decimal",
     "q261_mdm_pipeline",
     "q262_incremental_golden",
+    "q263_stream_golden",
 ]
 
 

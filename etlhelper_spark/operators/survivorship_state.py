@@ -42,6 +42,7 @@ from .dedup_state import _latest_version
 __all__ = [
     "golden_incremental",
     "read_golden_state",
+    "streaming_golden",
 ]
 
 
@@ -158,6 +159,52 @@ def golden_incremental(
     target = os.path.join(subdir, f"v{int(batch_id)}")
     merged.write.mode("overwrite").parquet(target)
     return target
+
+
+def streaming_golden(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    cluster_col: str,
+    id_col: str,
+    field_cols: list[str],
+    version_col: str,
+    source_col: str | None = None,
+    source_priority: dict[str, int] | None = None,
+) -> None:
+    """STREAMING golden-record maintenance — the survivorship family's
+    continuous-ingest loop (the same foreachBatch discipline as
+    streaming_link and the streaming dedup modalities): every
+    availableNow micro-batch folds into the versioned state through
+    golden_incremental under its own micro-batch id, so an
+    at-least-once redelivery recomputes the identical version
+    directory (replay-idempotent), and because the merge is an
+    associative argmax the drained state equals golden_records over
+    the whole feed regardless of how the files were micro-batched.
+    Starts and drains an availableNow query."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        golden_incremental(
+            batch_df,
+            state_dir,
+            int(batch_id),
+            cluster_col,
+            id_col,
+            field_cols,
+            version_col,
+            source_col,
+            source_priority,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def read_golden_state(spark, state_dir: str) -> DataFrame:

@@ -15617,6 +15617,154 @@ def q262_incremental_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return before
 
 
+@query(
+    "q263_stream_golden",
+    """
+    WITH recs AS (
+        SELECT c_custkey AS ck, c_custkey * 3 AS rid, 'crm' AS src,
+               1 AS prio, c_custkey % 2 AS v,
+               CASE WHEN c_custkey % 3 <> 0
+                    THEN 'C-' || substr(c_name, 10) END AS phone,
+               CASE WHEN c_custkey % 2 <> 0 THEN c_acctbal END AS bal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_custkey * 3 + 1, 'web',
+               2, (c_custkey + 1) % 2,
+               'W-' || substr(c_name, 10),
+               CASE WHEN c_custkey % 7 <> 0 THEN c_acctbal + 100 END
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_custkey * 3 + 2, 'app',
+               3, c_custkey % 2,
+               CASE WHEN c_custkey % 5 <> 0
+                    THEN 'A-' || substr(c_name, 10) END,
+               c_acctbal + 200
+        FROM customer
+    ), ph AS (
+        SELECT ck, phone, rid, src FROM (
+            SELECT ck, phone, rid, src,
+                   row_number() OVER (
+                       PARTITION BY ck
+                       ORDER BY v DESC, prio ASC, rid ASC
+                   ) AS rn
+            FROM recs WHERE phone IS NOT NULL
+        ) WHERE rn = 1
+    ), bl AS (
+        SELECT ck, bal, rid, src FROM (
+            SELECT ck, bal, rid, src,
+                   row_number() OVER (
+                       PARTITION BY ck
+                       ORDER BY v DESC, prio ASC, rid ASC
+                   ) AS rn
+            FROM recs WHERE bal IS NOT NULL
+        ) WHERE rn = 1
+    ), n AS (
+        SELECT ck, count(*) AS n_records FROM recs GROUP BY ck
+    )
+    SELECT n.ck AS cluster_id, n.n_records,
+           ph.phone, ph.rid AS phone__src_id, ph.src AS phone__source,
+           bl.bal, bl.rid AS bal__src_id, bl.src AS bal__source
+    FROM n
+    LEFT JOIN ph ON n.ck = ph.ck
+    LEFT JOIN bl ON n.ck = bl.ck
+    """,
+)
+def q263_stream_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING golden-record maintenance (operators/
+    survivorship_state.py::streaming_golden — the survivorship
+    family's continuous-ingest loop, completing the batch/incremental/
+    streaming triple the dedup and linkage families already have):
+    q258's three-source records arrive as THREE mtime-ordered feed
+    files (split by rid % 3, so every entity's records span
+    micro-batches and cross-batch merging decides every winner), each
+    availableNow micro-batch folds into the versioned state under its
+    own micro-batch id, and the drained state must equal
+    golden_records over the whole feed — the oracle is the
+    full-recompute survivorship restatement, because the per-field
+    winner is an associative argmax and micro-batching cannot change
+    it. A loud in-plan check asserts the stream really split into
+    multiple micro-batches (maxFilesPerTrigger=1), so the gate can
+    never silently degenerate to one batch."""
+    import glob as _glob
+    import shutil
+    import time
+
+    from ..operators.survivorship_state import (
+        read_golden_state,
+        streaming_golden,
+    )
+
+    configure_session(spark)
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    digits = F.expr("substring(c_name, 10)")
+    crm = c.select(
+        ck.alias("ck"),
+        (ck * 3).alias("rid"),
+        F.lit("crm").alias("src"),
+        (ck % 2).alias("v"),
+        F.when(ck % 3 != 0, F.concat(F.lit("C-"), digits)).alias("phone"),
+        F.when(ck % 2 != 0, F.col("c_acctbal")).alias("bal"),
+    )
+    web = c.select(
+        ck.alias("ck"),
+        (ck * 3 + 1).alias("rid"),
+        F.lit("web").alias("src"),
+        ((ck + 1) % 2).alias("v"),
+        F.concat(F.lit("W-"), digits).alias("phone"),
+        F.when(ck % 7 != 0, F.col("c_acctbal") + 100).alias("bal"),
+    )
+    app = c.select(
+        ck.alias("ck"),
+        (ck * 3 + 2).alias("rid"),
+        F.lit("app").alias("src"),
+        (ck % 2).alias("v"),
+        F.when(ck % 5 != 0, F.concat(F.lit("A-"), digits)).alias("phone"),
+        (F.col("c_acctbal") + 200).alias("bal"),
+    )
+    recs = crm.unionByName(web).unionByName(app)
+    work = tempfile.mkdtemp(prefix="ehs_stream_golden_")
+    feed = os.path.join(work, "feed")
+    state = os.path.join(work, "state")
+    try:
+        parts_seen: set = set()
+        t0 = time.time() - 1000
+        for i in (0, 1, 2):
+            recs.where(F.pmod("rid", F.lit(3)) == i).coalesce(1).write.mode(
+                "append" if i else "overwrite"
+            ).parquet(feed)
+            new = set(_glob.glob(os.path.join(feed, "part-*"))) - parts_seen
+            for p in new:
+                os.utime(p, (t0 + 100 * i, t0 + 100 * i))
+            parts_seen |= new
+        stream = (
+            spark.readStream.schema(recs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        streaming_golden(
+            stream,
+            state,
+            os.path.join(work, "ckpt"),
+            "ck",
+            "rid",
+            ["phone", "bal"],
+            "v",
+            "src",
+            {"crm": 1, "web": 2, "app": 3},
+        )
+        n_versions = len(_glob.glob(os.path.join(state, "golden", "v*")))
+        if n_versions < 2:
+            raise ValueError(
+                f"streaming golden ran as {n_versions} micro-batch(es) "
+                "— the multi-batch merge was never exercised"
+            )
+        out = read_golden_state(spark, state).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

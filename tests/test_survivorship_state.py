@@ -12,6 +12,7 @@ from etlhelper_spark.operators.survivorship import golden_records
 from etlhelper_spark.operators.survivorship_state import (
     golden_incremental,
     read_golden_state,
+    streaming_golden,
 )
 
 ROWS = [
@@ -121,3 +122,36 @@ def test_new_cluster_and_all_null_field_merge(spark, recs):
         assert state[1]["n_records"] == 3
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_equals_batch(spark, recs, tmp_path):
+    """Drained availableNow stream state == golden_records over the
+    whole feed, with the feed split into mtime-ordered micro-batches
+    (maxFilesPerTrigger=1)."""
+    import glob
+    import os
+    import time
+
+    feed = str(tmp_path / "feed")
+    state = str(tmp_path / "state")
+    parts_seen = set()
+    t0 = time.time() - 1000
+    for i in range(3):
+        recs.where((F.col("rid") % 3) == i).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(feed)
+        new = set(glob.glob(os.path.join(feed, "part-*"))) - parts_seen
+        for p in new:
+            os.utime(p, (t0 + 100 * i, t0 + 100 * i))
+        parts_seen |= new
+    stream = (
+        spark.readStream.schema(recs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    streaming_golden(
+        stream, state, str(tmp_path / "ckpt"), *ARGS
+    )
+    assert len(glob.glob(os.path.join(state, "golden", "v*"))) >= 2
+    got = sorted(map(tuple, read_golden_state(spark, state).collect()))
+    assert got == _full(recs)
