@@ -491,7 +491,13 @@ def ngram_jaccard_pairs(
     db = ordered.select(
         F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
     )
-    return (
+    # Materialize the verified pairs eagerly (localCheckpoint) so the
+    # shingle cache can be released before returning — the same
+    # release discipline as the grams edit-join above: without it,
+    # repeated PPJoin calls in a long-lived session pin cached shingle
+    # partitions until eviction. The checkpoint sits AFTER the Jaccard
+    # threshold, so only the (small) surviving pairs are stored.
+    out = (
         candidates.join(da, "id_a")
         .join(db, "id_b")
         .select(
@@ -504,7 +510,10 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        .localCheckpoint()
     )
+    ordered.unpersist()
+    return out
 
 
 def _deletion_variants(col: str, d: int):

@@ -162,7 +162,20 @@ def shortest_paths(
         dist_t = "long"
     elif isinstance(w_dt, DecimalType):
         # widen precision to absorb up to max_hops additions; scale is
-        # the weight's own, so fractional weights accumulate exactly
+        # the weight's own, so fractional weights accumulate exactly.
+        # Scale must be <= 6: past that, Spark's decimal addition rule
+        # (decimal(38,s) + decimal(p,s) -> precision 39, adjusted
+        # scale max(s-1, 6) under allowPrecisionLoss) silently drops
+        # the last fractional digit each hop — reject loudly instead,
+        # the same contract as the float/double rejection below.
+        if w_dt.scale > 6:
+            raise ValueError(
+                f"shortest_paths requires decimal weight scale <= 6 "
+                f"for exact accumulation; got "
+                f"{w_dt.simpleString()} (Spark's decimal-addition "
+                f"precision-loss rule truncates scale > 6 each hop — "
+                f"rescale the weights first)"
+            )
         dist_t = f"decimal(38,{w_dt.scale})"
     else:
         raise ValueError(

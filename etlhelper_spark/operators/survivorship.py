@@ -36,6 +36,25 @@ from pyspark.sql import functions as F
 __all__ = ["golden_records"]
 
 
+def _check_numeric_id(df: DataFrame, id_col: str, caller: str) -> None:
+    """The ordering struct negates the record id (``-id`` implements
+    'id ascending' inside a max_by); a string/UUID id would silently
+    cast to a NULL ordering field and make tie-breaks nondeterministic
+    — reject loudly instead (the shortest_paths weight-type
+    discipline)."""
+    from pyspark.sql.types import NumericType
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, NumericType):
+        raise ValueError(
+            f"{caller} requires a numeric id column for deterministic "
+            f"tie-breaks; got {id_col}: {dt.simpleString()} (map string/"
+            f"UUID ids to a numeric surrogate first — e.g. "
+            f"xxhash64(id) — or the max_by total order degrades to "
+            f"null-ordering nondeterminism)"
+        )
+
+
 def golden_records(
     records: DataFrame,
     cluster_col: str,
@@ -60,6 +79,7 @@ def golden_records(
     survivor with null provenance."""
     if source_priority and source_col is None:
         raise ValueError("source_priority requires source_col")
+    _check_numeric_id(records, id_col, "golden_records")
     if source_col is not None:
         prio_map = source_priority or {}
         entries = []

@@ -59,8 +59,11 @@ def _golden_structs(
     PAYLOAD WITH ITS ORDERING KEY (``__win_<f>`` = struct(ord, val,
     src_id[, source])) — golden_records' aggregate pass, keeping the
     ord struct so winners stay mergeable across batches."""
+    from .survivorship import _check_numeric_id
+
     if source_priority and source_col is None:
         raise ValueError("source_priority requires source_col")
+    _check_numeric_id(records, id_col, "golden_incremental")
     if source_col is not None:
         prio_map = source_priority or {}
         entries = []
@@ -153,9 +156,13 @@ def golden_incremental(
                 .otherwise(wb)
                 .alias(f"__win_{f}")
             )
-        merged = a.join(b, a["cluster_id"] == b["cluster_id"], "full").select(
-            *cols
-        )
+        # eqNullSafe: golden_records groups NULL cluster ids into one
+        # cluster, so the merge must too — plain equality would never
+        # match null==null and duplicate null-cluster rows would
+        # accumulate across batches, breaking merge-equals-recompute
+        merged = a.join(
+            b, a["cluster_id"].eqNullSafe(b["cluster_id"]), "full"
+        ).select(*cols)
     target = os.path.join(subdir, f"v{int(batch_id)}")
     merged.write.mode("overwrite").parquet(target)
     return target

@@ -14784,30 +14784,38 @@ def q256_ivfpq_adaptive_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
+    import shutil
+
     q = e.where(F.col("vec_id") % 20 == 10)
     work = tempfile.mkdtemp(prefix="ehs_ivfpq_adapt_")
     idx = os.path.join(work, "idx")
-    build_ivfpq_index(
-        e.where(F.col("vec_id") % 3 != 2),
-        idx,
-        nlist=16,
-        m_sub=4,
-        k_codes=8,
-        versioned_ingest=True,
-        attr_cols=["cat"],
-    )
-    append_ivfpq_index(e.where(F.col("vec_id") % 3 == 2), idx, batch_id=1)
-    compact_ivfpq_ingest(spark, idx, watermark=1)
-    out = query_ivfpq_index_adaptive(
-        spark,
-        idx,
-        q,
-        k=5,
-        nprobe0=2,
-        attr_filter=F.col("cat") == 7,
-        oversample=4,
-        refine=e.select("vec_id", "embedding"),
-    ).localCheckpoint()
+    try:
+        build_ivfpq_index(
+            e.where(F.col("vec_id") % 3 != 2),
+            idx,
+            nlist=16,
+            m_sub=4,
+            k_codes=8,
+            versioned_ingest=True,
+            attr_cols=["cat"],
+        )
+        append_ivfpq_index(
+            e.where(F.col("vec_id") % 3 == 2), idx, batch_id=1
+        )
+        compact_ivfpq_ingest(spark, idx, watermark=1)
+        out = query_ivfpq_index_adaptive(
+            spark,
+            idx,
+            q,
+            k=5,
+            nprobe0=2,
+            attr_filter=F.col("cat") == 7,
+            oversample=4,
+            refine=e.select("vec_id", "embedding"),
+        ).localCheckpoint()
+    finally:
+        # out is checkpointed — the index dir is no longer referenced
+        shutil.rmtree(work, ignore_errors=True)
     bf = brute_force_topk(q, e.where(F.col("cat") == 7), k=5)
     n_truth = bf.count()
     n_hits = bf.join(
@@ -15213,14 +15221,21 @@ def q259_opq_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_queries = q.count()
 
     def recall(opq: bool) -> float:
+        import shutil
+
         work = tempfile.mkdtemp(prefix="ehs_opq_ivfpq_")
-        build_ivfpq_index(e, work, nlist=8, m_sub=8, k_codes=16, opq=opq)
-        out = query_ivfpq_index(spark, work, q, k=5, nprobe=8)
-        hits = bf.join(
-            out.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        ).count()
+        try:
+            build_ivfpq_index(
+                e, work, nlist=8, m_sub=8, k_codes=16, opq=opq
+            )
+            out = query_ivfpq_index(spark, work, q, k=5, nprobe=8)
+            hits = bf.join(
+                out.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            ).count()
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
         return hits / n_truth
 
     r_raw = recall(False)

@@ -88,6 +88,21 @@ def test_ngram_jaccard_exact_dupes_score_one(docs):
     assert all(r.jaccard == 1.0 for r in pairs if r.id_b == r.id_a + 10_000)
 
 
+def test_ngram_jaccard_releases_persisted_storage(docs, spark):
+    """ngram_jaccard_pairs must not leave pinned executor storage
+    behind (the pagerank/edit-join release discipline, VERDICT r9)."""
+    d = docs.select("doc_id", "text").limit(20)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    got = ngram_jaccard_pairs(d, "doc_id", "text", 3, 0.5).collect()
+    assert isinstance(got, list)
+    # the localCheckpoint of the returned pairs legitimately remains
+    # (it IS the returned materialization, GC-cleaned); the shingle
+    # cache must be gone.
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 1
+
+
 def test_simhash_identical_docs_equal_fingerprints(docs, spark):
     d = docs.select("doc_id", "text").limit(10)
     doubled = d.unionAll(

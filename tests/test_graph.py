@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from etlhelper_spark.functions.graph import weighted_pagerank
 
@@ -146,6 +147,23 @@ def test_shortest_paths_rejects_float_weights(spark):
     )
     with pytest.raises(ValueError, match="integral or decimal"):
         shortest_paths(e, 0, 2)
+
+
+def test_shortest_paths_rejects_decimal_scale_over_6(spark):
+    """Scale > 6 silently loses the last fractional digit per hop
+    under Spark's decimal-addition precision-loss rule — rejected
+    loudly (ADVICE r9)."""
+    from etlhelper_spark.functions.graph import shortest_paths
+
+    e = spark.createDataFrame(
+        [(0, 1, 1.5)], "src long, dst long, w double"
+    ).select("src", "dst", F.col("w").cast("decimal(20,7)").alias("w"))
+    with pytest.raises(ValueError, match="scale <= 6"):
+        shortest_paths(e, 0, 2)
+    # scale 6 is fine
+    e6 = e.select("src", "dst", F.col("w").cast("decimal(20,6)").alias("w"))
+    got = {r.node: r.dist for r in shortest_paths(e6, 0, 2).collect()}
+    assert float(got[1]) == 1.5
 
 
 def test_pagerank_releases_persisted_storage(spark, tiny_graph):

@@ -124,6 +124,51 @@ def test_new_cluster_and_all_null_field_merge(spark, recs):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_null_cluster_ids_merge_not_accumulate(spark, recs):
+    """golden_records groups NULL cluster ids into one cluster; the
+    incremental merge must too (eqNullSafe join — ADVICE r9). Fold the
+    same null-cluster rows across two batches and check exactly one
+    null-cluster state row that equals the full recompute."""
+    nulled = recs.withColumn(
+        "ck", F.when(F.col("ck") == 1, None).otherwise(F.col("ck"))
+    )
+    def rows(df):
+        # None-safe sort key: null cluster first, then by id
+        return sorted(
+            map(tuple, df.collect()),
+            key=lambda t: (t[0] is not None, t[0] or 0),
+        )
+
+    d = tempfile.mkdtemp(prefix="ehs_gst_null_")
+    try:
+        for b in range(3):
+            golden_incremental(
+                nulled.where((F.col("rid") % 3) == b), d, b, *ARGS
+            )
+        got = rows(read_golden_state(spark, d))
+        assert got == rows(golden_records(nulled, *ARGS))
+        n_null = sum(1 for row in got if row[0] is None)
+        assert n_null == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_string_id_rejected(spark, recs):
+    """Non-numeric record ids silently null the negated ordering field
+    — rejected loudly (ADVICE r9), batch and incremental alike."""
+    from etlhelper_spark.operators.survivorship import golden_records as gr
+
+    bad = recs.withColumn("rid", F.col("rid").cast("string"))
+    with pytest.raises(ValueError, match="numeric id"):
+        gr(bad, *ARGS)
+    d = tempfile.mkdtemp(prefix="ehs_gst_badid_")
+    try:
+        with pytest.raises(ValueError, match="numeric id"):
+            golden_incremental(bad, d, 0, *ARGS)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_equals_batch(spark, recs, tmp_path):
     """Drained availableNow stream state == golden_records over the
     whole feed, with the feed split into mtime-ordered micro-batches
