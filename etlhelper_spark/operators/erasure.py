@@ -67,6 +67,7 @@ __all__ = [
     "forget_from_ann_index",
     "forget_from_bands_state",
     "forget_from_embedding_lsh_state",
+    "forget_from_golden_state",
     "forget_from_index_state",
     "forget_from_ivfpq_index",
     "forget_from_span_state",
@@ -416,6 +417,160 @@ def forget_from_ivfpq_index(spark, path: str, ids) -> int:
     return total
 
 
+def _golden_versions(subdir: str) -> list[tuple[int, str]]:
+    """Sorted ``(version, path)`` of the golden store's ``v<k>``
+    directories (the ivm rewrite-versioned convention — no marker:
+    each version is written whole)."""
+    out = []
+    for p in glob.glob(os.path.join(subdir, "v*")):
+        tail = os.path.basename(p)[1:]
+        if tail.isdigit():
+            out.append((int(tail), p))
+    return sorted(out)
+
+
+def forget_from_golden_state(
+    spark,
+    state_dir: str,
+    ids,
+    retained_records: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    field_cols: list[str],
+    version_col: str,
+    source_col: str | None = None,
+    source_priority: dict[str, int] | None = None,
+    forgotten_records: DataFrame | None = None,
+    state_partitions: int = 1,
+) -> int:
+    """Erase records from the golden-record survivorship state
+    (operators/survivorship_state.py layout — one row per cluster with
+    a ``__win_<f>`` (ord, val, src_id[, source]) struct per field).
+    The state persists literal FIELD VALUES and record-id PROVENANCE
+    from source records — precisely the PII a deletion request must
+    reach — but it is an argmax that discarded the losers, so erasing
+    a winner cannot be a row rewrite: the affected clusters must
+    RE-SURVIVE from the retained records (the retained-input contract
+    forget_from_span_state already uses).
+
+    *retained_records* must be the ingested corpus MINUS the forgotten
+    records (a superset of clusters is fine — only affected clusters
+    are read), with the same columns and the same priority map as
+    ingestion: re-survival recomputes exactly the state-as-if-never-
+    ingested for those clusters, because per-cluster survivorship is
+    independent across clusters. A retained feed that still CONTAINS a
+    doomed record id is rejected loudly — silently re-surviving the
+    forgotten value would be a compliance failure dressed as success.
+
+    Affected clusters are found from the state itself (any field whose
+    winning ``src_id`` is doomed — one bounded explode + semi-join,
+    never a corpus scan). Pass *forgotten_records* (rows carrying at
+    least *cluster_col*) to ALSO rewrite clusters where the forgotten
+    record only LOST every field: losers leave no value in the state,
+    but ``n_records`` counts them, and as-if-never-ingested means the
+    count must drop too. Clusters emptied of retained records vanish.
+
+    Durability: the rewritten state lands in a fresh ``v<k+1>`` via
+    write-to-temp + atomic rename (rename LAST — a crash leaves either
+    the old or the new state, never a torn one), then EVERY older
+    version directory is deleted — old versions still hold the
+    forgotten values on disk, so purging them is part of the erasure,
+    not housekeeping (the forget_from_dedup_state precedent). A crash
+    between rename and purge is healed by re-running: stale temp dirs
+    and superseded versions are cleaned on entry. Subsequent ingest
+    batch ids must stay above the new version (the monotone-batch
+    contract every store here has).
+
+    Returns the number of winner slots (cluster x field) whose
+    provenance referenced a doomed id — the audit measure of PII
+    actually erased."""
+    from .survivorship_state import _golden_structs
+
+    subdir = os.path.join(state_dir, "golden")
+    versions = _golden_versions(subdir)
+    if not versions:
+        raise ValueError(f"no golden state at {state_dir}")
+    # heal any interrupted prior erasure: stale temp dirs and
+    # superseded (PII-bearing) older versions go first
+    for p in glob.glob(os.path.join(subdir, ".v*.tmp")):
+        shutil.rmtree(p, ignore_errors=True)
+    for _v, p in versions[:-1]:
+        shutil.rmtree(p, ignore_errors=True)
+    cur_v, cur_path = versions[-1]
+    state = spark.read.parquet(cur_path)
+    doomed = _doomed_frame(spark, ids)
+    win_cols = [c for c in state.columns if c.startswith("__win_")]
+    exploded = state.select(
+        "cluster_id",
+        F.explode(
+            F.array(*[F.col(c)["src_id"] for c in win_cols])
+        ).alias("__sid"),
+    )
+    doomed_slots = exploded.join(
+        F.broadcast(doomed), exploded["__sid"] == doomed["__fid"], "left_semi"
+    ).localCheckpoint()
+    n_slots = doomed_slots.count()
+    affected_cand = doomed_slots.select("cluster_id").distinct()
+    if forgotten_records is not None:
+        affected_cand = affected_cand.unionByName(
+            forgotten_records.select(
+                F.col(cluster_col).alias("cluster_id")
+            ).distinct()
+        ).distinct()
+    # only clusters actually IN the state rewrite (a forgotten record
+    # whose cluster never reached the state has nothing to erase —
+    # and re-surviving it would INVENT state for never-ingested rows)
+    sc = state.select(F.col("cluster_id").alias("__sc")).distinct()
+    affected = (
+        affected_cand.join(
+            F.broadcast(sc),
+            affected_cand["cluster_id"].eqNullSafe(F.col("__sc")),
+            "left_semi",
+        )
+        .select(F.col("cluster_id").alias("__ac"))
+        .localCheckpoint()
+    )
+    if affected.isEmpty():
+        return int(n_slots)
+    ra = retained_records.join(
+        F.broadcast(affected),
+        retained_records[cluster_col].eqNullSafe(F.col("__ac")),
+        "left_semi",
+    )
+    still_doomed = ra.join(
+        F.broadcast(doomed), ra[id_col] == doomed["__fid"], "left_semi"
+    ).count()
+    if still_doomed:
+        raise ValueError(
+            f"forget_from_golden_state: retained_records still contains "
+            f"{still_doomed} doomed record(s) — pass the corpus MINUS "
+            f"the forgotten records"
+        )
+    resurvived = _golden_structs(
+        ra,
+        cluster_col,
+        id_col,
+        field_cols,
+        version_col,
+        source_col,
+        source_priority,
+    )
+    kept = state.join(
+        F.broadcast(affected),
+        state["cluster_id"].eqNullSafe(F.col("__ac")),
+        "left_anti",
+    )
+    new_state = kept.unionByName(resurvived)
+    nxt = cur_v + 1
+    tmp = os.path.join(subdir, f".v{nxt}.tmp")
+    new_state.repartition(state_partitions).write.mode("overwrite").parquet(
+        tmp
+    )
+    os.rename(tmp, os.path.join(subdir, f"v{nxt}"))  # atomic cutover
+    shutil.rmtree(cur_path, ignore_errors=True)
+    return int(n_slots)
+
+
 def forget_everywhere(
     spark,
     ids,
@@ -427,19 +582,30 @@ def forget_everywhere(
     ivf_index_paths=(),
     ivfpq_index_paths=(),
     linkage_state_dir: str | None = None,
+    golden_state_dir: str | None = None,
+    golden_retained: DataFrame | None = None,
+    golden_spec: dict | None = None,
+    golden_forgotten: DataFrame | None = None,
     state_partitions: int = 1,
 ) -> dict[str, int]:
     """ONE deletion request, EVERY derived artifact: orchestrates the
     per-store erasures over whichever stores exist — the exact
     fingerprint ledger, MinHash bands, embedding-LSH signatures, span
     digests (when *span_docs* carries the forgotten documents' text),
-    the inverted index, and any number of ANN / IVFPQ indexes. Stores
-    whose directories are absent are skipped silently (a pipeline that
-    never built a band state has nothing to erase). Returns
-    ``{store: erased_count}`` — the audit record a compliance log
-    wants. Partial erasure is a compliance failure: callers should
-    persist this dict and alert on any store that was EXPECTED but
-    skipped."""
+    the inverted index, any number of ANN / IVFPQ indexes, the
+    linkage variant index, and the golden-record survivorship state
+    (when *golden_state_dir* names one: *golden_retained* must carry
+    the retained corpus and *golden_spec* the survivorship column
+    arguments — cluster_col, id_col, field_cols, version_col and
+    optionally source_col / source_priority — because re-surviving an
+    erased winner needs the retained records; *golden_forgotten*
+    optionally carries the forgotten rows so loser-only clusters
+    decrement their counts too). Stores whose directories are absent
+    are skipped silently (a pipeline that never built a band state has
+    nothing to erase). Returns ``{store: erased_count}`` — the audit
+    record a compliance log wants. Partial erasure is a compliance
+    failure: callers should persist this dict and alert on any store
+    that was EXPECTED but skipped."""
     out: dict[str, int] = {}
     if dedup_state_dir is not None:
         if os.path.isdir(os.path.join(dedup_state_dir, "exact")):
@@ -482,5 +648,25 @@ def forget_everywhere(
 
         out["linkage_index"] = forget_from_linkage_state(
             spark, linkage_state_dir, ids, state_partitions
+        )
+    if golden_state_dir is not None and os.path.isdir(
+        os.path.join(golden_state_dir, "golden")
+    ):
+        if golden_retained is None or not golden_spec:
+            raise ValueError(
+                "forget_everywhere: a golden state exists at "
+                f"{golden_state_dir} but golden_retained/golden_spec "
+                "were not provided — erasing a survivorship winner "
+                "requires the retained records to re-survive from "
+                "(skipping it silently would be a compliance failure)"
+            )
+        out["golden"] = forget_from_golden_state(
+            spark,
+            golden_state_dir,
+            ids,
+            golden_retained,
+            forgotten_records=golden_forgotten,
+            state_partitions=state_partitions,
+            **golden_spec,
         )
     return out

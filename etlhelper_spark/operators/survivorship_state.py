@@ -42,6 +42,7 @@ from .dedup_state import _latest_version
 __all__ = [
     "golden_incremental",
     "read_golden_state",
+    "remap_golden_clusters",
     "streaming_golden",
 ]
 
@@ -165,6 +166,78 @@ def golden_incremental(
         ).select(*cols)
     target = os.path.join(subdir, f"v{int(batch_id)}")
     merged.write.mode("overwrite").parquet(target)
+    return target
+
+
+def remap_golden_clusters(
+    spark,
+    state_dir: str,
+    mapping_df: DataFrame,
+    batch_id: int,
+    state_partitions: int = 1,
+) -> str:
+    """Fold CLUSTER MERGES into the golden-record state: when a new
+    linkage batch links two existing entities (q252's connected
+    components merge their clusters), the state holds two rows that
+    must become one under the surviving cluster id. Because each
+    ``__win_<f>`` struct still carries its ordering key, the merge is
+    the SAME associative argmax golden_incremental uses — rename, then
+    one groupBy taking the ord-max winner per field and summing record
+    counts. O(state) with no history re-scan; at scale the mapping is
+    broadcast (bounded by the merge events, not the corpus).
+
+    *mapping_df* is two columns ``(old_cluster_id, new_cluster_id)``
+    — by position, names free — and must map straight to FINAL
+    representatives: a chain (a->b while b->c) is rejected loudly,
+    because one rename pass cannot resolve it (resolve chains with the
+    connected-components labeling first — its min-label output is
+    chain-free by construction). Identity rows are ignored.
+
+    Versioned like every apply: reads the newest state strictly below
+    *batch_id*, overwrites ``v<batch_id>`` — an at-least-once
+    redelivery recomputes the identical directory. Returns the
+    version directory written."""
+    subdir = os.path.join(state_dir, "golden")
+    state = _latest_version(spark, subdir, int(batch_id))
+    if state is None:
+        raise ValueError(f"no golden state at {state_dir}")
+    oc, nc = mapping_df.columns[0], mapping_df.columns[1]
+    m = mapping_df.select(
+        F.col(oc).alias("__old"), F.col(nc).alias("__new")
+    ).where(~F.col(oc).eqNullSafe(F.col(nc)))
+    chained = (
+        m.alias("x")
+        .join(
+            m.alias("y"),
+            F.col("x.__new") == F.col("y.__old"),
+            "left_semi",
+        )
+        .count()
+    )
+    if chained:
+        raise ValueError(
+            f"remap_golden_clusters: {chained} mapping row(s) point at "
+            f"an id that is itself remapped — resolve chains to final "
+            f"representatives first"
+        )
+    renamed = state.join(
+        F.broadcast(m), state["cluster_id"] == m["__old"], "left"
+    ).select(
+        F.coalesce("__new", "cluster_id").alias("cluster_id"),
+        *[c for c in state.columns if c != "cluster_id"],
+    )
+    win_cols = [c for c in state.columns if c.startswith("__win_")]
+    merged = renamed.groupBy("cluster_id").agg(
+        F.sum("n_records").alias("n_records"),
+        *[
+            F.max_by(F.col(c), F.col(c)["ord"]).alias(c)
+            for c in win_cols
+        ],
+    )
+    target = os.path.join(subdir, f"v{int(batch_id)}")
+    merged.repartition(state_partitions).write.mode("overwrite").parquet(
+        target
+    )
     return target
 
 

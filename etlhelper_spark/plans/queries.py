@@ -15612,23 +15612,28 @@ def q262_incremental_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = crm.unionByName(web).unionByName(app)
     args = ("ck", "rid", ["phone", "bal"], "v", "src",
             {"crm": 1, "web": 2, "app": 3})
+    import shutil
+
     work = tempfile.mkdtemp(prefix="ehs_golden_state_")
-    for b in range(3):
+    try:
+        for b in range(3):
+            golden_incremental(
+                recs.where(F.pmod("rid", F.lit(3)) == b), work, b, *args
+            )
+        before = read_golden_state(spark, work).localCheckpoint()
+        # replay the LAST batch: the rewrite must be idempotent
         golden_incremental(
-            recs.where(F.pmod("rid", F.lit(3)) == b), work, b, *args
+            recs.where(F.pmod("rid", F.lit(3)) == 2), work, 2, *args
         )
-    before = read_golden_state(spark, work).localCheckpoint()
-    # replay the LAST batch: the versioned rewrite must be idempotent
-    golden_incremental(
-        recs.where(F.pmod("rid", F.lit(3)) == 2), work, 2, *args
-    )
-    after = read_golden_state(spark, work)
-    n_before = before.count()
-    if (
-        after.count() != n_before
-        or before.exceptAll(after).count() != 0
-    ):
-        raise ValueError("golden-state replay was not idempotent")
+        after = read_golden_state(spark, work)
+        n_before = before.count()
+        if (
+            after.count() != n_before
+            or before.exceptAll(after).count() != 0
+        ):
+            raise ValueError("golden-state replay was not idempotent")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return before
 
 
@@ -15778,6 +15783,281 @@ def q263_stream_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+def _mdm_sources(spark: SparkSession, sf_dir: str):
+    """q258/q262's three-source MDM construction — (crm, web, app)
+    record frames over customer with rid = ck*3 + source offset."""
+    c = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    digits = F.expr("substring(c_name, 10)")
+    crm = c.select(
+        ck.alias("ck"),
+        (ck * 3).alias("rid"),
+        F.lit("crm").alias("src"),
+        (ck % 2).alias("v"),
+        F.when(ck % 3 != 0, F.concat(F.lit("C-"), digits)).alias("phone"),
+        F.when(ck % 2 != 0, F.col("c_acctbal")).alias("bal"),
+    )
+    web = c.select(
+        ck.alias("ck"),
+        (ck * 3 + 1).alias("rid"),
+        F.lit("web").alias("src"),
+        ((ck + 1) % 2).alias("v"),
+        F.concat(F.lit("W-"), digits).alias("phone"),
+        F.when(ck % 7 != 0, F.col("c_acctbal") + 100).alias("bal"),
+    )
+    app = c.select(
+        ck.alias("ck"),
+        (ck * 3 + 2).alias("rid"),
+        F.lit("app").alias("src"),
+        (ck % 2).alias("v"),
+        F.when(ck % 5 != 0, F.concat(F.lit("A-"), digits)).alias("phone"),
+        (F.col("c_acctbal") + 200).alias("bal"),
+    )
+    return crm, web, app
+
+
+_MDM_ARGS = ("ck", "rid", ["phone", "bal"], "v", "src",
+             {"crm": 1, "web": 2, "app": 3})
+
+
+@query(
+    "q264_forget_golden",
+    """
+    WITH recs AS (
+        SELECT c_custkey AS ck, c_custkey * 3 AS rid, 'crm' AS src,
+               1 AS prio, c_custkey % 2 AS v,
+               CASE WHEN c_custkey % 3 <> 0
+                    THEN 'C-' || substr(c_name, 10) END AS phone,
+               CASE WHEN c_custkey % 2 <> 0 THEN c_acctbal END AS bal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_custkey * 3 + 1, 'web',
+               2, (c_custkey + 1) % 2,
+               'W-' || substr(c_name, 10),
+               CASE WHEN c_custkey % 7 <> 0 THEN c_acctbal + 100 END
+        FROM customer
+        WHERE c_custkey % 10 <> 4
+        UNION ALL
+        SELECT c_custkey, c_custkey * 3 + 2, 'app',
+               3, c_custkey % 2,
+               CASE WHEN c_custkey % 5 <> 0
+                    THEN 'A-' || substr(c_name, 10) END,
+               c_acctbal + 200
+        FROM customer
+    ), ph AS (
+        SELECT ck, phone, rid, src FROM (
+            SELECT ck, phone, rid, src,
+                   row_number() OVER (
+                       PARTITION BY ck
+                       ORDER BY v DESC, prio ASC, rid ASC
+                   ) AS rn
+            FROM recs WHERE phone IS NOT NULL
+        ) WHERE rn = 1
+    ), bl AS (
+        SELECT ck, bal, rid, src FROM (
+            SELECT ck, bal, rid, src,
+                   row_number() OVER (
+                       PARTITION BY ck
+                       ORDER BY v DESC, prio ASC, rid ASC
+                   ) AS rn
+            FROM recs WHERE bal IS NOT NULL
+        ) WHERE rn = 1
+    ), n AS (
+        SELECT ck, count(*) AS n_records FROM recs GROUP BY ck
+    )
+    SELECT n.ck AS cluster_id, n.n_records,
+           ph.phone, ph.rid AS phone__src_id, ph.src AS phone__source,
+           bl.bal, bl.rid AS bal__src_id, bl.src AS bal__source
+    FROM n
+    LEFT JOIN ph ON n.ck = ph.ck
+    LEFT JOIN bl ON n.ck = bl.ck
+    """,
+)
+def q264_forget_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten for the GOLDEN-RECORD state
+    (operators/erasure.py::forget_from_golden_state, wired into
+    forget_everywhere — closing VERDICT r9's top gap: the state
+    persists literal field values AND record-id provenance, precisely
+    what a deletion request must reach). The web records of every
+    10th cluster are forgotten — chosen because web WINS the phone
+    field of every even cluster (its version is 1 there while
+    crm/app sit at 0), so the erasure must RE-SURVIVE those clusters
+    from the retained records, not just drop rows; the doomed feed
+    also carries its cluster ids so n_records drops even where the
+    forgotten record only lost. The oracle restates survivorship
+    over the NEVER-INGESTED corpus (the web rows simply absent), so
+    the hash pins re-survival exactly: over-erasure, under-erasure,
+    or a stale count all flip it. In-plan gates: provenance slots
+    were actually erased, no surviving provenance references a doomed
+    id, and exactly one (PII-purged) state version remains."""
+    import glob as _glob
+    import shutil
+
+    from ..operators.erasure import forget_from_golden_state
+    from ..operators.survivorship_state import (
+        golden_incremental,
+        read_golden_state,
+    )
+
+    crm, web, app = _mdm_sources(spark, sf_dir)
+    recs = crm.unionByName(web).unionByName(app)
+    doomed_recs = web.where(F.col("ck") % 10 == 4).localCheckpoint()
+    doomed_ids = doomed_recs.select("rid")
+    retained = recs.where(
+        ~((F.col("rid") % 3 == 1) & (F.col("ck") % 10 == 4))
+    )
+    work = tempfile.mkdtemp(prefix="ehs_forget_golden_")
+    try:
+        for b in range(2):
+            golden_incremental(
+                recs.where(F.pmod("rid", F.lit(2)) == b),
+                work,
+                b,
+                *_MDM_ARGS,
+            )
+        n_slots = forget_from_golden_state(
+            spark,
+            work,
+            doomed_ids,
+            retained,
+            *_MDM_ARGS,
+            forgotten_records=doomed_recs,
+        )
+        state = read_golden_state(spark, work).localCheckpoint()
+        n_versions = len(_glob.glob(os.path.join(work, "golden", "v*")))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    leftover = (
+        state.join(
+            doomed_ids,
+            (state["phone__src_id"] == doomed_ids["rid"])
+            | (state["bal__src_id"] == doomed_ids["rid"]),
+            "left_semi",
+        )
+    ).count()
+    if n_slots < 1 or leftover != 0 or n_versions != 1:
+        raise ValueError(
+            f"golden erasure failed: slots={n_slots}, "
+            f"leftover_provenance={leftover}, versions={n_versions}"
+        )
+    return state
+
+
+@query(
+    "q265_remap_golden",
+    """
+    WITH recs AS (
+        SELECT c_custkey - (c_custkey % 2) AS ck,
+               c_custkey * 3 AS rid, 'crm' AS src,
+               1 AS prio, c_custkey % 2 AS v,
+               CASE WHEN c_custkey % 3 <> 0
+                    THEN 'C-' || substr(c_name, 10) END AS phone,
+               CASE WHEN c_custkey % 2 <> 0 THEN c_acctbal END AS bal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey - (c_custkey % 2), c_custkey * 3 + 1, 'web',
+               2, (c_custkey + 1) % 2,
+               'W-' || substr(c_name, 10),
+               CASE WHEN c_custkey % 7 <> 0 THEN c_acctbal + 100 END
+        FROM customer
+        UNION ALL
+        SELECT c_custkey - (c_custkey % 2), c_custkey * 3 + 2, 'app',
+               3, c_custkey % 2,
+               CASE WHEN c_custkey % 5 <> 0
+                    THEN 'A-' || substr(c_name, 10) END,
+               c_acctbal + 200
+        FROM customer
+    ), ph AS (
+        SELECT ck, phone, rid, src FROM (
+            SELECT ck, phone, rid, src,
+                   row_number() OVER (
+                       PARTITION BY ck
+                       ORDER BY v DESC, prio ASC, rid ASC
+                   ) AS rn
+            FROM recs WHERE phone IS NOT NULL
+        ) WHERE rn = 1
+    ), bl AS (
+        SELECT ck, bal, rid, src FROM (
+            SELECT ck, bal, rid, src,
+                   row_number() OVER (
+                       PARTITION BY ck
+                       ORDER BY v DESC, prio ASC, rid ASC
+                   ) AS rn
+            FROM recs WHERE bal IS NOT NULL
+        ) WHERE rn = 1
+    ), n AS (
+        SELECT ck, count(*) AS n_records FROM recs GROUP BY ck
+    )
+    SELECT n.ck AS cluster_id, n.n_records,
+           ph.phone, ph.rid AS phone__src_id, ph.src AS phone__source,
+           bl.bal, bl.rid AS bal__src_id, bl.src AS bal__source
+    FROM n
+    LEFT JOIN ph ON n.ck = ph.ck
+    LEFT JOIN bl ON n.ck = bl.ck
+    """,
+)
+def q265_remap_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN STATE UNDER CLUSTER MERGES (operators/survivorship_state
+    .py::remap_golden_clusters — VERDICT r9 #3): the linkage family's
+    whole point is that NEW batches create NEW links, so when a later
+    batch links two existing entities their golden rows must fold
+    into one under the surviving cluster id. The state is ingested
+    under the ORIGINAL per-customer clusters, then a merge mapping
+    (every odd cluster into its even predecessor — already final
+    representatives, the CC min-label shape) remaps the persisted
+    state: rename + ONE ord-argmax groupBy, O(state), no history
+    re-scan. The oracle restates full survivorship over the MERGED
+    assignment (ck - ck%2 at the source), so the hash pins
+    merge-equals-recompute: winners must be re-decided ACROSS the
+    merged pair (web of the even customer vs crm/app of the odd one
+    compete at version 1), not concatenated. In-plan gates: the
+    merge actually halved the cluster count, and a replay of the
+    remap under the same batch id is row-identical."""
+    import shutil
+
+    from ..operators.survivorship_state import (
+        golden_incremental,
+        read_golden_state,
+        remap_golden_clusters,
+    )
+
+    crm, web, app = _mdm_sources(spark, sf_dir)
+    recs = crm.unionByName(web).unionByName(app)
+    c = _t(spark, sf_dir, "customer")
+    mapping = c.where(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("old_ck"),
+        (F.col("c_custkey") - 1).alias("new_ck"),
+    )
+    work = tempfile.mkdtemp(prefix="ehs_remap_golden_")
+    try:
+        for b in range(2):
+            golden_incremental(
+                recs.where(F.pmod("rid", F.lit(2)) == b),
+                work,
+                b,
+                *_MDM_ARGS,
+            )
+        n_before = read_golden_state(spark, work).count()
+        remap_golden_clusters(spark, work, mapping, batch_id=10)
+        state = read_golden_state(spark, work).localCheckpoint()
+        n_after = state.count()
+        if n_after * 2 > n_before + 1:
+            raise ValueError(
+                f"remap did not merge: {n_before} -> {n_after} clusters"
+            )
+        # replay under the same batch id: identical state
+        remap_golden_clusters(spark, work, mapping, batch_id=10)
+        again = read_golden_state(spark, work)
+        if (
+            again.count() != n_after
+            or state.exceptAll(again).count() != 0
+        ):
+            raise ValueError("golden remap replay was not idempotent")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return state
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

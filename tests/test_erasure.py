@@ -300,3 +300,145 @@ def test_forget_everywhere_orchestrates_and_skips_missing(spark, tmp_path):
     assert spark.read.parquet(idx).where(
         F.col("vec_id").isin([3, 7])
     ).count() == 0
+
+
+# ------------------------------------------------------ golden state
+_GOLDEN_ARGS = ("ck", "rid", ["phone", "bal"], "v", "src",
+                {"s0": 1, "s1": 2})
+
+
+def _golden_recs(spark):
+    """10 clusters x 3 records; version v = j so rid ck*10+2 wins
+    every field of cluster ck."""
+    rows = []
+    for ck in range(10):
+        for j in range(3):
+            rid = ck * 10 + j
+            rows.append(
+                (ck, rid, f"s{j % 2}", j, f"P-{rid}", float(rid))
+            )
+    return spark.createDataFrame(
+        rows, "ck long, rid long, src string, v long, phone string, "
+              "bal double"
+    )
+
+
+def _fold_golden(recs, st):
+    from etlhelper_spark.operators.survivorship_state import (
+        golden_incremental,
+    )
+
+    for b in range(2):
+        golden_incremental(
+            recs.where(F.col("rid") % 2 == b), st, b, *_GOLDEN_ARGS
+        )
+
+
+def test_forget_golden_equals_never_ingested(spark, tmp_path):
+    from etlhelper_spark.operators.erasure import forget_from_golden_state
+    from etlhelper_spark.operators.survivorship import golden_records
+    from etlhelper_spark.operators.survivorship_state import (
+        read_golden_state,
+    )
+
+    recs = _golden_recs(spark)
+    st = str(tmp_path / "st")
+    _fold_golden(recs, st)
+    # rid 2 and 12 WON both fields of clusters 0/1; rid 21 lost every
+    # field of cluster 2 (losers only affect n_records)
+    doomed = [2, 12, 21]
+    retained = recs.where(~F.col("rid").isin(doomed))
+    n = forget_from_golden_state(
+        spark,
+        st,
+        doomed,
+        retained,
+        *_GOLDEN_ARGS,
+        forgotten_records=recs.where(F.col("rid").isin(doomed)),
+    )
+    assert n == 4  # 2 winner ids x 2 fields
+    got = sorted(map(tuple, read_golden_state(spark, st).collect()))
+    want = sorted(
+        map(tuple, golden_records(retained, *_GOLDEN_ARGS).collect())
+    )
+    assert got == want
+    by_ck = {r[0]: r for r in got}
+    # clusters 0/1 re-survived on the j=1 record; cluster 2's count
+    # dropped even though its values were never the doomed record's
+    assert by_ck[0][2] == "P-1" and by_ck[1][2] == "P-11"
+    assert by_ck[2][1] == 2
+    # exactly ONE version dir remains: older versions held the
+    # forgotten values and must be physically gone
+    assert len(glob.glob(os.path.join(st, "golden", "v*"))) == 1
+
+
+def test_forget_golden_rejects_doomed_in_retained(spark, tmp_path):
+    from etlhelper_spark.operators.erasure import forget_from_golden_state
+
+    recs = _golden_recs(spark)
+    st = str(tmp_path / "st")
+    _fold_golden(recs, st)
+    with pytest.raises(ValueError, match="still contains"):
+        forget_from_golden_state(spark, st, [2], recs, *_GOLDEN_ARGS)
+
+
+def test_forget_golden_heals_crash_windows(spark, tmp_path):
+    """A stale temp dir (crash before rename) and superseded versions
+    (crash between rename and purge) are cleaned on entry; the erased
+    state still equals never-ingested."""
+    from etlhelper_spark.operators.erasure import forget_from_golden_state
+    from etlhelper_spark.operators.survivorship import golden_records
+    from etlhelper_spark.operators.survivorship_state import (
+        read_golden_state,
+    )
+
+    recs = _golden_recs(spark)
+    st = str(tmp_path / "st")
+    _fold_golden(recs, st)
+    stale = os.path.join(st, "golden", ".v99.tmp")
+    os.makedirs(stale)
+    retained = recs.where(~F.col("rid").isin([32]))
+    forget_from_golden_state(spark, st, [32], retained, *_GOLDEN_ARGS)
+    assert not os.path.exists(stale)
+    vs = glob.glob(os.path.join(st, "golden", "v*"))
+    assert len(vs) == 1
+    got = sorted(map(tuple, read_golden_state(spark, st).collect()))
+    want = sorted(
+        map(tuple, golden_records(retained, *_GOLDEN_ARGS).collect())
+    )
+    assert got == want
+
+
+def test_forget_everywhere_covers_golden(spark, tmp_path):
+    from etlhelper_spark.operators.erasure import forget_everywhere
+    from etlhelper_spark.operators.survivorship_state import (
+        read_golden_state,
+    )
+
+    recs = _golden_recs(spark)
+    st = str(tmp_path / "gst")
+    _fold_golden(recs, st)
+    # a golden store EXISTS but no retained feed: loud failure, never
+    # a silent skip
+    with pytest.raises(ValueError, match="compliance"):
+        forget_everywhere(spark, [2], golden_state_dir=st)
+    spec = dict(
+        cluster_col="ck",
+        id_col="rid",
+        field_cols=["phone", "bal"],
+        version_col="v",
+        source_col="src",
+        source_priority={"s0": 1, "s1": 2},
+    )
+    out = forget_everywhere(
+        spark,
+        [2],
+        golden_state_dir=st,
+        golden_retained=recs.where(F.col("rid") != 2),
+        golden_spec=spec,
+    )
+    assert out["golden"] == 2
+    state = read_golden_state(spark, st)
+    assert state.where(
+        (F.col("phone__src_id") == 2) | (F.col("bal__src_id") == 2)
+    ).count() == 0

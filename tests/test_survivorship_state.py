@@ -200,3 +200,59 @@ def test_streaming_equals_batch(spark, recs, tmp_path):
     assert len(glob.glob(os.path.join(state, "golden", "v*"))) >= 2
     got = sorted(map(tuple, read_golden_state(spark, state).collect()))
     assert got == _full(recs)
+
+
+def test_remap_merges_clusters_equals_recompute(spark, recs):
+    """Renaming + re-merging under a cluster-merge mapping must equal
+    full survivorship over the merged assignment (the associative
+    argmax makes the fold exact)."""
+    from etlhelper_spark.operators.survivorship_state import (
+        remap_golden_clusters,
+    )
+
+    d = tempfile.mkdtemp(prefix="ehs_gst_remap_")
+    try:
+        _fold(spark, recs, d)
+        mapping = spark.createDataFrame(
+            [(1, 0), (3, 2)], "old long, new long"
+        )
+        remap_golden_clusters(spark, d, mapping, batch_id=10)
+        merged_recs = recs.withColumn(
+            "ck",
+            F.when(F.col("ck") == 1, 0)
+            .when(F.col("ck") == 3, 2)
+            .otherwise(F.col("ck")),
+        )
+        got = sorted(map(tuple, read_golden_state(spark, d).collect()))
+        want = sorted(
+            map(tuple, golden_records(merged_recs, *ARGS).collect())
+        )
+        assert got == want
+        # replay the remap under the same batch id: identical state
+        remap_golden_clusters(spark, d, mapping, batch_id=10)
+        again = sorted(map(tuple, read_golden_state(spark, d).collect()))
+        assert again == got
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_remap_rejects_chained_mapping(spark, recs):
+    from etlhelper_spark.operators.survivorship_state import (
+        remap_golden_clusters,
+    )
+
+    d = tempfile.mkdtemp(prefix="ehs_gst_chain_")
+    try:
+        _fold(spark, recs, d)
+        chained = spark.createDataFrame(
+            [(1, 0), (0, 4)], "old long, new long"
+        )
+        with pytest.raises(ValueError, match="chains"):
+            remap_golden_clusters(spark, d, chained, batch_id=10)
+        # identity rows are ignored, not flagged as chains
+        ok = spark.createDataFrame(
+            [(1, 0), (0, 0)], "old long, new long"
+        )
+        remap_golden_clusters(spark, d, ok, batch_id=11)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
