@@ -258,6 +258,7 @@ HEADLINE = [
     "q262_incremental_golden",
     "q263_stream_golden",
     "q265_remap_golden",
+    "q266_sequence_packing",
 ]
 
 

@@ -16060,6 +16060,61 @@ def q265_remap_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state
 
 
+@query(
+    "q266_sequence_packing",
+    """
+    WITH RECURSIVE docs AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tokens,
+               CAST(doc_id % 8 AS INT) AS shard
+        FROM documents
+    ), ord AS (
+        SELECT doc_id, n_tokens, shard,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY doc_id
+               ) AS pos
+        FROM docs
+    ), walk AS (
+        SELECT shard, pos, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS pack_local, n_tokens AS fill
+        FROM ord WHERE pos = 1
+        UNION ALL
+        SELECT o.shard, o.pos, o.doc_id, o.n_tokens,
+               CASE WHEN w.fill + o.n_tokens > 256
+                    THEN w.pack_local + 1 ELSE w.pack_local END,
+               CASE WHEN w.fill + o.n_tokens > 256
+                    THEN o.n_tokens ELSE w.fill + o.n_tokens END
+        FROM walk w
+        JOIN ord o ON o.shard = w.shard AND o.pos = w.pos + 1
+    )
+    SELECT doc_id, n_tokens, shard,
+           shard * 4294967296 + pack_local AS pack_id,
+           fill - n_tokens AS offset
+    FROM walk
+    """,
+)
+def q266_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING for training runs (functions/packing.py::
+    pack_documents — VERDICT r9 #4, the last absent first-class
+    LLM-data-pipeline operator): every document lands in exactly one
+    fixed-budget context window, deterministically. Documents shard by
+    ``doc_id % 8``, order by id within the shard, and pack NEXT-FIT
+    against a 256-token budget; packs never cross shards (the 100 TB
+    design: the sequential unit is the shard, one Arrow-batched O(n)
+    pass each, shards in parallel, no global sort). The oracle
+    restates the greedy fold exactly as a per-shard running-sum
+    recursion — all shards advance together, one document per
+    recursion step — so the hash pins every pack id AND every offset;
+    any reordering, budget slip, or double-placement flips it.
+    Invariants (budget, exactly-once, running-sum offsets, partition
+    invariance) are property-pinned in tests/test_packing.py."""
+    from ..functions.packing import pack_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_documents(d, budget=256, n_shards=8)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

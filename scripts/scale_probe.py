@@ -141,6 +141,15 @@ def main() -> None:
         n_docs,
         lambda: dedup_exact(docs, "text", "doc_id").count(),
     )
+    from etlhelper_spark.functions.packing import pack_documents
+
+    probe(
+        "sequence packing (64 shards, 2048 budget)",
+        n_docs,
+        lambda: pack_documents(
+            docs, budget=2048, n_shards=64
+        ).count(),
+    )
     probe(
         "minhash LSH candidates",
         n_docs,
