@@ -259,6 +259,7 @@ HEADLINE = [
     "q263_stream_golden",
     "q265_remap_golden",
     "q266_sequence_packing",
+    "q267_phonetic_blocking",
 ]
 
 

@@ -754,6 +754,77 @@ def edit_distance_join(
 
 
 # ----------------------------------------------------------------------
+# Phonetic blocking (record linkage)
+# ----------------------------------------------------------------------
+def phonetic_key(col) -> Column:
+    """Soundex-style phonetic blocking key, expression-only (whole-
+    stage codegen, no UDF): uppercase, strip non-letters, keep the
+    first letter verbatim, map the rest to the classic soundex
+    consonant classes (B/F/P/V→1, C/G/J/K/Q/S/X/Z→2, D/T→3, L→4,
+    M/N→5, R→6, vowels+H/W/Y→0), collapse same-class runs, drop the
+    zeros, and keep three class digits zero-padded — so
+    Smith/Smyth→S530, Robert/Rupert→R163, Jackson/Jaxon→J250.
+
+    Built from translate + per-digit run-collapse regexps rather than
+    a backreference collapse, so the SAME semantics restate in RE2-
+    based engines (the DuckDB oracle) where ``(\\d)\\1+`` is
+    unsupported. This is the linkage family's recall complement to
+    edit_distance_join: a d-bounded join cannot reach Smyth→Smith
+    spelling variants at d > max_dist, a phonetic equi-join can —
+    compose both as a candidate union (q267)."""
+    u = F.regexp_replace(F.upper(col), "[^A-Z]", "")
+    coded = F.translate(
+        u,
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "01230120022455012623010202",
+    )
+    for d in "0123456":
+        coded = F.regexp_replace(coded, d + "+", d)
+    body = F.translate(F.substring(coded, 2, 2147483647), "0", "")
+    return F.concat(
+        F.substring(u, 1, 1), F.rpad(F.substring(body, 1, 3), 3, "0")
+    )
+
+
+def phonetic_block_join(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "id",
+    str_col: str = "s",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Phonetic candidate pairs: equi-join *a* against *b* on
+    ``phonetic_key(str_col)`` — the blocking pass that links
+    spelling variants (Smyth/Smith) an edit-distance join cannot
+    reach at its distance bound. Returns (id_a, id_b, key).
+
+    At 100 TB this is one hash equi-join on a 4-char key — but
+    phonetic keys are Zipfian (S530 holds every Smith), so
+    *max_bucket* caps the b-side: keys whose b-side group exceeds the
+    cap are DROPPED (the LSH mass-dup-guard convention — a bucket
+    that big blocks nothing and would quadratically explode the
+    candidate set; pair it with the edit-distance path, which keeps
+    full-entropy keys, rather than raising the cap). Compose with
+    edit_distance_join via unionByName + distinct on (id_a, id_b)."""
+    ka = a.select(
+        F.col(id_col).alias("id_a"),
+        phonetic_key(F.col(str_col)).alias("key"),
+    )
+    kb = b.select(
+        F.col(id_col).alias("id_b"),
+        phonetic_key(F.col(str_col)).alias("key"),
+    )
+    if max_bucket is not None:
+        sizes = kb.groupBy("key").agg(F.count("*").alias("__n"))
+        kb = kb.join(
+            sizes.where(F.col("__n") <= int(max_bucket)).select("key"),
+            "key",
+            "left_semi",
+        )
+    return ka.join(kb, "key").select("id_a", "id_b", "key")
+
+
+# ----------------------------------------------------------------------
 # SimHash
 # ----------------------------------------------------------------------
 def simhash(

@@ -223,3 +223,46 @@ def test_shared_stem_goes_through_rare_grams(spark, strategy):
     # final digit (substituting X back to any digit is one edit)
     for i in range(6):
         assert (i, 100 + i, 1) in got
+
+
+# ------------------------------------------------------------ phonetic
+def test_phonetic_key_classic_values(spark):
+    from etlhelper_spark.functions.dedup import phonetic_key
+
+    rows = [
+        ("Smith",), ("Smyth",), ("Robert",), ("Rupert",),
+        ("Jackson",), ("Jaxon",), ("Tymczak",), ("",), ("123",),
+    ]
+    d = spark.createDataFrame(rows, "s string")
+    got = {
+        r["s"]: r["k"]
+        for r in d.select("s", phonetic_key(F.col("s")).alias("k")).collect()
+    }
+    assert got["Smith"] == got["Smyth"] == "S530"
+    assert got["Robert"] == got["Rupert"] == "R163"
+    assert got["Jackson"] == got["Jaxon"] == "J250"
+    # no-letter inputs degrade to the padded empty key, deterministic
+    assert got[""] == got["123"] == "000"
+
+
+def test_phonetic_block_join_and_bucket_cap(spark):
+    from etlhelper_spark.functions.dedup import phonetic_block_join
+
+    a = spark.createDataFrame(
+        [(1, "Smyth"), (2, "Rupert")], "id long, s string"
+    )
+    b = spark.createDataFrame(
+        [(10, "Smith"), (11, "Smithe"), (12, "Robert"), (13, "Lopez")],
+        "id long, s string",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in phonetic_block_join(a, b).collect()
+    }
+    assert got == {(1, 10), (1, 11), (2, 12)}
+    # cap drops the S530 bucket (2 members > cap 1); R163 survives
+    capped = {
+        (r.id_a, r.id_b)
+        for r in phonetic_block_join(a, b, max_bucket=1).collect()
+    }
+    assert capped == {(2, 12)}
