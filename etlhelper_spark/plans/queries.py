@@ -5410,7 +5410,12 @@ def q125_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
     )
     edges = e.agg(F.count("*").alias("n_edges"))
-    return tri.crossJoin(F.broadcast(edges))
+    # materialize the two one-row aggregates eagerly so the edge cache
+    # releases before returning (the package-wide persist-release
+    # sweep, VERDICT r9) — the caller gets bounded literal results
+    out = tri.crossJoin(F.broadcast(edges)).localCheckpoint()
+    e.unpersist()
+    return out
 
 
 @query(
