@@ -202,13 +202,43 @@ def test_edit_join_no_nested_loop(spark):
         assert "CartesianProduct" not in plan
 
 
+def test_phonetic_join_no_nested_loop(spark):
+    """Phonetic blocking must stay a hash equi-join on the key — the
+    scale contract (blocking never goes all-pairs)."""
+    from etlhelper_spark.functions.dedup import phonetic_block_join
+
+    a = spark.createDataFrame(
+        [(i, f"Name{i}") for i in range(50)], "id long, s string"
+    )
+    plan = explain_str(phonetic_block_join(a, a, max_bucket=100))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_packing_single_shuffle(spark):
+    """pack_documents is one hash partition on the shard plus the
+    Arrow-batched per-shard pass — no second exchange, no sort-merge
+    machinery beyond the groupBy."""
+    from etlhelper_spark.functions.packing import pack_documents
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = explain_str(pack_documents(d, 256, n_shards=8))
+    # formatted mode lists each node in the tree AND a details
+    # section, so count tree occurrences only
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in tree
+
+
 def test_corpus_count_pinned():
     """One corpus number everywhere: every declared query has an
     oracle, and the documented count can't silently drift from the
     registry (VERDICT r2: COVERAGE/README/commit messages disagreed)."""
     from etlhelper_spark.plans import ORACLES, QUERIES
 
-    assert len(QUERIES) == len(ORACLES) == 264
+    assert len(QUERIES) == len(ORACLES) == 268
 
 
 def test_round3_plan_shapes(spark):
