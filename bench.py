@@ -15,9 +15,9 @@ measures the 64-round path at 1M docs). Same exclusion for the two
 multi-store LIFECYCLE gates: q242 (seven-store erasure orchestration
 — dozens of fixed-overhead jobs over a deliberately bounded corpus;
 the per-store erase kernels ARE timed via SCALE_PROBE's
-forget-at-state-scale rows), the single-store erasure lifecycles q253
-and q264 (same rationale; SCALE_PROBE times the linkage and golden
-erase kernels), and the
+forget-at-state-scale rows), the single-store erasure lifecycles
+q253, q264, and q268 (same rationale; SCALE_PROBE times the linkage
+and golden erase kernels), and the
 A/B comparison harnesses q243, q248, and
 q259, which build TWO indexes plus a brute-force truth —
 q229/q234/q241/q244/q256 time the production IVFPQ paths, and q247

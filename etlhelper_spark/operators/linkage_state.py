@@ -49,6 +49,18 @@ def _variants_dir(state_dir: str) -> str:
     return os.path.join(state_dir, "variants")
 
 
+def _phonetic_dir(state_dir: str) -> str:
+    return os.path.join(state_dir, "phonetic")
+
+
+def _phonetic_sources(state_dir: str) -> list[str]:
+    """Complete pieces of the phonetic key substore (same layout and
+    crash-window tolerance as _sources)."""
+    sub = _phonetic_dir(state_dir)
+    cur = _current_base(sub)
+    return ([cur] if cur else []) + _prior_batches(sub, 2**62)
+
+
 def _sources(state_dir: str) -> list[str]:
     """All complete store pieces: the newest marker-checked erased/
     compacted base (if any) plus every batch append. During the
@@ -83,11 +95,21 @@ def append_linkage_masters(
     max_dist: int = 1,
     id_col: str = "id",
     str_col: str = "s",
+    phonetic: bool = False,
 ) -> str:
     """Fold a master batch into the persisted variant index; returns
     the batch dir written. Idempotent under replay (the batch
     overwrites its own dir). Raises if the store was built with a
-    different *max_dist* — neighbourhood radii must not mix."""
+    different *max_dist* — neighbourhood radii must not mix.
+
+    With *phonetic=True* the batch ALSO lands in a ``phonetic``
+    substore of (id, s, key) rows — functions/dedup.py::phonetic_key —
+    so link_batch can union a spelling-variant blocking pass the
+    deletion variants cannot reach (Smyth/Smith at d > max_dist).
+    The substore follows the same append/replay/erase layout. Mixing
+    is rejected like a max_dist mismatch: a store either keys every
+    master batch or none — a half-keyed store would silently miss
+    links for exactly the older masters."""
     d = int(max_dist)
     if d < 1 or d > 2:
         raise ValueError("linkage index supports max_dist in {1, 2}")
@@ -97,6 +119,15 @@ def append_linkage_masters(
         raise ValueError(
             f"linkage index at {state_dir} was built with max_dist="
             f"{prior}; refusing to append with max_dist={d}"
+        )
+    has_phonetic = bool(_phonetic_sources(state_dir))
+    has_variants = bool(_sources(state_dir))
+    if has_variants and phonetic != has_phonetic:
+        raise ValueError(
+            f"linkage index at {state_dir} was built with "
+            f"phonetic={has_phonetic}; refusing to append with "
+            f"phonetic={phonetic} — a half-keyed store misses links "
+            f"for the unkeyed masters (rebuild to change)"
         )
     rows = (
         master_df.select(
@@ -112,6 +143,19 @@ def append_linkage_masters(
     )
     target = os.path.join(_variants_dir(state_dir), f"batch={int(batch_id)}")
     rows.write.mode("overwrite").parquet(target)
+    if phonetic:
+        from ..functions.dedup import phonetic_key
+
+        keys = (
+            master_df.select(
+                F.col(id_col).alias("id"), F.col(str_col).alias("s")
+            )
+            .where(F.col(str_col).isNotNull())
+            .select("id", "s", phonetic_key(F.col("s")).alias("k"))
+        )
+        keys.write.mode("overwrite").parquet(
+            os.path.join(_phonetic_dir(state_dir), f"batch={int(batch_id)}")
+        )
     return target
 
 
@@ -173,7 +217,7 @@ def forget_from_linkage_state(
     from .erasure import _doomed_frame, _versioned_erase
 
     doomed = _doomed_frame(spark, ids)
-    return _versioned_erase(
+    n = _versioned_erase(
         spark,
         _variants_dir(state_dir),
         lambda m: m.join(
@@ -184,6 +228,22 @@ def forget_from_linkage_state(
         ).count(),
         state_partitions,
     )
+    if _phonetic_sources(state_dir):
+        # the phonetic substore carries the same names — a forgotten
+        # master reachable by KEY is the same compliance failure as
+        # one reachable by variant
+        n += _versioned_erase(
+            spark,
+            _phonetic_dir(state_dir),
+            lambda m: m.join(
+                F.broadcast(doomed), m["id"] == doomed["__fid"], "left_anti"
+            ).select("id", "s", "k"),
+            lambda m: m.join(
+                F.broadcast(doomed), m["id"] == doomed["__fid"], "left_semi"
+            ).count(),
+            state_partitions,
+        )
+    return n
 
 
 def link_batch(
@@ -191,23 +251,31 @@ def link_batch(
     state_dir: str,
     id_col: str = "id",
     str_col: str = "s",
+    include_phonetic: bool = False,
 ) -> DataFrame:
     """Link a dirty feed against the persisted master index: returns
     (id_a = feed id, id_b = master id, dist) for every pair within the
     index's max_dist. Only the FEED side computes variants here; the
     master side streams from parquet. Exact: variant equi-join, then
-    length filter, then threshold levenshtein verification."""
+    length filter, then threshold levenshtein verification.
+
+    With *include_phonetic=True* (requires a store appended with
+    phonetic=True) the result is the candidate UNION of both blocking
+    passes and gains a ``phonetic`` column: edit pairs carry their
+    verified dist <= max_dist; pairs reachable ONLY by phonetic key
+    carry the full Levenshtein distance (names are bounded-length, so
+    the unthresholded verify is cheap) and phonetic=true. Pairs found
+    by both report the edit path's dist with phonetic=true."""
     spark = batch_df.sparkSession
     state = read_linkage_state(spark, state_dir)
     d = _existing_dist(spark, state_dir)
-    feed = (
-        batch_df.select(F.col(id_col).alias("id"), F.col(str_col).alias("s"))
-        .where(F.col(str_col).isNotNull())
-        .select(
-            F.col("id").alias("id_a"),
-            F.col("s").alias("s_a"),
-            F.explode(_deletion_variants("s", d)).alias("v"),
-        )
+    clean = batch_df.select(
+        F.col(id_col).alias("id"), F.col(str_col).alias("s")
+    ).where(F.col(str_col).isNotNull())
+    feed = clean.select(
+        F.col("id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        F.explode(_deletion_variants("s", d)).alias("v"),
     )
     masters = state.select(
         F.col("id").alias("id_b"), F.col("s").alias("s_b"), "v"
@@ -218,8 +286,44 @@ def link_batch(
         .select("id_a", "s_a", "id_b", "s_b")
         .distinct()
     )
-    return (
+    edit_pairs = (
         cand.withColumn("dist", F.levenshtein("s_a", "s_b", d))
         .where((F.col("dist") >= 0) & (F.col("dist") <= d))
         .select("id_a", "id_b", "dist")
+    )
+    if not include_phonetic:
+        return edit_pairs
+    from ..functions.dedup import phonetic_key
+
+    psrc = _phonetic_sources(state_dir)
+    if not psrc:
+        raise ValueError(
+            f"linkage index at {state_dir} has no phonetic substore — "
+            f"append with phonetic=True to link phonetically"
+        )
+    pkeys = spark.read.parquet(*psrc).select(
+        F.col("id").alias("id_b"), F.col("s").alias("s_b"), "k"
+    )
+    fk = clean.select(
+        F.col("id").alias("id_a"),
+        F.col("s").alias("s_a"),
+        phonetic_key(F.col("s")).alias("k"),
+    )
+    ph_pairs = (
+        fk.join(pkeys, "k")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("s_a", "s_b").alias("dist"),
+        )
+        .distinct()
+    )
+    e = edit_pairs.withColumn("phonetic", F.lit(False))
+    p = ph_pairs.withColumn("phonetic", F.lit(True))
+    both = e.unionByName(p)
+    # one row per pair: the edit path's dist wins when present (it is
+    # the same true distance), phonetic flags OR together
+    return both.groupBy("id_a", "id_b").agg(
+        F.min("dist").alias("dist"),
+        F.max("phonetic").alias("phonetic"),
     )

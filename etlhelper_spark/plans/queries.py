@@ -16347,6 +16347,171 @@ def q267_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "q268_phonetic_linkage_state",
+    """
+    WITH master AS (
+        SELECT c_custkey AS id,
+               translate(reverse(substr(c_name, 10, 9)),
+                         '0123456789', 'ABCDELMRIO') AS s
+        FROM customer
+    ), kept AS (
+        SELECT id, s FROM master WHERE id % 10 <> 3
+    ), dirty AS (
+        SELECT id,
+               substr(s, 1, 1) ||
+               translate(substr(s, 2, 3), 'AEI', 'EIA') ||
+               substr(s, 5, 100000) AS s
+        FROM master
+    ), mk AS (
+        SELECT id, s,
+               substr(s, 1, 1) || rpad(substr(translate(substr(
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(
+                       translate(s, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                 '01230120022455012623010202'),
+                   '0+', '0', 'g'), '1+', '1', 'g'), '2+', '2', 'g'),
+                   '3+', '3', 'g'), '4+', '4', 'g'), '5+', '5', 'g'),
+                   '6+', '6', 'g'),
+               2, 100000), '0', ''), 1, 3), 3, '0') AS k
+        FROM kept
+    ), dk AS (
+        SELECT id, s,
+               substr(s, 1, 1) || rpad(substr(translate(substr(
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(
+                       translate(s, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                 '01230120022455012623010202'),
+                   '0+', '0', 'g'), '1+', '1', 'g'), '2+', '2', 'g'),
+                   '3+', '3', 'g'), '4+', '4', 'g'), '5+', '5', 'g'),
+                   '6+', '6', 'g'),
+               2, 100000), '0', ''), 1, 3), 3, '0') AS k
+        FROM dirty
+    ), raw AS (
+        SELECT d.id AS did, m.id AS mid,
+               levenshtein(d.s, m.s) AS dist, FALSE AS ph
+        FROM dirty d JOIN kept m
+          ON abs(length(d.s) - length(m.s)) <= 1
+        WHERE levenshtein(d.s, m.s) <= 1
+        UNION ALL
+        SELECT d.id, m.id, levenshtein(d.s, m.s), TRUE
+        FROM dk d JOIN mk m ON d.k = m.k
+    ), u AS (
+        SELECT did, mid, min(dist) AS dist, bool_or(ph) AS phonetic
+        FROM raw GROUP BY did, mid
+    )
+    SELECT did AS id,
+           CAST(count(*) AS BIGINT) AS n_cand,
+           CAST(min(dist) AS INT) AS min_dist,
+           bool_or(did = mid) AS linked,
+           CAST(sum(CASE WHEN phonetic THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_phonetic
+    FROM u GROUP BY did
+    """,
+)
+def q268_phonetic_linkage_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PHONETIC-KEYED persisted linkage lifecycle (operators/
+    linkage_state.py — the q253 erasure shape with the new blocking
+    substore): masters append in TWO batches with phonetic=True (the
+    variant index gains a (id, s, key) substore, same append/replay/
+    erase layout), every 10th master is then FORGOTTEN — which must
+    purge its rows from BOTH substores: a forgotten master reachable
+    by phonetic key is the same compliance failure as one reachable
+    by deletion variant — and the q267 vowel-rotated feed links with
+    include_phonetic=True: the candidate union of the variant
+    equi-join and the key equi-join, one row per pair with the edit
+    path's distance winning and the phonetic flag OR-ed. The oracle
+    restates linkage against the RETAINED masters only (kept = id %
+    10 <> 3), both blocking passes and the per-pair fold, so the hash
+    pins the erasure AND the union: an under-erased key row, a
+    missed phonetic link, or a double-counted pair all flip it.
+    In-plan gates: no candidate references a forgotten master, and
+    some feed rows link ONLY phonetically (dist > 1)."""
+    import shutil
+
+    from ..operators.linkage_state import (
+        append_linkage_masters,
+        forget_from_linkage_state,
+        link_batch,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    master = c.select(
+        F.col("c_custkey").alias("id"),
+        F.translate(
+            F.reverse(F.substring(F.col("c_name"), 10, 9)),
+            "0123456789",
+            "ABCDELMRIO",
+        ).alias("s"),
+    )
+    dirty = master.select(
+        "id",
+        F.concat(
+            F.substring("s", 1, 1),
+            F.translate(F.substring("s", 2, 3), "AEI", "EIA"),
+            F.substring("s", 5, 2147483647),
+        ).alias("s"),
+    )
+    work = tempfile.mkdtemp(prefix="ehs_phlink_")
+    try:
+        append_linkage_masters(
+            master.where(F.col("id") % 2 == 0),
+            work,
+            0,
+            max_dist=1,
+            phonetic=True,
+        )
+        append_linkage_masters(
+            master.where(F.col("id") % 2 == 1),
+            work,
+            1,
+            max_dist=1,
+            phonetic=True,
+        )
+        doomed = master.where(F.col("id") % 10 == 3).select("id")
+        forget_from_linkage_state(spark, work, doomed)
+        pairs = link_batch(
+            dirty, work, include_phonetic=True
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    leaked = pairs.join(
+        doomed, pairs["id_b"] == doomed["id"], "left_semi"
+    ).count()
+    out = (
+        pairs.groupBy("id_a")
+        .agg(
+            F.count("*").alias("n_cand"),
+            F.min("dist").cast("int").alias("min_dist"),
+            F.max(F.col("id_a") == F.col("id_b")).alias("linked"),
+            F.sum(F.col("phonetic").cast("int")).alias("n_phonetic"),
+        )
+        .select(
+            F.col("id_a").alias("id"),
+            "n_cand",
+            "min_dist",
+            "linked",
+            "n_phonetic",
+        )
+        .localCheckpoint()
+    )
+    # a true pair at dist > 1 can only have come through the phonetic
+    # pass (the variant index stops at max_dist=1)
+    n_ph_only = pairs.where(
+        (F.col("id_a") == F.col("id_b")) & (F.col("dist") > 1)
+    ).count()
+    if leaked != 0 or n_ph_only < 1:
+        raise ValueError(
+            f"phonetic linkage lifecycle failed: leaked={leaked}, "
+            f"phonetic_only_links={n_ph_only}"
+        )
+    return out
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

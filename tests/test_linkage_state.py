@@ -217,3 +217,65 @@ def test_d2_links_two_edit_typos(spark, state_dir):
     want = _pairs(edit_distance_join(d2, m, max_dist=2))
     assert got == want
     assert all((2000 + i, i, 2) in got for i in range(20))
+
+
+# ---------------------------------------------------------- phonetic
+def _phonetic_masters(spark):
+    return spark.createDataFrame(
+        [(1, "SMITH"), (2, "ROBERT"), (3, "LOPEZ")], "id long, s string"
+    )
+
+
+def test_phonetic_substore_links_spelling_variants(spark, state_dir):
+    m = _phonetic_masters(spark)
+    append_linkage_masters(
+        m.where("id <= 2"), state_dir, 0, max_dist=1, phonetic=True
+    )
+    append_linkage_masters(
+        m.where("id = 3"), state_dir, 1, max_dist=1, phonetic=True
+    )
+    # SMYTH is d=1 from SMITH (both paths); RUPERT is d=2, phonetic
+    # only; QQQQQ matches nothing
+    feed = spark.createDataFrame(
+        [(10, "SMYTH"), (11, "RUPERT"), (12, "QQQQQ")],
+        "id long, s string",
+    )
+    got = {
+        (r.id_a, r.id_b): (r.dist, r.phonetic)
+        for r in link_batch(feed, state_dir, include_phonetic=True).collect()
+    }
+    assert got[(10, 1)] == (1, True)
+    assert got[(11, 2)] == (2, True)
+    assert not any(ida == 12 for ida, _ in got)
+    # default (edit-only) output shape and content are unchanged
+    edit_only = _pairs(link_batch(feed, state_dir))
+    assert edit_only == {(10, 1, 1)}
+
+
+def test_phonetic_mixing_guard(spark, state_dir):
+    m = _phonetic_masters(spark)
+    append_linkage_masters(m, state_dir, 0, max_dist=1, phonetic=True)
+    with pytest.raises(ValueError, match="phonetic"):
+        append_linkage_masters(m, state_dir, 1, max_dist=1)
+    d2 = tempfile.mkdtemp(prefix="ehs_linkage_")
+    try:
+        append_linkage_masters(m, d2, 0, max_dist=1)
+        with pytest.raises(ValueError, match="phonetic"):
+            append_linkage_masters(m, d2, 1, max_dist=1, phonetic=True)
+        # linking phonetically against an unkeyed store fails loudly
+        with pytest.raises(ValueError, match="no phonetic substore"):
+            link_batch(m, d2, include_phonetic=True)
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_forget_covers_phonetic_substore(spark, state_dir):
+    m = _phonetic_masters(spark)
+    append_linkage_masters(m, state_dir, 0, max_dist=1, phonetic=True)
+    feed = spark.createDataFrame([(10, "SMYTH")], "id long, s string")
+    before = link_batch(feed, state_dir, include_phonetic=True)
+    assert before.where("id_b = 1").count() == 1
+    n = forget_from_linkage_state(spark, state_dir, [1])
+    assert n > 0
+    after = link_batch(feed, state_dir, include_phonetic=True)
+    assert after.where("id_b = 1").count() == 0
