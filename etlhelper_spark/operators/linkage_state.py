@@ -174,6 +174,7 @@ def streaming_link(
     out_dir: str,
     id_col: str = "id",
     str_col: str = "s",
+    include_phonetic: bool = False,
 ) -> None:
     """Streaming record linkage — the continuous-ingest loop of the
     linkage family (the same pattern as streaming_dedup_exact /
@@ -188,9 +189,11 @@ def streaming_link(
     query."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        link_batch(batch_df, state_dir, id_col, str_col).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, f"batch={int(batch_id)}"))
+        link_batch(
+            batch_df, state_dir, id_col, str_col, include_phonetic
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={int(batch_id)}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

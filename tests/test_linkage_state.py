@@ -279,3 +279,32 @@ def test_forget_covers_phonetic_substore(spark, state_dir):
     assert n > 0
     after = link_batch(feed, state_dir, include_phonetic=True)
     assert after.where("id_b = 1").count() == 0
+
+
+def test_streaming_link_phonetic_equals_batch(spark, state_dir, tmp_path):
+    from etlhelper_spark.operators import streaming_link
+
+    m = _phonetic_masters(spark)
+    append_linkage_masters(m, state_dir, 0, max_dist=1, phonetic=True)
+    feed = spark.createDataFrame(
+        [(10, "SMYTH"), (11, "RUPERT")], "id long, s string"
+    )
+    fd = str(tmp_path / "feed")
+    feed.coalesce(1).write.parquet(fd)
+    out = str(tmp_path / "out")
+    streaming_link(
+        spark.readStream.schema(feed.schema).parquet(fd),
+        state_dir,
+        str(tmp_path / "ckpt"),
+        out,
+        include_phonetic=True,
+    )
+    got = {
+        (r.id_a, r.id_b): (r.dist, r.phonetic)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): (r.dist, r.phonetic)
+        for r in link_batch(feed, state_dir, include_phonetic=True).collect()
+    }
+    assert got == want and (11, 2) in got
