@@ -150,6 +150,30 @@ def main() -> None:
             docs, budget=2048, n_shards=64
         ).count(),
     )
+    from etlhelper_spark.functions.dedup import phonetic_block_join
+
+    name_words = F.split(F.lit("B R A N D O L E S T I M K C W"), " ")
+    names = spark.range(n_docs).select(
+        F.col("id"),
+        F.concat_ws(
+            "",
+            *[
+                F.element_at(
+                    name_words,
+                    (
+                        F.pmod(F.xxhash64(F.col("id"), F.lit(i)), F.lit(14))
+                        + 1
+                    ).cast("int"),
+                )
+                for i in range(7)
+            ],
+        ).alias("s"),
+    ).localCheckpoint()
+    probe(
+        "phonetic block join (self, bucket cap 64)",
+        2 * n_docs,
+        lambda: phonetic_block_join(names, names, max_bucket=64).count(),
+    )
     probe(
         "minhash LSH candidates",
         n_docs,
