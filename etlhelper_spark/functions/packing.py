@@ -55,6 +55,7 @@ def pack_documents(
     text_col: str = "text",
     n_shards: int = 32,
     oversize: str = "error",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Assign every document to a fixed-budget pack: returns
     ``(<id_col>, n_tokens, shard, pack_id, offset)`` with one row per
@@ -69,11 +70,16 @@ def pack_documents(
     truncation is deliberately not offered — cutting tokens is a
     modeling decision, not a packing one.
 
+    *order_col* overrides the within-shard packing order (ties broken
+    by id, so the order stays total and the output deterministic) —
+    e.g. a length-bucket column for tighter next-fit-decreasing-style
+    packs, or a curriculum score. Default is id order.
+
     Invariants (property-pinned in tests): no pack exceeds *budget*
     (except own_pack packs), every document appears exactly once,
     offsets within a pack are the running token sums of its documents
-    in id order, and the assignment is independent of the input's
-    partitioning."""
+    in the stated order, and the assignment is independent of the
+    input's partitioning."""
     if oversize not in ("error", "own_pack", "drop"):
         raise ValueError(
             f"oversize must be error|own_pack|drop, got {oversize!r}"
@@ -95,13 +101,16 @@ def pack_documents(
         from .text import token_count
 
         ntok = token_count(F.col(text_col)).cast("long")
-    slim = df.select(
+    cols = [
         F.col(id_col).alias("__id"),
         ntok.alias("n_tokens"),
         F.pmod(F.col(id_col), F.lit(int(n_shards)))
         .cast("int")
         .alias("shard"),
-    )
+    ]
+    if order_col is not None:
+        cols.append(F.col(order_col).alias("__ord"))
+    slim = df.select(*cols)
     if oversize == "drop":
         slim = slim.where(F.col("n_tokens") <= budget)
 
@@ -109,10 +118,11 @@ def pack_documents(
         f"__id {df.schema[id_col].dataType.simpleString()}, "
         "n_tokens long, shard int, pack_id long, offset long"
     )
+    sort_keys = ["__ord", "__id"] if order_col is not None else ["__id"]
     mode = oversize
 
     def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__id", kind="mergesort").reset_index(
+        pdf = pdf.sort_values(sort_keys, kind="mergesort").reset_index(
             drop=True
         )
         toks = pdf["n_tokens"].to_numpy()

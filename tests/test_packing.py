@@ -95,3 +95,41 @@ def test_precomputed_tokens_col_and_validation(spark, docs):
         pack_documents(docs, 0)
     with pytest.raises(ValueError, match="oversize"):
         pack_documents(docs, 256, oversize="truncate")
+
+
+def test_order_col_packs_in_stated_order(spark, docs):
+    # longest-first: __ord = -n_tokens, so next-fit sees a descending
+    # length stream (FFD-style); all invariants must still hold
+    pre = docs.withColumn(
+        "nt", F.size(F.split(F.trim("text"), r"\s+"))
+    ).withColumn("neg", -F.col("nt"))
+    out = pack_documents(
+        pre, 256, tokens_col="nt", n_shards=8, order_col="neg"
+    ).localCheckpoint()
+    assert out.count() == docs.count()
+    over = (
+        out.groupBy("pack_id")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .where(F.col("tot") > 256)
+        .count()
+    )
+    assert over == 0
+    # within a pack, offsets must follow DESCENDING token counts —
+    # the stated order, not id order
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("pack_id").orderBy("offset")
+    bad = (
+        out.withColumn("prev", F.lag("n_tokens").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("prev") < F.col("n_tokens")))
+        .count()
+    )
+    assert bad == 0
+    # deterministic under repartitioning
+    again = pack_documents(
+        pre.repartition(11), 256, tokens_col="nt", n_shards=8,
+        order_col="neg",
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
