@@ -67,6 +67,8 @@ REPRESENTATIVE = [
     ("q256_ivfpq_adaptive_nprobe", "covering IVFPQ adaptive probe: attr filter pushed into pruned scan"),
     ("q258_golden_records", "survivorship: ONE max_by aggregate pass, no windows"),
     ("q261_mdm_pipeline", "MDM compose: variant equi-join -> argmin window -> max_by survivorship"),
+    ("q266_sequence_packing", "sequence packing: ONE shard exchange + Arrow-batched per-shard pass"),
+    ("q267_phonetic_blocking", "phonetic blocking: key equi-join unioned with variant equi-join, no nested loop"),
 ]
 
 
