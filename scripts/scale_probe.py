@@ -1257,6 +1257,46 @@ def main() -> None:
     probe("golden records (3x1M records, 333k entities, max_by pass)",
           3 * n_docs, _golden_records_probe)
 
+    # golden-state erase: persist the state OUTSIDE the timed probe,
+    # then time only the erasure (affected clusters from the state's
+    # own provenance slots + re-survival from retained records +
+    # atomic version swap)
+    from etlhelper_spark.operators.erasure import (
+        forget_from_golden_state,
+    )
+    from etlhelper_spark.operators.survivorship_state import (
+        golden_incremental,
+    )
+
+    ck = F.col("doc_id") % 333_333
+    grecs = None
+    for s, (prio_mod, null_mod) in enumerate([(2, 3), (3, 5), (5, 7)]):
+        part = docs.select(
+            ck.alias("ck"),
+            (F.col("doc_id") * 3 + s).alias("rid"),
+            F.lit(f"src{s}").alias("src"),
+            (F.col("doc_id") % prio_mod).alias("v"),
+            F.when(
+                F.col("doc_id") % null_mod != 0, F.col("text")
+            ).alias("payload"),
+        )
+        grecs = part if grecs is None else grecs.unionByName(part)
+    gdir = os.path.join(tmp, "golden_erase_state")
+    gargs = ("ck", "rid", ["payload"], "v", "src",
+             {"src0": 1, "src1": 2, "src2": 3})
+    golden_incremental(grecs, gdir, 0, *gargs)
+    probe(
+        "golden-state erase (1% of 3M records, re-survival)",
+        3 * n_docs,
+        lambda: forget_from_golden_state(
+            spark, gdir,
+            grecs.where(F.col("rid") % 300 == 7).select("rid"),
+            grecs.where(F.col("rid") % 300 != 7),
+            *gargs,
+            forgotten_records=grecs.where(F.col("rid") % 300 == 7),
+        ),
+    )
+
     def _logit_score_probe():
         # 2 GD rounds (one combinable aggregate each) + literal-weight
         # scoring projection over the full corpus
