@@ -16512,6 +16512,127 @@ def q268_phonetic_linkage_state(
     return out
 
 
+@query(
+    "q269_chunk_documents",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0,
+                   CAST((greatest(len(toks) - 4, 1) - 1) // 12
+                        AS BIGINT))) AS i
+        FROM t
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(i * 12 AS BIGINT) AS start_tok,
+           CAST(len(toks[i*12 + 1 : i*12 + 16]) AS BIGINT)
+               AS n_tokens,
+           array_to_string(toks[i*12 + 1 : i*12 + 16], ' ')
+               AS chunk_text
+    FROM c
+    """,
+)
+def q269_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCUMENT CHUNKING (functions/chunking.py::chunk_documents —
+    the step packing.py's oversize contract points upstream to, and
+    the RAG passage splitter): every document splits into 16-token
+    windows overlapping by 4, so chunk ``i`` starts at token ``12*i``
+    and starts are generated while ``start < max(n_tokens - 4, 1)``.
+    The plan is NARROW — split, a generated start sequence,
+    posexplode, slice, all whole-stage-codegen built-ins, zero
+    shuffles (plan-asserted in tests/test_plans.py): at 100 TB
+    chunking is a pure map over the corpus scan. The oracle restates
+    the start-index generation and token slicing over the same
+    whitespace split, so the hash pins every window's address, offset,
+    token count, AND text. Coverage/reassembly/overlap invariants are
+    property-pinned in tests/test_chunking.py."""
+    from ..functions.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, size=16, overlap=4)
+
+
+@query(
+    "q270_chunk_then_pack",
+    """
+    WITH RECURSIVE t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ), c AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0,
+                   CAST((greatest(len(toks), 1) - 1) // 32
+                        AS BIGINT))) AS i
+        FROM t
+    ), chunks AS (
+        SELECT doc_id * 64 + i AS chunk_id,
+               CAST(len(toks[i*32 + 1 : i*32 + 32]) AS BIGINT)
+                   AS n_tokens,
+               CAST((doc_id * 64 + i) % 8 AS INT) AS shard
+        FROM c
+    ), ord AS (
+        SELECT chunk_id, n_tokens, shard,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY chunk_id
+               ) AS pos
+        FROM chunks
+    ), walk AS (
+        SELECT shard, pos, chunk_id, n_tokens,
+               CAST(0 AS BIGINT) AS pack_local, n_tokens AS fill
+        FROM ord WHERE pos = 1
+        UNION ALL
+        SELECT o.shard, o.pos, o.chunk_id, o.n_tokens,
+               CASE WHEN w.fill + o.n_tokens > 128
+                    THEN w.pack_local + 1 ELSE w.pack_local END,
+               CASE WHEN w.fill + o.n_tokens > 128
+                    THEN o.n_tokens ELSE w.fill + o.n_tokens END
+        FROM walk w
+        JOIN ord o ON o.shard = w.shard AND o.pos = w.pos + 1
+    )
+    SELECT chunk_id, n_tokens, shard,
+           shard * 4294967296 + pack_local AS pack_id,
+           fill - n_tokens AS offset
+    FROM walk
+    """,
+)
+def q270_chunk_then_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-THEN-PACK — the full prepare-for-training path the two
+    operators exist to compose (functions/chunking.py +
+    functions/packing.py): documents chunk into <=32-token windows
+    (overlap 0, ``with_text=False`` so the text column never leaves
+    the scan — only ids and token counts move), chunks get globally
+    unique numeric ids ``doc_id * 64 + chunk_idx``, and the chunks
+    pack NEXT-FIT against a 128-token budget sharded by
+    ``chunk_id % 8``. At 100 TB this is the whole point of the
+    split: chunking is a narrow map, packing shuffles ~16 bytes per
+    chunk, and the final tensor build joins pack assignments back to
+    text by id. The oracle restates chunk generation AND the
+    per-shard next-fit recursion in one statement, so the hash pins
+    every chunk's pack id and offset end-to-end; any slip in either
+    stage or their composition flips it."""
+    from ..functions.chunking import chunk_documents
+    from ..functions.packing import pack_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = chunk_documents(d, size=32, overlap=0, with_text=False).select(
+        (F.col("doc_id") * F.lit(64) + F.col("chunk_idx")).alias(
+            "chunk_id"
+        ),
+        "n_tokens",
+    )
+    return pack_documents(
+        ch,
+        budget=128,
+        id_col="chunk_id",
+        tokens_col="n_tokens",
+        n_shards=8,
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

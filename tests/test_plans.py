@@ -232,13 +232,41 @@ def test_packing_single_shuffle(spark):
     assert "FlatMapGroupsInPandas" in tree
 
 
+def test_chunk_documents_zero_exchange_no_python(spark):
+    """chunk_documents (the library chunker, q269) is a pure narrow
+    map — split, generated start sequence, posexplode, slice — any
+    Exchange or Python stage would mean it stopped running at scan
+    speed."""
+    from etlhelper_spark.functions.chunking import chunk_documents
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = explain_str(chunk_documents(d, size=16, overlap=4))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_chunk_then_pack_single_shuffle(spark):
+    """q270's composition keeps packing's one-exchange shape: the
+    chunk stage is narrow, so the whole pipeline shuffles exactly
+    once (the shard hash partition), and only (chunk_id, n_tokens)
+    rows move — the text column must not appear in the exchange."""
+    from etlhelper_spark.plans.queries import q270_chunk_then_pack
+
+    plan = explain_str(q270_chunk_then_pack(spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in tree
+
+
 def test_corpus_count_pinned():
     """One corpus number everywhere: every declared query has an
     oracle, and the documented count can't silently drift from the
     registry (VERDICT r2: COVERAGE/README/commit messages disagreed)."""
     from etlhelper_spark.plans import ORACLES, QUERIES
 
-    assert len(QUERIES) == len(ORACLES) == 269
+    assert len(QUERIES) == len(ORACLES) == 271
 
 
 def test_round3_plan_shapes(spark):
