@@ -521,3 +521,163 @@ def bpe_word_encodings(
     w = _bpe_word_table(df, text_col)
     _, wf = _bpe_train_loop(w, rounds, ["w", "freq"])
     return wf.select("w", F.size("s").alias("n_sub"))
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Array of space-joined word *n*-grams of a token array; empty
+    array (never a descending runaway sequence) when the document has
+    fewer than *n* tokens."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - F.lit(n)),
+        lambda i: F.array_join(F.slice(toks, i + F.lit(1), n), " "),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """REPETITION METRICS per document — the Gopher-rule family
+    (Rae et al. 2021, "Scaling Language Models: ... Gopher", table A1:
+    "fraction of characters in the most frequent n-gram" and
+    "fraction of characters in duplicated n-grams"): the single most
+    effective web-scale quality signal after length itself, because
+    boilerplate, SEO spam, and template pages repeat short word
+    n-grams at rates natural prose never reaches.
+
+    Returns one row per document with EXACT-INTEGER numerators and
+    denominators, never float ratios — ``(<id_col>, n_tokens,
+    total_chars, top_ngram, top_ngram_count, top_ngram_chars,
+    dup_ngram_count, dup_ngram_chars)`` — so results hash identically
+    across engines and thresholding happens downstream by integer
+    cross-multiplication (gopher_flags). Definitions: tokens are
+    whitespace tokens of the trimmed text (token_count semantics);
+    ``top_ngram`` is the most frequent *top_n*-gram with ties broken
+    by the lexicographically greatest gram (a total order, so the
+    winner is unique and deterministic); ``top_ngram_chars`` is its
+    occurrence count times its character length (spaces included);
+    ``dup_ngram_count``/``dup_ngram_chars`` count distinct
+    *dup_n*-grams occurring >= 2 times and their ``count * length``
+    character mass. Documents shorter than *n* tokens score zero.
+
+    Distributed shape (the 100 TB design): ONE pass — both gram sizes
+    ride a single tagged explode, the (id, tag, gram) count is a
+    map-side-combinable hash aggregate, and the per-document rollup is
+    a struct-max (top) plus conditional sums (dup); no window over the
+    corpus, no join back (doc-level columns ride the grouping key),
+    no Python. Gram cardinality per doc is ~n_tokens per size, so the
+    shuffle is O(corpus tokens) — the same mass BM25/tokens_table
+    already moves."""
+    if top_n < 1 or dup_n < 1:
+        raise ValueError(
+            f"ngram sizes must be >= 1, got top_n={top_n}, dup_n={dup_n}"
+        )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    tag = lambda k, arr: F.transform(  # noqa: E731
+        arr,
+        lambda g: F.struct(F.lit(k).alias("k"), g.alias("g")),
+    )
+    tagged = df.select(
+        F.col(id_col),
+        F.length(F.trim(F.col(text_col)))
+        .cast("long")
+        .alias("total_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.explode_outer(
+            F.concat(
+                tag("t", _word_ngrams(toks, top_n)),
+                tag("d", _word_ngrams(toks, dup_n)),
+            )
+        ).alias("kg"),
+    )
+    counted = tagged.groupBy(
+        id_col,
+        "total_chars",
+        "n_tokens",
+        F.col("kg.k").alias("k"),
+        F.col("kg.g").alias("gram"),
+    ).agg(F.count("*").alias("cnt"))
+    dup = (F.col("k") == "d") & (F.col("cnt") >= 2)
+    return (
+        counted.groupBy(id_col, "total_chars", "n_tokens")
+        .agg(
+            F.max(
+                F.when(F.col("k") == "t", F.struct("cnt", "gram"))
+            ).alias("__top"),
+            F.coalesce(F.sum(F.when(dup, 1)), F.lit(0))
+            .cast("long")
+            .alias("dup_ngram_count"),
+            F.coalesce(
+                F.sum(F.when(dup, F.col("cnt") * F.length("gram"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("dup_ngram_chars"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "total_chars",
+            F.coalesce(F.col("__top.gram"), F.lit("")).alias(
+                "top_ngram"
+            ),
+            F.coalesce(F.col("__top.cnt"), F.lit(0))
+            .cast("long")
+            .alias("top_ngram_count"),
+            (
+                F.coalesce(F.col("__top.cnt"), F.lit(0))
+                * F.length(F.coalesce(F.col("__top.gram"), F.lit("")))
+            )
+            .cast("long")
+            .alias("top_ngram_chars"),
+            "dup_ngram_count",
+            "dup_ngram_chars",
+        )
+    )
+
+
+def gopher_flags(
+    stats: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_top_frac: str = "0.2",
+    max_dup_frac: str = "0.2",
+) -> DataFrame:
+    """Quality FLAGS over repetition_stats output: adds boolean
+    ``flag_short``, ``flag_long``, ``flag_top_ngram``,
+    ``flag_dup_ngram`` and the conjunction ``keep``. Fraction
+    thresholds are parsed as exact rationals and applied by INTEGER
+    cross-multiplication (``chars_in_ngram * den > total_chars *
+    num``) — no float division anywhere, so the booleans are exact,
+    hash-stable, and restatable verbatim in any SQL engine. Pass
+    thresholds as strings ("0.2") or Fractions; float literals are
+    accepted but converted through their decimal string to avoid
+    binary-float surprises."""
+    from fractions import Fraction
+
+    top = Fraction(str(max_top_frac))
+    dup = Fraction(str(max_dup_frac))
+    flag_top = F.col("top_ngram_chars") * F.lit(top.denominator) > F.col(
+        "total_chars"
+    ) * F.lit(top.numerator)
+    flag_dup = F.col("dup_ngram_chars") * F.lit(dup.denominator) > F.col(
+        "total_chars"
+    ) * F.lit(dup.numerator)
+    flag_short = F.col("n_tokens") < F.lit(int(min_tokens))
+    flag_long = F.col("n_tokens") > F.lit(int(max_tokens))
+    return stats.select(
+        "*",
+        flag_short.alias("flag_short"),
+        flag_long.alias("flag_long"),
+        flag_top.alias("flag_top_ngram"),
+        flag_dup.alias("flag_dup_ngram"),
+        (~flag_short & ~flag_long & ~flag_top & ~flag_dup).alias(
+            "keep"
+        ),
+    )

@@ -16633,6 +16633,113 @@ def q270_chunk_then_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q271_repetition_quality",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS toks,
+               CAST(length(trim(text)) AS BIGINT) AS total_chars
+        FROM documents
+    ), base AS (
+        SELECT doc_id, total_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens, toks
+        FROM d
+    ), g2 AS (
+        SELECT doc_id,
+               unnest([toks[i] || ' ' || toks[i+1]
+                       FOR i IN range(1, len(toks))]) AS gram
+        FROM base
+    ), c2 AS (
+        SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt
+        FROM g2 GROUP BY 1, 2
+    ), top2 AS (
+        SELECT doc_id, gram, cnt,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY cnt DESC, gram DESC
+               ) AS rn
+        FROM c2
+    ), g3 AS (
+        SELECT doc_id,
+               unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       FOR i IN range(1, len(toks) - 1)]) AS gram
+        FROM base
+    ), c3 AS (
+        SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2
+    ), d3 AS (
+        SELECT doc_id,
+               CAST(count(*) FILTER (cnt >= 2) AS BIGINT)
+                   AS dup_ngram_count,
+               CAST(coalesce(sum(cnt * length(gram))
+                             FILTER (cnt >= 2), 0) AS BIGINT)
+                   AS dup_ngram_chars
+        FROM c3 GROUP BY doc_id
+    ), stats AS (
+        SELECT b.doc_id, b.n_tokens, b.total_chars,
+               coalesce(t2.gram, '') AS top_ngram,
+               coalesce(t2.cnt, 0) AS top_ngram_count,
+               coalesce(t2.cnt, 0) * length(coalesce(t2.gram, ''))
+                   AS top_ngram_chars,
+               coalesce(d3.dup_ngram_count, 0) AS dup_ngram_count,
+               coalesce(d3.dup_ngram_chars, 0) AS dup_ngram_chars
+        FROM base b
+        LEFT JOIN (SELECT * FROM top2 WHERE rn = 1) t2 USING (doc_id)
+        LEFT JOIN d3 USING (doc_id)
+    )
+    SELECT *,
+           (n_tokens < 30) AS flag_short,
+           (n_tokens > 90) AS flag_long,
+           (top_ngram_chars * 10 > total_chars * 1)
+               AS flag_top_ngram,
+           (dup_ngram_chars * 50 > total_chars * 1)
+               AS flag_dup_ngram,
+           (NOT (n_tokens < 30) AND NOT (n_tokens > 90)
+            AND NOT (top_ngram_chars * 10 > total_chars * 1)
+            AND NOT (dup_ngram_chars * 50 > total_chars * 1))
+               AS keep
+    FROM stats
+    """,
+)
+def q271_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPETITION-BASED QUALITY FILTERING — the Gopher rules (Rae et
+    al. 2021, table A1; functions/text.py::repetition_stats +
+    gopher_flags): per document, the character mass of the most
+    frequent 2-gram and of all duplicated 3-grams, as EXACT INTEGERS
+    (numerator/denominator, never a float ratio), then boolean flags
+    by integer cross-multiplication (top 2-gram > 10% of chars,
+    duplicated 3-grams > 2%, tokens outside [30, 90]) and the `keep`
+    conjunction — the boilerplate/SEO-spam gate every web-scale
+    training pipeline runs between dedup and selection. Distributed
+    shape: ONE tagged explode carries both gram sizes, the
+    (id, tag, gram) count is a map-side-combinable hash aggregate,
+    the per-document rollup is a struct-max plus conditional sums —
+    no window over the corpus, no join-back (doc-level columns ride
+    the grouping key), no Python. The oracle restates gram
+    generation, the (count DESC, gram DESC) winner, the duplicated
+    mass, and every cross-multiplied flag, so the hash pins the
+    metrics AND the decisions.
+
+    Relation to q213_gopher_repetition: q213 is the inline
+    token-count sketch (distinct ratio + top-bigram token fraction,
+    float ratios, two aggregates stitched by a join). This is the
+    LIBRARY pair with the rest of the rule family: character-mass
+    semantics as the paper states them, the duplicated-n-gram mass
+    q213 lacks entirely, the winning gram's identity (deterministic
+    tie-break), exact integers end-to-end, and both gram sizes in
+    one tagged explode with no join-back."""
+    from ..functions.text import gopher_flags, repetition_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = repetition_stats(d, top_n=2, dup_n=3)
+    return gopher_flags(
+        stats,
+        min_tokens=30,
+        max_tokens=90,
+        max_top_frac="0.1",
+        max_dup_frac="0.02",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
