@@ -16740,6 +16740,145 @@ def q271_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q272_bpe_packing",
+    """
+    WITH RECURSIVE words AS (
+        SELECT w AS word, count(*) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ) WHERE w <> '' GROUP BY w
+    ), w0 AS (
+        SELECT word, freq, [word[i] FOR i IN range(1, len(word)+1)] AS s
+        FROM words
+    ), p1 AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+        FROM w0, (SELECT unnest(range(1, 64)) AS i)
+        WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+    ), m1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+    w1 AS (
+        SELECT word, freq, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, w.freq, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM w0 w, (SELECT unnest(range(1, 65)) AS i) t, m1 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word, freq
+    ), p2 AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+        FROM w1, (SELECT unnest(range(1, 64)) AS i)
+        WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+    ), m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+    w2 AS (
+        SELECT word, freq, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, w.freq, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM w1 w, (SELECT unnest(range(1, 65)) AS i) t, m2 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word, freq
+    ), p3 AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+        FROM w2, (SELECT unnest(range(1, 64)) AS i)
+        WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+    ), m3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+    w3 AS (
+        SELECT word, freq, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, w.freq, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM w2 w, (SELECT unnest(range(1, 65)) AS i) t, m3 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word, freq
+    ), enc AS (SELECT word, len(s) AS n_sub FROM w3),
+    dw AS (
+        SELECT doc_id, w FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS w
+            FROM documents WHERE trim(text) <> ''
+        ) WHERE w <> ''
+    ), doc_tok AS (
+        SELECT d.doc_id, CAST(sum(e.n_sub) AS BIGINT) AS n_tokens,
+               CAST(d.doc_id % 8 AS INT) AS shard
+        FROM dw d JOIN enc e ON d.w = e.word
+        GROUP BY d.doc_id
+    ), ord AS (
+        SELECT doc_id, n_tokens, shard,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY doc_id
+               ) AS pos
+        FROM doc_tok
+    ), walk AS (
+        SELECT shard, pos, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS pack_local, n_tokens AS fill
+        FROM ord WHERE pos = 1
+        UNION ALL
+        SELECT o.shard, o.pos, o.doc_id, o.n_tokens,
+               CASE WHEN w.fill + o.n_tokens > 512
+                    THEN w.pack_local + 1 ELSE w.pack_local END,
+               CASE WHEN w.fill + o.n_tokens > 512
+                    THEN o.n_tokens ELSE w.fill + o.n_tokens END
+        FROM walk w
+        JOIN ord o ON o.shard = w.shard AND o.pos = w.pos + 1
+    )
+    SELECT doc_id, n_tokens, shard,
+           shard * 4294967296 + pack_local AS pack_id,
+           fill - n_tokens AS offset
+    FROM walk
+    """,
+)
+def q272_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER-AWARE SEQUENCE PACKING — q212's BPE token counts
+    drive q266's packer: documents pack against a 512-token budget
+    measured in LEARNED-SUBWORD tokens (3 in-engine BPE merge
+    rounds), not the whitespace proxy — the number a trainer's
+    context window actually consumes. Pipeline: bpe_word_encodings
+    trains on the corpus and encodes once per DISTINCT word
+    (iteration cost scales with |vocabulary|, never |corpus|), a
+    word-keyed join + combinable sum rolls doc-level BPE counts, and
+    pack_documents shard-local next-fits those counts (one exchange,
+    only (doc_id, n_tokens) rows move). The oracle unrolls the
+    identical 3 train+fuse rounds (q212's chain), the same join and
+    rollup, AND the per-shard packing recursion in one recursive
+    statement — the hash pins tokenizer training, encoding, and
+    every pack assignment end-to-end. Empty documents carry no BPE
+    tokens and are excluded by construction (WHERE trim(text) <> '',
+    both engines)."""
+    from ..functions.packing import pack_documents
+    from ..functions.text import bpe_word_encodings
+
+    d = _t(spark, sf_dir, "documents")
+    enc = bpe_word_encodings(d, "text", rounds=3)
+    dw = (
+        d.where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("w"),
+        )
+        .where(F.col("w") != "")
+    )
+    ntok = (
+        dw.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sub").cast("long").alias("n_bpe_tokens"))
+    )
+    return pack_documents(
+        ntok,
+        budget=512,
+        tokens_col="n_bpe_tokens",
+        n_shards=8,
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
