@@ -47,6 +47,42 @@ from pyspark.sql import functions as F
 __all__ = ["pack_documents"]
 
 
+def _next_fit(
+    toks,
+    ids,
+    budget: int,
+    mode: str,
+    pack: int = 0,
+    fill: int = 0,
+    first: bool = True,
+):
+    """The shared next-fit kernel: fold token counts (in their given
+    order) into packs, resuming from an optional carried (pack, fill,
+    first) cursor — pack_documents starts it fresh; the incremental
+    store (operators/packing_state.py) seeds it with the persisted
+    per-shard cursor so a batch sequence packs EXACTLY like one big
+    ordered corpus. Returns (packs, offsets, pack, fill, first) with
+    the final cursor."""
+    packs = [0] * len(toks)
+    offs = [0] * len(toks)
+    for i, t in enumerate(toks):
+        t = int(t)
+        if t > budget and mode == "error":
+            raise ValueError(
+                f"pack_documents: document {ids.iloc[i]} "
+                f"has {t} tokens > budget {budget} (chunk or "
+                f"truncate upstream, or pass oversize='own_pack')"
+            )
+        if not first and fill + t > budget:
+            pack += 1
+            fill = 0
+        offs[i] = fill
+        packs[i] = pack
+        fill += t
+        first = False
+    return packs, offs, pack, fill, first
+
+
 def pack_documents(
     df: DataFrame,
     budget: int,
@@ -125,26 +161,12 @@ def pack_documents(
         pdf = pdf.sort_values(sort_keys, kind="mergesort").reset_index(
             drop=True
         )
-        toks = pdf["n_tokens"].to_numpy()
-        packs = [0] * len(toks)
-        offs = [0] * len(toks)
-        pack, fill = 0, 0
-        first = True
-        for i, t in enumerate(toks):
-            t = int(t)
-            if t > budget and mode == "error":
-                raise ValueError(
-                    f"pack_documents: document {pdf['__id'].iloc[i]} "
-                    f"has {t} tokens > budget {budget} (chunk or "
-                    f"truncate upstream, or pass oversize='own_pack')"
-                )
-            if not first and fill + t > budget:
-                pack += 1
-                fill = 0
-            offs[i] = fill
-            packs[i] = pack
-            fill += t
-            first = False
+        packs, offs, _, _, _ = _next_fit(
+            pdf["n_tokens"].to_numpy(),
+            pdf["__id"],
+            budget,
+            mode,
+        )
         pdf = pdf.copy()
         pdf["pack_id"] = [
             (int(pdf["shard"].iloc[0]) << 32) + p for p in packs

@@ -586,6 +586,7 @@ def forget_everywhere(
     golden_retained: DataFrame | None = None,
     golden_spec: dict | None = None,
     golden_forgotten: DataFrame | None = None,
+    pack_state_dir: str | None = None,
     state_partitions: int = 1,
 ) -> dict[str, int]:
     """ONE deletion request, EVERY derived artifact: orchestrates the
@@ -600,7 +601,10 @@ def forget_everywhere(
     optionally source_col / source_priority — because re-surviving an
     erased winner needs the retained records; *golden_forgotten*
     optionally carries the forgotten rows so loser-only clusters
-    decrement their counts too). Stores whose directories are absent
+    decrement their counts too), and the incremental packing store's
+    assignments (*pack_state_dir* — forgotten documents' rows drop,
+    other documents keep their exact pack addresses, cursors hold no
+    ids). Stores whose directories are absent
     are skipped silently (a pipeline that never built a band state has
     nothing to erase). Returns ``{store: erased_count}`` — the audit
     record a compliance log wants. Partial erasure is a compliance
@@ -668,5 +672,13 @@ def forget_everywhere(
             forgotten_records=golden_forgotten,
             state_partitions=state_partitions,
             **golden_spec,
+        )
+    if pack_state_dir is not None and os.path.isdir(
+        os.path.join(pack_state_dir, "assign")
+    ):
+        from .packing_state import forget_from_pack_state
+
+        out["pack_assignments"] = forget_from_pack_state(
+            spark, pack_state_dir, ids, state_partitions
         )
     return out

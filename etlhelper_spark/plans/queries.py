@@ -16879,6 +16879,182 @@ def q272_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q273_incremental_packing",
+    """
+    WITH RECURSIVE docs AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tokens,
+               CAST(doc_id % 8 AS INT) AS shard,
+               CAST(doc_id % 3 + 1 AS INT) AS b
+        FROM documents
+    ), ord AS (
+        SELECT doc_id, n_tokens, shard, b,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY b, doc_id
+               ) AS pos
+        FROM docs
+    ), walk AS (
+        SELECT shard, pos, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS pack_local, n_tokens AS fill
+        FROM ord WHERE pos = 1
+        UNION ALL
+        SELECT o.shard, o.pos, o.doc_id, o.n_tokens,
+               CASE WHEN w.fill + o.n_tokens > 256
+                    THEN w.pack_local + 1 ELSE w.pack_local END,
+               CASE WHEN w.fill + o.n_tokens > 256
+                    THEN o.n_tokens ELSE w.fill + o.n_tokens END
+        FROM walk w
+        JOIN ord o ON o.shard = w.shard AND o.pos = w.pos + 1
+    )
+    SELECT doc_id, n_tokens, shard,
+           shard * 4294967296 + pack_local AS pack_id,
+           fill - n_tokens AS offset
+    FROM walk
+    """,
+)
+def q273_incremental_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL SEQUENCE PACKING (operators/packing_state.py::
+    pack_incremental — the state-backed member of the packing family):
+    the corpus arrives as three batches (``doc_id % 3``) and each
+    folds into persisted per-shard cursors — next-fit is a left fold
+    whose ENTIRE carried state is the open pack's (pack_local, fill,
+    started) cursor, three numbers per shard, so no batch ever
+    re-reads packed history. The oracle restates the whole sequence
+    as ONE packing recursion ordered by (batch, id) within the shard
+    — incremental must equal the single-corpus recompute exactly,
+    which pins cursor carry-over, pack continuation across batches,
+    and offsets. In-plan gate: batch 2 is re-applied (at-least-once
+    redelivery) and the drained assignments must be unchanged —
+    replay idempotence, the dedup_state convention. Crash-window +
+    erasure tests in tests/test_packing_state.py."""
+    import shutil
+    import tempfile
+
+    from ..operators.packing_state import (
+        pack_incremental,
+        read_pack_assignments,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="q273_")
+    try:
+        batches = [
+            d.where(F.pmod("doc_id", F.lit(3)) == b) for b in range(3)
+        ]
+        for i, part in enumerate(batches):
+            pack_incremental(
+                part, work, batch_id=i + 1, budget=256, n_shards=8
+            )
+        out = read_pack_assignments(spark, work).localCheckpoint()
+        # replay batch 2: assignments must be byte-identical
+        pack_incremental(
+            batches[1], work, batch_id=2, budget=256, n_shards=8
+        )
+        again = read_pack_assignments(spark, work)
+        if (
+            out.exceptAll(again).count() != 0
+            or again.exceptAll(out).count() != 0
+        ):
+            raise ValueError(
+                "incremental packing replay was not idempotent"
+            )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "q274_forget_pack_state",
+    """
+    WITH RECURSIVE docs AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tokens,
+               CAST(doc_id % 8 AS INT) AS shard,
+               CAST(doc_id % 3 + 1 AS INT) AS b
+        FROM documents
+    ), ord AS (
+        SELECT doc_id, n_tokens, shard, b,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY b, doc_id
+               ) AS pos
+        FROM docs
+    ), walk AS (
+        SELECT shard, pos, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS pack_local, n_tokens AS fill
+        FROM ord WHERE pos = 1
+        UNION ALL
+        SELECT o.shard, o.pos, o.doc_id, o.n_tokens,
+               CASE WHEN w.fill + o.n_tokens > 256
+                    THEN w.pack_local + 1 ELSE w.pack_local END,
+               CASE WHEN w.fill + o.n_tokens > 256
+                    THEN o.n_tokens ELSE w.fill + o.n_tokens END
+        FROM walk w
+        JOIN ord o ON o.shard = w.shard AND o.pos = w.pos + 1
+    )
+    SELECT doc_id, n_tokens, shard,
+           shard * 4294967296 + pack_local AS pack_id,
+           fill - n_tokens AS offset
+    FROM walk
+    WHERE doc_id % 10 <> 3
+    """,
+)
+def q274_forget_pack_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN over the packing store
+    (operators/packing_state.py::forget_from_pack_state, wired into
+    forget_everywhere): after the q273 batch sequence, every document
+    with ``doc_id % 10 == 3`` is erased. Erasure semantics the oracle
+    pins exactly: the forgotten rows DROP and every retained document
+    keeps its exact (pack_id, offset) — holes, not repacking, because
+    repacking would rewrite the address of every later document in a
+    layout the trainer already shipped, and the hole disappears when
+    the tensor build joins back to the retained corpus. So the oracle
+    is the full single-corpus packing recursion with the doomed ids
+    filtered AFTER the fold — any accidental repacking, offset shift,
+    or survivor loss flips the hash. Erase epochs are marker-complete
+    (Spark _SUCCESS) and outrank batch replays, so a crashed erase is
+    invisible and a redelivered batch cannot resurrect forgotten rows
+    (both pinned in tests/test_packing_state.py)."""
+    import shutil
+    import tempfile
+
+    from ..operators.packing_state import (
+        forget_from_pack_state,
+        pack_incremental,
+        read_pack_assignments,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="q274_")
+    try:
+        for i in range(3):
+            pack_incremental(
+                d.where(F.pmod("doc_id", F.lit(3)) == i),
+                work,
+                batch_id=i + 1,
+                budget=256,
+                n_shards=8,
+            )
+        doomed = d.select("doc_id").where(
+            F.pmod("doc_id", F.lit(10)) == 3
+        )
+        n = forget_from_pack_state(spark, work, doomed)
+        out = read_pack_assignments(spark, work).localCheckpoint()
+        # in-plan gates: the erase hit something, and nothing doomed
+        # survived
+        leaked = out.where(F.pmod("doc_id", F.lit(10)) == 3).count()
+        if n < 1 or leaked != 0:
+            raise ValueError(
+                f"pack-state erasure failed: erased={n}, "
+                f"leaked={leaked}"
+            )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
