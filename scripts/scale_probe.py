@@ -35,6 +35,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=1_000_000)
     ap.add_argument("--vecs", type=int, default=200_000)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="substring filter: run only matching probes and print "
+        "their rows instead of rewriting SCALE_PROBE.md (for "
+        "appending newly added probes without re-timing the world)",
+    )
     args = ap.parse_args()
 
     from etlhelper_spark.session import get_session
@@ -94,6 +101,8 @@ def main() -> None:
     results: list[tuple[str, float, int, float]] = []
 
     def probe(name: str, rows: int, fn) -> None:
+        if args.only and args.only not in name:
+            return
         t0 = time.time()
         out = fn()
         dt = time.time() - t0
@@ -1315,6 +1324,53 @@ def main() -> None:
 
     probe("logit train (2 rounds) + score scan (1M rows)", n_docs,
           _logit_score_probe)
+
+    def _chunk_probe():
+        from etlhelper_spark.functions.chunking import chunk_documents
+
+        return chunk_documents(
+            docs, size=8, overlap=2, with_text=False
+        ).count()
+
+    probe("document chunking (8-token windows, overlap 2)", n_docs,
+          _chunk_probe)
+
+    def _repetition_probe():
+        from etlhelper_spark.functions.text import (
+            gopher_flags,
+            repetition_stats,
+        )
+
+        return gopher_flags(repetition_stats(docs)).count()
+
+    probe("repetition stats + gopher flags (top-2/dup-3 grams)",
+          n_docs, _repetition_probe)
+
+    def _pack_incr_probe():
+        from etlhelper_spark.operators.packing_state import (
+            pack_incremental,
+            read_pack_assignments,
+        )
+
+        work = os.path.join(tmp, "pack_state")
+        for b in range(4):
+            pack_incremental(
+                docs.where(F.pmod("doc_id", F.lit(4)) == b),
+                work,
+                batch_id=b + 1,
+                budget=2048,
+                n_shards=64,
+            )
+        return read_pack_assignments(spark, work).count()
+
+    probe("incremental packing (4 batch folds, 64 shards)", n_docs,
+          _pack_incr_probe)
+
+    if args.only:
+        for name, dt, rows, rate in results:
+            print(f"| {name} | {dt} | {rows:,} | {rate:,} |")
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
 
     lines = [
         "# SCALE PROBE — measured operator scaling beyond bench SF",
