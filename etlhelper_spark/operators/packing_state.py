@@ -56,6 +56,7 @@ __all__ = [
     "pack_incremental",
     "read_pack_assignments",
     "read_pack_cursor",
+    "streaming_pack",
 ]
 
 _META_SCHEMA = "budget long, n_shards int, oversize string"
@@ -381,6 +382,56 @@ def forget_from_pack_state(
             if m and int(m.group(1)) == batch and p != target:
                 shutil.rmtree(p, ignore_errors=True)
     return total
+
+
+def streaming_pack(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+    n_shards: int = 32,
+    oversize: str = "error",
+) -> None:
+    """STREAMING sequence packing — the packing family's
+    continuous-ingest loop (the same foreachBatch discipline as
+    streaming_golden and streaming_link, completing the
+    batch/incremental/streaming triple): every availableNow
+    micro-batch folds into the persisted cursors through
+    pack_incremental under its own micro-batch id, so an
+    at-least-once redelivery recomputes the identical version
+    directories (replay-idempotent). Unlike the associative golden
+    merge, packing is ORDER-SENSITIVE: the drained assignments equal
+    pack_documents over the feed ordered by (micro-batch, id), so the
+    stream's micro-batch order IS the packing order — exactly-once
+    layout requires a deterministic source order (file mtime order
+    under maxFilesPerTrigger; q275 pins this). Starts and drains an
+    availableNow query."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pack_incremental(
+            batch_df,
+            state_dir,
+            int(batch_id),
+            budget,
+            id_col=id_col,
+            tokens_col=tokens_col,
+            text_col=text_col,
+            n_shards=n_shards,
+            oversize=oversize,
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def read_pack_cursor(

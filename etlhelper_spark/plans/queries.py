@@ -17055,6 +17055,128 @@ def q274_forget_pack_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "q275_stream_packing",
+    """
+    WITH RECURSIVE docs AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tokens,
+               CAST(doc_id % 8 AS INT) AS shard,
+               CAST(doc_id % 3 AS INT) AS b
+        FROM documents
+    ), ord AS (
+        SELECT doc_id, n_tokens, shard, b,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY b, doc_id
+               ) AS pos
+        FROM docs
+    ), walk AS (
+        SELECT shard, pos, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS pack_local, n_tokens AS fill
+        FROM ord WHERE pos = 1
+        UNION ALL
+        SELECT o.shard, o.pos, o.doc_id, o.n_tokens,
+               CASE WHEN w.fill + o.n_tokens > 256
+                    THEN w.pack_local + 1 ELSE w.pack_local END,
+               CASE WHEN w.fill + o.n_tokens > 256
+                    THEN o.n_tokens ELSE w.fill + o.n_tokens END
+        FROM walk w
+        JOIN ord o ON o.shard = w.shard AND o.pos = w.pos + 1
+    )
+    SELECT doc_id, n_tokens, shard,
+           shard * 4294967296 + pack_local AS pack_id,
+           fill - n_tokens AS offset
+    FROM walk
+    """,
+)
+def q275_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sequence packing (operators/packing_state.py::
+    streaming_pack — completing the batch/incremental/streaming
+    triple the survivorship, dedup, and linkage families already
+    have): the corpus arrives as THREE mtime-ordered feed files
+    (split by doc_id % 3), each availableNow micro-batch folds into
+    the persisted per-shard cursors under its own micro-batch id
+    (maxFilesPerTrigger=1), and the drained assignments must equal
+    pack_documents over the whole feed ordered by (micro-batch, id)
+    — packing is ORDER-SENSITIVE, so unlike the associative golden
+    merge this equality PINS the stream's deterministic micro-batch
+    order on top of cursor carry-over. The oracle is the same
+    single-corpus packing recursion ordered by (batch, id). In-plan
+    gates: the stream really split into multiple micro-batches, and
+    a redelivery of the last batch (pack_incremental with the same
+    batch id) leaves the drained assignments unchanged."""
+    import glob as _glob
+    import shutil
+    import time
+
+    from ..operators.packing_state import (
+        pack_incremental,
+        read_pack_assignments,
+        streaming_pack,
+    )
+
+    configure_session(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="q275_")
+    feed = os.path.join(work, "feed")
+    state = os.path.join(work, "state")
+    try:
+        parts_seen: set = set()
+        t0 = time.time() - 1000
+        for i in (0, 1, 2):
+            d.where(F.pmod("doc_id", F.lit(3)) == i).coalesce(
+                1
+            ).write.mode("append" if i else "overwrite").parquet(feed)
+            new = (
+                set(_glob.glob(os.path.join(feed, "part-*")))
+                - parts_seen
+            )
+            for p in new:
+                os.utime(p, (t0 + 100 * i, t0 + 100 * i))
+            parts_seen |= new
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        streaming_pack(
+            stream,
+            state,
+            os.path.join(work, "ckpt"),
+            budget=256,
+            n_shards=8,
+        )
+        n_versions = len(
+            _glob.glob(os.path.join(state, "cursor", "v*"))
+        )
+        if n_versions < 2:
+            raise ValueError(
+                f"streaming pack ran as {n_versions} micro-batch(es) "
+                "— cursor carry-over was never exercised"
+            )
+        out = read_pack_assignments(spark, state).localCheckpoint()
+        # redeliver the last micro-batch: byte-identical assignments
+        pack_incremental(
+            d.where(F.pmod("doc_id", F.lit(3)) == 2),
+            state,
+            batch_id=n_versions - 1,
+            budget=256,
+            n_shards=8,
+        )
+        again = read_pack_assignments(spark, state)
+        if (
+            out.exceptAll(again).count() != 0
+            or again.exceptAll(out).count() != 0
+        ):
+            raise ValueError(
+                "streaming pack redelivery was not idempotent"
+            )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

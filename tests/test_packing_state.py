@@ -249,3 +249,49 @@ def test_forget_everywhere_covers_pack_state(spark, docs, work):
     victim = int(docs.select("doc_id").first()["doc_id"])
     out = forget_everywhere(spark, [victim], pack_state_dir=work)
     assert out["pack_assignments"] == 1
+
+
+def test_streaming_pack_equals_batch(spark, docs, work, tmp_path):
+    """Drained streaming assignments equal the single-corpus packing
+    ordered by (micro-batch, id) — the order-sensitivity contract."""
+    import glob as _glob
+    import os
+    import time
+
+    from etlhelper_spark.operators.packing_state import streaming_pack
+
+    feed = os.path.join(work, "feed")
+    parts_seen = set()
+    t0 = time.time() - 1000
+    for i in (0, 1):
+        docs.where(F.pmod("doc_id", F.lit(2)) == i).coalesce(
+            1
+        ).write.mode("append" if i else "overwrite").parquet(feed)
+        new = set(_glob.glob(os.path.join(feed, "part-*"))) - parts_seen
+        for p in new:
+            os.utime(p, (t0 + 100 * i, t0 + 100 * i))
+        parts_seen |= new
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    state = os.path.join(work, "state")
+    streaming_pack(
+        stream, state, str(tmp_path / "ck"), budget=256, n_shards=8
+    )
+    got = sorted(
+        map(tuple, read_pack_assignments(spark, state).collect())
+    )
+    ordered = docs.withColumn(
+        "b", F.pmod("doc_id", F.lit(2)).cast("int")
+    )
+    want = sorted(
+        map(
+            tuple,
+            pack_documents(
+                ordered, budget=256, n_shards=8, order_col="b"
+            ).collect(),
+        )
+    )
+    assert got == want
