@@ -16,8 +16,8 @@ multi-store LIFECYCLE gates: q242 (seven-store erasure orchestration
 — dozens of fixed-overhead jobs over a deliberately bounded corpus;
 the per-store erase kernels ARE timed via SCALE_PROBE's
 forget-at-state-scale rows), the single-store erasure lifecycles
-q253, q264, and q268 (same rationale; SCALE_PROBE times the linkage
-and golden erase kernels), and the
+q253, q264, q268, and q274 (same rationale; SCALE_PROBE times the
+linkage, golden, and pack-state erase kernels), and the
 A/B comparison harnesses q243, q248, and
 q259, which build TWO indexes plus a brute-force truth —
 q229/q234/q241/q244/q256 time the production IVFPQ paths, and q247
@@ -260,6 +260,12 @@ HEADLINE = [
     "q265_remap_golden",
     "q266_sequence_packing",
     "q267_phonetic_blocking",
+    "q269_chunk_documents",
+    "q270_chunk_then_pack",
+    "q271_repetition_quality",
+    "q272_bpe_packing",
+    "q273_incremental_packing",
+    "q275_stream_packing",
 ]
 
 

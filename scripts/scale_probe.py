@@ -1366,6 +1366,20 @@ def main() -> None:
     probe("incremental packing (4 batch folds, 64 shards)", n_docs,
           _pack_incr_probe)
 
+    def _pack_forget_probe():
+        from etlhelper_spark.operators.packing_state import (
+            forget_from_pack_state,
+        )
+
+        work = os.path.join(tmp, "pack_state")
+        doomed = docs.select("doc_id").where(
+            F.pmod("doc_id", F.lit(100)) == 7
+        )
+        return forget_from_pack_state(spark, work, doomed)
+
+    probe("pack-state forget (~1% of 1M assignments, 4 versions)",
+          n_docs, _pack_forget_probe)
+
     if args.only:
         for name, dt, rows, rate in results:
             print(f"| {name} | {dt} | {rows:,} | {rate:,} |")
