@@ -69,6 +69,9 @@ REPRESENTATIVE = [
     ("q261_mdm_pipeline", "MDM compose: variant equi-join -> argmin window -> max_by survivorship"),
     ("q266_sequence_packing", "sequence packing: ONE shard exchange + Arrow-batched per-shard pass"),
     ("q267_phonetic_blocking", "phonetic blocking: key equi-join unioned with variant equi-join, no nested loop"),
+    ("q269_chunk_documents", "library chunker: narrow codegen map, zero exchange, zero Python"),
+    ("q270_chunk_then_pack", "chunk-then-pack: narrow chunk stage + packing's single shard exchange"),
+    ("q271_repetition_quality", "repetition metrics: tagged explode + two combinable aggregates, no join-back"),
 ]
 
 
