@@ -79,7 +79,10 @@ def chunk_documents(
     partitioning. Documents with fewer than *size* tokens yield one
     chunk containing the whole document (empty text included: the
     split of '' is [''], one empty token — the token_count
-    convention)."""
+    convention). A NULL *text_col* yields one chunk with NULL
+    text/token-count (Spark's greatest() skips nulls) — callers with
+    nullable text should filter or coalesce upstream; the
+    declared-query corpus has no null documents."""
     size = int(size)
     overlap = int(overlap)
     if size <= 0:

@@ -564,7 +564,9 @@ def repetition_stats(
     occurrence count times its character length (spaces included);
     ``dup_ngram_count``/``dup_ngram_chars`` count distinct
     *dup_n*-grams occurring >= 2 times and their ``count * length``
-    character mass. Documents shorter than *n* tokens score zero.
+    character mass. Documents shorter than *n* tokens score zero; a
+    NULL *text_col* row yields NULL counts (filter or coalesce
+    upstream — the declared-query corpus has no null documents).
 
     Distributed shape (the 100 TB design): ONE pass — both gram sizes
     ride a single tagged explode, the (id, tag, gram) count is a
