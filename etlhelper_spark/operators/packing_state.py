@@ -114,7 +114,6 @@ def pack_incremental(
     ``pack_documents`` over the whole corpus with the batch sequence
     as the stated order. Ids must be numeric (the pack_documents
     contract) and are carried as longs in the store."""
-    from ..functions.packing import pack_documents  # noqa: F401  (doc xref)
     from pyspark.sql.types import NumericType
 
     if oversize not in ("error", "own_pack", "drop"):
