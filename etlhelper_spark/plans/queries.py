@@ -16710,11 +16710,11 @@ def q271_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated 3-grams > 2%, tokens outside [30, 90]) and the `keep`
     conjunction — the boilerplate/SEO-spam gate every web-scale
     training pipeline runs between dedup and selection. Distributed
-    shape: ONE tagged explode carries both gram sizes, the
-    (id, tag, gram) count is a map-side-combinable hash aggregate,
-    the per-document rollup is a struct-max plus conditional sums —
-    no window over the corpus, no join-back (doc-level columns ride
-    the grouping key), no Python. The oracle restates gram
+    shape: ZERO shuffle — per-document frequencies read off
+    sorted-gram-array run boundaries inside one codegen projection
+    (functions/text.py::_gram_run_stats), a pure map over the corpus
+    scan with no explode, no aggregate, no window, no Python
+    (plan-asserted). The oracle restates gram
     generation, the (count DESC, gram DESC) winner, the duplicated
     mass, and every cross-multiplied flag, so the hash pins the
     metrics AND the decisions.
@@ -16725,8 +16725,8 @@ def q271_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIBRARY pair with the rest of the rule family: character-mass
     semantics as the paper states them, the duplicated-n-gram mass
     q213 lacks entirely, the winning gram's identity (deterministic
-    tie-break), exact integers end-to-end, and both gram sizes in
-    one tagged explode with no join-back."""
+    tie-break), exact integers end-to-end, and zero shuffles where q213
+    pays two aggregates and a join."""
     from ..functions.text import gopher_flags, repetition_stats
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")

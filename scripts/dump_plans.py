@@ -71,7 +71,7 @@ REPRESENTATIVE = [
     ("q267_phonetic_blocking", "phonetic blocking: key equi-join unioned with variant equi-join, no nested loop"),
     ("q269_chunk_documents", "library chunker: narrow codegen map, zero exchange, zero Python"),
     ("q270_chunk_then_pack", "chunk-then-pack: narrow chunk stage + packing's single shard exchange"),
-    ("q271_repetition_quality", "repetition metrics: tagged explode + two combinable aggregates, no join-back"),
+    ("q271_repetition_quality", "repetition metrics: sorted-array run-length stats, zero exchange, no explode"),
 ]
 
 

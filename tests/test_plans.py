@@ -260,21 +260,20 @@ def test_chunk_then_pack_single_shuffle(spark):
     assert "FlatMapGroupsInPandas" in tree
 
 
-def test_repetition_stats_two_aggregates_no_python(spark):
-    """repetition_stats (q271) is one tagged explode + two hash
-    aggregates — the (id, tag, gram) count and the per-doc rollup —
-    with doc-level columns riding the grouping key: exactly two
-    exchanges, no window over the corpus, no join-back, no Python."""
+def test_repetition_stats_zero_exchange_no_python(spark):
+    """repetition_stats (q271) is a pure map: per-document gram
+    frequencies read off sorted-array run boundaries inside one
+    codegen projection — zero exchanges, no explode-and-aggregate,
+    no window, no join, no Python."""
     from etlhelper_spark.functions.text import repetition_stats
 
     d = spark.read.parquet(f"{SF}/documents.parquet").select(
         "doc_id", "text"
     )
     plan = explain_str(repetition_stats(d))
-    tree = plan.split("\n\n")[0]
-    assert tree.count("Exchange") == 2
+    assert "Exchange" not in plan
     assert "Python" not in plan
-    assert "SortMergeJoin" not in plan and "Window" not in tree
+    assert "Generate" not in plan  # no explode anywhere
 
 
 def test_corpus_count_pinned():
