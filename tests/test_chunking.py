@@ -171,3 +171,30 @@ def test_validation(spark, docs):
         chunk_documents(docs, size=8, overlap=8)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, size=8, overlap=-1)
+
+
+def test_chunking_is_stream_native(spark, docs, tmp_path):
+    """chunk_documents is a narrow map, so it runs unchanged inside
+    Structured Streaming (no state, no watermark needed) — the
+    continuous-ingest path chunks exactly like batch."""
+    import os
+
+    feed = str(tmp_path / "feed")
+    docs.write.mode("overwrite").parquet(feed)
+    stream = spark.readStream.schema(docs.schema).parquet(feed)
+    out = chunk_documents(stream, size=16, overlap=4)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chunk_stream")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("chunk_stream").collect()))
+    want = sorted(
+        map(tuple, chunk_documents(docs, size=16, overlap=4).collect())
+    )
+    assert got == want
