@@ -19,7 +19,13 @@ Versioned replay-idempotence (the dedup_state convention): each apply
 reads the newest cursor version strictly below its *batch_id* and
 overwrites ``cursor/v<batch_id>`` and ``assign/v<batch_id>`` — an
 at-least-once redelivery recomputes the identical rows into the
-identical directories. Frozen packing parameters (budget, n_shards,
+identical directories. Write order is assignments THEN cursor, so a
+crash in the window leaves assignments without their cursor version —
+the signal that the apply is incomplete and must be redelivered
+before the next batch (the same sequential-apply contract every
+versioned store here assumes; packing adds that batch k+1 genuinely
+DEPENDS on k's cursor, so out-of-order applies are rejected by
+nothing but this contract). Frozen packing parameters (budget, n_shards,
 oversize) persist in a meta sidecar at first apply and later applies
 validate against it loudly — a drifted budget or shard count would
 silently produce a state that matches NO single-corpus packing.
@@ -332,54 +338,64 @@ def forget_from_pack_state(
             f"forget_from_pack_state: no assignments under {state_dir}"
         )
     if isinstance(ids, _DF):
+        # persist: the doomed set is probed once per batch version —
+        # released in the finally (the r9 cache-hygiene rule: no
+        # operator-owned storage outlives its call)
         doomed = (
             ids.select(F.col(ids.columns[0]).alias("__doomed"))
             .distinct()
-            .localCheckpoint()
+            .persist()
         )
+        doomed.count()
     else:
         doomed = None
         id_list = [int(x) for x in ids]
     total = 0
-    for batch, (epoch, path) in sorted(versions.items()):
-        cur = spark.read.parquet(path)
-        id_col = cur.columns[0]
-        if doomed is not None:
-            hit = cur.join(
-                doomed,
-                cur[id_col] == doomed["__doomed"],
-                "left_semi",
+    try:
+        for batch, (epoch, path) in sorted(versions.items()):
+            cur = spark.read.parquet(path)
+            id_col = cur.columns[0]
+            if doomed is not None:
+                hit = cur.join(
+                    doomed,
+                    cur[id_col] == doomed["__doomed"],
+                    "left_semi",
+                )
+                kept = cur.join(
+                    doomed,
+                    cur[id_col] == doomed["__doomed"],
+                    "left_anti",
+                )
+            else:
+                hit = cur.where(F.col(id_col).isin(id_list))
+                kept = cur.where(~F.col(id_col).isin(id_list))
+            n = hit.count()
+            if n == 0:
+                continue
+            total += n
+            target = os.path.join(
+                state_dir, "assign", f"v{batch}.e{epoch + 1}"
             )
-            kept = cur.join(
-                doomed,
-                cur[id_col] == doomed["__doomed"],
-                "left_anti",
-            )
-        else:
-            hit = cur.where(F.col(id_col).isin(id_list))
-            kept = cur.where(~F.col(id_col).isin(id_list))
-        n = hit.count()
-        if n == 0:
-            continue
-        total += n
-        target = os.path.join(
-            state_dir, "assign", f"v{batch}.e{epoch + 1}"
-        )
-        kept.repartition(state_partitions).write.mode(
-            "overwrite"
-        ).parquet(target)
-        # older epochs (and the raw v<batch>) go only after the new
-        # epoch is complete — a crash before this leaves both visible
-        # and readers take the newest. Exact-match the version (a
-        # "v1*" glob would also hit v10/v12).
-        import re
+            kept.repartition(state_partitions).write.mode(
+                "overwrite"
+            ).parquet(target)
+            # older epochs (and the raw v<batch>) go only after the
+            # new epoch is complete — a crash before this leaves both
+            # visible and readers take the newest. Exact-match the
+            # version (a "v1*" glob would also hit v10/v12).
+            import re
 
-        for p in glob.glob(os.path.join(state_dir, "assign", "v*")):
-            m = re.match(
-                r"v(\d+)(?:\.e(\d+))?$", os.path.basename(p)
-            )
-            if m and int(m.group(1)) == batch and p != target:
-                shutil.rmtree(p, ignore_errors=True)
+            for p in glob.glob(
+                os.path.join(state_dir, "assign", "v*")
+            ):
+                m = re.match(
+                    r"v(\d+)(?:\.e(\d+))?$", os.path.basename(p)
+                )
+                if m and int(m.group(1)) == batch and p != target:
+                    shutil.rmtree(p, ignore_errors=True)
+    finally:
+        if doomed is not None:
+            doomed.unpersist()
     return total
 
 
