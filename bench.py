@@ -266,6 +266,7 @@ HEADLINE = [
     "q272_bpe_packing",
     "q273_incremental_packing",
     "q275_stream_packing",
+    "q276_pack_manifest",
 ]
 
 

@@ -17177,6 +17177,96 @@ def q275_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "q276_pack_manifest",
+    """
+    WITH RECURSIVE docs AS (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tokens,
+               CAST(doc_id % 8 AS INT) AS shard
+        FROM documents
+    ), ord AS (
+        SELECT doc_id, n_tokens, shard,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY doc_id
+               ) AS pos
+        FROM docs
+    ), walk AS (
+        SELECT shard, pos, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS pack_local, n_tokens AS fill
+        FROM ord WHERE pos = 1
+        UNION ALL
+        SELECT o.shard, o.pos, o.doc_id, o.n_tokens,
+               CASE WHEN w.fill + o.n_tokens > 256
+                    THEN w.pack_local + 1 ELSE w.pack_local END,
+               CASE WHEN w.fill + o.n_tokens > 256
+                    THEN o.n_tokens ELSE w.fill + o.n_tokens END
+        FROM walk w
+        JOIN ord o ON o.shard = w.shard AND o.pos = w.pos + 1
+    ), asg AS (
+        SELECT doc_id, n_tokens, shard,
+               shard * 4294967296 + pack_local AS pack_id,
+               fill - n_tokens AS off
+        FROM walk
+    )
+    SELECT pack_id, shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(256 - sum(n_tokens) AS BIGINT) AS pad_tokens,
+           list(doc_id ORDER BY off) AS doc_ids,
+           list(off ORDER BY off) AS offsets
+    FROM asg
+    GROUP BY pack_id, shard
+    """,
+)
+def q276_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACK MANIFEST — the tensor-build step every packing docstring
+    points at: pack assignments roll up into one row per context
+    window carrying the ordered document list, their token offsets,
+    the consumed token count, and the padding the trainer will burn
+    (``pad_tokens`` — THE number you tune budget/sharding to
+    minimize). Offsets are strictly increasing within a pack (every
+    document has >= 1 token), so the ordered lists are deterministic
+    and the oracle's ``list(... ORDER BY off)`` pins both arrays
+    element-for-element. Distributed shape: packing's single shard
+    exchange, then one hash aggregate keyed by pack_id whose
+    collect_list is bounded by documents-per-pack (budget/min-doc
+    tokens — a constant, never corpus-scale); sort_array orders each
+    pack's struct list inside the projection, no window. At the
+    tensor build the text column would join back by doc_id — the only
+    corpus-scale move, and it ships exactly once."""
+    from ..functions.packing import pack_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    asg = pack_documents(d, budget=256, n_shards=8)
+    pairs = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("offset").alias("o"), F.col("doc_id").alias("d"))
+        )
+    )
+    return (
+        asg.groupBy("pack_id", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+            (F.lit(256) - F.sum("n_tokens"))
+            .cast("long")
+            .alias("pad_tokens"),
+            pairs.alias("__p"),
+        )
+        .select(
+            "pack_id",
+            "shard",
+            "n_docs",
+            "pack_tokens",
+            "pad_tokens",
+            F.col("__p").getField("d").alias("doc_ids"),
+            F.col("__p").getField("o").alias("offsets"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
