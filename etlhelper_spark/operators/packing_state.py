@@ -65,7 +65,9 @@ __all__ = [
     "streaming_pack",
 ]
 
-_META_SCHEMA = "budget long, n_shards int, oversize string"
+_META_SCHEMA = (
+    "budget long, n_shards int, oversize string, id_col string"
+)
 
 
 def _meta_path(state_dir: str) -> str:
@@ -91,11 +93,11 @@ def _read_meta(state_dir: str) -> dict | None:
 
 def _write_meta(
     spark: SparkSession, state_dir: str, budget: int, n_shards: int,
-    oversize: str,
+    oversize: str, id_col: str,
 ) -> None:
     literal_frame(
         spark,
-        [(int(budget), int(n_shards), oversize)],
+        [(int(budget), int(n_shards), oversize, id_col)],
         _META_SCHEMA,
     ).write.mode("overwrite").parquet(_meta_path(state_dir))
 
@@ -137,17 +139,23 @@ def pack_incremental(
     spark = new_df.sparkSession
     meta = _read_meta(state_dir)
     if meta is None:
-        _write_meta(spark, state_dir, budget, n_shards, oversize)
+        _write_meta(
+            spark, state_dir, budget, n_shards, oversize, id_col
+        )
     elif (
         meta["budget"] != budget
         or meta["n_shards"] != int(n_shards)
         or meta["oversize"] != oversize
+        or meta["id_col"] != id_col
     ):
+        # id_col is frozen too: assignment versions union by position,
+        # so a renamed id column would read back as NULL ids — rows a
+        # later erasure could never match
         raise ValueError(
             f"pack_incremental parameter drift: store froze {meta}, "
             f"apply passed budget={budget}, n_shards={n_shards}, "
-            f"oversize={oversize!r} — a drifted cursor matches no "
-            f"single-corpus packing"
+            f"oversize={oversize!r}, id_col={id_col!r} — a drifted "
+            f"cursor matches no single-corpus packing"
         )
 
     if tokens_col is not None:
@@ -222,7 +230,9 @@ def pack_incremental(
         cursor = pd.DataFrame(
             {
                 "is_state": [True],
-                "__id": [None],
+                # typed nullable int, not object-NA: an all-NA object
+                # column in concat trips pandas' dtype FutureWarning
+                "__id": pd.array([None], dtype="Int64"),
                 "n_tokens": [0],
                 "shard": [shard],
                 "pack_id": [0],
@@ -244,26 +254,44 @@ def pack_incremental(
             return cursor[cols]
         return pd.concat([out[cols], cursor[cols]], ignore_index=True)
 
+    # persist (not localCheckpoint) and release after the two writes —
+    # the r9 cache-hygiene rule: operator-owned storage must not
+    # outlive the call (streaming_pack calls this once per micro-batch)
     folded = (
         slim.groupBy("shard")
         .applyInPandas(pack_shard, out_schema)
-        .localCheckpoint()
+        .persist()
     )
-    assign_target = os.path.join(
-        state_dir, "assign", f"v{int(batch_id)}"
-    )
-    folded.where(~F.col("is_state")).select(
-        F.col("__id").alias(id_col),
-        "n_tokens",
-        "shard",
-        "pack_id",
-        "offset",
-    ).write.mode("overwrite").parquet(assign_target)
-    cursor_target = os.path.join(cursor_dir, f"v{int(batch_id)}")
-    folded.where(F.col("is_state")).select(
-        "shard", "pack_local", "fill", "started"
-    ).repartition(1).write.mode("overwrite").parquet(cursor_target)
-    return spark.read.parquet(assign_target)
+    try:
+        assign_target = os.path.join(
+            state_dir, "assign", f"v{int(batch_id)}"
+        )
+        folded.where(~F.col("is_state")).select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            "shard",
+            "pack_id",
+            "offset",
+        ).write.mode("overwrite").parquet(assign_target)
+        cursor_target = os.path.join(cursor_dir, f"v{int(batch_id)}")
+        folded.where(F.col("is_state")).select(
+            "shard", "pack_local", "fill", "started"
+        ).repartition(1).write.mode("overwrite").parquet(cursor_target)
+    finally:
+        folded.unpersist()
+    # sticky erasure, enforced at the WRITE too: if this batch already
+    # has an erase epoch, the raw v<batch> this replay just recreated
+    # physically resurrects forgotten rows (readers would ignore it —
+    # higher epochs outrank — but retaining the bytes is itself the
+    # compliance failure). Drop the stale raw dir and return the
+    # authoritative epoch's assignments.
+    versions = _assign_versions(state_dir)
+    epoch, authoritative = versions.get(int(batch_id), (0, assign_target))
+    if epoch > 0 and authoritative != assign_target:
+        import shutil
+
+        shutil.rmtree(assign_target, ignore_errors=True)
+    return spark.read.parquet(authoritative)
 
 
 def _assign_versions(state_dir: str) -> dict[int, tuple[int, str]]:
@@ -350,6 +378,21 @@ def forget_from_pack_state(
     else:
         doomed = None
         id_list = [int(x) for x in ids]
+    import re
+
+    def purge_outranked(batch: int, keep_path: str) -> None:
+        # exact-match the version (a "v1*" glob would also hit
+        # v10/v12); everything but keep_path goes, INCLUDING stale
+        # lower epochs a crashed or replayed write left behind —
+        # outranked dirs are invisible to readers but physically
+        # retain forgotten rows
+        for p in glob.glob(os.path.join(state_dir, "assign", "v*")):
+            m = re.match(
+                r"v(\d+)(?:\.e(\d+))?$", os.path.basename(p)
+            )
+            if m and int(m.group(1)) == batch and p != keep_path:
+                shutil.rmtree(p, ignore_errors=True)
+
     total = 0
     try:
         for batch, (epoch, path) in sorted(versions.items()):
@@ -371,6 +414,11 @@ def forget_from_pack_state(
                 kept = cur.where(~F.col(id_col).isin(id_list))
             n = hit.count()
             if n == 0:
+                # nothing doomed in the AUTHORITATIVE epoch — but
+                # stale outranked dirs (e.g. a replay that recreated
+                # the raw v<batch> after an earlier erase) may still
+                # hold previously-forgotten rows: purge them anyway
+                purge_outranked(batch, path)
                 continue
             total += n
             target = os.path.join(
@@ -381,18 +429,8 @@ def forget_from_pack_state(
             ).parquet(target)
             # older epochs (and the raw v<batch>) go only after the
             # new epoch is complete — a crash before this leaves both
-            # visible and readers take the newest. Exact-match the
-            # version (a "v1*" glob would also hit v10/v12).
-            import re
-
-            for p in glob.glob(
-                os.path.join(state_dir, "assign", "v*")
-            ):
-                m = re.match(
-                    r"v(\d+)(?:\.e(\d+))?$", os.path.basename(p)
-                )
-                if m and int(m.group(1)) == batch and p != target:
-                    shutil.rmtree(p, ignore_errors=True)
+            # visible and readers take the newest
+            purge_outranked(batch, target)
     finally:
         if doomed is not None:
             doomed.unpersist()

@@ -16605,7 +16605,9 @@ def q270_chunk_then_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/packing.py): documents chunk into <=32-token windows
     (overlap 0, ``with_text=False`` so the text column never leaves
     the scan — only ids and token counts move), chunks get globally
-    unique numeric ids ``doc_id * 64 + chunk_idx``, and the chunks
+    unique numeric ids ``doc_id * 64 + chunk_idx`` (unique while
+    chunk_idx < 64; an in-plan gate fails loudly past that instead
+    of silently colliding), and the chunks
     pack NEXT-FIT against a 128-token budget sharded by
     ``chunk_id % 8``. At 100 TB this is the whole point of the
     split: chunking is a narrow map, packing shuffles ~16 bytes per
@@ -16618,7 +16620,19 @@ def q270_chunk_then_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.packing import pack_documents
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ch = chunk_documents(d, size=32, overlap=0, with_text=False).select(
+    chunks = chunk_documents(
+        d, size=32, overlap=0, with_text=False
+    ).localCheckpoint()
+    # chunk ids are unique only while chunk_idx < 64 (documents under
+    # 64*32 tokens) — enforce loudly instead of silently colliding,
+    # which would make the pack order arrival-dependent
+    over = chunks.where(F.col("chunk_idx") >= 64).count()
+    if over != 0:
+        raise ValueError(
+            f"q270: {over} chunks exceed the 64-chunks-per-doc id "
+            "budget — widen the multiplier in query AND oracle"
+        )
+    ch = chunks.select(
         (F.col("doc_id") * F.lit(64) + F.col("chunk_idx")).alias(
             "chunk_id"
         ),

@@ -1372,6 +1372,10 @@ def main() -> None:
         )
 
         work = os.path.join(tmp, "pack_state")
+        if not os.path.isdir(os.path.join(work, "assign")):
+            # --only filters can skip the incremental probe that
+            # normally seeds this state: seed it here (untimed)
+            _pack_incr_probe()
         doomed = docs.select("doc_id").where(
             F.pmod("doc_id", F.lit(100)) == 7
         )

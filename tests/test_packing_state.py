@@ -295,3 +295,62 @@ def test_streaming_pack_equals_batch(spark, docs, work, tmp_path):
         )
     )
     assert got == want
+
+
+def test_replay_after_erase_leaves_no_bytes_behind(spark, docs, work):
+    """The review-confirmed resurrection hole: a replay of an erased
+    batch recreates the raw v<batch> dir containing forgotten rows.
+    pack_incremental must drop that stale dir itself, and a later
+    forget with no authoritative hits must still purge any stale
+    outranked dirs."""
+    import glob
+    import os
+
+    from etlhelper_spark.operators.packing_state import (
+        forget_from_pack_state,
+    )
+
+    batches = _batches(docs)
+    for bid, part in batches:
+        pack_incremental(
+            part, work, batch_id=bid, budget=256, n_shards=8
+        )
+    victim = batches[1][1].select("doc_id").first()["doc_id"]
+    forget_from_pack_state(spark, work, [victim])
+    # redeliver batch 2: the returned assignments are the erased
+    # epoch's, and no raw v2 dir survives on disk
+    out = pack_incremental(
+        batches[1][1], work, batch_id=2, budget=256, n_shards=8
+    )
+    assert out.where(F.col("doc_id") == victim).count() == 0
+    dirs = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(work, "assign", "v*"))
+    }
+    assert "v2" not in dirs and "v2.e1" in dirs
+    # and the forgotten id appears in NO parquet bytes under assign/
+    for p in glob.glob(os.path.join(work, "assign", "v*")):
+        found = (
+            spark.read.parquet(p)
+            .where(F.col("doc_id") == victim)
+            .count()
+        )
+        assert found == 0, p
+
+
+def test_id_col_drift_rejected(spark, work):
+    df = spark.createDataFrame([(1, 5)], "doc_id long, n long")
+    pack_incremental(
+        df, work, batch_id=1, budget=64, tokens_col="n", n_shards=2
+    )
+    df2 = spark.createDataFrame([(2, 5)], "chunk_id long, n long")
+    with pytest.raises(ValueError, match="parameter drift"):
+        pack_incremental(
+            df2,
+            work,
+            batch_id=2,
+            budget=64,
+            tokens_col="n",
+            n_shards=2,
+            id_col="chunk_id",
+        )
