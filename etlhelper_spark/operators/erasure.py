@@ -67,9 +67,11 @@ __all__ = [
     "forget_from_ann_index",
     "forget_from_bands_state",
     "forget_from_embedding_lsh_state",
+    "forget_from_frequency_state",
     "forget_from_golden_state",
     "forget_from_index_state",
     "forget_from_ivfpq_index",
+    "forget_from_sample_state",
     "forget_from_span_state",
 ]
 
@@ -492,10 +494,7 @@ def forget_from_golden_state(
         raise ValueError(f"no golden state at {state_dir}")
     # heal any interrupted prior erasure: stale temp dirs and
     # superseded (PII-bearing) older versions go first
-    for p in glob.glob(os.path.join(subdir, ".v*.tmp")):
-        shutil.rmtree(p, ignore_errors=True)
-    for _v, p in versions[:-1]:
-        shutil.rmtree(p, ignore_errors=True)
+    _heal_and_purge_history(subdir, versions)
     cur_v, cur_path = versions[-1]
     state = spark.read.parquet(cur_path)
     doomed = _doomed_frame(spark, ids)
@@ -561,14 +560,203 @@ def forget_from_golden_state(
         "left_anti",
     )
     new_state = kept.unionByName(resurvived)
-    nxt = cur_v + 1
+    _atomic_version_cutover(
+        new_state, subdir, cur_v, cur_path, state_partitions
+    )
+    return int(n_slots)
+
+
+def _rewrite_versions(subdir: str) -> list[tuple[int, str]]:
+    """Sorted ``(version, path)`` of a rewrite-versioned store's
+    ``v<k>`` directories — the golden/sample/frequency convention:
+    every version is a COMPLETE rewrite, so only the newest is live
+    and every older one is pure (possibly PII-bearing) history."""
+    return _golden_versions(subdir)
+
+
+def _heal_and_purge_history(subdir: str, versions) -> None:
+    """Entry hygiene shared by the rewrite-versioned erasures: stale
+    temp dirs from an interrupted prior erasure go first, then every
+    SUPERSEDED version — each older ``v<k>`` is a full rewrite that
+    still holds the rows (PII included) its successor replaced, so
+    purging them is part of the erasure, not housekeeping."""
+    for p in glob.glob(os.path.join(subdir, ".v*.tmp")):
+        shutil.rmtree(p, ignore_errors=True)
+    for _v, p in versions[:-1]:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def _atomic_version_cutover(
+    new_state: DataFrame,
+    subdir: str,
+    cur_version: int,
+    cur_path: str,
+    state_partitions: int,
+) -> None:
+    """Write *new_state* as ``v<cur+1>`` via write-to-temp + atomic
+    rename (rename LAST — a crash leaves either the old or the new
+    state, never a torn one), then purge the superseded version. A
+    crash between rename and purge is healed on the next erasure's
+    entry sweep. Subsequent ingest batch ids must stay above the new
+    version (the monotone-batch contract every store here has)."""
+    nxt = cur_version + 1
     tmp = os.path.join(subdir, f".v{nxt}.tmp")
     new_state.repartition(state_partitions).write.mode("overwrite").parquet(
         tmp
     )
     os.rename(tmp, os.path.join(subdir, f"v{nxt}"))  # atomic cutover
     shutil.rmtree(cur_path, ignore_errors=True)
-    return int(n_slots)
+
+
+def forget_from_sample_state(
+    spark,
+    state_dir: str,
+    ids,
+    hash_col: str,
+    retained: DataFrame | None = None,
+    weight_col: str | None = None,
+    n: int | None = None,
+    state_partitions: int = 1,
+) -> int:
+    """Erase rows from the weighted-sample reservoir state
+    (operators/sample_state.py layout — ``wsample/v<k>`` dirs, each a
+    FULL rewrite of the current n winners WITH every input column,
+    text included: exactly the PII a deletion request must reach, in
+    EVERY version, because each version is a complete copy).
+
+    Two contracts, the caller picks by what it can feed:
+
+    - **Without *retained*** (default): the doomed winners are
+      dropped and every older version is purged — the sample shrinks
+      to n−k rows. The shortfall is inherent, not a shortcut: the
+      reservoir discarded the losers at ingestion time, so there is
+      nothing retained to promote without re-reading a corpus.
+    - **With *retained*** (the surviving corpus — the ingested rows
+      MINUS the forgotten ones, same columns as ingestion; requires
+      *weight_col* and *n*): the sample is RE-RACED from scratch over
+      *retained* with the identical Efraimidis–Spirakis key, which by
+      the race's determinism (the key depends only on the row) equals
+      the state-as-if-never-ingested exactly — the
+      forget_from_golden_state contract. A retained feed still
+      containing a doomed id is rejected loudly.
+
+    Durability is the golden convention: fresh ``v<k+1>`` via
+    write-to-temp + atomic rename, then EVERY older version is
+    deleted (each one is a full PII-bearing copy); stale temps and
+    superseded versions are healed on entry. Subsequent ingest batch
+    ids must stay above the new version (the monotone-batch
+    contract). Returns the number of doomed rows that were present in
+    the live sample — the audit measure of winners actually erased
+    (older versions may have held more copies; they are purged
+    wholesale either way)."""
+    from .sample_state import _es_scored
+
+    subdir = os.path.join(state_dir, "wsample")
+    versions = _rewrite_versions(subdir)
+    if not versions:
+        raise ValueError(f"no sample state at {state_dir}")
+    _heal_and_purge_history(subdir, versions)
+    cur_v, cur_path = versions[-1]
+    state = spark.read.parquet(cur_path)
+    doomed = _doomed_frame(spark, ids)
+    n_erased = int(
+        state.join(
+            F.broadcast(doomed),
+            state[hash_col] == doomed["__fid"],
+            "left_semi",
+        ).count()
+    )
+    if retained is not None:
+        if weight_col is None or n is None:
+            raise ValueError(
+                "forget_from_sample_state: re-racing from retained "
+                "rows requires weight_col and n (the ingestion "
+                "parameters)"
+            )
+        still_doomed = retained.join(
+            F.broadcast(doomed),
+            retained[hash_col] == doomed["__fid"],
+            "left_semi",
+        ).count()
+        if still_doomed:
+            raise ValueError(
+                f"forget_from_sample_state: retained still contains "
+                f"{still_doomed} doomed row(s) — pass the corpus MINUS "
+                f"the forgotten rows"
+            )
+        new_state = (
+            _es_scored(retained, weight_col, hash_col)
+            .orderBy(F.col("__es_key").desc(), F.col(hash_col).asc())
+            .limit(int(n))
+            .localCheckpoint()  # pin before the version write below
+        )
+    else:
+        new_state = state.join(
+            F.broadcast(doomed),
+            state[hash_col] == doomed["__fid"],
+            "left_anti",
+        )
+    _atomic_version_cutover(
+        new_state, subdir, cur_v, cur_path, state_partitions
+    )
+    return n_erased
+
+
+def forget_from_frequency_state(
+    spark, state_dir: str, values, state_partitions: int = 1
+) -> int:
+    """Erase tracked VALUES from the Misra-Gries frequent-items state
+    (operators/frequency_state.py layout — ``freq/v<k>`` dirs, each a
+    full rewrite of (item, cnt, n_total)). The state persists raw
+    item values — emails, names, URLs when that is the tracked column
+    — so a deletion request must reach it, and reach EVERY version
+    (each is a complete copy). Unlike the id-keyed stores the doom
+    set here is the VALUES themselves: *values* is a Python list or a
+    one-column DataFrame in the item column's own type.
+
+    Semantics: the doomed items' counter rows are dropped; the
+    NULL-item running-total row is KEPT UNCHANGED — n_total counts
+    past stream events (a number, not content), and keeping the
+    larger N only makes the sketch's certified bounds MORE
+    conservative (undercount slack N/(capacity+1) grows; the
+    presence guarantee for retained items is unaffected). Erased
+    items that later reappear re-enter as new counters — the
+    re-admission contract every store here has.
+
+    Durability: fresh ``v<k+1>`` via write-to-temp + atomic rename,
+    every older (PII-bearing) version purged, stale temps healed on
+    entry; subsequent batch ids must stay above the new version.
+    Returns the number of counter rows erased from the live state."""
+    subdir = os.path.join(state_dir, "freq")
+    versions = _rewrite_versions(subdir)
+    if not versions:
+        raise ValueError(f"no frequency state at {state_dir}")
+    _heal_and_purge_history(subdir, versions)
+    cur_v, cur_path = versions[-1]
+    state = spark.read.parquet(cur_path)
+    if isinstance(values, DataFrame):
+        doomed = values.select(
+            F.col(values.columns[0]).alias("__fval")
+        ).distinct()
+    else:
+        item_type = state.schema["item"].dataType.simpleString()
+        doomed = spark.createDataFrame(
+            [(v,) for v in values], f"__fval {item_type}"
+        ).distinct()
+    # plain-equality joins: the NULL-item total row can never match a
+    # doomed value, so the anti-join keeps it — by construction
+    n_erased = int(
+        state.join(
+            F.broadcast(doomed),
+            state["item"] == doomed["__fval"],
+            "left_semi",
+        ).count()
+    )
+    kept = state.join(
+        F.broadcast(doomed), state["item"] == doomed["__fval"], "left_anti"
+    )
+    _atomic_version_cutover(kept, subdir, cur_v, cur_path, state_partitions)
+    return n_erased
 
 
 def forget_everywhere(
@@ -587,6 +775,13 @@ def forget_everywhere(
     golden_spec: dict | None = None,
     golden_forgotten: DataFrame | None = None,
     pack_state_dir: str | None = None,
+    sample_state_dir: str | None = None,
+    sample_hash_col: str | None = None,
+    sample_retained: DataFrame | None = None,
+    sample_weight_col: str | None = None,
+    sample_n: int | None = None,
+    frequency_state_dir: str | None = None,
+    frequency_values=None,
     state_partitions: int = 1,
 ) -> dict[str, int]:
     """ONE deletion request, EVERY derived artifact: orchestrates the
@@ -601,10 +796,17 @@ def forget_everywhere(
     optionally source_col / source_priority — because re-surviving an
     erased winner needs the retained records; *golden_forgotten*
     optionally carries the forgotten rows so loser-only clusters
-    decrement their counts too), and the incremental packing store's
+    decrement their counts too), the incremental packing store's
     assignments (*pack_state_dir* — forgotten documents' rows drop,
     other documents keep their exact pack addresses, cursors hold no
-    ids). Stores whose directories are absent
+    ids), the weighted-sample reservoir (*sample_state_dir* +
+    *sample_hash_col*; optionally *sample_retained* /
+    *sample_weight_col* / *sample_n* to re-race to a full n-row
+    sample — the reservoir persists FULL source rows in every
+    version), and the Misra-Gries frequency state
+    (*frequency_state_dir* + *frequency_values* — doomed raw item
+    VALUES, which ids alone cannot reach). Stores whose directories
+    are absent
     are skipped silently (a pipeline that never built a band state has
     nothing to erase). Returns ``{store: erased_count}`` — the audit
     record a compliance log wants. Partial erasure is a compliance
@@ -680,5 +882,40 @@ def forget_everywhere(
 
         out["pack_assignments"] = forget_from_pack_state(
             spark, pack_state_dir, ids, state_partitions
+        )
+    if sample_state_dir is not None and os.path.isdir(
+        os.path.join(sample_state_dir, "wsample")
+    ):
+        if sample_hash_col is None:
+            raise ValueError(
+                "forget_everywhere: a weighted-sample state exists at "
+                f"{sample_state_dir} but sample_hash_col was not "
+                "provided — the reservoir persists FULL source rows in "
+                "every version (skipping it silently would be a "
+                "compliance failure)"
+            )
+        out["weighted_sample"] = forget_from_sample_state(
+            spark,
+            sample_state_dir,
+            ids,
+            sample_hash_col,
+            retained=sample_retained,
+            weight_col=sample_weight_col,
+            n=sample_n,
+            state_partitions=state_partitions,
+        )
+    if frequency_state_dir is not None and os.path.isdir(
+        os.path.join(frequency_state_dir, "freq")
+    ):
+        if frequency_values is None:
+            raise ValueError(
+                "forget_everywhere: a frequency state exists at "
+                f"{frequency_state_dir} but frequency_values was not "
+                "provided — the MG sketch persists raw item VALUES, "
+                "which ids alone cannot reach (skipping it silently "
+                "would be a compliance failure)"
+            )
+        out["heavy_hitters"] = forget_from_frequency_state(
+            spark, frequency_state_dir, frequency_values, state_partitions
         )
     return out

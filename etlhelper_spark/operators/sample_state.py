@@ -36,6 +36,27 @@ from .dedup_state import _latest_version
 __all__ = ["weighted_sample_incremental"]
 
 
+def _es_scored(df: DataFrame, weight_col: str, hash_col: str) -> DataFrame:
+    """*df* filtered to positive weights and scored with the
+    Efraimidis–Spirakis race key u^(1/w) (md5-derived u — the
+    determinism contract of functions/util.py::weighted_sample).
+    Shared by ingestion and erasure (operators/erasure.py::
+    forget_from_sample_state) so a re-race after a deletion request
+    scores EXACTLY like the original ingestion."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col(hash_col).cast("string")), 1, 8), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    return df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn(
+        "__es_key",
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")),
+    )
+
+
 def weighted_sample_incremental(
     new_df: DataFrame,
     state_dir: str,
@@ -52,19 +73,7 @@ def weighted_sample_incremental(
     and are excluded, matching the batch sampler."""
     spark = new_df.sparkSession
     subdir = os.path.join(state_dir, "wsample")
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col(hash_col).cast("string")), 1, 8), 16, 10
-        ).cast("double")
-        + F.lit(1.0)
-    ) / F.lit(4294967296.0)
-    scored = (
-        new_df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
-        .withColumn(
-            "__es_key",
-            F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")),
-        )
-    )
+    scored = _es_scored(new_df, weight_col, hash_col)
     prior = _latest_version(spark, subdir, batch_id)
     pool = scored if prior is None else scored.unionByName(prior)
     sample = (

@@ -17281,6 +17281,170 @@ def q276_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q277_forget_sample",
+    """
+    WITH k AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   ORDER BY pow((CAST(concat('0x',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) + 1) / 4294967296.0,
+                       1.0 / n_chars) DESC, doc_id ASC
+               ) AS rn
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0 AND doc_id % 10 <> 4
+    )
+    SELECT doc_id, source, n_chars FROM k WHERE rn <= 25
+    """,
+)
+def q277_forget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten for the WEIGHTED-SAMPLE RESERVOIR
+    (operators/erasure.py::forget_from_sample_state, wired into
+    forget_everywhere — closing VERDICT r10's top gap: the reservoir
+    persists the n winners WITH ALL input columns, full source rows,
+    and every ``v<k>`` version is a complete rewrite, so ALL history
+    retains the rows). Every 10th document is forgotten after the
+    q199 three-batch fold, and the erasure RE-RACES the sample from
+    the retained corpus — the Efraimidis–Spirakis key depends only on
+    the row, so the re-race is exactly the state-as-if-never-ingested
+    (the forget_from_golden_state contract), which is precisely what
+    the oracle states: the one-shot race over documents with the
+    doomed ids simply absent. In-plan gates: the erased count equals
+    the doomed winners actually in the live sample, EXACTLY one
+    (PII-purged) version directory remains, no doomed id survives in
+    the persisted state, and the sample re-raced back to a FULL n
+    rows. The n−k no-retained contract and crash-window healing are
+    pinned in tests/test_erasure.py."""
+    import glob as _glob
+    import shutil
+
+    from ..operators.erasure import forget_from_sample_state
+    from ..operators.sample_state import weighted_sample_incremental
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    work = tempfile.mkdtemp(prefix="ehs_forget_sample_")
+    try:
+        out = None
+        for i in range(3):
+            out = weighted_sample_incremental(
+                d.where(F.pmod("doc_id", F.lit(3)) == i),
+                work, i, "n_chars", 25, "doc_id",
+            )
+        doomed_in_live = out.where(F.col("doc_id") % 10 == 4).count()
+        doomed = d.where(F.col("doc_id") % 10 == 4).select("doc_id")
+        retained = d.where(F.col("doc_id") % 10 != 4)
+        n_erased = forget_from_sample_state(
+            spark, work, doomed, "doc_id",
+            retained=retained, weight_col="n_chars", n=25,
+        )
+        versions = _glob.glob(os.path.join(work, "wsample", "v*"))
+        if n_erased != doomed_in_live or len(versions) != 1:
+            raise ValueError(
+                f"sample erasure failed: erased={n_erased} (live doomed "
+                f"winners {doomed_in_live}), versions={len(versions)}"
+            )
+        state = spark.read.parquet(versions[0]).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    leftover = state.where(F.col("doc_id") % 10 == 4).count()
+    if leftover != 0 or state.count() != 25:
+        raise ValueError(
+            f"sample erasure failed: leftover={leftover}, "
+            f"rows={state.count()} (want a FULL re-raced sample)"
+        )
+    return state.select("doc_id", "source", "n_chars")
+
+
+@query(
+    "q278_forget_frequency",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), t AS (
+        SELECT token FROM toks WHERE token <> ''
+    ), tot AS (
+        SELECT count(*) AS n FROM t
+    )
+    SELECT token AS item, count(*) AS cnt
+    FROM t, tot
+    WHERE token NOT LIKE 'a%'
+    GROUP BY token, n
+    HAVING count(*) >= ceil(0.01 * n)
+    """,
+)
+def q278_forget_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten for the MISRA-GRIES FREQUENCY state
+    (operators/erasure.py::forget_from_frequency_state — the second
+    store VERDICT r10 found outside forget_everywhere: the sketch
+    persists raw item VALUES, PII when the tracked column is an
+    email/name/URL, in every full-rewrite version). After the q200
+    three-batch fold, every tracked token starting with 'a' is
+    forgotten BY VALUE (ids cannot reach a value-keyed store). The
+    contract: doomed counter rows drop, the NULL-item running total
+    is kept unchanged — n_total counts past events, not content, and
+    keeping the larger N only makes the certified undercount bound
+    N/(capacity+1) MORE conservative — and every older version is
+    purged. At this capacity the sketch never evicts, so the
+    surviving counters are exact and the oracle is the exact
+    heavy-hitter filter with the doomed tokens absent but the
+    threshold still computed over ALL tokens (the kept-total
+    contract, visible in the SQL: tot counts every token, the WHERE
+    excludes the erased ones). In-plan gates: at least one value was
+    erased, exactly one version remains, no doomed value survives,
+    and the persisted total matches the pre-erase total."""
+    import glob as _glob
+    import math
+    import shutil
+
+    from ..operators.erasure import forget_from_frequency_state
+    from ..operators.frequency_state import heavy_hitters_incremental
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    work = tempfile.mkdtemp(prefix="ehs_forget_freq_")
+    try:
+        state = None
+        for i in range(3):
+            state = heavy_hitters_incremental(
+                toks.where(F.pmod("doc_id", F.lit(3)) == i).select(
+                    "token"
+                ),
+                work, i, "token", capacity=4096,
+            )
+        total_before = state.where(F.col("item").isNull()).first()["cnt"]
+        doomed_vals = state.where(
+            F.col("item").isNotNull() & F.col("item").startswith("a")
+        ).select("item")
+        n_erased = forget_from_frequency_state(spark, work, doomed_vals)
+        versions = _glob.glob(os.path.join(work, "freq", "v*"))
+        if n_erased < 1 or len(versions) != 1:
+            raise ValueError(
+                f"frequency erasure failed: erased={n_erased}, "
+                f"versions={len(versions)}"
+            )
+        left = spark.read.parquet(versions[0]).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    leftover = left.where(
+        F.col("item").isNotNull() & F.col("item").startswith("a")
+    ).count()
+    total_after = left.where(F.col("item").isNull()).first()["cnt"]
+    if leftover != 0 or total_after != total_before:
+        raise ValueError(
+            f"frequency erasure failed: leftover={leftover}, "
+            f"total {total_before} -> {total_after} (must be kept)"
+        )
+    thr = int(math.ceil(0.01 * total_after))
+    return left.where(
+        F.col("item").isNotNull() & (F.col("cnt") >= thr)
+    ).select("item", "cnt")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

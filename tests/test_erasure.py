@@ -442,3 +442,194 @@ def test_forget_everywhere_covers_golden(spark, tmp_path):
     assert state.where(
         (F.col("phone__src_id") == 2) | (F.col("bal__src_id") == 2)
     ).count() == 0
+
+
+# --------------------------------------------- sample / frequency state
+
+
+def _fold_sample(spark, st):
+    """Three-batch reservoir over the small doc corpus (q199's shape):
+    weight = n_chars proxy via doc_id so rows are deterministic."""
+    from etlhelper_spark.operators.sample_state import (
+        weighted_sample_incremental,
+    )
+
+    d = _docs(spark).withColumn("w", F.col("doc_id") % 7 + 1)
+    out = None
+    for b in range(3):
+        out = weighted_sample_incremental(
+            d.where(F.pmod("doc_id", F.lit(3)) == b),
+            st, b, "w", 10, "doc_id",
+        )
+    return d, out
+
+
+def test_forget_sample_drops_winners_and_purges_history(spark, tmp_path):
+    from etlhelper_spark.operators.erasure import forget_from_sample_state
+
+    st = str(tmp_path / "st")
+    _d, sample = _fold_sample(spark, st)
+    winners = [r["doc_id"] for r in sample.select("doc_id").collect()]
+    doomed = winners[:3] + [999999]  # 3 live winners + one absent id
+    assert len(glob.glob(os.path.join(st, "wsample", "v*"))) == 3
+    n = forget_from_sample_state(spark, st, doomed, "doc_id")
+    assert n == 3  # only rows present in the LIVE sample count
+    vs = glob.glob(os.path.join(st, "wsample", "v*"))
+    # every older version was a full PII-bearing copy: physically gone
+    assert len(vs) == 1
+    left = spark.read.parquet(vs[0])
+    assert left.count() == 7  # n - k: losers were never retained
+    assert (
+        left.where(F.col("doc_id").isin(doomed)).count() == 0
+    )
+    # surviving winners are untouched (same rows minus the doomed)
+    assert sorted(
+        r["doc_id"] for r in left.select("doc_id").collect()
+    ) == sorted(w for w in winners if w not in doomed)
+
+
+def test_forget_sample_rerace_equals_never_ingested(spark, tmp_path):
+    from etlhelper_spark.operators.erasure import forget_from_sample_state
+    from etlhelper_spark.operators.sample_state import (
+        weighted_sample_incremental,
+    )
+
+    st = str(tmp_path / "st")
+    d, sample = _fold_sample(spark, st)
+    winners = [r["doc_id"] for r in sample.select("doc_id").collect()]
+    doomed = winners[:2]
+    retained = d.where(~F.col("doc_id").isin(doomed))
+    n = forget_from_sample_state(
+        spark, st, doomed, "doc_id",
+        retained=retained, weight_col="w", n=10,
+    )
+    assert n == 2
+    vs = glob.glob(os.path.join(st, "wsample", "v*"))
+    assert len(vs) == 1
+    got = sorted(
+        map(tuple, spark.read.parquet(vs[0]).drop("__es_key").collect())
+    )
+    # oracle: the one-shot race over the never-ingested corpus
+    fresh = str(tmp_path / "fresh")
+    want_df = weighted_sample_incremental(
+        retained, fresh, 0, "w", 10, "doc_id"
+    )
+    want = sorted(map(tuple, want_df.collect()))
+    assert got == want
+    assert len(got) == 10  # re-raced back to a FULL sample
+
+
+def test_forget_sample_rejects_doomed_in_retained(spark, tmp_path):
+    from etlhelper_spark.operators.erasure import forget_from_sample_state
+
+    st = str(tmp_path / "st")
+    d, sample = _fold_sample(spark, st)
+    doomed = [sample.select("doc_id").first()["doc_id"]]
+    with pytest.raises(ValueError, match="still contains"):
+        forget_from_sample_state(
+            spark, st, doomed, "doc_id",
+            retained=d, weight_col="w", n=10,
+        )
+    with pytest.raises(ValueError, match="requires weight_col"):
+        forget_from_sample_state(
+            spark, st, doomed, "doc_id",
+            retained=d.limit(0),
+        )
+
+
+def test_forget_sample_heals_crash_windows(spark, tmp_path):
+    from etlhelper_spark.operators.erasure import forget_from_sample_state
+
+    st = str(tmp_path / "st")
+    _d, sample = _fold_sample(spark, st)
+    stale = os.path.join(st, "wsample", ".v99.tmp")
+    os.makedirs(stale)
+    doomed = [sample.select("doc_id").first()["doc_id"]]
+    forget_from_sample_state(spark, st, doomed, "doc_id")
+    assert not os.path.exists(stale)
+    assert len(glob.glob(os.path.join(st, "wsample", "v*"))) == 1
+
+
+def _fold_freq(spark, st):
+    from etlhelper_spark.operators.frequency_state import (
+        heavy_hitters_incremental,
+    )
+
+    toks = (
+        _docs(spark)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    state = None
+    for b in range(3):
+        state = heavy_hitters_incremental(
+            toks.where(F.pmod("doc_id", F.lit(3)) == b).select("token"),
+            st, b, "token", capacity=4096,
+        )
+    return state
+
+
+def test_forget_frequency_drops_values_keeps_total(spark, tmp_path):
+    from etlhelper_spark.operators.erasure import (
+        forget_from_frequency_state,
+    )
+
+    st = str(tmp_path / "st")
+    state = _fold_freq(spark, st)
+    rows = state.where(F.col("item").isNotNull()).orderBy(
+        F.col("cnt").desc(), F.col("item")
+    )
+    doomed = [r["item"] for r in rows.limit(2).collect()]
+    total = state.where(F.col("item").isNull()).first()["cnt"]
+    n = forget_from_frequency_state(spark, st, doomed + ["<absent>"])
+    assert n == 2
+    vs = glob.glob(os.path.join(st, "freq", "v*"))
+    assert len(vs) == 1  # older versions also held the values: purged
+    left = spark.read.parquet(vs[0])
+    assert left.where(F.col("item").isin(doomed)).count() == 0
+    # the running total is a count of past events, not content: kept
+    # unchanged so the sketch's certified bounds stay conservative
+    assert left.where(F.col("item").isNull()).first()["cnt"] == total
+
+
+def test_forget_frequency_accepts_dataframe_values(spark, tmp_path):
+    from etlhelper_spark.operators.erasure import (
+        forget_from_frequency_state,
+    )
+
+    st = str(tmp_path / "st")
+    state = _fold_freq(spark, st)
+    doomed_df = state.where(F.col("item").isNotNull()).select(
+        "item"
+    ).limit(3)
+    n = forget_from_frequency_state(spark, st, doomed_df)
+    assert n == 3
+
+
+def test_forget_everywhere_covers_sample_and_frequency(spark, tmp_path):
+    from etlhelper_spark.operators.erasure import forget_everywhere
+
+    sst = str(tmp_path / "sst")
+    fst = str(tmp_path / "fst")
+    _d, sample = _fold_sample(spark, sst)
+    state = _fold_freq(spark, fst)
+    doomed_id = sample.select("doc_id").first()["doc_id"]
+    doomed_val = (
+        state.where(F.col("item").isNotNull()).first()["item"]
+    )
+    # stores EXIST but the reach-them arguments are missing: loud
+    # failure, never a silent skip (the golden precedent)
+    with pytest.raises(ValueError, match="compliance"):
+        forget_everywhere(spark, [doomed_id], sample_state_dir=sst)
+    with pytest.raises(ValueError, match="compliance"):
+        forget_everywhere(spark, [doomed_id], frequency_state_dir=fst)
+    out = forget_everywhere(
+        spark,
+        [doomed_id],
+        sample_state_dir=sst,
+        sample_hash_col="doc_id",
+        frequency_state_dir=fst,
+        frequency_values=[doomed_val],
+    )
+    assert out["weighted_sample"] == 1
+    assert out["heavy_hitters"] == 1
