@@ -66,6 +66,8 @@ __all__ = [
     "forget_everywhere",
     "forget_from_ann_index",
     "forget_from_bands_state",
+    "forget_from_cdc_state",
+    "forget_from_clusters_state",
     "forget_from_embedding_lsh_state",
     "forget_from_frequency_state",
     "forget_from_golden_state",
@@ -759,6 +761,197 @@ def forget_from_frequency_state(
     return n_erased
 
 
+def forget_from_cdc_state(
+    spark, state_dir: str, ids, key_col: str, state_partitions: int = 1
+) -> int:
+    """Erase keys from the CDC snapshot state (operators/cdc.py::
+    snapshot_apply_incremental layout — ``snapshot/v<k>`` dirs, each a
+    FULL rewrite of the latest change row per key WITH every source
+    column, tombstones included: complete source rows, the widest
+    PII surface of any store here, copied into every version).
+
+    Semantics: the doomed keys' rows — live rows AND tombstones —
+    leave the state, and every older version is purged. A forgotten
+    key that later reappears in the feed re-enters as brand new (the
+    re-admission contract); its old tombstone is gone, so a late
+    pre-deletion change for it would also re-admit — erring toward
+    re-admission, never toward keeping deleted data, exactly the
+    span-store trade. Returns the number of erased state rows."""
+    subdir = os.path.join(state_dir, "snapshot")
+    versions = _rewrite_versions(subdir)
+    if not versions:
+        raise ValueError(f"no cdc snapshot state at {state_dir}")
+    _heal_and_purge_history(subdir, versions)
+    cur_v, cur_path = versions[-1]
+    state = spark.read.parquet(cur_path)
+    doomed = _doomed_frame(spark, ids)
+    n_erased = int(
+        state.join(
+            F.broadcast(doomed), state[key_col] == doomed["__fid"],
+            "left_semi",
+        ).count()
+    )
+    kept = state.join(
+        F.broadcast(doomed), state[key_col] == doomed["__fid"], "left_anti"
+    )
+    _atomic_version_cutover(kept, subdir, cur_v, cur_path, state_partitions)
+    return n_erased
+
+
+def forget_from_clusters_state(
+    spark, state_dir: str, ids, state_partitions: int = 1
+) -> int:
+    """Erase nodes from the duplicate-clusters state (operators/
+    dedup_state.py::duplicate_clusters_incremental layout —
+    ``clusters/v<k>`` full-rewrite versions of (node_id, cluster_id)).
+    Two things must go: the doomed nodes' OWN rows, and the doomed
+    ids surviving as LABELS — cluster_id is the component-minimum
+    node id, so a forgotten node that anchored its cluster would
+    otherwise persist as every surviving member's label. Surviving
+    clusters re-anchor on their lowest remaining member (the
+    embedding-LSH re-anchor convention).
+
+    Contract note: MEMBERSHIP among retained nodes is kept as-is. The
+    state discarded the pair edges (that is what makes it O(nodes)),
+    so connectivity that ran THROUGH a forgotten node cannot be
+    re-derived; keeping the merged component errs toward treating
+    documents as duplicates — re-verification, not data retention.
+    Callers needing exact as-if-never-ingested clusters re-run
+    propagation over their retained pair feed. Returns the number of
+    doomed node rows erased."""
+    subdir = os.path.join(state_dir, "clusters")
+    versions = _rewrite_versions(subdir)
+    if not versions:
+        raise ValueError(f"no clusters state at {state_dir}")
+    _heal_and_purge_history(subdir, versions)
+    cur_v, cur_path = versions[-1]
+    state = spark.read.parquet(cur_path)
+    doomed = _doomed_frame(spark, ids)
+    n_erased = int(
+        state.join(
+            F.broadcast(doomed),
+            state["node_id"] == doomed["__fid"],
+            "left_semi",
+        ).count()
+    )
+    kept = state.join(
+        F.broadcast(doomed), state["node_id"] == doomed["__fid"], "left_anti"
+    )
+    relabel = (
+        kept.join(
+            F.broadcast(doomed),
+            kept["cluster_id"] == doomed["__fid"],
+            "left_semi",
+        )
+        .groupBy("cluster_id")
+        .agg(F.min("node_id").alias("__nl"))
+    )
+    new_state = (
+        kept.join(F.broadcast(relabel), "cluster_id", "left")
+        .select(
+            "node_id",
+            F.coalesce("__nl", "cluster_id").alias("cluster_id"),
+        )
+    )
+    _atomic_version_cutover(
+        new_state, subdir, cur_v, cur_path, state_partitions
+    )
+    return n_erased
+
+
+# ---------------------------------------------------------------------
+# The standing store-coverage gate (VERDICT r10 #2): every parquet
+# store any operators/ module writes under a state_dir must appear
+# here, either mapped to the erasure callable that reaches it or
+# explicitly WAIVED with the reason it holds no row-level input
+# values. tests/test_store_registry.py AST-scans the package for
+# `os.path.join(state_dir, <store>)` writers and fails if a store is
+# missing from this table (a new store landed uncovered — the r9
+# golden / r10 sample+frequency failure class) or if the table has
+# stale rows. Index-file stores keyed by a path rather than a
+# state_dir (functions/ann_index.py, functions/ivfpq.py) are outside
+# the scan but covered by forget_from_ann_index /
+# forget_from_ivfpq_index (tests/test_erasure.py).
+STATE_STORE_REGISTRY: dict[str, dict[str, str]] = {
+    "bpe_state": {
+        "merges": (
+            "WAIVED: ordered merge-rule table — corpus-level pair-"
+            "frequency aggregates (subword fragments), no per-row "
+            "input values; the frozen-vintage contract requires the "
+            "rules to stay immutable"
+        ),
+    },
+    "cdc": {"snapshot": "forget_from_cdc_state"},
+    "dedup_state": {
+        "exact": "forget_from_dedup_state",
+        "exact_bloom": (
+            "WAIVED: bloom BITMAP (word, bits) over hashed "
+            "fingerprints — k bit positions per item, no values "
+            "recoverable; bits cannot be unset, and a stale maybe-"
+            "seen bit only costs a state probe that finds nothing "
+            "after forget_from_dedup_state ran"
+        ),
+        "bands": "forget_from_bands_state",
+        "clusters": "forget_from_clusters_state",
+        "embedding_lsh": "forget_from_embedding_lsh_state",
+        "spans": "forget_from_span_state",
+    },
+    "drift_state": {
+        "cats": (
+            "WAIVED: O(categories) count aggregates keyed by schema-"
+            "level category labels — no per-row input values"
+        ),
+        "emb": (
+            "WAIVED: O(dim) moment aggregates (mean/M2 vectors, "
+            "counts) — no per-row vectors persisted"
+        ),
+        "hist": "WAIVED: O(bins) count aggregates — no row values",
+    },
+    "frequency_state": {"freq": "forget_from_frequency_state"},
+    "index_state": {
+        "postings": "forget_from_index_state",
+        "stats": (
+            "forget_from_index_state"  # recomputed from kept postings
+        ),
+    },
+    "ivm": {
+        "_source": (
+            "WAIVED: the declared query's OWN input feed, split into "
+            "files inside the query's temp dir purely so availableNow "
+            "triggers multiple micro-batches — deleted with the temp "
+            "dir, never derived state"
+        ),
+        "<versioned>": (
+            "WAIVED: grouped rollup aggregates (group keys + "
+            "sums/counts/HLL sketch bytes) — no per-row input values"
+        ),
+    },
+    "linkage_state": {
+        "phonetic": "forget_from_linkage_state",
+        "variants": "forget_from_linkage_state",
+    },
+    "packing_state": {
+        "assign": "forget_from_pack_state",
+        "cursor": (
+            "WAIVED: three numbers per shard (open pack index, fill, "
+            "started flag) — no ids or values"
+        ),
+        "meta": "WAIVED: packing parameters (budget, n_shards) only",
+    },
+    "quantile_state": {
+        "kll": (
+            "WAIVED: KLL quantile sketch — level-compacted aggregate "
+            "summary of a numeric metric column (the VERDICT r10 "
+            "waiver criterion names quantile aggregates explicitly); "
+            "rebuild from the retained corpus if the tracked metric "
+            "is itself personal data"
+        ),
+    },
+    "sample_state": {"wsample": "forget_from_sample_state"},
+    "survivorship_state": {"golden": "forget_from_golden_state"},
+}
+
+
 def forget_everywhere(
     spark,
     ids,
@@ -782,6 +975,9 @@ def forget_everywhere(
     sample_n: int | None = None,
     frequency_state_dir: str | None = None,
     frequency_values=None,
+    cdc_state_dir: str | None = None,
+    cdc_key_col: str | None = None,
+    clusters_state_dir: str | None = None,
     state_partitions: int = 1,
 ) -> dict[str, int]:
     """ONE deletion request, EVERY derived artifact: orchestrates the
@@ -805,7 +1001,10 @@ def forget_everywhere(
     sample — the reservoir persists FULL source rows in every
     version), and the Misra-Gries frequency state
     (*frequency_state_dir* + *frequency_values* — doomed raw item
-    VALUES, which ids alone cannot reach). Stores whose directories
+    VALUES, which ids alone cannot reach), the CDC snapshot
+    (*cdc_state_dir* + *cdc_key_col* — full source rows per key), and
+    the duplicate-clusters label state (under *dedup_state_dir* when
+    co-located, else *clusters_state_dir*). Stores whose directories
     are absent
     are skipped silently (a pipeline that never built a band state has
     nothing to erase). Returns ``{store: erased_count}`` — the audit
@@ -824,6 +1023,10 @@ def forget_everywhere(
             )
         if os.path.isdir(os.path.join(dedup_state_dir, "embedding_lsh")):
             out["embedding_lsh"] = forget_from_embedding_lsh_state(
+                spark, dedup_state_dir, ids, state_partitions
+            )
+        if os.path.isdir(os.path.join(dedup_state_dir, "clusters")):
+            out["duplicate_clusters"] = forget_from_clusters_state(
                 spark, dedup_state_dir, ids, state_partitions
             )
         if span_docs is not None and os.path.isdir(
@@ -917,5 +1120,27 @@ def forget_everywhere(
             )
         out["heavy_hitters"] = forget_from_frequency_state(
             spark, frequency_state_dir, frequency_values, state_partitions
+        )
+    if cdc_state_dir is not None and os.path.isdir(
+        os.path.join(cdc_state_dir, "snapshot")
+    ):
+        if cdc_key_col is None:
+            raise ValueError(
+                "forget_everywhere: a CDC snapshot state exists at "
+                f"{cdc_state_dir} but cdc_key_col was not provided — "
+                "the snapshot persists FULL source rows in every "
+                "version (skipping it silently would be a compliance "
+                "failure)"
+            )
+        out["cdc_snapshot"] = forget_from_cdc_state(
+            spark, cdc_state_dir, ids, cdc_key_col, state_partitions
+        )
+    if (
+        clusters_state_dir is not None
+        and clusters_state_dir != dedup_state_dir
+        and os.path.isdir(os.path.join(clusters_state_dir, "clusters"))
+    ):
+        out["duplicate_clusters"] = forget_from_clusters_state(
+            spark, clusters_state_dir, ids, state_partitions
         )
     return out

@@ -633,3 +633,97 @@ def test_forget_everywhere_covers_sample_and_frequency(spark, tmp_path):
     )
     assert out["weighted_sample"] == 1
     assert out["heavy_hitters"] == 1
+
+
+# ------------------------------------------------- cdc / clusters state
+
+
+def test_forget_cdc_state_drops_rows_and_tombstones(spark, tmp_path):
+    from etlhelper_spark.operators.cdc import snapshot_apply_incremental
+    from etlhelper_spark.operators.erasure import forget_from_cdc_state
+    from etlhelper_spark.functions.util import literal_frame
+
+    st = str(tmp_path / "st")
+    b1 = literal_frame(
+        spark,
+        [(1, "alice", 1, "U"), (2, "bob", 1, "U"), (3, "carol", 1, "U")],
+        "k long, name string, seq long, op string",
+    )
+    b2 = literal_frame(
+        spark,
+        [(1, "alice2", 2, "U"), (3, "carol", 2, "D")],
+        "k long, name string, seq long, op string",
+    )
+    for i, b in enumerate([b1, b2]):
+        snapshot_apply_incremental(b, st, i, ["k"], ["seq"])
+    # key 1 (live) and key 3 (tombstone) are forgotten; both row kinds
+    # carry full source columns and must go
+    n = forget_from_cdc_state(spark, st, [1, 3], "k")
+    assert n == 2
+    vs = glob.glob(os.path.join(st, "snapshot", "v*"))
+    assert len(vs) == 1  # every older full-copy version purged
+    left = spark.read.parquet(vs[0])
+    assert [r["k"] for r in left.collect()] == [2]
+
+
+def test_forget_clusters_state_relabels_doomed_anchor(spark, tmp_path):
+    from etlhelper_spark.operators.dedup_state import (
+        duplicate_clusters_incremental,
+    )
+    from etlhelper_spark.operators.erasure import (
+        forget_from_clusters_state,
+    )
+    from etlhelper_spark.functions.util import literal_frame
+
+    st = str(tmp_path / "st")
+    pairs = literal_frame(
+        spark,
+        [(1, 5), (5, 9), (20, 30)],
+        "id_a long, id_b long",
+    )
+    duplicate_clusters_incremental(pairs, st, 0)
+    # node 1 anchors cluster {1,5,9} (label = min = 1): erasing it must
+    # remove its row AND stop 1 appearing as the survivors' label
+    n = forget_from_clusters_state(spark, st, [1])
+    assert n == 1
+    vs = glob.glob(os.path.join(st, "clusters", "v*"))
+    assert len(vs) == 1
+    left = {
+        r["node_id"]: r["cluster_id"]
+        for r in spark.read.parquet(vs[0]).collect()
+    }
+    assert left == {5: 5, 9: 5, 20: 20, 30: 20}
+
+
+def test_forget_everywhere_covers_cdc_and_clusters(spark, tmp_path):
+    from etlhelper_spark.operators.cdc import snapshot_apply_incremental
+    from etlhelper_spark.operators.dedup_state import (
+        duplicate_clusters_incremental,
+    )
+    from etlhelper_spark.operators.erasure import forget_everywhere
+    from etlhelper_spark.functions.util import literal_frame
+
+    cst = str(tmp_path / "cst")
+    dst = str(tmp_path / "dst")
+    snapshot_apply_incremental(
+        literal_frame(
+            spark,
+            [(1, "x", 1, "U"), (2, "y", 1, "U")],
+            "k long, v string, seq long, op string",
+        ),
+        cst, 0, ["k"], ["seq"],
+    )
+    duplicate_clusters_incremental(
+        literal_frame(spark, [(2, 7)], "id_a long, id_b long"), dst, 0
+    )
+    with pytest.raises(ValueError, match="compliance"):
+        forget_everywhere(spark, [2], cdc_state_dir=cst)
+    out = forget_everywhere(
+        spark,
+        [2],
+        cdc_state_dir=cst,
+        cdc_key_col="k",
+        dedup_state_dir=dst,  # clusters substore found under dedup dir
+    )
+    assert out["cdc_snapshot"] == 1
+    assert out["duplicate_clusters"] == 1
