@@ -44,7 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pack_documents"]
+__all__ = ["pack_documents", "pack_token_windows"]
 
 
 def _next_fit(
@@ -178,4 +178,114 @@ def pack_documents(
         slim.groupBy("shard")
         .applyInPandas(pack_shard, out_schema)
         .withColumnRenamed("__id", id_col)
+    )
+
+
+def pack_token_windows(
+    doc_tokens: DataFrame,
+    assignments: DataFrame,
+    budget: int,
+    pad_id: int = -1,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """MATERIALIZE the context windows a trainer consumes — the last
+    step of the prepare-for-training path: per-document token-id
+    arrays (*doc_tokens*: ``(<id_col>, <ids_col> array<long>)`` —
+    functions/text.py::bpe_doc_token_ids's shape) join the pack
+    *assignments* (``pack_documents`` / ``read_pack_assignments``
+    output: ``(<id_col>, n_tokens, shard, pack_id, offset)``) and
+    roll up into ONE row per pack: ``(pack_id, shard, n_docs,
+    pack_tokens, pad_tokens, input_ids)`` where ``input_ids`` is
+    EXACTLY *budget* long — the documents' ids concatenated in offset
+    order, padded to the budget with *pad_id*.
+
+    Loud by construction: a document whose array length disagrees
+    with the assignment's ``n_tokens`` (a tokenizer-vintage mismatch
+    — the ids were encoded under different rules than the counts
+    that drove packing) or a pack exceeding the budget (own_pack
+    oversize assignments have no fixed-length tensor form) fails the
+    job from the executor, never a silently truncated or ragged
+    tensor.
+
+    Distributed shape: the id-keyed join ships each token array
+    exactly once (the only corpus-scale move — the q276 manifest
+    docstring's promise, kept here), then one hash aggregate keyed by
+    pack_id whose collect_list is bounded by documents-per-pack;
+    offsets order the arrays inside the projection (array_sort of a
+    (offset, ids) struct list — no window), and padding is a codegen
+    array_repeat. At 100 TB this is one shuffle of the token arrays,
+    ~budget × 8 bytes per output row.
+
+    Oracle-paired in plans/queries.py::q279 (window arrays hashed
+    element-for-element); the concatenation/padding invariants are
+    property-tested in tests/test_packing.py."""
+    budget = int(budget)
+    j = assignments.select(
+        id_col, "n_tokens", "shard", "pack_id", "offset"
+    ).join(doc_tokens.select(id_col, ids_col), id_col)
+    bad_doc = F.raise_error(
+        F.concat(
+            F.lit(
+                "pack_token_windows: token_ids length != assignment "
+                "n_tokens for "
+            ),
+            F.col(id_col).cast("string"),
+            F.lit(" — the ids were encoded under a different "
+                  "tokenizer vintage than the packed counts"),
+        )
+    )
+    checked = j.select(
+        id_col,
+        "shard",
+        "pack_id",
+        "offset",
+        "n_tokens",
+        F.when(
+            F.size(ids_col).cast("long") != F.col("n_tokens"),
+            bad_doc.cast("array<long>"),
+        )
+        .otherwise(F.col(ids_col).cast("array<long>"))
+        .alias("__t"),
+    )
+    agg = checked.groupBy("pack_id", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        F.flatten(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("offset").alias("o"), F.col("__t"))
+                )
+            ).getField("__t")
+        ).alias("__ids"),
+    )
+    over = F.raise_error(
+        F.concat(
+            F.lit("pack_token_windows: pack "),
+            F.col("pack_id").cast("string"),
+            F.lit(" holds "),
+            F.col("pack_tokens").cast("string"),
+            F.lit(f" tokens > budget {budget} — oversize own_pack "
+                  "assignments have no fixed-length tensor form"),
+        )
+    )
+    return agg.select(
+        "pack_id",
+        "shard",
+        "n_docs",
+        "pack_tokens",
+        (F.lit(budget) - F.col("pack_tokens")).cast("long").alias(
+            "pad_tokens"
+        ),
+        F.when(F.col("pack_tokens") > budget, over.cast("array<long>"))
+        .otherwise(
+            F.concat(
+                F.col("__ids"),
+                F.array_repeat(
+                    F.lit(int(pad_id)).cast("long"),
+                    (F.lit(budget) - F.size("__ids")).cast("int"),
+                ),
+            )
+        )
+        .alias("input_ids"),
     )

@@ -523,6 +523,99 @@ def bpe_word_encodings(
     return wf.select("w", F.size("s").alias("n_sub"))
 
 
+def bpe_doc_token_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rounds: int = 3,
+    merges: list | None = None,
+) -> DataFrame:
+    """TOKEN-ID SEQUENCES per document under a BPE vocabulary — the
+    encode step of the packed-tensor export (functions/packing.py::
+    pack_token_windows consumes this): returns
+    ``(<id_col>, token_ids array<long>, n_tokens)`` where
+    ``token_ids`` is the document's subword ids in reading order.
+
+    *merges* is an optional FROZEN driver-side rule list (rows with
+    ``left``/``right`` — operators/bpe_state.py::read_bpe_merges's
+    shape), replayed as pure literal fuses with the apply_bpe_state
+    chain-cut discipline; omitted, the rules are trained in-engine on
+    *df* itself (bpe_word_encodings's loop), which is what the q279
+    oracle restates. Token ids are dense ranks of the SORTED distinct
+    subword vocabulary — deterministic across runs, partitionings,
+    and engines (binary string order both sides). A production flow
+    freezes merges AND vocab together; the id assignment here is the
+    deterministic in-corpus instance of that contract.
+
+    Distributed shape: encoding runs once per DISTINCT word (the
+    bpe_word_encodings argument — corpus scale enters only through
+    the word-keyed join), the vocabulary id rank is a single-partition
+    window over |vocab| rows (bounded by the vocabulary, never the
+    corpus), and the per-document flatten is one hash aggregate whose
+    list is bounded by document length. The token arrays ship exactly
+    once, into that aggregate."""
+    from pyspark.sql.window import Window
+
+    w = _bpe_word_table(df, text_col)
+    if merges is None:
+        _, wf = _bpe_train_loop(w, rounds, ["w", "freq"])
+    else:
+        wf = w
+        for i, r in enumerate(merges):
+            wf = _bpe_fuse_literal(wf, r["left"], r["right"], ["w", "freq"])
+            if (i + 1) % 8 == 0 and (i + 1) < len(merges):
+                wf = wf.localCheckpoint(eager=False)
+    # reused twice below (vocab + word encodings): cut once
+    wf = wf.select("w", "s").localCheckpoint(eager=False)
+    vocab = (
+        wf.select(F.explode("s").alias("sym"))
+        .distinct()
+        .select(
+            "sym",
+            (F.row_number().over(Window.orderBy("sym")) - 1)
+            .cast("long")
+            .alias("tok_id"),
+        )
+    )
+    wid = (
+        wf.select("w", F.posexplode("s").alias("spos", "sym"))
+        .join(vocab, "sym")
+        .groupBy("w")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("spos", "tok_id"))
+            ).alias("__p")
+        )
+        .select("w", F.col("__p").getField("tok_id").alias("__wids"))
+    )
+    words = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("wpos", "w"),
+        )
+        .where(F.col("w") != "")
+    )
+    return (
+        words.join(wid, "w")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("wpos"), F.col("__wids").alias("t"))
+                )
+            ).alias("__d")
+        )
+        .select(
+            id_col,
+            F.flatten(F.col("__d").getField("t")).alias("token_ids"),
+        )
+        .withColumn("n_tokens", F.size("token_ids").cast("long"))
+    )
+
+
 def _word_ngrams(toks: Column, n: int) -> Column:
     """Array of space-joined word *n*-grams of a token array; empty
     array when the document has fewer than *n* tokens.

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "deterministic_shuffle_rank",
     "grouped_split",
+    "write_packed_tensors",
     "write_training_shards",
 ]
 
@@ -183,3 +184,30 @@ def write_training_shards(
         os.path.join(out_dir, "_manifest")
     )
     return spark.read.parquet(os.path.join(out_dir, "_manifest"))
+
+
+def write_packed_tensors(
+    windows: DataFrame,
+    out_dir: str,
+    rows_per_shard: int,
+    seed: int = 0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Ship the packed context windows (functions/packing.py::
+    pack_token_windows output — one fixed-length ``input_ids`` row per
+    pack) as deterministic training shards: the pack rows are
+    deterministically shuffled by pack_id (two-phase global rank — no
+    single-partition sort) and written as ``shard=<k>/`` parquet dirs
+    with an intra-shard ``pos``, plus the ``_manifest`` a loader
+    reads instead of listing. The packing-internal ``shard`` column is
+    renamed ``pack_shard`` first: the export's own shard key owns the
+    name, and the provenance column survives for audits. Returns the
+    manifest (shard, n_rows)."""
+    return write_training_shards(
+        windows.withColumnRenamed("shard", "pack_shard"),
+        out_dir,
+        ["pack_id"],
+        rows_per_shard,
+        seed,
+        partitions,
+    )

@@ -17445,6 +17445,164 @@ def q278_forget_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("item", "cnt")
 
 
+@query(
+    "q279_packed_tensors",
+    """
+    WITH RECURSIVE words AS (
+        SELECT w AS word, count(*) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ) WHERE w <> '' GROUP BY w
+    ), w0 AS (
+        SELECT word, freq, [word[i] FOR i IN range(1, len(word)+1)] AS s
+        FROM words
+    ), p1 AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+        FROM w0, (SELECT unnest(range(1, 64)) AS i)
+        WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+    ), m1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+    w1 AS (
+        SELECT word, freq, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, w.freq, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM w0 w, (SELECT unnest(range(1, 65)) AS i) t, m1 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word, freq
+    ), p2 AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+        FROM w1, (SELECT unnest(range(1, 64)) AS i)
+        WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+    ), m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+    w2 AS (
+        SELECT word, freq, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, w.freq, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM w1 w, (SELECT unnest(range(1, 65)) AS i) t, m2 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word, freq
+    ), p3 AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+        FROM w2, (SELECT unnest(range(1, 64)) AS i)
+        WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+    ), m3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+    w3 AS (
+        SELECT word, freq, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, w.freq, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM w2 w, (SELECT unnest(range(1, 65)) AS i) t, m3 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word, freq
+    ), vocab AS (
+        SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT)
+                   AS tok_id
+        FROM (SELECT DISTINCT unnest(s) AS sym FROM w3)
+    ), wid AS (
+        SELECT word, list(tok_id ORDER BY spos) AS ids FROM (
+            SELECT w.word, t.i AS spos, v.tok_id
+            FROM w3 w, (SELECT unnest(range(1, 65)) AS i) t
+            JOIN vocab v ON TRUE
+            WHERE t.i <= len(w.s) AND w.s[t.i] = v.sym
+        ) GROUP BY word
+    ), dw AS (
+        SELECT doc_id, u.p AS wpos, u.w AS w FROM (
+            SELECT doc_id,
+                   unnest([{'p': i, 'w': arr[i]}
+                           FOR i IN range(1, len(arr)+1)]) AS u
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+')
+                           AS arr
+                FROM documents WHERE trim(text) <> ''
+            )
+        ) WHERE u.w <> ''
+    ), doc_tok AS (
+        SELECT d.doc_id, flatten(list(w.ids ORDER BY d.wpos)) AS toks
+        FROM dw d JOIN wid w ON d.w = w.word GROUP BY d.doc_id
+    ), sized AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(doc_id % 8 AS INT) AS shard
+        FROM doc_tok
+    ), ord AS (
+        SELECT doc_id, n_tokens, shard,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY doc_id
+               ) AS pos
+        FROM sized
+    ), walk AS (
+        SELECT shard, pos, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS pack_local, n_tokens AS fill
+        FROM ord WHERE pos = 1
+        UNION ALL
+        SELECT o.shard, o.pos, o.doc_id, o.n_tokens,
+               CASE WHEN w.fill + o.n_tokens > 512
+                    THEN w.pack_local + 1 ELSE w.pack_local END,
+               CASE WHEN w.fill + o.n_tokens > 512
+                    THEN o.n_tokens ELSE w.fill + o.n_tokens END
+        FROM walk w
+        JOIN ord o ON o.shard = w.shard AND o.pos = w.pos + 1
+    ), asg AS (
+        SELECT doc_id, n_tokens, shard,
+               shard * 4294967296 + pack_local AS pack_id,
+               fill - n_tokens AS off
+        FROM walk
+    ), win AS (
+        SELECT a.pack_id, a.shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(a.n_tokens) AS BIGINT) AS pack_tokens,
+               CAST(512 - sum(a.n_tokens) AS BIGINT) AS pad_tokens,
+               flatten(list(s.toks ORDER BY a.off)) AS ids
+        FROM asg a JOIN sized s USING (doc_id)
+        GROUP BY a.pack_id, a.shard
+    )
+    SELECT pack_id, shard, n_docs, pack_tokens, pad_tokens,
+           ids || [CAST(-1 AS BIGINT) FOR i IN range(512 - len(ids))]
+               AS input_ids
+    FROM win
+    """,
+)
+def q279_packed_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKED TENSOR EXPORT — the last step of the training path
+    (VERDICT r10 #3): the frozen tokenizer's token IDS (functions/
+    text.py::bpe_doc_token_ids — 3 in-engine BPE rounds, dense ids
+    over the sorted subword vocabulary), the q272 pack assignments,
+    and the q276 manifest ordering compose into ONE fixed-length
+    int64 array per context window: each pack's documents'
+    token-id arrays concatenated in offset order and padded to the
+    512 budget with pad_id=-1 (functions/packing.py::
+    pack_token_windows). The oracle restates ALL THREE stages —
+    the identical 3 train+fuse rounds, the vocabulary id rank, the
+    per-shard packing recursion, and the manifest-order
+    flatten+pad — so the hash pins every element of every window:
+    a tokenizer drift, a swapped document, a wrong offset, or one
+    misplaced pad token all flip it. Distributed shape: encoding is
+    per-DISTINCT-word, the id-keyed join ships each token array
+    exactly once, the window rollup is one hash aggregate bounded by
+    docs-per-pack, and padding is a codegen array_repeat —
+    length-mismatch and over-budget packs raise from the executor
+    (silent ragged tensors are the failure mode this operator
+    exists to prevent). Shard-file export via
+    operators/export.py::write_packed_tensors is pinned in
+    tests/test_packing.py."""
+    from ..functions.packing import pack_documents, pack_token_windows
+    from ..functions.text import bpe_doc_token_ids
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dt = bpe_doc_token_ids(d, rounds=3).localCheckpoint(eager=False)
+    asg = pack_documents(
+        dt, budget=512, tokens_col="n_tokens", n_shards=8
+    )
+    return pack_token_windows(dt, asg, budget=512, pad_id=-1)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -1384,6 +1384,48 @@ def main() -> None:
     probe("pack-state forget (~1% of 1M assignments, 4 versions)",
           n_docs, _pack_forget_probe)
 
+    def _tensor_probe():
+        from etlhelper_spark.functions.packing import (
+            pack_documents,
+            pack_token_windows,
+        )
+        from etlhelper_spark.functions.text import bpe_doc_token_ids
+
+        dt = bpe_doc_token_ids(docs, rounds=3).localCheckpoint()
+        asg = pack_documents(
+            dt, budget=2048, tokens_col="n_tokens", n_shards=64
+        )
+        return pack_token_windows(dt, asg, budget=2048).count()
+
+    probe("packed tensor export (BPE ids -> 2048-budget windows)",
+          n_docs, _tensor_probe)
+
+    def _sample_forget_probe():
+        from etlhelper_spark.operators.erasure import (
+            forget_from_sample_state,
+        )
+        from etlhelper_spark.operators.sample_state import (
+            weighted_sample_incremental,
+        )
+
+        work = os.path.join(tmp, "sample_state")
+        d = docs.withColumn("w", F.pmod("doc_id", F.lit(97)) + 1)
+        for b in range(3):
+            weighted_sample_incremental(
+                d.where(F.pmod("doc_id", F.lit(3)) == b),
+                work, b, "w", 10_000, "doc_id",
+            )
+        retained = d.where(F.pmod("doc_id", F.lit(100)) != 7)
+        forget_from_sample_state(
+            spark, work,
+            d.where(F.pmod("doc_id", F.lit(100)) == 7).select("doc_id"),
+            "doc_id", retained=retained, weight_col="w", n=10_000,
+        )
+        return n_docs
+
+    probe("sample-state forget + re-race (10k reservoir over 1M)",
+          n_docs, _sample_forget_probe)
+
     if args.only:
         for name, dt, rows, rate in results:
             print(f"| {name} | {dt} | {rows:,} | {rate:,} |")

@@ -133,3 +133,187 @@ def test_order_col_packs_in_stated_order(spark, docs):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+# ------------------------------------------------- packed tensor export
+
+
+@pytest.fixture(scope="module")
+def tok_docs(spark, docs):
+    from etlhelper_spark.functions.text import bpe_doc_token_ids
+
+    return bpe_doc_token_ids(
+        docs.where(F.col("doc_id") < 300), rounds=2
+    ).localCheckpoint()
+
+
+def _windows(tok_docs, budget=512, pad=-1):
+    from etlhelper_spark.functions.packing import (
+        pack_documents,
+        pack_token_windows,
+    )
+
+    asg = pack_documents(
+        tok_docs, budget=budget, tokens_col="n_tokens", n_shards=4
+    )
+    return pack_token_windows(tok_docs, asg, budget=budget, pad_id=pad)
+
+
+def test_windows_fixed_length_and_consumed_tokens(spark, tok_docs):
+    """Every window is EXACTLY budget long, and the unpadded prefix
+    length equals the manifest's consumed tokens (the VERDICT r10 #3
+    property: concatenated unpadded lengths == pack_tokens)."""
+    win = _windows(tok_docs).localCheckpoint()
+    bad = win.where(F.size("input_ids") != 512).count()
+    assert bad == 0
+    # pad is a strict suffix: first pad position == pack_tokens, and
+    # no pad id appears before it
+    probe = win.select(
+        "pack_id",
+        "pack_tokens",
+        F.size(F.slice("input_ids", 1, F.col("pack_tokens").cast("int")))
+        .alias("body_len"),
+        F.size(
+            F.filter(
+                F.slice("input_ids", 1, F.col("pack_tokens").cast("int")),
+                lambda x: x == F.lit(-1),
+            )
+        ).alias("pads_in_body"),
+        F.size(
+            F.filter(
+                F.slice(
+                    "input_ids",
+                    F.col("pack_tokens").cast("int") + 1,
+                    (F.lit(512) - F.col("pack_tokens")).cast("int"),
+                ),
+                lambda x: x != F.lit(-1),
+            )
+        ).alias("nonpads_in_tail"),
+    )
+    assert (
+        probe.where(
+            (F.col("pads_in_body") > 0) | (F.col("nonpads_in_tail") > 0)
+        ).count()
+        == 0
+    )
+    # global conservation: sum of pack_tokens == sum of doc n_tokens
+    assert (
+        win.agg(F.sum("pack_tokens")).first()[0]
+        == tok_docs.agg(F.sum("n_tokens")).first()[0]
+    )
+
+
+def test_windows_concatenate_docs_in_offset_order(spark, tok_docs):
+    win = _windows(tok_docs)
+    from etlhelper_spark.functions.packing import pack_documents
+
+    asg = pack_documents(
+        tok_docs, budget=512, tokens_col="n_tokens", n_shards=4
+    )
+    # reassembly: slicing each doc's [offset, offset+n_tokens) span out
+    # of its window must reproduce the doc's own token_ids exactly
+    joined = (
+        asg.join(win.select("pack_id", "input_ids"), "pack_id")
+        .join(tok_docs.select("doc_id", "token_ids"), "doc_id")
+        .select(
+            "doc_id",
+            F.slice(
+                "input_ids",
+                F.col("offset").cast("int") + 1,
+                F.col("n_tokens").cast("int"),
+            ).alias("got"),
+            "token_ids",
+        )
+    )
+    assert joined.where(F.col("got") != F.col("token_ids")).count() == 0
+
+
+def test_windows_reject_vintage_mismatch(spark, tok_docs):
+    """token_ids arrays encoded under a DIFFERENT vintage than the
+    counts that drove packing must fail loudly, never pack ragged."""
+    from etlhelper_spark.functions.packing import (
+        pack_documents,
+        pack_token_windows,
+    )
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    asg = pack_documents(
+        tok_docs, budget=512, tokens_col="n_tokens", n_shards=4
+    )
+    drifted = tok_docs.select(
+        "doc_id", F.slice("token_ids", 1, 1).alias("token_ids")
+    )
+    with pytest.raises(SparkRuntimeException, match="tokenizer vintage"):
+        pack_token_windows(drifted, asg, budget=512).collect()
+
+
+def test_windows_reject_over_budget_pack(spark, tok_docs):
+    from etlhelper_spark.functions.packing import (
+        pack_documents,
+        pack_token_windows,
+    )
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    asg = pack_documents(
+        tok_docs,
+        budget=512,
+        tokens_col="n_tokens",
+        n_shards=4,
+        oversize="own_pack",
+    )
+    # shrink the budget below some pack's load: own_pack packs have no
+    # fixed-length tensor form and must raise
+    big = asg.agg(
+        F.max(F.col("offset") + F.col("n_tokens"))
+    ).first()[0]
+    with pytest.raises(SparkRuntimeException, match="budget"):
+        pack_token_windows(
+            tok_docs, asg, budget=int(big) - 1
+        ).collect()
+
+
+def test_write_packed_tensors_round_trips(spark, tok_docs, tmp_path):
+    from etlhelper_spark.operators.export import write_packed_tensors
+
+    win = _windows(tok_docs).localCheckpoint()
+    out = str(tmp_path / "tensors")
+    manifest = write_packed_tensors(win, out, rows_per_shard=16)
+    back = spark.read.parquet(f"{out}/shards")
+    assert back.count() == win.count()
+    # fixed length survives the round trip; pack provenance kept
+    assert back.where(F.size("input_ids") != 512).count() == 0
+    assert "pack_shard" in back.columns and "pos" in back.columns
+    # manifest agrees with the physical shards
+    sizes = {
+        r["shard"]: r["n_rows"]
+        for r in back.groupBy("shard").count().withColumnRenamed(
+            "count", "n_rows"
+        ).collect()
+    }
+    assert {
+        r["shard"]: r["n_rows"] for r in manifest.collect()
+    } == sizes
+    # every full shard is exactly full
+    full = [n for s, n in sorted(sizes.items())[:-1]]
+    assert all(n == 16 for n in full)
+
+
+def test_doc_token_ids_frozen_merges_match_in_engine(spark, docs, tmp_path):
+    """bpe_doc_token_ids under FROZEN persisted rules equals the
+    in-engine-trained encoding when the rules came from the same
+    corpus — the tokenizer-vintage contract."""
+    from etlhelper_spark.functions.text import bpe_doc_token_ids
+    from etlhelper_spark.operators.bpe_state import (
+        build_bpe_state,
+        read_bpe_merges,
+    )
+
+    small = docs.where(F.col("doc_id") < 120)
+    st = str(tmp_path / "bpe")
+    build_bpe_state(small, st, rounds=2)
+    rules = read_bpe_merges(spark, st).collect()
+    frozen = bpe_doc_token_ids(small, rounds=0, merges=rules)
+    trained = bpe_doc_token_ids(small, rounds=2)
+    assert sorted(map(tuple, frozen.collect())) == sorted(
+        map(tuple, trained.collect())
+    )
