@@ -447,6 +447,7 @@ def streaming_pack(
     text_col: str = "text",
     n_shards: int = 32,
     oversize: str = "error",
+    transform=None,
 ) -> None:
     """STREAMING sequence packing — the packing family's
     continuous-ingest loop (the same foreachBatch discipline as
@@ -461,11 +462,23 @@ def streaming_pack(
     stream's micro-batch order IS the packing order — exactly-once
     layout requires a deterministic source order (file mtime order
     under maxFilesPerTrigger; q275 pins this). Starts and drains an
-    availableNow query."""
+    availableNow query.
+
+    *transform* optionally maps each micro-batch DataFrame before it
+    packs — the streaming chunk-then-pack hook (q280): a STATELESS
+    per-row transform (e.g. functions/chunking.py::chunk_documents +
+    a derived chunk id) composes with the cursor fold exactly as it
+    does in batch, because a deterministic row-wise transform of a
+    deterministically-ordered feed is itself deterministically
+    ordered. Stateful transforms (anything reading other rows or
+    prior batches) would break the replay-idempotence contract —
+    keep those upstream in their own state-backed operators."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if transform is not None:
+            batch_df = transform(batch_df)
         pack_incremental(
             batch_df,
             state_dir,

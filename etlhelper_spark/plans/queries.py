@@ -16569,10 +16569,10 @@ def q269_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS BIGINT))) AS i
         FROM t
     ), chunks AS (
-        SELECT doc_id * 64 + i AS chunk_id,
+        SELECT doc_id * 1048576 + i AS chunk_id,
                CAST(len(toks[i*32 + 1 : i*32 + 32]) AS BIGINT)
                    AS n_tokens,
-               CAST((doc_id * 64 + i) % 8 AS INT) AS shard
+               CAST((doc_id * 1048576 + i) % 8 AS INT) AS shard
         FROM c
     ), ord AS (
         SELECT chunk_id, n_tokens, shard,
@@ -16605,9 +16605,9 @@ def q270_chunk_then_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/packing.py): documents chunk into <=32-token windows
     (overlap 0, ``with_text=False`` so the text column never leaves
     the scan — only ids and token counts move), chunks get globally
-    unique numeric ids ``doc_id * 64 + chunk_idx`` (unique while
-    chunk_idx < 64; an in-plan gate fails loudly past that instead
-    of silently colliding), and the chunks
+    unique numeric ids ``doc_id * 2^20 + chunk_idx`` (room for a
+    ~33M-token document; an in-plan gate fails loudly past that
+    instead of silently colliding), and the chunks
     pack NEXT-FIT against a 128-token budget sharded by
     ``chunk_id % 8``. At 100 TB this is the whole point of the
     split: chunking is a narrow map, packing shuffles ~16 bytes per
@@ -16623,17 +16623,20 @@ def q270_chunk_then_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = chunk_documents(
         d, size=32, overlap=0, with_text=False
     ).localCheckpoint()
-    # chunk ids are unique only while chunk_idx < 64 (documents under
-    # 64*32 tokens) — enforce loudly instead of silently colliding,
-    # which would make the pack order arrival-dependent
-    over = chunks.where(F.col("chunk_idx") >= 64).count()
+    # chunk ids are unique while chunk_idx < 2^20 — a ~33M-token
+    # document at this stride, far past any real corpus document
+    # (VERDICT r10 #7 raised this from 64, which a book-length
+    # document could legitimately exceed) — and still collision-free
+    # for doc ids up to 2^43. Enforce loudly instead of silently
+    # colliding, which would make the pack order arrival-dependent
+    over = chunks.where(F.col("chunk_idx") >= 1048576).count()
     if over != 0:
         raise ValueError(
-            f"q270: {over} chunks exceed the 64-chunks-per-doc id "
+            f"q270: {over} chunks exceed the 2^20-chunks-per-doc id "
             "budget — widen the multiplier in query AND oracle"
         )
     ch = chunks.select(
-        (F.col("doc_id") * F.lit(64) + F.col("chunk_idx")).alias(
+        (F.col("doc_id") * F.lit(1048576) + F.col("chunk_idx")).alias(
             "chunk_id"
         ),
         "n_tokens",
@@ -17601,6 +17604,159 @@ def q279_packed_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
         dt, budget=512, tokens_col="n_tokens", n_shards=8
     )
     return pack_token_windows(dt, asg, budget=512, pad_id=-1)
+
+
+@query(
+    "q280_stream_chunk_pack",
+    """
+    WITH RECURSIVE t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS toks,
+               CAST(doc_id % 3 AS INT) AS b
+        FROM documents
+    ), c AS (
+        SELECT doc_id, toks, b,
+               unnest(generate_series(0,
+                   CAST((greatest(len(toks), 1) - 1) // 32
+                        AS BIGINT))) AS i
+        FROM t
+    ), chunks AS (
+        SELECT doc_id * 1048576 + i AS chunk_id,
+               CAST(len(toks[i*32 + 1 : i*32 + 32]) AS BIGINT)
+                   AS n_tokens,
+               CAST((doc_id * 1048576 + i) % 8 AS INT) AS shard,
+               b
+        FROM c
+    ), ord AS (
+        SELECT chunk_id, n_tokens, shard,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY b, chunk_id
+               ) AS pos
+        FROM chunks
+    ), walk AS (
+        SELECT shard, pos, chunk_id, n_tokens,
+               CAST(0 AS BIGINT) AS pack_local, n_tokens AS fill
+        FROM ord WHERE pos = 1
+        UNION ALL
+        SELECT o.shard, o.pos, o.chunk_id, o.n_tokens,
+               CASE WHEN w.fill + o.n_tokens > 128
+                    THEN w.pack_local + 1 ELSE w.pack_local END,
+               CASE WHEN w.fill + o.n_tokens > 128
+                    THEN o.n_tokens ELSE w.fill + o.n_tokens END
+        FROM walk w
+        JOIN ord o ON o.shard = w.shard AND o.pos = w.pos + 1
+    )
+    SELECT chunk_id, n_tokens, shard,
+           shard * 4294967296 + pack_local AS pack_id,
+           fill - n_tokens AS offset
+    FROM walk
+    """,
+)
+def q280_stream_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CHUNK-THEN-PACK — the last composition gap in the
+    training-data path (VERDICT r10 #6: batch composition is q270,
+    incremental packing is q273, streaming packing is q275; their
+    composition was untested): each mtime-ordered micro-batch CHUNKS
+    inside streaming_pack's *transform* hook (chunk_documents with
+    ``with_text=False`` — the text column never enters the pack
+    shuffle — plus the q270 ``doc_id*2^20+chunk_idx`` derived id) and
+    the chunks fold through the persisted per-shard cursors. A
+    stateless row-wise transform of a deterministically-ordered feed
+    is itself deterministically ordered, so the drained assignments
+    must equal the ONE-SHOT chunk-then-pack over the corpus ordered
+    by (micro-batch, chunk_id) — exactly what the oracle restates
+    (chunk generation + packing recursion ordered by (b, chunk_id)
+    within the shard). In-plan gates: the stream really split into
+    multiple micro-batches, and redelivering the last batch through
+    pack_incremental (same transform, same batch id) leaves the
+    drained assignments unchanged — replay idempotence through the
+    composed transform."""
+    import glob as _glob
+    import shutil
+    import time
+
+    from ..functions.chunking import chunk_documents
+    from ..operators.packing_state import (
+        pack_incremental,
+        read_pack_assignments,
+        streaming_pack,
+    )
+
+    configure_session(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_chunks(batch_df: DataFrame) -> DataFrame:
+        ch = chunk_documents(batch_df, size=32, overlap=0,
+                             with_text=False)
+        return ch.select(
+            (F.col("doc_id") * F.lit(1048576) + F.col("chunk_idx"))
+            .alias("chunk_id"),
+            "n_tokens",
+        )
+
+    work = tempfile.mkdtemp(prefix="q280_")
+    feed = os.path.join(work, "feed")
+    state = os.path.join(work, "state")
+    try:
+        parts_seen: set = set()
+        t0 = time.time() - 1000
+        for i in (0, 1, 2):
+            d.where(F.pmod("doc_id", F.lit(3)) == i).coalesce(
+                1
+            ).write.mode("append" if i else "overwrite").parquet(feed)
+            new = (
+                set(_glob.glob(os.path.join(feed, "part-*")))
+                - parts_seen
+            )
+            for p in new:
+                os.utime(p, (t0 + 100 * i, t0 + 100 * i))
+            parts_seen |= new
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        streaming_pack(
+            stream,
+            state,
+            os.path.join(work, "ckpt"),
+            budget=128,
+            id_col="chunk_id",
+            tokens_col="n_tokens",
+            n_shards=8,
+            transform=to_chunks,
+        )
+        n_versions = len(
+            _glob.glob(os.path.join(state, "cursor", "v*"))
+        )
+        if n_versions < 2:
+            raise ValueError(
+                f"stream chunk-pack ran as {n_versions} micro-batch"
+                "(es) — cursor carry-over was never exercised"
+            )
+        out = read_pack_assignments(spark, state).localCheckpoint()
+        # redeliver the last micro-batch THROUGH the transform:
+        # byte-identical assignments
+        pack_incremental(
+            to_chunks(d.where(F.pmod("doc_id", F.lit(3)) == 2)),
+            state,
+            batch_id=n_versions - 1,
+            budget=128,
+            id_col="chunk_id",
+            tokens_col="n_tokens",
+            n_shards=8,
+        )
+        again = read_pack_assignments(spark, state)
+        if (
+            out.exceptAll(again).count() != 0
+            or again.exceptAll(out).count() != 0
+        ):
+            raise ValueError(
+                "stream chunk-pack redelivery was not idempotent"
+            )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
