@@ -161,6 +161,20 @@ def pack_documents(
         pdf = pdf.sort_values(sort_keys, kind="mergesort").reset_index(
             drop=True
         )
+        # determinism precondition, enforced (ADVICE r10): the
+        # within-shard order is total only when the sort key is
+        # unique — duplicate keys make the tie arrival-order-
+        # dependent, so pack ids/offsets could differ across runs
+        # while the docstring promises partition invariance
+        dup = pdf.duplicated(sort_keys)
+        if dup.any():
+            k = pdf.loc[dup.idxmax(), sort_keys].tolist()
+            raise ValueError(
+                f"pack_documents: duplicate packing key {k} in shard "
+                f"{int(pdf['shard'].iloc[0])} — ids (and order_col "
+                "ties) must be unique for a deterministic, partition-"
+                "invariant assignment"
+            )
         packs, offs, _, _, _ = _next_fit(
             pdf["n_tokens"].to_numpy(),
             pdf["__id"],

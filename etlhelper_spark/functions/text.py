@@ -733,8 +733,14 @@ def repetition_stats(
     ``dup_ngram_count``/``dup_ngram_chars`` count distinct
     *dup_n*-grams occurring >= 2 times and their ``count * length``
     character mass. Documents shorter than *n* tokens score zero; a
-    NULL *text_col* row yields NULL counts (filter or coalesce
-    upstream — the declared-query corpus has no null documents).
+    NULL *text_col* row yields ZERO counts (top_ngram='',
+    top_ngram_count=0, dup_*=0) but NULL ``n_tokens``/``total_chars``
+    — so gopher_flags' integer cross-multiplications against the NULL
+    sizes produce NULL (not false) flags and a NULL ``keep`` for such
+    rows: null-text documents are neither kept nor flagged, they
+    propagate as unknown (filter or coalesce upstream — the
+    declared-query corpus has no null documents; behavior pinned in
+    tests/test_repetition.py).
 
     Distributed shape (the 100 TB design): ZERO shuffle — the
     frequency statistics are per-document, so they never need a

@@ -255,6 +255,7 @@ def link_batch(
     id_col: str = "id",
     str_col: str = "s",
     include_phonetic: bool = False,
+    phonetic_max_bucket: int | None = None,
 ) -> DataFrame:
     """Link a dirty feed against the persisted master index: returns
     (id_a = feed id, id_b = master id, dist) for every pair within the
@@ -268,7 +269,19 @@ def link_batch(
     verified dist <= max_dist; pairs reachable ONLY by phonetic key
     carry the full Levenshtein distance (names are bounded-length, so
     the unthresholded verify is cheap) and phonetic=true. Pairs found
-    by both report the edit path's dist with phonetic=true."""
+    by both report the edit path's dist with phonetic=true.
+
+    Phonetic keys are Zipfian (every Smith shares S530), so
+    *phonetic_max_bucket* caps the MASTER side of the phonetic pass:
+    keys whose persisted group exceeds the cap are dropped from
+    phonetic blocking (functions/dedup.py::phonetic_block_join's
+    convention — a bucket that big blocks nothing, and the
+    unthresholded verify would otherwise run on a quadratically
+    exploding cross product; such names remain reachable through the
+    edit-distance pass, which keeps full-entropy keys). The
+    degenerate key of empty / non-letter names ('000' — every such
+    string collapses to it) is always excluded from phonetic
+    blocking: it asserts no phonetic similarity at all."""
     spark = batch_df.sparkSession
     state = read_linkage_state(spark, state_dir)
     d = _existing_dist(spark, state_dir)
@@ -307,11 +320,23 @@ def link_batch(
     pkeys = spark.read.parquet(*psrc).select(
         F.col("id").alias("id_b"), F.col("s").alias("s_b"), "k"
     )
+    # the '000' key (empty / non-letter names) asserts no phonetic
+    # similarity and is the hottest possible bucket: always excluded
+    pkeys = pkeys.where(F.col("k").rlike("^[A-Z]"))
+    if phonetic_max_bucket is not None:
+        sizes = pkeys.groupBy("k").agg(F.count(F.lit(1)).alias("__n"))
+        pkeys = pkeys.join(
+            sizes.where(
+                F.col("__n") <= int(phonetic_max_bucket)
+            ).select("k"),
+            "k",
+            "left_semi",
+        )
     fk = clean.select(
         F.col("id").alias("id_a"),
         F.col("s").alias("s_a"),
         phonetic_key(F.col("s")).alias("k"),
-    )
+    ).where(F.col("k").rlike("^[A-Z]"))
     ph_pairs = (
         fk.join(pkeys, "k")
         .select(

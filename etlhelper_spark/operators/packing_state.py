@@ -164,9 +164,37 @@ def pack_incremental(
         from ..functions.text import token_count
 
         ntok = token_count(F.col(text_col)).cast("long")
+    # ids are carried as longs in the store: a non-integral numeric id
+    # would silently TRUNCATE (2.0 and 2.5 collapse to the same stored
+    # id — an arrival-order-dependent tie and an unmatchable erasure
+    # target), so reject it loudly from the executor (ADVICE r10)
+    idc = F.col(id_col)
+    from pyspark.sql.types import FractionalType
+
+    if isinstance(new_df.schema[id_col].dataType, FractionalType):
+        idc = (
+            F.when(
+                idc != idc.cast("long").cast(
+                    new_df.schema[id_col].dataType
+                ),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "pack_incremental: non-integral id "
+                        ),
+                        idc.cast("string"),
+                        F.lit(
+                            " would truncate in the long-typed store"
+                            " — cast or re-key upstream"
+                        ),
+                    )
+                ).cast(new_df.schema[id_col].dataType),
+            )
+            .otherwise(idc)
+        )
     slim = new_df.select(
         F.lit(False).alias("is_state"),
-        F.col(id_col).cast("long").alias("__id"),
+        idc.cast("long").alias("__id"),
         ntok.alias("n_tokens"),
         F.pmod(F.col(id_col), F.lit(int(n_shards)))
         .cast("int")
@@ -209,6 +237,17 @@ def pack_incremental(
             .sort_values("__id", kind="mergesort")
             .reset_index(drop=True)
         )
+        # a duplicated id within the batch makes the within-shard
+        # order arrival-dependent (the pack_documents precondition,
+        # enforced the same way — ADVICE r10)
+        dup = docs["__id"].duplicated()
+        if dup.any():
+            raise ValueError(
+                f"pack_incremental: duplicate id "
+                f"{int(docs.loc[dup.idxmax(), '__id'])} in shard "
+                f"{shard} — ids must be unique within a batch for a "
+                "deterministic, replay-idempotent assignment"
+            )
         if len(st):
             pack = int(st["pack_local"].iloc[0])
             fill = int(st["fill"].iloc[0])
@@ -230,9 +269,12 @@ def pack_incremental(
         cursor = pd.DataFrame(
             {
                 "is_state": [True],
-                # typed nullable int, not object-NA: an all-NA object
-                # column in concat trips pandas' dtype FutureWarning
-                "__id": pd.array([None], dtype="Int64"),
+                # concrete sentinel, never NA: the cursor row's __id is
+                # never read (the cursor write selects only shard/
+                # pack_local/fill/started), and an all-NA column makes
+                # pd.concat's dtype resolution a pandas FutureWarning
+                # (behavior change on a future major)
+                "__id": [-1],
                 "n_tokens": [0],
                 "shard": [shard],
                 "pack_id": [0],
@@ -257,40 +299,40 @@ def pack_incremental(
     # persist (not localCheckpoint) and release after the two writes —
     # the r9 cache-hygiene rule: operator-owned storage must not
     # outlive the call (streaming_pack calls this once per micro-batch)
+    # sticky erasure, enforced BEFORE the write: if this batch already
+    # has an erase epoch (assign/v<batch>.e<n> from
+    # forget_from_pack_state), a redelivery must never recreate the
+    # raw v<batch> dir — even transiently. The previous shape wrote
+    # the raw dir first and rmtree'd it after detecting the epoch,
+    # leaving a crash window where forgotten bytes sat on disk
+    # (invisible to readers — higher epochs outrank — but retained
+    # bytes are themselves the compliance failure). Checking first
+    # closes the window: an erased batch's replay folds the cursor
+    # only and returns the authoritative epoch's assignments.
+    assign_target = os.path.join(state_dir, "assign", f"v{int(batch_id)}")
+    epoch, authoritative = _assign_versions(state_dir).get(
+        int(batch_id), (0, assign_target)
+    )
     folded = (
         slim.groupBy("shard")
         .applyInPandas(pack_shard, out_schema)
         .persist()
     )
     try:
-        assign_target = os.path.join(
-            state_dir, "assign", f"v{int(batch_id)}"
-        )
-        folded.where(~F.col("is_state")).select(
-            F.col("__id").alias(id_col),
-            "n_tokens",
-            "shard",
-            "pack_id",
-            "offset",
-        ).write.mode("overwrite").parquet(assign_target)
+        if epoch == 0:
+            folded.where(~F.col("is_state")).select(
+                F.col("__id").alias(id_col),
+                "n_tokens",
+                "shard",
+                "pack_id",
+                "offset",
+            ).write.mode("overwrite").parquet(assign_target)
         cursor_target = os.path.join(cursor_dir, f"v{int(batch_id)}")
         folded.where(F.col("is_state")).select(
             "shard", "pack_local", "fill", "started"
         ).repartition(1).write.mode("overwrite").parquet(cursor_target)
     finally:
         folded.unpersist()
-    # sticky erasure, enforced at the WRITE too: if this batch already
-    # has an erase epoch, the raw v<batch> this replay just recreated
-    # physically resurrects forgotten rows (readers would ignore it —
-    # higher epochs outrank — but retaining the bytes is itself the
-    # compliance failure). Drop the stale raw dir and return the
-    # authoritative epoch's assignments.
-    versions = _assign_versions(state_dir)
-    epoch, authoritative = versions.get(int(batch_id), (0, assign_target))
-    if epoch > 0 and authoritative != assign_target:
-        import shutil
-
-        shutil.rmtree(assign_target, ignore_errors=True)
     return spark.read.parquet(authoritative)
 
 

@@ -202,9 +202,22 @@ def remap_golden_clusters(
     if state is None:
         raise ValueError(f"no golden state at {state_dir}")
     oc, nc = mapping_df.columns[0], mapping_df.columns[1]
+    # NULL ids are rejected up front (ADVICE r10): a NULL new id would
+    # silently coalesce back to the OLD id (a no-op dressed as a
+    # merge) and a NULL old id can never match the state join —
+    # both are malformed mapping rows, same loud-failure class as the
+    # chain check below
+    null_ids = mapping_df.where(
+        F.col(oc).isNull() | F.col(nc).isNull()
+    ).count()
+    if null_ids:
+        raise ValueError(
+            f"remap_golden_clusters: {null_ids} mapping row(s) carry a "
+            f"NULL cluster id — a merge event names two real clusters"
+        )
     m = mapping_df.select(
         F.col(oc).alias("__old"), F.col(nc).alias("__new")
-    ).where(~F.col(oc).eqNullSafe(F.col(nc)))
+    ).where(F.col(oc) != F.col(nc))
     chained = (
         m.alias("x")
         .join(

@@ -308,3 +308,43 @@ def test_streaming_link_phonetic_equals_batch(spark, state_dir, tmp_path):
         for r in link_batch(feed, state_dir, include_phonetic=True).collect()
     }
     assert got == want and (11, 2) in got
+
+
+def test_phonetic_bucket_cap_and_degenerate_key(spark, state_dir):
+    """Zipf guard (ADVICE r10): a hot phonetic key past
+    phonetic_max_bucket drops out of the phonetic pass (the names
+    stay reachable via the edit path), and the degenerate '000' key
+    of empty / non-letter names never phonetic-links at all."""
+    rows = [(i, "SMITH") for i in range(1, 6)]  # S530 x5: hot bucket
+    rows += [(20, "ROBERT"), (30, "12345"), (31, "???")]
+    m = spark.createDataFrame(rows, "id long, s string")
+    append_linkage_masters(m, state_dir, 0, max_dist=1, phonetic=True)
+    feed = spark.createDataFrame(
+        [(100, "SMYTH"), (101, "RUPERT"), (102, "###"), (103, "9999")],
+        "id long, s string",
+    )
+    capped = {
+        (r.id_a, r.id_b): r.phonetic
+        for r in link_batch(
+            feed, state_dir, include_phonetic=True,
+            phonetic_max_bucket=4,
+        ).collect()
+    }
+    # SMYTH still reaches every SMITH via the EDIT path (d=1), but
+    # none of those pairs is phonetic-flagged: the S530 bucket (5 > 4)
+    # was dropped from phonetic blocking
+    for i in range(1, 6):
+        assert capped[(100, i)] is False
+    assert capped[(101, 20)] is True  # R163 bucket is cold: kept
+    # non-letter names collapse to '000' on BOTH sides; no pair links
+    assert not any(ida in (102, 103) for ida, _ in capped)
+    # uncapped: the hot bucket phonetic-links and degenerates still do
+    # not (the '000' exclusion is unconditional)
+    uncapped = {
+        (r.id_a, r.id_b): r.phonetic
+        for r in link_batch(
+            feed, state_dir, include_phonetic=True
+        ).collect()
+    }
+    assert all(uncapped[(100, i)] is True for i in range(1, 6))
+    assert not any(ida in (102, 103) for ida, _ in uncapped)

@@ -317,3 +317,13 @@ def test_doc_token_ids_frozen_merges_match_in_engine(spark, docs, tmp_path):
     assert sorted(map(tuple, frozen.collect())) == sorted(
         map(tuple, trained.collect())
     )
+
+
+def test_duplicate_ids_rejected(spark):
+    from pyspark.errors.exceptions.captured import PythonException
+
+    dup = spark.createDataFrame(
+        [(1, 5), (2, 5), (1, 5)], "doc_id long, nt long"
+    )
+    with pytest.raises(PythonException, match="duplicate packing key"):
+        pack_documents(dup, 64, tokens_col="nt", n_shards=2).collect()

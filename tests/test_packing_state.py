@@ -299,10 +299,11 @@ def test_streaming_pack_equals_batch(spark, docs, work, tmp_path):
 
 def test_replay_after_erase_leaves_no_bytes_behind(spark, docs, work):
     """The review-confirmed resurrection hole: a replay of an erased
-    batch recreates the raw v<batch> dir containing forgotten rows.
-    pack_incremental must drop that stale dir itself, and a later
-    forget with no authoritative hits must still purge any stale
-    outranked dirs."""
+    batch must not leave a raw v<batch> dir containing forgotten
+    rows. Since the ADVICE r10 fix the epoch check runs BEFORE the
+    assignment write, so the raw dir is never created even
+    transiently (the old shape wrote it and rmtree'd after — a crash
+    inside that window retained forgotten bytes)."""
     import glob
     import os
 
@@ -354,3 +355,29 @@ def test_id_col_drift_rejected(spark, work):
             n_shards=2,
             id_col="chunk_id",
         )
+
+
+def test_duplicate_ids_rejected_in_batch(spark, work):
+    from pyspark.errors.exceptions.captured import PythonException
+
+    dup = spark.createDataFrame(
+        [(1, "a b"), (1, "c d")], "doc_id long, text string"
+    )
+    with pytest.raises(PythonException, match="duplicate id"):
+        pack_incremental(dup, work, 1, budget=64, n_shards=2)
+
+
+def test_fractional_ids_rejected(spark, work):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    frac = spark.createDataFrame(
+        [(2.0, "a b"), (2.5, "c d")], "doc_id double, text string"
+    )
+    with pytest.raises(SparkRuntimeException, match="non-integral id"):
+        pack_incremental(frac, work, 1, budget=64, n_shards=2)
+    # integral doubles pass: 2.0 stores as id 2
+    ok = spark.createDataFrame(
+        [(2.0, "a b"), (3.0, "c d")], "doc_id double, text string"
+    )
+    out = pack_incremental(ok, work, 2, budget=64, n_shards=2)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]

@@ -144,3 +144,24 @@ def test_validation(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="ngram sizes"):
         repetition_stats(df, top_n=0)
+
+
+def test_null_text_zero_counts_null_sizes_null_keep(spark):
+    """The documented NULL-text contract (ADVICE r10 fixed the
+    docstring to match verified behavior): zero counts, NULL
+    n_tokens/total_chars, and NULL (not false) gopher flags/keep —
+    null-text rows propagate as unknown."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d e")], "doc_id long, text string"
+    )
+    stats = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    r1 = stats[1]
+    assert r1["top_ngram"] == "" and r1["top_ngram_count"] == 0
+    assert r1["dup_ngram_count"] == 0 and r1["dup_ngram_chars"] == 0
+    assert r1["n_tokens"] is None and r1["total_chars"] is None
+    flags = {
+        r["doc_id"]: r for r in gopher_flags(repetition_stats(df)).collect()
+    }
+    f1 = flags[1]
+    assert f1["flag_short"] is None and f1["keep"] is None
+    assert flags[2]["keep"] is not None
