@@ -202,6 +202,7 @@ def pack_token_windows(
     pad_id: int = -1,
     id_col: str = "doc_id",
     ids_col: str = "token_ids",
+    with_metadata: bool = False,
 ) -> DataFrame:
     """MATERIALIZE the context windows a trainer consumes — the last
     step of the prepare-for-training path: per-document token-id
@@ -231,9 +232,22 @@ def pack_token_windows(
     array_repeat. At 100 TB this is one shuffle of the token arrays,
     ~budget × 8 bytes per output row.
 
+    *with_metadata=True* adds the two arrays blockwise-attention
+    trainers need alongside the token ids, both EXACTLY *budget* long
+    with ``-1`` at pad positions: ``segment_ids`` (the document's
+    0-based index within the pack, in offset order — tokens attend
+    only within their segment, so cross-document attention masks
+    derive from equality on this array) and ``position_ids`` (0-based
+    token position RESETTING at each document boundary — packed
+    documents must not inherit their neighbors' positional phase).
+    Both are built inside the same aggregate projection (an indexed
+    transform over the sorted struct list), so the metadata costs no
+    extra shuffle.
+
     Oracle-paired in plans/queries.py::q279 (window arrays hashed
-    element-for-element); the concatenation/padding invariants are
-    property-tested in tests/test_packing.py."""
+    element-for-element) and q281 (segment/position arrays); the
+    concatenation/padding invariants are property-tested in
+    tests/test_packing.py."""
     budget = int(budget)
     j = assignments.select(
         id_col, "n_tokens", "shard", "pack_id", "offset"
@@ -262,17 +276,42 @@ def pack_token_windows(
         .otherwise(F.col(ids_col).cast("array<long>"))
         .alias("__t"),
     )
-    agg = checked.groupBy("pack_id", "shard").agg(
+    srt = F.array_sort(
+        F.collect_list(
+            F.struct(F.col("offset").alias("o"), F.col("__t"))
+        )
+    )
+    aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("pack_tokens"),
-        F.flatten(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(F.col("offset").alias("o"), F.col("__t"))
+        F.flatten(srt.getField("__t")).alias("__ids"),
+    ]
+    if with_metadata:
+        aggs.append(
+            F.flatten(
+                F.transform(
+                    srt,
+                    lambda x, i: F.array_repeat(
+                        i.cast("long"), F.size(x["__t"])
+                    ),
                 )
-            ).getField("__t")
-        ).alias("__ids"),
-    )
+            ).alias("__segs")
+        )
+        aggs.append(
+            F.flatten(
+                F.transform(
+                    srt,
+                    lambda x: F.when(
+                        F.size(x["__t"]) > 0,
+                        F.sequence(
+                            F.lit(0).cast("long"),
+                            F.size(x["__t"]).cast("long") - 1,
+                        ),
+                    ).otherwise(F.array().cast("array<long>")),
+                )
+            ).alias("__poss")
+        )
+    agg = checked.groupBy("pack_id", "shard").agg(*aggs)
     over = F.raise_error(
         F.concat(
             F.lit("pack_token_windows: pack "),
@@ -283,23 +322,34 @@ def pack_token_windows(
                   "assignments have no fixed-length tensor form"),
         )
     )
-    return agg.select(
-        "pack_id",
-        "shard",
-        "n_docs",
-        "pack_tokens",
+    def padded(col: str, fill: int, out: str):
+        return (
+            F.when(
+                F.col("pack_tokens") > budget, over.cast("array<long>")
+            )
+            .otherwise(
+                F.concat(
+                    F.col(col),
+                    F.array_repeat(
+                        F.lit(int(fill)).cast("long"),
+                        (F.lit(budget) - F.size(col)).cast("int"),
+                    ),
+                )
+            )
+            .alias(out)
+        )
+
+    out_cols = [
+        F.col("pack_id"),
+        F.col("shard"),
+        F.col("n_docs"),
+        F.col("pack_tokens"),
         (F.lit(budget) - F.col("pack_tokens")).cast("long").alias(
             "pad_tokens"
         ),
-        F.when(F.col("pack_tokens") > budget, over.cast("array<long>"))
-        .otherwise(
-            F.concat(
-                F.col("__ids"),
-                F.array_repeat(
-                    F.lit(int(pad_id)).cast("long"),
-                    (F.lit(budget) - F.size("__ids")).cast("int"),
-                ),
-            )
-        )
-        .alias("input_ids"),
-    )
+        padded("__ids", pad_id, "input_ids"),
+    ]
+    if with_metadata:
+        out_cols.append(padded("__segs", -1, "segment_ids"))
+        out_cols.append(padded("__poss", -1, "position_ids"))
+    return agg.select(*out_cols)

@@ -814,3 +814,60 @@ def gopher_flags(
             "keep"
         ),
     )
+
+
+def word_token_ids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """WORD-level token-id sequences — the degenerate (zero-merge)
+    tokenizer: each whitespace word of the lowercased trimmed text is
+    one token, ids are dense ranks of the SORTED distinct vocabulary
+    (bpe_doc_token_ids' id convention without the merge chain).
+    Returns ``(<id_col>, token_ids array<long>, n_tokens)``. Useful
+    as the cheap tokenizer for window/packing pipelines whose oracle
+    or test wants token identity without BPE's training recursion
+    (q281), and as the n_tokens source that exactly matches
+    functions/text.py::token_count on non-empty text.
+
+    Distributed shape: one explode, a vocabulary-bounded dense-rank
+    window, a word-keyed join, and one per-document flatten aggregate
+    — the bpe_doc_token_ids tail without the per-word subword
+    explode."""
+    from pyspark.sql.window import Window
+
+    words = (
+        df.where(F.trim(F.col(text_col)) != "")
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("wpos", "w"),
+        )
+        .where(F.col("w") != "")
+    )
+    vocab = (
+        words.select("w")
+        .distinct()
+        .select(
+            "w",
+            (F.row_number().over(Window.orderBy("w")) - 1)
+            .cast("long")
+            .alias("tok_id"),
+        )
+    )
+    return (
+        words.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("wpos", "tok_id"))
+            ).alias("__d")
+        )
+        .select(
+            id_col,
+            F.col("__d").getField("tok_id").alias("token_ids"),
+        )
+        .withColumn("n_tokens", F.size("token_ids").cast("long"))
+    )

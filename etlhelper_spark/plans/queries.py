@@ -17759,6 +17759,117 @@ def q280_stream_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@query(
+    "q281_packed_attention",
+    """
+    WITH RECURSIVE vocab AS (
+        SELECT w, CAST(row_number() OVER (ORDER BY w) - 1 AS BIGINT)
+                   AS tid
+        FROM (
+            SELECT DISTINCT unnest(
+                regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ) WHERE w <> ''
+    ), dw AS (
+        SELECT doc_id, u.p AS wpos, u.w AS w FROM (
+            SELECT doc_id,
+                   unnest([{'p': i, 'w': arr[i]}
+                           FOR i IN range(1, len(arr)+1)]) AS u
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+')
+                           AS arr
+                FROM documents WHERE trim(text) <> ''
+            )
+        ) WHERE u.w <> ''
+    ), doc_tok AS (
+        SELECT d.doc_id, list(v.tid ORDER BY d.wpos) AS toks
+        FROM dw d JOIN vocab v ON d.w = v.w GROUP BY d.doc_id
+    ), sized AS (
+        SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(doc_id % 8 AS INT) AS shard
+        FROM doc_tok
+    ), ord AS (
+        SELECT doc_id, n_tokens, shard,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY doc_id
+               ) AS pos
+        FROM sized
+    ), walk AS (
+        SELECT shard, pos, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS pack_local, n_tokens AS fill
+        FROM ord WHERE pos = 1
+        UNION ALL
+        SELECT o.shard, o.pos, o.doc_id, o.n_tokens,
+               CASE WHEN w.fill + o.n_tokens > 256
+                    THEN w.pack_local + 1 ELSE w.pack_local END,
+               CASE WHEN w.fill + o.n_tokens > 256
+                    THEN o.n_tokens ELSE w.fill + o.n_tokens END
+        FROM walk w
+        JOIN ord o ON o.shard = w.shard AND o.pos = w.pos + 1
+    ), asg AS (
+        SELECT doc_id, n_tokens, shard,
+               shard * 4294967296 + pack_local AS pack_id,
+               fill - n_tokens AS off,
+               CAST(row_number() OVER (
+                   PARTITION BY shard, pack_local
+                   ORDER BY fill - n_tokens
+               ) - 1 AS BIGINT) AS seg
+        FROM walk
+    ), win AS (
+        SELECT a.pack_id, a.shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(a.n_tokens) AS BIGINT) AS pack_tokens,
+               CAST(256 - sum(a.n_tokens) AS BIGINT) AS pad_tokens,
+               flatten(list(s.toks ORDER BY a.off)) AS ids,
+               flatten(list([a.seg FOR i IN range(a.n_tokens)]
+                            ORDER BY a.off)) AS segs,
+               flatten(list([CAST(i AS BIGINT)
+                             FOR i IN range(a.n_tokens)]
+                            ORDER BY a.off)) AS poss
+        FROM asg a JOIN sized s USING (doc_id)
+        GROUP BY a.pack_id, a.shard
+    )
+    SELECT pack_id, shard, n_docs, pack_tokens, pad_tokens,
+           ids || [CAST(-1 AS BIGINT) FOR i IN range(256 - len(ids))]
+               AS input_ids,
+           segs || [CAST(-1 AS BIGINT) FOR i IN range(256 - len(segs))]
+               AS segment_ids,
+           poss || [CAST(-1 AS BIGINT) FOR i IN range(256 - len(poss))]
+               AS position_ids
+    FROM win
+    """,
+)
+def q281_packed_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKED-WINDOW ATTENTION METADATA — the arrays a blockwise-
+    attention trainer needs NEXT TO q279's token ids, built in the
+    same aggregate projection (pack_token_windows with_metadata=True,
+    zero extra shuffle): ``segment_ids`` carries each token's
+    document index within the pack (cross-document attention masks
+    derive from equality on it — without this mask, packed neighbors
+    attend to each other and contaminate training) and
+    ``position_ids`` restarts from 0 at every document boundary
+    (packed documents must not inherit their neighbors' positional
+    phase). Tokenizer here is the zero-merge word tokenizer
+    (functions/text.py::word_token_ids — dense ids over the sorted
+    vocabulary), so the oracle restates tokenization as a plain
+    dense-rank + ordered flatten, then the packing recursion, then
+    the per-document seg/pos expansion in offset order — all three
+    arrays hash element-for-element, pad tail (-1) included. The
+    executor-side length/budget raises are q279's."""
+    from ..functions.packing import pack_documents, pack_token_windows
+    from ..functions.text import word_token_ids
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dt = word_token_ids(d).localCheckpoint(eager=False)
+    asg = pack_documents(
+        dt, budget=256, tokens_col="n_tokens", n_shards=8
+    )
+    return pack_token_windows(
+        dt, asg, budget=256, pad_id=-1, with_metadata=True
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

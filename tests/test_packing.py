@@ -327,3 +327,39 @@ def test_duplicate_ids_rejected(spark):
     )
     with pytest.raises(PythonException, match="duplicate packing key"):
         pack_documents(dup, 64, tokens_col="nt", n_shards=2).collect()
+
+
+def test_window_metadata_segments_and_positions(spark, tok_docs):
+    from etlhelper_spark.functions.packing import (
+        pack_documents,
+        pack_token_windows,
+    )
+
+    asg = pack_documents(
+        tok_docs, budget=512, tokens_col="n_tokens", n_shards=4
+    )
+    win = pack_token_windows(
+        tok_docs, asg, budget=512, with_metadata=True
+    ).localCheckpoint()
+    rows = win.collect()
+    for r in rows:
+        ids, segs, poss = (
+            r["input_ids"], r["segment_ids"], r["position_ids"]
+        )
+        assert len(ids) == len(segs) == len(poss) == 512
+        body = r["pack_tokens"]
+        # pad tail is -1 on ALL THREE arrays; body has no -1 seg/pos
+        assert all(s == -1 and p == -1 for s, p in
+                   zip(segs[body:], poss[body:]))
+        assert all(s >= 0 and p >= 0 for s, p in
+                   zip(segs[:body], poss[:body]))
+        # segments are 0..n_docs-1, non-decreasing, and positions
+        # restart at 0 exactly at each segment boundary
+        assert segs[0] == 0 and poss[0] == 0
+        for i in range(1, body):
+            assert segs[i] - segs[i - 1] in (0, 1)
+            if segs[i] != segs[i - 1]:
+                assert poss[i] == 0
+            else:
+                assert poss[i] == poss[i - 1] + 1
+        assert segs[body - 1] == r["n_docs"] - 1
