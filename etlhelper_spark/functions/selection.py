@@ -46,6 +46,7 @@ __all__ = [
     "dsir_log_weights",
     "gumbel_topk",
     "contamination_report",
+    "repeat_to_budget",
 ]
 
 
@@ -301,3 +302,110 @@ def contamination_report(
         ratio.alias("ratio"),
         (ratio > F.lit(threshold)).alias("contaminated"),
     )
+
+
+def repeat_to_budget(
+    df: DataFrame,
+    budgets: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+    seed: str = "rep",
+) -> DataFrame:
+    """DATA-CONSTRAINED UPSAMPLING — turn per-source token quotas
+    (q220's temperature mix output, or any (source, budget_tokens)
+    frame) into an explicit EPOCH PLAN over the documents: when a
+    source's quota exceeds its size, its documents REPEAT — the
+    data-constrained-training move (repeat small high-quality sources
+    for multiple epochs instead of diluting the mix) — and the
+    fractional remainder admits a deterministic partial epoch.
+    Returns one row per (document, epoch):
+    ``(<id_col>, <source_col>, n_tokens, epoch)`` where epoch is
+    0-based; a document appearing in ``full + 1`` epochs was admitted
+    to the partial one.
+
+    Exact policy (restatable in SQL — the q282 oracle): per source,
+    ``full = floor(budget / source_tokens)`` whole epochs, then the
+    remainder ``budget - full * source_tokens`` admits documents in
+    md5(seed || id) priority order while the running token sum stays
+    below it (q208's race, same hash convention, so the partial epoch
+    is reproducible across runs, engines, and partitionings — and
+    DISJOINT sampling concerns stay upstream: feed this operator the
+    already-cleaned corpus).
+
+    Distributed shape: one per-source aggregate (combinable) for
+    sizes, a broadcast join of the |sources|-row plan, an explode of
+    ``sequence(0, full-1)`` (rows grow by the repeat factor — exactly
+    the output's size, nothing amplifies beyond it), and one window
+    cumsum per source for the partial epoch. At 100 TB the only
+    shuffle is the per-source cumsum; repeated epochs are generated,
+    never copied through a shuffle."""
+    from pyspark.sql import Window
+
+    if tokens_col is not None:
+        ntok = F.col(tokens_col).cast("long")
+    else:
+        ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast(
+            "long"
+        )
+    b = budgets.select(
+        F.col(budgets.columns[0]).alias("__src"),
+        F.col(budgets.columns[1]).cast("long").alias("__budget"),
+    )
+    docs = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        ntok.alias("n_tokens"),
+        F.md5(
+            F.concat(
+                F.lit(str(seed) + ":"), F.col(id_col).cast("string")
+            )
+        ).alias("__pri"),
+    )
+    totals = docs.groupBy(source_col).agg(
+        F.sum("n_tokens").alias("__total")
+    )
+    plan = (
+        totals.join(
+            F.broadcast(b), totals[source_col] == b["__src"], "inner"
+        )
+        .select(
+            source_col,
+            F.floor(F.col("__budget") / F.col("__total"))
+            .cast("long")
+            .alias("__full"),
+            (
+                F.col("__budget")
+                - F.floor(F.col("__budget") / F.col("__total"))
+                * F.col("__total")
+            ).alias("__rem"),
+        )
+    )
+    base = docs.join(F.broadcast(plan), source_col)
+    whole = base.where(F.col("__full") > 0).select(
+        id_col,
+        source_col,
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("__full") - 1)
+        ).alias("epoch"),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("__pri", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    partial = (
+        base.withColumn(
+            "__cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .where(F.col("__cum_before") < F.col("__rem"))
+        .select(
+            id_col,
+            source_col,
+            "n_tokens",
+            F.col("__full").alias("epoch"),
+        )
+    )
+    return whole.unionByName(partial)

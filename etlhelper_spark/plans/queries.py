@@ -17870,6 +17870,83 @@ def q281_packed_attention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q282_epoch_repeats",
+    """
+    WITH tok AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tokens,
+               md5(concat('rep:', CAST(doc_id AS VARCHAR))) AS pri
+        FROM documents
+    ), s AS (
+        SELECT source, sum(n_tokens) AS total FROM tok GROUP BY source
+    ), b AS (
+        SELECT source, total,
+               CAST(floor(total * 2.3) AS BIGINT) AS budget
+        FROM s
+    ), plan AS (
+        SELECT source, CAST(floor(budget / total) AS BIGINT) AS n_full,
+               budget - CAST(floor(budget / total) AS BIGINT) * total
+                   AS rem
+        FROM b
+    ), whole AS (
+        SELECT t.doc_id, t.source, t.n_tokens,
+               unnest(range(0, p.n_full)) AS epoch
+        FROM tok t JOIN plan p USING (source)
+        WHERE p.n_full > 0
+    ), raced AS (
+        SELECT t.doc_id, t.source, t.n_tokens, p.n_full, p.rem,
+               sum(t.n_tokens) OVER (PARTITION BY t.source
+                                     ORDER BY t.pri, t.doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+                   - t.n_tokens AS cum_before
+        FROM tok t JOIN plan p USING (source)
+    )
+    SELECT doc_id, source, n_tokens, CAST(epoch AS BIGINT) AS epoch
+    FROM whole
+    UNION ALL
+    SELECT doc_id, source, n_tokens, n_full AS epoch
+    FROM raced WHERE cum_before < rem
+    """,
+)
+def q282_epoch_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-CONSTRAINED UPSAMPLING (functions/selection.py::
+    repeat_to_budget): per-source token quotas at 2.3x the natural
+    size turn into an explicit EPOCH PLAN — every document repeats 2
+    whole epochs and a deterministic md5-priority race admits ~0.3 of
+    each source as the partial third epoch (the repeat-small-quality-
+    sources move of data-constrained training, made exact and
+    restatable instead of sampled). Composes upstream of packing: the
+    (doc, epoch) stream keys pack_documents by a derived
+    ``doc_id * n_epochs + epoch`` id for repeat-aware packing. The
+    oracle restates the whole-epoch explode AND the q208-style
+    windowed remainder race, so the hash pins every (doc, epoch) row.
+    Distributed shape: one combinable per-source aggregate, a
+    broadcast |sources|-row plan, a generated explode (output-sized,
+    nothing amplifies beyond the plan), and one per-source window
+    cumsum — the only shuffle."""
+    from ..functions.selection import repeat_to_budget
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    budgets = (
+        d.groupBy("source")
+        .agg(
+            F.floor(
+                F.sum(
+                    F.size(F.split(F.trim("text"), r"\s+")).cast(
+                        "long"
+                    )
+                )
+                * F.lit(2.3)
+            ).alias("budget_tokens")
+        )
+    )
+    return repeat_to_budget(d, budgets)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

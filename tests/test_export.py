@@ -112,3 +112,69 @@ def test_grouped_split_weights_and_determinism(spark):
     assert 0.7 < c["train"] / 5000 < 0.9
     assert 0.05 < c["val"] / 5000 < 0.15
     assert 0.05 < c["test"] / 5000 < 0.15
+
+
+# ------------------------------------------------ repeat_to_budget
+
+
+def test_repeat_to_budget_epochs_and_remainder(spark):
+    from etlhelper_spark.functions.selection import repeat_to_budget
+    from etlhelper_spark.functions.util import literal_frame
+
+    docs = literal_frame(
+        spark,
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30),
+         (4, "b", 5), (5, "b", 5)],
+        "doc_id long, source string, nt long",
+    )
+    # a: total 60, budget 150 -> 2 full epochs + 30-token remainder;
+    # b: total 10, budget 10 -> exactly 1 full epoch, no remainder
+    budgets = literal_frame(
+        spark, [("a", 150), ("b", 10)],
+        "source string, budget_tokens long",
+    )
+    out = repeat_to_budget(
+        docs, budgets, tokens_col="nt"
+    ).collect()
+    rows = {(r["doc_id"], r["epoch"]) for r in out}
+    for d in (1, 2, 3):
+        assert (d, 0) in rows and (d, 1) in rows
+    assert (4, 0) in rows and (5, 0) in rows
+    assert not any(d in (4, 5) and e > 0 for d, e in rows)
+    # partial epoch admits md5-priority docs while cum < 30
+    partial = sorted(d for d, e in rows if e == 2)
+    assert partial  # at least one admitted
+    part_tokens = sum(
+        {1: 10, 2: 20, 3: 30}[d] for d in partial
+    )
+    # the race admits while cum_before < 30, so the admitted prefix
+    # can overshoot by at most one document
+    assert part_tokens <= 60 and part_tokens >= 10
+    # total planned tokens per source never exceeds budget + max doc
+    tot_a = sum({1: 10, 2: 20, 3: 30}[d] for d, _e in rows if d <= 3)
+    assert 150 <= tot_a <= 150 + 30
+    # deterministic: same plan on a different partitioning
+    again = {
+        (r["doc_id"], r["epoch"])
+        for r in repeat_to_budget(
+            docs.repartition(7), budgets, tokens_col="nt"
+        ).collect()
+    }
+    assert again == rows
+
+
+def test_repeat_to_budget_sub_size_budget_is_pure_race(spark):
+    from etlhelper_spark.functions.selection import repeat_to_budget
+    from etlhelper_spark.functions.util import literal_frame
+
+    docs = literal_frame(
+        spark,
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30)],
+        "doc_id long, source string, nt long",
+    )
+    budgets = literal_frame(
+        spark, [("a", 25)], "source string, budget_tokens long"
+    )
+    out = repeat_to_budget(docs, budgets, tokens_col="nt").collect()
+    assert all(r["epoch"] == 0 for r in out)
+    assert 0 < len(out) < 3  # a strict subset admitted
