@@ -17947,6 +17947,216 @@ def q282_epoch_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeat_to_budget(d, budgets)
 
 
+@query(
+    "q283_forget_cdc",
+    """
+    WITH snap AS (
+        SELECT user_id, value AS balance, event_type AS last_type
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        ) WHERE rn = 1
+    ), unioned AS (
+        SELECT user_id, balance, last_type, 'I' AS op,
+               CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS BIGINT) AS event_id
+        FROM snap
+        UNION ALL
+        SELECT user_id, value, event_type,
+               CASE WHEN event_type = 'error' THEN 'D'
+                    WHEN event_type = 'signup' THEN 'I'
+                    ELSE 'U' END,
+               ts, event_id
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    )
+    SELECT user_id, balance, last_type
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id
+            ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST
+        ) AS rn
+        FROM unioned
+    ) WHERE rn = 1 AND op <> 'D' AND user_id % 10 <> 4
+    """,
+)
+def q283_forget_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten for the CDC SNAPSHOT state
+    (operators/erasure.py::forget_from_cdc_state — found by this
+    round's standing store-coverage sweep, tests/test_store_registry
+    .py: the snapshot persists the latest change row per key WITH
+    every source column, tombstones included — complete source rows
+    in every full-rewrite version). After q186's out-of-order
+    two-batch fold, every 10th user is forgotten BY KEY: their live
+    rows AND tombstones leave the state and all older versions are
+    purged. The oracle is q186's one-shot latest-per-key SQL with the
+    doomed keys absent from the final read — erasure of a keyed
+    full-copy store is exactly a key filter, which is what makes it
+    restatable. In-plan gates: at least one row erased, exactly one
+    version remains, and no doomed key survives anywhere in the
+    persisted state (tombstones included — read raw, not through the
+    snapshot reader)."""
+    import glob as _glob
+    import shutil
+
+    from ..operators.cdc import (
+        read_snapshot_state,
+        snapshot_apply_incremental,
+    )
+    from ..operators.erasure import forget_from_cdc_state
+
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp_ntz")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snapshot = (
+        e.where(F.col("ts") < cutoff)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("balance"),
+            F.col("event_type").alias("last_type"),
+            F.lit("I").alias("op"),
+            F.lit(None).cast("timestamp_ntz").alias("ts"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    changes = e.select(
+        "user_id",
+        F.col("value").alias("balance"),
+        F.col("event_type").alias("last_type"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        "ts",
+        "event_id",
+    ).where(F.col("ts") >= cutoff)
+    keys, seqs = ["user_id"], ["ts", "event_id"]
+    work = tempfile.mkdtemp(prefix="ehs_forget_cdc_")
+    try:
+        b0 = snapshot.unionByName(
+            changes.where(F.pmod("event_id", F.lit(2)) == 0)
+        )
+        snapshot_apply_incremental(b0, work, 0, keys, seqs)
+        snapshot_apply_incremental(
+            changes.where(F.pmod("event_id", F.lit(2)) == 1),
+            work, 1, keys, seqs,
+        )
+        doomed = (
+            e.select("user_id")
+            .where(F.col("user_id") % 10 == 4)
+            .distinct()
+        )
+        n_erased = forget_from_cdc_state(
+            spark, work, doomed, "user_id"
+        )
+        versions = _glob.glob(os.path.join(work, "snapshot", "v*"))
+        raw_leftover = (
+            spark.read.parquet(versions[0])
+            .where(F.col("user_id") % 10 == 4)
+            .count()
+            if len(versions) == 1
+            else -1
+        )
+        out = read_snapshot_state(spark, work, seqs).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    if n_erased < 1 or len(versions) != 1 or raw_leftover != 0:
+        raise ValueError(
+            f"cdc erasure failed: erased={n_erased}, "
+            f"versions={len(versions)}, raw_leftover={raw_leftover}"
+        )
+    return out
+
+
+@query(
+    "q284_forget_clusters",
+    """
+    WITH e AS (
+        SELECT doc_id AS a, doc_id - doc_id % 4 AS b
+        FROM documents WHERE doc_id % 4 <> 0
+    ), n AS (
+        SELECT DISTINCT node_id, node_id - node_id % 4 AS g FROM (
+            SELECT a AS node_id FROM e
+            UNION ALL
+            SELECT b AS node_id FROM e
+        )
+    ), kept AS (
+        SELECT node_id, g FROM n WHERE node_id % 8 <> 0
+    )
+    SELECT k.node_id, m.lbl AS cluster_id
+    FROM kept k
+    JOIN (SELECT g, min(node_id) AS lbl FROM kept GROUP BY g) m
+      USING (g)
+    """,
+)
+def q284_forget_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten for the DUPLICATE-CLUSTERS state
+    (operators/erasure.py::forget_from_clusters_state — the other
+    store this round's registry sweep surfaced: cluster_id is the
+    component-MINIMUM node id, so a forgotten node that anchored its
+    cluster would otherwise persist as every surviving member's
+    label). Star-shaped dup components (each doc linked to its
+    4-group anchor) fold in two incremental batches; then every
+    anchor of an even group (node %% 8 == 0) is forgotten — chosen
+    because those ids ARE the labels of their clusters, so the
+    erasure must both drop the rows AND re-anchor the survivors on
+    their lowest remaining member (the embedding-LSH re-anchor
+    convention; membership among retained nodes is kept — the edges
+    were discarded, so connectivity through the forgotten node is
+    re-verification territory, not silent splitting). The oracle
+    restates kept-membership + min-relabel directly. In-plan gates:
+    rows were erased, exactly one (purged) version remains, and no
+    doomed id survives as a node OR a label."""
+    import glob as _glob
+    import shutil
+
+    from ..operators.dedup_state import duplicate_clusters_incremental
+    from ..operators.erasure import forget_from_clusters_state
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = d.where(F.col("doc_id") % 4 != 0).select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") - F.col("doc_id") % 4).alias("id_b"),
+    )
+    work = tempfile.mkdtemp(prefix="ehs_forget_clusters_")
+    try:
+        for b in range(2):
+            duplicate_clusters_incremental(
+                edges.where(F.pmod("id_a", F.lit(2)) == b), work, b
+            )
+        nodes = edges.select(F.col("id_a").alias("n")).unionByName(
+            edges.select(F.col("id_b").alias("n"))
+        ).distinct()
+        doomed = nodes.where(F.col("n") % 8 == 0)
+        n_erased = forget_from_clusters_state(spark, work, doomed)
+        versions = _glob.glob(os.path.join(work, "clusters", "v*"))
+        state = (
+            spark.read.parquet(versions[0]).localCheckpoint()
+            if len(versions) == 1
+            else None
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    if n_erased < 1 or state is None:
+        raise ValueError(
+            f"clusters erasure failed: erased={n_erased}, "
+            f"versions={len(versions)}"
+        )
+    leftover = state.where(
+        (F.col("node_id") % 8 == 0) | (F.col("cluster_id") % 8 == 0)
+    ).count()
+    if leftover != 0:
+        raise ValueError(
+            f"clusters erasure failed: {leftover} rows still carry a "
+            "doomed id as node or label"
+        )
+    return state
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
