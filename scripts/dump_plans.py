@@ -72,6 +72,8 @@ REPRESENTATIVE = [
     ("q269_chunk_documents", "library chunker: narrow codegen map, zero exchange, zero Python"),
     ("q270_chunk_then_pack", "chunk-then-pack: narrow chunk stage + packing's single shard exchange"),
     ("q271_repetition_quality", "repetition metrics: sorted-array run-length stats, zero exchange, no explode"),
+    ("q281_packed_attention", "packed windows + attention metadata: one id-keyed array shuffle, one pack aggregate, metadata in the same projection"),
+    ("q282_epoch_repeats", "epoch plan: broadcast quota join, generated explode, one per-source cumsum window"),
 ]
 
 
