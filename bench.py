@@ -16,8 +16,9 @@ multi-store LIFECYCLE gates: q242 (seven-store erasure orchestration
 — dozens of fixed-overhead jobs over a deliberately bounded corpus;
 the per-store erase kernels ARE timed via SCALE_PROBE's
 forget-at-state-scale rows), the single-store erasure lifecycles
-q253, q264, q268, and q274 (same rationale; SCALE_PROBE times the
-linkage, golden, and pack-state erase kernels), and the
+q253, q264, q268, q274, q277, q278, q283, and q284 (same rationale;
+SCALE_PROBE times the linkage, golden, pack-state, and sample-state
+erase kernels), and the
 A/B comparison harnesses q243, q248, and
 q259, which build TWO indexes plus a brute-force truth —
 q229/q234/q241/q244/q256 time the production IVFPQ paths, and q247
@@ -267,6 +268,10 @@ HEADLINE = [
     "q273_incremental_packing",
     "q275_stream_packing",
     "q276_pack_manifest",
+    "q279_packed_tensors",
+    "q280_stream_chunk_pack",
+    "q281_packed_attention",
+    "q282_epoch_repeats",
 ]
 
 

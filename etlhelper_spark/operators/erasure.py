@@ -2,10 +2,19 @@
 compliance completion of forget_from_dedup_state (which erases only
 the exact-fingerprint ledger): a real deletion request must also purge
 the MinHash band state, the embedding-LSH signature state, the span
-digest state, the inverted index (postings + stats), and the ANN /
-IVFPQ indexes — a forgotten document whose vector is still searchable,
-or whose tokens still rank in BM25 stats, is a compliance FAILURE, not
-a partial success.
+digest state, the inverted index (postings + stats), the ANN /
+IVFPQ indexes, the golden-record survivorship state, the pack
+assignments, the weighted-sample reservoir (full source rows in every
+version), the Misra-Gries frequency state (raw tracked values), the
+CDC snapshot (full source rows per key, tombstones included), and the
+duplicate-clusters labels (a forgotten id can anchor its cluster's
+label) — a forgotten document whose vector is still searchable, or
+whose tokens still rank in BM25 stats, is a compliance FAILURE, not
+a partial success. STATE_STORE_REGISTRY at the bottom of this module
+is the STANDING inventory: every store any operators/ module persists
+under a state_dir, mapped to its erasure callable or explicitly
+waived — tests/test_store_registry.py AST-scans the package and fails
+the day a new store lands uncovered.
 
 Design per store, matching each layer's own durability discipline:
 
