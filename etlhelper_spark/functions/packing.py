@@ -249,9 +249,23 @@ def pack_token_windows(
     concatenation/padding invariants are property-tested in
     tests/test_packing.py."""
     budget = int(budget)
+    # LEFT join + explicit raise on the null side: an inner join would
+    # silently DROP an assigned document missing from doc_tokens (e.g.
+    # a whitespace-only doc the tokenizer omitted, or a since-deleted
+    # row) — pack_tokens and n_docs would shrink consistently, every
+    # later document would shift below its assigned offset, and the
+    # tensor would be silently corrupted while both gates stayed green
     j = assignments.select(
         id_col, "n_tokens", "shard", "pack_id", "offset"
-    ).join(doc_tokens.select(id_col, ids_col), id_col)
+    ).join(doc_tokens.select(id_col, ids_col), id_col, "left")
+    missing_doc = F.raise_error(
+        F.concat(
+            F.lit("pack_token_windows: assigned document "),
+            F.col(id_col).cast("string"),
+            F.lit(" has no token_ids row — the assignment and the "
+                  "encoded corpus disagree on membership"),
+        )
+    )
     bad_doc = F.raise_error(
         F.concat(
             F.lit(
@@ -270,6 +284,9 @@ def pack_token_windows(
         "offset",
         "n_tokens",
         F.when(
+            F.col(ids_col).isNull(), missing_doc.cast("array<long>")
+        )
+        .when(
             F.size(ids_col).cast("long") != F.col("n_tokens"),
             bad_doc.cast("array<long>"),
         )

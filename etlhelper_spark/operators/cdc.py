@@ -107,10 +107,11 @@ def snapshot_apply_incremental(
     Returns the new full state (including tombstones)."""
     import os
 
-    from .dedup_state import _latest_version
+    from .dedup_state import _latest_version, _rewrite_batch_guard
 
     spark = changes.sparkSession
     subdir = os.path.join(state_dir, "snapshot")
+    _rewrite_batch_guard(subdir, batch_id)
     prior = _latest_version(spark, subdir, batch_id)
     feed = (
         prior.select(changes.columns).unionByName(changes)

@@ -887,6 +887,46 @@ def embedding_lsh_incremental(
     return out
 
 
+def _rewrite_batch_guard(subdir: str, batch_id: int) -> None:
+    """Loud monotone-batch enforcement for the rewrite-versioned
+    stores (``v<batch>`` full rewrites: sample reservoir, frequency
+    sketch, CDC snapshot, cluster labels, golden records). Allowed:
+    an empty store, a batch id above every existing version (forward
+    progress), or an overwrite of the batch's OWN intact version (the
+    at-least-once replay contract — identical recompute reading only
+    versions below it). Rejected loudly: a batch id at or below
+    another version with no own version to replay — the signature of
+    (a) a collision with an erasure cutover version (``_ERASE``
+    sentinel: erasure consumed that id and PURGED all history, so the
+    apply would find nothing below itself and silently rebuild the
+    store from one batch, discarding the erased state), (b) a replay
+    from below an erasure/prune horizon (its write would put purged —
+    possibly forgotten — rows back on disk), or (c) an out-of-order
+    id violating the documented contract. Callers hitting (a) renumber
+    above the erasure version; (b) is an ack-and-skip at the source."""
+    versions = []
+    for p in glob.glob(os.path.join(subdir, "v*")):
+        try:
+            versions.append(int(os.path.basename(p)[1:]))
+        except ValueError:
+            continue
+    if not versions:
+        return
+    own = os.path.join(subdir, f"v{int(batch_id)}")
+    if os.path.isdir(own) and not os.path.exists(
+        os.path.join(own, "_ERASE")
+    ):
+        return
+    if int(batch_id) <= max(versions):
+        raise ValueError(
+            f"batch_id {int(batch_id)} is at or below an existing "
+            f"version of {subdir} (max v{max(versions)}) with no own "
+            "version to replay — it collides with an erasure cutover "
+            "or falls below an erasure/prune horizon; use a batch id "
+            "above every existing version"
+        )
+
+
 def _latest_version(spark, subdir: str, batch_id: int) -> DataFrame | None:
     """Latest FULL state version strictly below *batch_id* (the ivm
     versioned-state convention — used by stores that rewrite rather
@@ -944,6 +984,7 @@ def duplicate_clusters_incremental(
 
     spark = new_pairs.sparkSession
     subdir = os.path.join(state_dir, "clusters")
+    _rewrite_batch_guard(subdir, batch_id)
     prior = _latest_version(spark, subdir, batch_id)
     edges = (
         new_pairs.select(

@@ -608,15 +608,65 @@ def _atomic_version_cutover(
     rename (rename LAST — a crash leaves either the old or the new
     state, never a torn one), then purge the superseded version. A
     crash between rename and purge is healed on the next erasure's
-    entry sweep. Subsequent ingest batch ids must stay above the new
-    version (the monotone-batch contract every store here has)."""
+    entry sweep.
+
+    The new version carries an ``_ERASE`` sentinel file (parquet
+    readers ignore underscore files): it marks the version as an
+    erasure CUTOVER, not a batch apply — the ingest-side
+    ``_rewrite_batch_guard`` (operators/dedup_state.py) uses it to
+    reject a later apply whose batch id collides with the erasure
+    version. Without the guard, an apply at the natural next id would
+    find no version strictly below itself (history was purged) and
+    silently REBUILD the store from that one batch — the erased state
+    discarded without an error."""
     nxt = cur_version + 1
     tmp = os.path.join(subdir, f".v{nxt}.tmp")
     new_state.repartition(state_partitions).write.mode("overwrite").parquet(
         tmp
     )
+    with open(os.path.join(tmp, "_ERASE"), "w"):
+        pass
     os.rename(tmp, os.path.join(subdir, f"v{nxt}"))  # atomic cutover
     shutil.rmtree(cur_path, ignore_errors=True)
+
+
+def _live_rewrite_store(spark, state_dir: str, store: str, what: str):
+    """The shared entry of every rewrite-versioned erasure: resolve
+    the store, fail loudly when empty, heal stale temps and purge
+    superseded (PII-bearing) history, read the live version. Returns
+    ``(subdir, cur_version, cur_path, state)``."""
+    subdir = os.path.join(state_dir, store)
+    versions = _rewrite_versions(subdir)
+    if not versions:
+        raise ValueError(f"no {what} at {state_dir}")
+    _heal_and_purge_history(subdir, versions)
+    cur_v, cur_path = versions[-1]
+    return subdir, cur_v, cur_path, spark.read.parquet(cur_path)
+
+
+def _typed_doomed(spark, values, dtype, name: str = "__fid") -> DataFrame:
+    """Doom set typed from the STORE's own schema (frequency's
+    convention, shared): a one-column DataFrame passes through; a
+    Python list becomes a literal frame in the matched column's type —
+    so string/date keys work from bounded lists and never coerce
+    through int()."""
+    if isinstance(values, DataFrame):
+        return values.select(
+            F.col(values.columns[0]).alias(name)
+        ).distinct()
+    return spark.createDataFrame(
+        [(v,) for v in values], f"{name} {dtype.simpleString()}"
+    ).distinct()
+
+
+def _split_doomed(state: DataFrame, doomed: DataFrame, col: str):
+    """(erased_count, kept_rows) of *state* against the broadcast doom
+    set on *col* — the semi-count + anti-keep pair every row-keyed
+    rewrite erasure shares."""
+    cond = state[col] == doomed["__fid"]
+    n = int(state.join(F.broadcast(doomed), cond, "left_semi").count())
+    kept = state.join(F.broadcast(doomed), cond, "left_anti")
+    return n, kept
 
 
 def forget_from_sample_state(
@@ -662,21 +712,13 @@ def forget_from_sample_state(
     wholesale either way)."""
     from .sample_state import _es_scored
 
-    subdir = os.path.join(state_dir, "wsample")
-    versions = _rewrite_versions(subdir)
-    if not versions:
-        raise ValueError(f"no sample state at {state_dir}")
-    _heal_and_purge_history(subdir, versions)
-    cur_v, cur_path = versions[-1]
-    state = spark.read.parquet(cur_path)
-    doomed = _doomed_frame(spark, ids)
-    n_erased = int(
-        state.join(
-            F.broadcast(doomed),
-            state[hash_col] == doomed["__fid"],
-            "left_semi",
-        ).count()
+    subdir, cur_v, cur_path, state = _live_rewrite_store(
+        spark, state_dir, "wsample", "sample state"
     )
+    doomed = _typed_doomed(
+        spark, ids, state.schema[hash_col].dataType
+    )
+    n_erased, kept = _split_doomed(state, doomed, hash_col)
     if retained is not None:
         if weight_col is None or n is None:
             raise ValueError(
@@ -702,11 +744,7 @@ def forget_from_sample_state(
             .localCheckpoint()  # pin before the version write below
         )
     else:
-        new_state = state.join(
-            F.broadcast(doomed),
-            state[hash_col] == doomed["__fid"],
-            "left_anti",
-        )
+        new_state = kept
     _atomic_version_cutover(
         new_state, subdir, cur_v, cur_path, state_partitions
     )
@@ -738,34 +776,13 @@ def forget_from_frequency_state(
     every older (PII-bearing) version purged, stale temps healed on
     entry; subsequent batch ids must stay above the new version.
     Returns the number of counter rows erased from the live state."""
-    subdir = os.path.join(state_dir, "freq")
-    versions = _rewrite_versions(subdir)
-    if not versions:
-        raise ValueError(f"no frequency state at {state_dir}")
-    _heal_and_purge_history(subdir, versions)
-    cur_v, cur_path = versions[-1]
-    state = spark.read.parquet(cur_path)
-    if isinstance(values, DataFrame):
-        doomed = values.select(
-            F.col(values.columns[0]).alias("__fval")
-        ).distinct()
-    else:
-        item_type = state.schema["item"].dataType.simpleString()
-        doomed = spark.createDataFrame(
-            [(v,) for v in values], f"__fval {item_type}"
-        ).distinct()
+    subdir, cur_v, cur_path, state = _live_rewrite_store(
+        spark, state_dir, "freq", "frequency state"
+    )
+    doomed = _typed_doomed(spark, values, state.schema["item"].dataType)
     # plain-equality joins: the NULL-item total row can never match a
     # doomed value, so the anti-join keeps it — by construction
-    n_erased = int(
-        state.join(
-            F.broadcast(doomed),
-            state["item"] == doomed["__fval"],
-            "left_semi",
-        ).count()
-    )
-    kept = state.join(
-        F.broadcast(doomed), state["item"] == doomed["__fval"], "left_anti"
-    )
+    n_erased, kept = _split_doomed(state, doomed, "item")
     _atomic_version_cutover(kept, subdir, cur_v, cur_path, state_partitions)
     return n_erased
 
@@ -785,24 +802,14 @@ def forget_from_cdc_state(
     re-admission contract); its old tombstone is gone, so a late
     pre-deletion change for it would also re-admit — erring toward
     re-admission, never toward keeping deleted data, exactly the
-    span-store trade. Returns the number of erased state rows."""
-    subdir = os.path.join(state_dir, "snapshot")
-    versions = _rewrite_versions(subdir)
-    if not versions:
-        raise ValueError(f"no cdc snapshot state at {state_dir}")
-    _heal_and_purge_history(subdir, versions)
-    cur_v, cur_path = versions[-1]
-    state = spark.read.parquet(cur_path)
-    doomed = _doomed_frame(spark, ids)
-    n_erased = int(
-        state.join(
-            F.broadcast(doomed), state[key_col] == doomed["__fid"],
-            "left_semi",
-        ).count()
+    span-store trade. *ids* as a Python list is typed from the key
+    column's OWN schema (string/date keys work directly — no numeric
+    coercion). Returns the number of erased state rows."""
+    subdir, cur_v, cur_path, state = _live_rewrite_store(
+        spark, state_dir, "snapshot", "cdc snapshot state"
     )
-    kept = state.join(
-        F.broadcast(doomed), state[key_col] == doomed["__fid"], "left_anti"
-    )
+    doomed = _typed_doomed(spark, ids, state.schema[key_col].dataType)
+    n_erased, kept = _split_doomed(state, doomed, key_col)
     _atomic_version_cutover(kept, subdir, cur_v, cur_path, state_partitions)
     return n_erased
 
@@ -828,24 +835,13 @@ def forget_from_clusters_state(
     Callers needing exact as-if-never-ingested clusters re-run
     propagation over their retained pair feed. Returns the number of
     doomed node rows erased."""
-    subdir = os.path.join(state_dir, "clusters")
-    versions = _rewrite_versions(subdir)
-    if not versions:
-        raise ValueError(f"no clusters state at {state_dir}")
-    _heal_and_purge_history(subdir, versions)
-    cur_v, cur_path = versions[-1]
-    state = spark.read.parquet(cur_path)
-    doomed = _doomed_frame(spark, ids)
-    n_erased = int(
-        state.join(
-            F.broadcast(doomed),
-            state["node_id"] == doomed["__fid"],
-            "left_semi",
-        ).count()
+    subdir, cur_v, cur_path, state = _live_rewrite_store(
+        spark, state_dir, "clusters", "clusters state"
     )
-    kept = state.join(
-        F.broadcast(doomed), state["node_id"] == doomed["__fid"], "left_anti"
+    doomed = _typed_doomed(
+        spark, ids, state.schema["node_id"].dataType
     )
+    n_erased, kept = _split_doomed(state, doomed, "node_id")
     relabel = (
         kept.join(
             F.broadcast(doomed),
@@ -1149,7 +1145,10 @@ def forget_everywhere(
         and clusters_state_dir != dedup_state_dir
         and os.path.isdir(os.path.join(clusters_state_dir, "clusters"))
     ):
-        out["duplicate_clusters"] = forget_from_clusters_state(
+        # distinct audit key: a clusters store co-located under
+        # dedup_state_dir may ALSO have been erased above, and the
+        # audit record must show both counts, not overwrite one
+        out["duplicate_clusters_external"] = forget_from_clusters_state(
             spark, clusters_state_dir, ids, state_partitions
         )
     return out

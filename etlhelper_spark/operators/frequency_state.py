@@ -58,9 +58,11 @@ def heavy_hitters_incremental(
     every item with true count above that slack is guaranteed present
     (property-tested with planted skew)."""
     from ..functions.util import mg_evict, mg_summaries
+    from .dedup_state import _rewrite_batch_guard
 
     spark = new_df.sparkSession
     subdir = os.path.join(state_dir, "freq")
+    _rewrite_batch_guard(subdir, batch_id)
     cap = int(capacity)
     summary_rows = mg_summaries(new_df, col, cap).collect()
     mg: dict = {}

@@ -71,8 +71,11 @@ def weighted_sample_incremental(
 
     Rows with weight <= 0 or NULL can never win a proportional race
     and are excluded, matching the batch sampler."""
+    from .dedup_state import _rewrite_batch_guard
+
     spark = new_df.sparkSession
     subdir = os.path.join(state_dir, "wsample")
+    _rewrite_batch_guard(subdir, batch_id)
     scored = _es_scored(new_df, weight_col, hash_col)
     prior = _latest_version(spark, subdir, batch_id)
     pool = scored if prior is None else scored.unionByName(prior)

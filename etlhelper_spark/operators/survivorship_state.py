@@ -121,8 +121,11 @@ def golden_incremental(
     (same columns, same priority map every batch) is the histogram-
     edges discipline: the ord struct's meaning must not drift between
     batches — a changed schema fails the merge join loudly."""
+    from .dedup_state import _rewrite_batch_guard
+
     spark = new_df.sparkSession
     subdir = os.path.join(state_dir, "golden")
+    _rewrite_batch_guard(subdir, int(batch_id))
     batch_state = _golden_structs(
         new_df,
         cluster_col,
@@ -197,27 +200,34 @@ def remap_golden_clusters(
     *batch_id*, overwrites ``v<batch_id>`` — an at-least-once
     redelivery recomputes the identical directory. Returns the
     version directory written."""
+    from .dedup_state import _rewrite_batch_guard
+
     subdir = os.path.join(state_dir, "golden")
+    _rewrite_batch_guard(subdir, int(batch_id))
     state = _latest_version(spark, subdir, int(batch_id))
     if state is None:
         raise ValueError(f"no golden state at {state_dir}")
     oc, nc = mapping_df.columns[0], mapping_df.columns[1]
-    # NULL ids are rejected up front (ADVICE r10): a NULL new id would
+    # NULL ids are rejected loudly (ADVICE r10): a NULL new id would
     # silently coalesce back to the OLD id (a no-op dressed as a
-    # merge) and a NULL old id can never match the state join —
-    # both are malformed mapping rows, same loud-failure class as the
-    # chain check below
-    null_ids = mapping_df.where(
-        F.col(oc).isNull() | F.col(nc).isNull()
-    ).count()
-    if null_ids:
-        raise ValueError(
-            f"remap_golden_clusters: {null_ids} mapping row(s) carry a "
-            f"NULL cluster id — a merge event names two real clusters"
+    # merge) and a NULL old id can never match the state join. The
+    # raise rides INSIDE the projection (evaluated by the chain
+    # check's own pass) — no standalone validation job over a mapping
+    # whose upstream lineage may be expensive.
+    bad = F.raise_error(
+        F.lit(
+            "remap_golden_clusters: mapping row carries a NULL "
+            "cluster id — a merge event names two real clusters"
         )
+    )
     m = mapping_df.select(
-        F.col(oc).alias("__old"), F.col(nc).alias("__new")
-    ).where(F.col(oc) != F.col(nc))
+        F.when(F.col(oc).isNull(), bad.cast(mapping_df.schema[oc].dataType))
+        .otherwise(F.col(oc))
+        .alias("__old"),
+        F.when(F.col(nc).isNull(), bad.cast(mapping_df.schema[nc].dataType))
+        .otherwise(F.col(nc))
+        .alias("__new"),
+    ).where(F.col("__old") != F.col("__new"))
     chained = (
         m.alias("x")
         .join(

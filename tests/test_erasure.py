@@ -727,3 +727,88 @@ def test_forget_everywhere_covers_cdc_and_clusters(spark, tmp_path):
     )
     assert out["cdc_snapshot"] == 1
     assert out["duplicate_clusters"] == 1
+
+
+def test_post_erase_batch_id_collision_raises(spark, tmp_path):
+    """The review-confirmed silent-reset hole: after an erasure writes
+    v<k+1> and purges history, an apply at batch_id k+1 would find no
+    version below itself and rebuild the store from one batch. The
+    _rewrite_batch_guard now rejects the collision loudly; the next
+    FREE id folds onto the erased state correctly."""
+    from etlhelper_spark.operators.erasure import forget_from_sample_state
+    from etlhelper_spark.operators.sample_state import (
+        weighted_sample_incremental,
+    )
+
+    st = str(tmp_path / "st")
+    d, sample = _fold_sample(spark, st)  # batches 0,1,2 -> erase -> v3
+    doomed = [sample.select("doc_id").first()["doc_id"]]
+    forget_from_sample_state(spark, st, doomed, "doc_id")
+    with pytest.raises(ValueError, match="erasure cutover"):
+        weighted_sample_incremental(
+            d.limit(5), st, 3, "w", 10, "doc_id"
+        )
+    # a fresh id ABOVE the erasure version folds onto the erased state
+    out = weighted_sample_incremental(
+        d.where(~F.col("doc_id").isin(doomed)), st, 4, "w", 10, "doc_id"
+    )
+    assert out.count() == 10
+    assert out.where(F.col("doc_id").isin(doomed)).count() == 0
+
+
+def test_replay_below_purged_horizon_raises(spark, tmp_path):
+    """A replay of a batch whose version was purged by erasure would
+    physically rewrite (possibly forgotten) rows — rejected loudly;
+    a replay of an INTACT batch version stays allowed."""
+    from etlhelper_spark.operators.erasure import (
+        forget_from_frequency_state,
+    )
+    from etlhelper_spark.operators.frequency_state import (
+        heavy_hitters_incremental,
+    )
+
+    st = str(tmp_path / "st")
+    state = _fold_freq(spark, st)
+    toks = (
+        _docs(spark)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    # pre-erase: replaying batch 1 (its v1 exists) is still legal
+    heavy_hitters_incremental(
+        toks.where(F.pmod("doc_id", F.lit(3)) == 1).select("token"),
+        st, 1, "token", capacity=4096,
+    )
+    doomed = [
+        state.where(F.col("item").isNotNull()).first()["item"]
+    ]
+    forget_from_frequency_state(spark, st, doomed)
+    with pytest.raises(ValueError, match="erasure"):
+        heavy_hitters_incremental(
+            toks.where(F.pmod("doc_id", F.lit(3)) == 1).select("token"),
+            st, 1, "token", capacity=4096,
+        )
+
+
+def test_forget_cdc_state_string_keys_from_list(spark, tmp_path):
+    """The doom set is typed from the key column's own schema, so a
+    bounded deletion request over string keys works as a plain list."""
+    from etlhelper_spark.operators.cdc import snapshot_apply_incremental
+    from etlhelper_spark.operators.erasure import forget_from_cdc_state
+    from etlhelper_spark.functions.util import literal_frame
+
+    st = str(tmp_path / "st")
+    snapshot_apply_incremental(
+        literal_frame(
+            spark,
+            [("alice@x.com", 1, 1, "U"), ("bob@x.com", 2, 1, "U")],
+            "email string, v long, seq long, op string",
+        ),
+        st, 0, ["email"], ["seq"],
+    )
+    n = forget_from_cdc_state(spark, st, ["alice@x.com"], "email")
+    assert n == 1
+    left = spark.read.parquet(
+        glob.glob(os.path.join(st, "snapshot", "v*"))[0]
+    )
+    assert [r["email"] for r in left.collect()] == ["bob@x.com"]

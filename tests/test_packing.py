@@ -363,3 +363,22 @@ def test_window_metadata_segments_and_positions(spark, tok_docs):
             else:
                 assert poss[i] == poss[i - 1] + 1
         assert segs[body - 1] == r["n_docs"] - 1
+
+
+def test_windows_reject_missing_document(spark, tok_docs):
+    """An assigned document missing from doc_tokens must raise, never
+    silently drop from its window (the offsets of every later
+    document in the pack would be wrong)."""
+    from etlhelper_spark.functions.packing import (
+        pack_documents,
+        pack_token_windows,
+    )
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    asg = pack_documents(
+        tok_docs, budget=512, tokens_col="n_tokens", n_shards=4
+    )
+    some_id = tok_docs.select("doc_id").first()["doc_id"]
+    holey = tok_docs.where(F.col("doc_id") != some_id)
+    with pytest.raises(SparkRuntimeException, match="no token_ids row"):
+        pack_token_windows(holey, asg, budget=512).collect()
