@@ -272,6 +272,7 @@ HEADLINE = [
     "q280_stream_chunk_pack",
     "q281_packed_attention",
     "q282_epoch_repeats",
+    "q285_frozen_vocab_encode",
 ]
 
 

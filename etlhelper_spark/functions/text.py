@@ -529,6 +529,8 @@ def bpe_doc_token_ids(
     text_col: str = "text",
     rounds: int = 3,
     merges: list | None = None,
+    vocab: DataFrame | None = None,
+    unk_id: int | None = None,
 ) -> DataFrame:
     """TOKEN-ID SEQUENCES per document under a BPE vocabulary — the
     encode step of the packed-tensor export (functions/packing.py::
@@ -553,7 +555,18 @@ def bpe_doc_token_ids(
     window over |vocab| rows (bounded by the vocabulary, never the
     corpus), and the per-document flatten is one hash aggregate whose
     list is bounded by document length. The token arrays ship exactly
-    once, into that aggregate."""
+    once, into that aggregate.
+
+    *vocab* optionally supplies a FROZEN (sym, tok_id) table
+    (operators/bpe_state.py::read_bpe_vocab) instead of deriving ids
+    from this corpus's own subword set — the vintage-stability half
+    of the tokenizer contract: without it, a later batch that adds or
+    loses one subword silently renumbers EVERY id, and persisted
+    tensors from different vintages stop being comparable. Subwords
+    absent from the frozen vocab map to *unk_id* when given, else
+    fail loudly from the executor (silent unk-substitution is a
+    modeling decision the caller must opt into). Pass *merges* from
+    the same frozen state so boundaries and ids share a vintage."""
     from pyspark.sql.window import Window
 
     w = _bpe_word_table(df, text_col)
@@ -567,19 +580,49 @@ def bpe_doc_token_ids(
                 wf = wf.localCheckpoint(eager=False)
     # reused twice below (vocab + word encodings): cut once
     wf = wf.select("w", "s").localCheckpoint(eager=False)
-    vocab = (
-        wf.select(F.explode("s").alias("sym"))
-        .distinct()
-        .select(
-            "sym",
-            (F.row_number().over(Window.orderBy("sym")) - 1)
-            .cast("long")
-            .alias("tok_id"),
+    if vocab is None:
+        vocab_ids = (
+            wf.select(F.explode("s").alias("sym"))
+            .distinct()
+            .select(
+                "sym",
+                (F.row_number().over(Window.orderBy("sym")) - 1)
+                .cast("long")
+                .alias("tok_id"),
+            )
         )
-    )
+        sym_join, id_expr = "inner", F.col("tok_id")
+    else:
+        vocab_ids = vocab.select(
+            "sym", F.col("tok_id").cast("long").alias("tok_id")
+        )
+        if unk_id is not None:
+            sym_join = "left"
+            id_expr = F.coalesce(
+                F.col("tok_id"), F.lit(int(unk_id)).cast("long")
+            )
+        else:
+            sym_join = "left"
+            id_expr = F.coalesce(
+                F.col("tok_id"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "bpe_doc_token_ids: subword not in the "
+                            "frozen vocab: "
+                        ),
+                        F.col("sym"),
+                        F.lit(
+                            " — pass unk_id to opt into unk "
+                            "substitution, or retrain the vocab"
+                        ),
+                    )
+                ).cast("long"),
+            )
     wid = (
         wf.select("w", F.posexplode("s").alias("spos", "sym"))
-        .join(vocab, "sym")
+        .join(vocab_ids, "sym", sym_join)
+        .withColumn("tok_id", id_expr)
         .groupBy("w")
         .agg(
             F.array_sort(

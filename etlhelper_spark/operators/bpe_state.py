@@ -33,9 +33,15 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_bpe_state", "apply_bpe_state", "read_bpe_merges"]
+__all__ = [
+    "build_bpe_state",
+    "apply_bpe_state",
+    "read_bpe_merges",
+    "read_bpe_vocab",
+]
 
 _MERGES = "merges"
+_VOCAB = "vocab"
 
 
 def build_bpe_state(
@@ -43,21 +49,68 @@ def build_bpe_state(
     state_dir: str,
     text_col: str = "text",
     rounds: int = 2,
+    with_vocab: bool = False,
 ) -> int:
     """Train *rounds* BPE merges on *df* and persist them (ordered,
     one row per rule) under ``<state_dir>/merges``. Overwrite-writes:
     a replayed build reproduces the identical deterministic table, so
     the operation is idempotent. Returns the number of rules
-    persisted."""
-    from ..functions.text import bpe_merges
+    persisted.
 
-    merges = bpe_merges(df, text_col, rounds=rounds)
+    *with_vocab=True* ALSO freezes the token-id table: the distinct
+    subwords of the trained word table, ranked in sorted order, land
+    under ``<state_dir>/vocab`` as (sym, tok_id) — the other half of
+    a real tokenizer's deployment contract. Merges alone freeze token
+    BOUNDARIES across vintages; ids derived from each batch's own
+    subword set silently renumber when a new batch adds or loses a
+    subword, so every persisted tensor from a different vintage stops
+    being comparable. With the frozen vocab,
+    functions/text.py::bpe_doc_token_ids encodes ANY later batch
+    under vintage-stable ids (unseen subwords map to the caller's
+    unk id, loudly by default — the q285 contract)."""
+    from ..functions.text import _bpe_train_loop, _bpe_word_table
+    from ..functions.util import literal_frame
+
+    w = _bpe_word_table(df, text_col)
+    rules, wf = _bpe_train_loop(w, rounds, ["w", "freq"])
+    merges = literal_frame(
+        df.sparkSession,
+        rules,
+        "step int, left string, right string, cnt long",
+    )
     path = os.path.join(state_dir, _MERGES)
     merges.coalesce(1).write.mode("overwrite").parquet(path)
+    if with_vocab:
+        from pyspark.sql.window import Window
+
+        vocab = (
+            wf.select(F.explode("s").alias("sym"))
+            .distinct()
+            .select(
+                "sym",
+                (F.row_number().over(Window.orderBy("sym")) - 1)
+                .cast("long")
+                .alias("tok_id"),
+            )
+        )
+        vocab.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(state_dir, _VOCAB)
+        )
     # training stops early when the vocabulary is fully fused, so the
-    # persisted count can be smaller than the requested budget — the
-    # merges frame is driver-literal, so this count is free
-    return merges.count()
+    # persisted count can be smaller than the requested budget
+    return len(rules)
+
+
+def read_bpe_vocab(spark, state_dir: str) -> DataFrame:
+    """The frozen (sym, tok_id) table. Raises when the state was
+    built without ``with_vocab=True``."""
+    path = os.path.join(state_dir, _VOCAB)
+    if not os.path.isdir(path):
+        raise ValueError(
+            f"read_bpe_vocab: no persisted vocab under {state_dir} "
+            "— build_bpe_state(with_vocab=True) first"
+        )
+    return spark.read.parquet(path)
 
 
 def read_bpe_merges(spark, state_dir: str) -> DataFrame:

@@ -885,6 +885,12 @@ STATE_STORE_REGISTRY: dict[str, dict[str, str]] = {
             "input values; the frozen-vintage contract requires the "
             "rules to stay immutable"
         ),
+        "vocab": (
+            "WAIVED: frozen (sym, tok_id) table — the distinct "
+            "subword set of the trained vocabulary, a corpus-level "
+            "aggregate with no per-row input values; the vintage "
+            "contract requires ids to stay immutable"
+        ),
     },
     "cdc": {"snapshot": "forget_from_cdc_state"},
     "dedup_state": {

@@ -18157,6 +18157,184 @@ def q284_forget_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state
 
 
+@query(
+    "q285_frozen_vocab_encode",
+    """
+    WITH RECURSIVE words AS (
+        SELECT w AS word, count(*) AS freq FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> '' AND doc_id % 2 = 0
+        ) WHERE w <> '' GROUP BY w
+    ), w0 AS (
+        SELECT word, freq, [word[i] FOR i IN range(1, len(word)+1)] AS s
+        FROM words
+    ), p1 AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+        FROM w0, (SELECT unnest(range(1, 64)) AS i)
+        WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+    ), m1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+    w1 AS (
+        SELECT word, freq, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, w.freq, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM w0 w, (SELECT unnest(range(1, 65)) AS i) t, m1 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word, freq
+    ), p2 AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+        FROM w1, (SELECT unnest(range(1, 64)) AS i)
+        WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+    ), m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+    w2 AS (
+        SELECT word, freq, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, w.freq, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM w1 w, (SELECT unnest(range(1, 65)) AS i) t, m2 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word, freq
+    ), p3 AS (
+        SELECT s[i] AS a, s[i+1] AS b, sum(freq) AS cnt
+        FROM w2, (SELECT unnest(range(1, 64)) AS i)
+        WHERE i < len(s) AND s[i] <> s[i+1] GROUP BY 1, 2
+    ), m3 AS (SELECT a, b FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+    w3 AS (
+        SELECT word, freq, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, w.freq, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM w2 w, (SELECT unnest(range(1, 65)) AS i) t, m3 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word, freq
+    ), vocab AS (
+        SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT)
+                   AS tok_id
+        FROM (SELECT DISTINCT unnest(s) AS sym FROM w3)
+    ), wordsB AS (
+        SELECT DISTINCT w AS word FROM (
+            SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> '' AND doc_id % 2 = 1
+        ) WHERE w <> ''
+    ), b0 AS (
+        SELECT word, [word[i] FOR i IN range(1, len(word)+1)] AS s
+        FROM wordsB
+    ), b1 AS (
+        SELECT word, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM b0 w, (SELECT unnest(range(1, 65)) AS i) t, m1 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word
+    ), b2 AS (
+        SELECT word, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM b1 w, (SELECT unnest(range(1, 65)) AS i) t, m2 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word
+    ), b3 AS (
+        SELECT word, list(sym ORDER BY pos) AS s FROM (
+            SELECT w.word, t.i AS pos,
+                   CASE WHEN w.s[t.i] = m.a AND w.s[t.i+1] = m.b
+                        THEN w.s[t.i] || w.s[t.i+1] ELSE w.s[t.i] END AS sym,
+                   (t.i > 1 AND w.s[t.i-1] = m.a AND w.s[t.i] = m.b)
+                       AS dropped
+            FROM b2 w, (SELECT unnest(range(1, 65)) AS i) t, m3 m
+            WHERE t.i <= len(w.s)
+        ) WHERE NOT dropped GROUP BY word
+    ), wid AS (
+        SELECT word, list(coalesce(v.tok_id, -2) ORDER BY spos) AS ids,
+               CAST(count(*) FILTER (v.tok_id IS NULL) AS BIGINT)
+                   AS n_unk_w
+        FROM (
+            SELECT w.word, t.i AS spos, w.s[t.i] AS sym
+            FROM b3 w, (SELECT unnest(range(1, 65)) AS i) t
+            WHERE t.i <= len(w.s)
+        ) x LEFT JOIN vocab v USING (sym)
+        GROUP BY word
+    ), dw AS (
+        SELECT doc_id, u.p AS wpos, u.w AS w FROM (
+            SELECT doc_id,
+                   unnest([{'p': i, 'w': arr[i]}
+                           FOR i IN range(1, len(arr)+1)]) AS u
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+')
+                           AS arr
+                FROM documents
+                WHERE trim(text) <> '' AND doc_id % 2 = 1
+            )
+        ) WHERE u.w <> ''
+    )
+    SELECT d.doc_id,
+           flatten(list(w.ids ORDER BY d.wpos)) AS token_ids,
+           CAST(sum(len(w.ids)) AS BIGINT) AS n_tokens,
+           CAST(sum(w.n_unk_w) AS BIGINT) AS n_unk
+    FROM dw d JOIN wid w ON d.w = w.word
+    GROUP BY d.doc_id
+    """,
+)
+def q285_frozen_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VINTAGE-STABLE ENCODING under a FROZEN merges+vocab state
+    (operators/bpe_state.py::build_bpe_state(with_vocab=True) +
+    functions/text.py::bpe_doc_token_ids(vocab=..., unk_id=...)) —
+    the deployment half of the tokenizer contract the tensor path
+    needs: merges freeze token BOUNDARIES, but ids derived from each
+    batch's own subword set silently renumber when one subword
+    appears or vanishes, making tensors from different vintages
+    incomparable. Here the even-doc half of the corpus trains and
+    freezes both tables; the odd-doc half encodes STRICTLY under
+    them, unseen subwords mapping to unk_id=-2 (the loud no-unk
+    default is pinned in tests). The oracle restates the vintage-A
+    train chain, the vintage-A vocabulary rank, the frozen REPLAY of
+    those rules over vintage-B's words, and the per-document flatten
+    with the unk fallback — every id of every document hashed, plus
+    the per-doc unk count. Persisted-state round trip included: the
+    rules and vocab go through parquet, not memory."""
+    from ..functions.text import bpe_doc_token_ids
+    from ..operators.bpe_state import (
+        build_bpe_state,
+        read_bpe_merges,
+        read_bpe_vocab,
+    )
+    import shutil
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.where(F.pmod("doc_id", F.lit(2)) == 0)
+    b = d.where(F.pmod("doc_id", F.lit(2)) == 1)
+    work = tempfile.mkdtemp(prefix="ehs_frozen_vocab_")
+    try:
+        build_bpe_state(a, work, rounds=3, with_vocab=True)
+        rules = read_bpe_merges(spark, work).collect()
+        vocab = read_bpe_vocab(spark, work).localCheckpoint()
+        enc = bpe_doc_token_ids(
+            b, merges=rules, vocab=vocab, unk_id=-2
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return enc.select(
+        "doc_id",
+        "token_ids",
+        "n_tokens",
+        F.size(
+            F.filter("token_ids", lambda x: x == F.lit(-2))
+        ).cast("long").alias("n_unk"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)
