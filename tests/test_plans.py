@@ -282,7 +282,7 @@ def test_corpus_count_pinned():
     registry (VERDICT r2: COVERAGE/README/commit messages disagreed)."""
     from etlhelper_spark.plans import ORACLES, QUERIES
 
-    assert len(QUERIES) == len(ORACLES) == 285
+    assert len(QUERIES) == len(ORACLES) == 286
 
 
 def test_round3_plan_shapes(spark):
