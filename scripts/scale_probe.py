@@ -1426,6 +1426,48 @@ def main() -> None:
     probe("sample-state forget + re-race (10k reservoir over 1M)",
           n_docs, _sample_forget_probe)
 
+    def _frozen_vocab_probe():
+        from etlhelper_spark.functions.text import bpe_doc_token_ids
+        from etlhelper_spark.operators.bpe_state import (
+            build_bpe_state,
+            read_bpe_merges,
+            read_bpe_vocab,
+        )
+
+        work = os.path.join(tmp, "bpe_vocab_state")
+        half_a = docs.where(F.pmod("doc_id", F.lit(2)) == 0)
+        half_b = docs.where(F.pmod("doc_id", F.lit(2)) == 1)
+        build_bpe_state(half_a, work, rounds=3, with_vocab=True)
+        rules = read_bpe_merges(spark, work).collect()
+        vocab = read_bpe_vocab(spark, work)
+        return bpe_doc_token_ids(
+            half_b, merges=rules, vocab=vocab, unk_id=-2
+        ).count()
+
+    probe("frozen-vocab encode (train 500k, encode 500k new docs)",
+          n_docs, _frozen_vocab_probe)
+
+    def _repeat_probe():
+        from etlhelper_spark.functions.selection import repeat_to_budget
+
+        budgets = (
+            docs.groupBy(F.pmod("doc_id", F.lit(10)).alias("source"))
+            .agg(
+                F.floor(
+                    F.sum(
+                        F.size(F.split(F.trim("text"), r"\s+"))
+                    ) * F.lit(2.3)
+                ).alias("budget_tokens")
+            )
+        )
+        d = docs.withColumn(
+            "source", F.pmod("doc_id", F.lit(10))
+        )
+        return repeat_to_budget(d, budgets, source_col="source").count()
+
+    probe("epoch repeat plan (10 sources, 2.3x quota, 1M docs)",
+          n_docs, _repeat_probe)
+
     if args.only:
         for name, dt, rows, rate in results:
             print(f"| {name} | {dt} | {rows:,} | {rate:,} |")
