@@ -276,6 +276,40 @@ def test_repetition_stats_zero_exchange_no_python(spark):
     assert "Generate" not in plan  # no explode anywhere
 
 
+def test_pack_token_windows_single_aggregate_exchange(spark):
+    """The tensor build (q281's engine half) ships each token array
+    exactly once: ONE exchange for the pack-keyed window aggregate
+    (partial+final ObjectHashAggregate around it), the small
+    assignment side broadcast at this scale, metadata built in the
+    same projection — no window function, no second array shuffle."""
+    from etlhelper_spark.functions.packing import (
+        pack_documents,
+        pack_token_windows,
+    )
+    from etlhelper_spark.functions.text import word_token_ids
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dt = word_token_ids(d).localCheckpoint()
+    asg = pack_documents(
+        dt, budget=256, tokens_col="n_tokens", n_shards=4
+    ).localCheckpoint()
+    plan = explain_str(
+        pack_token_windows(dt, asg, budget=256, with_metadata=True)
+    )
+    tree = plan.split("\n\n")[0]
+    # one shuffle: the pack-keyed aggregate (broadcast join adds a
+    # BroadcastExchange, which is not a data shuffle)
+    import re
+
+    # \bExchange\b cannot match inside BroadcastExchange (no word
+    # boundary before the E), so this counts true shuffles only
+    shuffles = len(re.findall(r"\bExchange\b", tree))
+    assert shuffles == 1, tree
+    assert "Window" not in tree
+
+
 def test_corpus_count_pinned():
     """One corpus number everywhere: every declared query has an
     oracle, and the documented count can't silently drift from the
