@@ -312,6 +312,7 @@ def repeat_to_budget(
     tokens_col: str | None = None,
     text_col: str = "text",
     seed: str = "rep",
+    partial_buckets: int = 4096,
 ) -> DataFrame:
     """DATA-CONSTRAINED UPSAMPLING — turn per-source token quotas
     (q220's temperature mix output, or any (source, budget_tokens)
@@ -335,12 +336,28 @@ def repeat_to_budget(
     already-cleaned corpus).
 
     Distributed shape: one per-source aggregate (combinable) for
-    sizes, a broadcast join of the |sources|-row plan, an explode of
-    ``sequence(0, full-1)`` (rows grow by the repeat factor — exactly
-    the output's size, nothing amplifies beyond it), and one window
-    cumsum per source for the partial epoch. At 100 TB the only
-    shuffle is the per-source cumsum; repeated epochs are generated,
-    never copied through a shuffle."""
+    sizes, a broadcast join of the |sources|-row plan, and an explode
+    of ``sequence(0, full-1)`` (rows grow by the repeat factor —
+    exactly the output's size, nothing amplifies beyond it). The
+    partial-epoch race is a TWO-LEVEL cumsum, never a per-source
+    window over the corpus: the md5 priority's own hex prefix is a
+    contiguous RANGE bucket (prefix order == lexicographic order ==
+    race order, so bucket b's rows all precede bucket b+1's), per-
+    (source, bucket) token sums roll up in one combinable aggregate,
+    a bucket-level window (≤ *partial_buckets* rows per source —
+    bounded frame) turns them into bucket prefix offsets, buckets
+    whose offset already exceeds the remainder are PRUNED before any
+    corpus-sized shuffle (the remainder is under one epoch, so almost
+    every bucket drops), and only the surviving sliver takes the
+    within-bucket cumsum, partitioned (source, bucket) — at 100 TB no
+    task ever sorts more than ~1/partial_buckets of a source, and the
+    candidate join is AQE-broadcastable precisely because the pruned
+    bucket list is remainder-sized. Loud by construction (the
+    pack_token_windows convention): a corpus source with no budget
+    row, a budget source absent from the corpus, or a NULL budget
+    fails the job from the executor — an inner join would silently
+    zero that source's epochs (a typo'd quota line vanishing a source
+    from training data with no gate firing)."""
     from pyspark.sql import Window
 
     if tokens_col is not None:
@@ -366,21 +383,45 @@ def repeat_to_budget(
     totals = docs.groupBy(source_col).agg(
         F.sum("n_tokens").alias("__total")
     )
-    plan = (
-        totals.join(
-            F.broadcast(b), totals[source_col] == b["__src"], "inner"
+    # FULL outer + executor raise: a source on only one side (or a
+    # NULL quota) is a broken quota table, not an empty plan. The
+    # check rides __full's projection, which every consumer of the
+    # plan evaluates for every plan row (broadcast build / join
+    # stream), so a budget-only source raises even though it joins
+    # no documents.
+    joined = totals.join(
+        F.broadcast(b), totals[source_col] == b["__src"], "full_outer"
+    )
+    bad_src = F.raise_error(
+        F.concat(
+            F.lit("repeat_to_budget: source "),
+            F.coalesce(
+                F.col(source_col).cast("string"),
+                F.col("__src").cast("string"),
+                F.lit("NULL"),
+            ),
+            F.lit(
+                " is missing from one side (corpus/budgets) or has a"
+                " NULL budget — the epoch plan would silently drop it"
+            ),
         )
-        .select(
-            source_col,
-            F.floor(F.col("__budget") / F.col("__total"))
-            .cast("long")
-            .alias("__full"),
-            (
-                F.col("__budget")
-                - F.floor(F.col("__budget") / F.col("__total"))
-                * F.col("__total")
-            ).alias("__rem"),
+    )
+    n_full = F.floor(F.col("__budget") / F.col("__total")).cast("long")
+    # coalesce the key: a budget-only source leaves totals' key NULL,
+    # and the inner join's implicit isnotnull(key) would discard the
+    # row BEFORE its raising projection ran — coalescing keeps it in
+    # the broadcast build, where __full's check fires
+    plan = joined.select(
+        F.coalesce(F.col(source_col), F.col("__src")).alias(source_col),
+        F.when(
+            F.col(source_col).isNull()
+            | F.col("__src").isNull()
+            | F.col("__budget").isNull(),
+            bad_src.cast("long"),
         )
+        .otherwise(n_full)
+        .alias("__full"),
+        (F.col("__budget") - n_full * F.col("__total")).alias("__rem"),
     )
     base = docs.join(F.broadcast(plan), source_col)
     whole = base.where(F.col("__full") > 0).select(
@@ -391,14 +432,52 @@ def repeat_to_budget(
             F.sequence(F.lit(0).cast("long"), F.col("__full") - 1)
         ).alias("epoch"),
     )
-    w = (
+    # Two-level partial-epoch race. Bucket = a monotone map of the
+    # priority's first 4 hex chars, so buckets are CONTIGUOUS ranges
+    # of the race order; a NULL priority (null id) buckets to 0,
+    # matching the window's nulls-first ascending order.
+    nb = max(1, min(int(partial_buckets), 65536))
+    bhex = F.conv(F.substring("__pri", 1, 4), 16, 10).cast("long")
+    bucketed = base.withColumn(
+        "__bkt",
+        F.coalesce(
+            F.floor(bhex * F.lit(nb) / F.lit(65536)).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+    )
+    # bucket offsets: ≤ nb rows per source reach this window (the
+    # bounded-frame contract — the aggregate collapsed the corpus)
+    wb = (
         Window.partitionBy(source_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cand = (
+        bucketed.groupBy(source_col, "__bkt")
+        .agg(F.sum("n_tokens").alias("__bsum"))
+        .withColumn(
+            "__boff", F.sum("__bsum").over(wb) - F.col("__bsum")
+        )
+        .join(F.broadcast(plan.select(source_col, "__rem")), source_col)
+        # prune BEFORE the corpus-sized shuffle: a bucket whose
+        # prefix offset already covers the remainder admits nothing
+        .where(F.col("__boff") < F.col("__rem"))
+        .select(source_col, "__bkt", "__boff")
+    )
+    # no broadcast hint: typically remainder-sized (AQE converts to
+    # broadcast at runtime); when it is not, the shuffle join's
+    # (source, __bkt) partitioning is exactly the window's, so
+    # Catalyst inserts no second exchange
+    w = (
+        Window.partitionBy(source_col, "__bkt")
         .orderBy("__pri", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     partial = (
-        base.withColumn(
-            "__cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        bucketed.join(cand, [source_col, "__bkt"])
+        .withColumn(
+            "__cum_before",
+            F.col("__boff") + F.sum("n_tokens").over(w) - F.col("n_tokens"),
         )
         .where(F.col("__cum_before") < F.col("__rem"))
         .select(

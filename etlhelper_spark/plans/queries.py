@@ -17924,8 +17924,12 @@ def q282_epoch_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed remainder race, so the hash pins every (doc, epoch) row.
     Distributed shape: one combinable per-source aggregate, a
     broadcast |sources|-row plan, a generated explode (output-sized,
-    nothing amplifies beyond the plan), and one per-source window
-    cumsum — the only shuffle."""
+    nothing amplifies beyond the plan), and a TWO-LEVEL remainder
+    race — md5-prefix range buckets, bucket-sum offsets, pre-shuffle
+    pruning of buckets past the remainder — so no task ever sorts
+    more than ~1/4096 of a source (the r11 per-source-window
+    scale-killer, fixed; every window in the plan is bucketed,
+    asserted in tests/test_plans.py)."""
     from ..functions.selection import repeat_to_budget
 
     d = _t(spark, sf_dir, "documents").select(

@@ -1468,6 +1468,30 @@ def main() -> None:
     probe("epoch repeat plan (10 sources, 2.3x quota, 1M docs)",
           n_docs, _repeat_probe)
 
+    def _repeat_skew_probe():
+        # the r11 scale-killer shape: one source holds 90% of the
+        # corpus, so the old per-source window cumsum would sort 900k
+        # rows in ONE task; the two-level bucketed race must hold its
+        # rate here or the fix is cosmetic
+        from etlhelper_spark.functions.selection import repeat_to_budget
+
+        d = docs.withColumn(
+            "source",
+            F.when(F.pmod("doc_id", F.lit(10)) < 9, F.lit(0)).otherwise(
+                F.pmod("doc_id", F.lit(10))
+            ),
+        )
+        budgets = d.groupBy("source").agg(
+            F.floor(
+                F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+                * F.lit(2.3)
+            ).alias("budget_tokens")
+        )
+        return repeat_to_budget(d, budgets, source_col="source").count()
+
+    probe("epoch repeat plan SKEWED (one source=90% of 1M docs)",
+          n_docs, _repeat_skew_probe)
+
     if args.only:
         for name, dt, rows, rate in results:
             print(f"| {name} | {dt} | {rows:,} | {rate:,} |")

@@ -178,3 +178,62 @@ def test_repeat_to_budget_sub_size_budget_is_pure_race(spark):
     out = repeat_to_budget(docs, budgets, tokens_col="nt").collect()
     assert all(r["epoch"] == 0 for r in out)
     assert 0 < len(out) < 3  # a strict subset admitted
+
+
+def test_repeat_to_budget_raises_on_unmatched_source(spark):
+    """The quota join is loud, not silent (ADVICE r11): a corpus
+    source with no budget row, a budget row naming no corpus source
+    (the typo'd quota line), or a NULL budget fails the job instead
+    of quietly planning zero epochs for that source."""
+    import pytest
+
+    from etlhelper_spark.functions.selection import repeat_to_budget
+    from etlhelper_spark.functions.util import literal_frame
+
+    docs = literal_frame(
+        spark,
+        [(1, "a", 10), (2, "b", 20)],
+        "doc_id long, source string, nt long",
+    )
+    shapes = {
+        "budget-only source": [("a", 30), ("b", 40), ("zz", 5)],
+        "missing budget row": [("a", 30)],
+        "null budget": [("a", 30), ("b", None)],
+    }
+    for name, rows in shapes.items():
+        budgets = literal_frame(
+            spark, rows, "source string, budget_tokens long"
+        )
+        with pytest.raises(Exception, match="repeat_to_budget"):
+            repeat_to_budget(docs, budgets, tokens_col="nt").count()
+
+
+def test_repeat_to_budget_bucket_count_invariance(spark):
+    """The two-level race is exact for ANY bucket count: the bucket
+    map is a monotone function of the race order, so admissions are
+    identical at 1 bucket (degenerate: the old per-source window),
+    the default 4096, and the 65536 max."""
+    from etlhelper_spark.functions.selection import repeat_to_budget
+    from etlhelper_spark.functions.util import literal_frame
+
+    docs = literal_frame(
+        spark,
+        [(i, "s" if i % 3 else "t", 7 + i % 11) for i in range(1, 80)],
+        "doc_id long, source string, nt long",
+    )
+    budgets = literal_frame(
+        spark,
+        [("s", 1500), ("t", 400)],
+        "source string, budget_tokens long",
+    )
+    plans = []
+    for nb in (1, 4096, 65536):
+        plans.append(
+            sorted(
+                (r["doc_id"], r["epoch"])
+                for r in repeat_to_budget(
+                    docs, budgets, tokens_col="nt", partial_buckets=nb
+                ).collect()
+            )
+        )
+    assert plans[0] == plans[1] == plans[2]

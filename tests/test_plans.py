@@ -456,3 +456,21 @@ def test_knn_vote_query_side_broadcast(spark):
         "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     )
     assert "Python" not in plan
+
+
+def test_repeat_to_budget_no_corpus_wide_window(spark):
+    """q282's partial-epoch race must never put a whole source in one
+    task: every window in the plan is either bucketed (partitioned by
+    (source, __bkt) — a 1/partial_buckets slice of a source) or runs
+    over the bucket-sum aggregate (≤ partial_buckets rows per source).
+    Both specs mention __bkt; a bare per-source corpus window — the
+    r11 scale-killer — would not."""
+    import re
+
+    from etlhelper_spark.plans.queries import q282_epoch_repeats
+
+    plan = explain_str(q282_epoch_repeats(spark, SF))
+    specs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert specs, "expected window specs in the q282 plan"
+    for spec in specs:
+        assert "__bkt" in spec, spec
