@@ -203,6 +203,7 @@ def pack_token_windows(
     id_col: str = "doc_id",
     ids_col: str = "token_ids",
     with_metadata: bool = False,
+    check_unassigned: bool = True,
 ) -> DataFrame:
     """MATERIALIZE the context windows a trainer consumes — the last
     step of the prepare-for-training path: per-document token-id
@@ -221,7 +222,24 @@ def pack_token_windows(
     that drove packing) or a pack exceeding the budget (own_pack
     oversize assignments have no fixed-length tensor form) fails the
     job from the executor, never a silently truncated or ragged
-    tensor.
+    tensor. The membership gate is BIDIRECTIONAL (ADVICE r11): the
+    LEFT join catches an assigned document missing from *doc_tokens*,
+    and ``check_unassigned`` (default on) catches the reverse — an
+    encoded document absent from *assignments* (a stale assignment
+    table relative to a re-encoded corpus: docs added since packing
+    would otherwise vanish from training data with no gate firing).
+    Because the forward gate already forces assignments ⊆ doc_tokens
+    and both frames carry one row per document, the reverse check is
+    a pure COUNT comparison — two one-row aggregates broadcast into
+    the output projection, zero corpus shuffle (a count deficit the
+    other way flags duplicate assignment rows, also fatal). It
+    presumes unique ids per frame (pack_documents' duplicate-key
+    rejection upstream); pass ``check_unassigned=False`` to
+    knowingly drop unassigned documents, or when re-counting a
+    non-checkpointed Python-stage input would recompute it. (A fully
+    EMPTY assignments frame yields an empty result rather than a
+    raise — zero packs is visible on its own; the gate exists for
+    the partial-staleness case that is not.)
 
     Distributed shape: the id-keyed join ships each token array
     exactly once (the only corpus-scale move — the q276 manifest
@@ -356,8 +374,40 @@ def pack_token_windows(
             .alias(out)
         )
 
+    pack_id_col = F.col("pack_id")
+    if check_unassigned:
+        # reverse membership as a count comparison: forward gate ⇒
+        # assignments ⊆ doc_tokens, ids unique per frame ⇒ any count
+        # difference is exactly the stray/duplicate set. Two one-row
+        # aggregates, broadcast into the pack_id projection (always
+        # consumed, so Catalyst cannot prune the check away) — zero
+        # corpus shuffle.
+        counts = (
+            doc_tokens.select(F.count(F.lit(1)).alias("__nt"))
+            .crossJoin(
+                assignments.select(F.count(F.lit(1)).alias("__na"))
+            )
+        )
+        stray = F.raise_error(
+            F.concat(
+                F.lit("pack_token_windows: "),
+                (F.col("__nt") - F.col("__na")).cast("string"),
+                F.lit(
+                    " more encoded document(s) than pack assignments"
+                    " — the assignment table is stale relative to the"
+                    " corpus (docs encoded since packing would vanish"
+                    " from training data); negative means duplicate"
+                    " assignment rows. Re-pack, or pass"
+                    " check_unassigned=False to drop them knowingly"
+                ),
+            )
+        )
+        pack_id_col = F.when(
+            F.col("__nt") != F.col("__na"), stray.cast("long")
+        ).otherwise(F.col("pack_id"))
+        agg = agg.crossJoin(F.broadcast(counts))
     out_cols = [
-        F.col("pack_id"),
+        pack_id_col.alias("pack_id"),
         F.col("shard"),
         F.col("n_docs"),
         F.col("pack_tokens"),

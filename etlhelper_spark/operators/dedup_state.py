@@ -61,6 +61,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -289,12 +290,17 @@ def prune_state_versions(
     if keep < 1:
         raise ValueError("prune_state_versions: keep must be >= 1")
     subdir = os.path.join(state_dir, store)
+    # sort by (batch, erase_epoch): an erasure cutover v<k>.e<n>
+    # outranks its source v<k>, so a crash-window leftover v<k>
+    # (erasure renamed but did not finish purging) prunes FIRST —
+    # it still holds the forgotten rows
     versions = []
     for p in glob.glob(os.path.join(subdir, "v*")):
-        try:
-            versions.append((int(os.path.basename(p)[1:]), p))
-        except ValueError:
-            continue
+        m = _VERSION_RE.match(os.path.basename(p))
+        if m:
+            versions.append(
+                ((int(m.group(1)), int(m.group(2) or 0)), p)
+            )
     versions.sort()
     doomed = versions[:-keep] if keep < len(versions) else []
     for _, p in doomed:
@@ -553,15 +559,13 @@ def dedup_exact_incremental_bloom(
 
 
 def _latest_version_num(subdir: str, batch_id: int) -> int:
-    """Highest ``v<k>`` version strictly below *batch_id*, or -1."""
+    """Highest version BATCH number strictly below *batch_id*, or -1
+    (erase epochs ``v<k>.e<n>`` report their batch k; torn dirs are
+    skipped — see ``_scan_versions``)."""
     best = -1
-    for p in glob.glob(os.path.join(subdir, "v*")):
-        try:
-            v = int(os.path.basename(p)[1:])
-        except ValueError:
-            continue
-        if v < batch_id:
-            best = max(best, v)
+    for (k, _e), _p in _scan_versions(subdir):
+        if k < batch_id:
+            best = max(best, k)
     return best
 
 
@@ -887,60 +891,89 @@ def embedding_lsh_incremental(
     return out
 
 
+_VERSION_RE = re.compile(r"^v(\d+)(?:\.e(\d+))?$")
+
+
+def _scan_versions(subdir: str) -> list[tuple[tuple[int, int], str]]:
+    """Sorted ``((batch, erase_epoch), path)`` of a rewrite store's
+    COMPLETE version dirs: ``v<k>`` is batch *k*'s apply (epoch 0),
+    ``v<k>.e<n>`` is the *n*-th erasure cutover of that state (the
+    packing assign-store convention, shared so erasure NEVER consumes
+    a batch id — a checkpointed stream's next engine-assigned id stays
+    valid after any number of erasures). Completeness is Spark's own
+    ``_SUCCESS`` marker (packing's ``_assign_versions`` rule): a torn
+    write from a crashed apply is invisible — never read, never a
+    version that blocks the batch sequence — and is healed by the
+    overwrite of the next complete write at that version."""
+    out = []
+    for p in glob.glob(os.path.join(subdir, "v*")):
+        m = _VERSION_RE.match(os.path.basename(p))
+        if not m:
+            continue
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            continue
+        out.append(((int(m.group(1)), int(m.group(2) or 0)), p))
+    return sorted(out)
+
+
 def _rewrite_batch_guard(subdir: str, batch_id: int) -> None:
     """Loud monotone-batch enforcement for the rewrite-versioned
     stores (``v<batch>`` full rewrites: sample reservoir, frequency
     sketch, CDC snapshot, cluster labels, golden records). Allowed:
     an empty store, a batch id above every existing version (forward
-    progress), or an overwrite of the batch's OWN intact version (the
+    progress — erasure cutovers live at ``v<k>.e<n>`` in the SAME
+    batch id space as the state they rewrote, so after erasing at
+    live version k the stream's natural next id k+1 still passes),
+    or an overwrite of the batch's OWN intact version (the
     at-least-once replay contract — identical recompute reading only
-    versions below it). Rejected loudly: a batch id at or below
-    another version with no own version to replay — the signature of
-    (a) a collision with an erasure cutover version (``_ERASE``
-    sentinel: erasure consumed that id and PURGED all history, so the
-    apply would find nothing below itself and silently rebuild the
-    store from one batch, discarding the erased state), (b) a replay
-    from below an erasure/prune horizon (its write would put purged —
-    possibly forgotten — rows back on disk), or (c) an out-of-order
-    id violating the documented contract. Callers hitting (a) renumber
-    above the erasure version; (b) is an ack-and-skip at the source."""
-    versions = []
-    for p in glob.glob(os.path.join(subdir, "v*")):
-        try:
-            versions.append(int(os.path.basename(p)[1:]))
-        except ValueError:
-            continue
+    versions below it; erasure is STICKY, so an own version
+    superseded by an erase epoch no longer licenses replay — the
+    rewrite would put forgotten rows back on disk). Rejected loudly:
+    a batch id at or below another version with no replayable own
+    version — the signature of (a) a replay from below an
+    erasure/prune horizon, (b) a legacy pre-epoch erasure cutover
+    (``_ERASE`` sentinel on an integer version — those DID consume a
+    batch id), or (c) an out-of-order id violating the documented
+    contract. (a) is an ack-and-skip at the source; (b) renumbers
+    above the sentinel version. Torn version dirs (no ``_SUCCESS``)
+    are invisible here (see ``_scan_versions``) — a crashed write
+    neither licenses a replay nor blocks fresh batches."""
+    versions = _scan_versions(subdir)
     if not versions:
         return
     own = os.path.join(subdir, f"v{int(batch_id)}")
-    if os.path.isdir(own) and not os.path.exists(
-        os.path.join(own, "_ERASE")
-    ):
+    own_intact = os.path.isdir(own) and os.path.exists(
+        os.path.join(own, "_SUCCESS")
+    )
+    own_erased = os.path.exists(os.path.join(own, "_ERASE")) or any(
+        k == int(batch_id) and e > 0 for (k, e), _p in versions
+    )
+    if own_intact and not own_erased:
         return
-    if int(batch_id) <= max(versions):
+    max_k = max(k for (k, _e), _p in versions)
+    if int(batch_id) <= max_k:
         raise ValueError(
             f"batch_id {int(batch_id)} is at or below an existing "
-            f"version of {subdir} (max v{max(versions)}) with no own "
-            "version to replay — it collides with an erasure cutover "
-            "or falls below an erasure/prune horizon; use a batch id "
-            "above every existing version"
+            f"version of {subdir} (max batch v{max_k}) with no own "
+            "version to replay — it falls below an erasure/prune "
+            "horizon (or collides with a legacy erasure cutover); "
+            "use a batch id above every existing version"
         )
 
 
 def _latest_version(spark, subdir: str, batch_id: int) -> DataFrame | None:
-    """Latest FULL state version strictly below *batch_id* (the ivm
-    versioned-state convention — used by stores that rewrite rather
-    than append, like cluster labels)."""
-    versions = []
-    for p in glob.glob(os.path.join(subdir, "v*")):
-        try:
-            versions.append(int(os.path.basename(p)[1:]))
-        except ValueError:
-            continue
-    versions = [v for v in versions if v < batch_id]
+    """Latest COMPLETE state version strictly below *batch_id* (the
+    ivm versioned-state convention — used by stores that rewrite
+    rather than append, like cluster labels). An erasure cutover
+    ``v<k>.e<n>`` outranks its source ``v<k>`` (erasure is sticky)
+    and is visible to batch k+1 exactly as v<k> was; torn dirs
+    (no ``_SUCCESS``) are skipped."""
+    versions = [
+        (ke, p) for ke, p in _scan_versions(subdir) if ke[0] < batch_id
+    ]
     if not versions:
         return None
-    return spark.read.parquet(os.path.join(subdir, f"v{max(versions)}"))
+    return spark.read.parquet(versions[-1][1])
 
 
 def duplicate_clusters_incremental(

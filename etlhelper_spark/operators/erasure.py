@@ -291,15 +291,14 @@ def forget_from_index_state(
         state_partitions,
     )
     # stats: exact recompute from the kept postings (no subtraction
-    # edge cases), written as the next version so _latest_version
-    # resolves it; subsequent ingest batch ids must stay above it —
-    # the same monotone-batch contract every store here already has
+    # edge cases), written as an ERASE EPOCH of the live version
+    # (v<k>.e<n+1>, the packing convention) so _latest_version
+    # resolves it WITHOUT consuming a batch id — a checkpointed
+    # ingest's natural next id stays valid after the erasure
+    from .dedup_state import _scan_versions
+
     stats_dir = os.path.join(state_dir, "stats")
-    stats_versions = sorted(
-        int(os.path.basename(p)[1:])
-        for p in glob.glob(os.path.join(stats_dir, "v*"))
-        if os.path.basename(p)[1:].isdigit()
-    )
+    stats_versions = _scan_versions(stats_dir)
     if stats_versions:
         # newest COMPLETE base only (marker-checked) — a glob would
         # also read a crash-orphaned partial version
@@ -307,7 +306,8 @@ def forget_from_index_state(
         recomputed = kept.groupBy("token").agg(
             F.count("*").alias("n"), F.sum("n").alias("cf")
         )
-        out = os.path.join(stats_dir, f"v{stats_versions[-1] + 1}")
+        (k, e), _lp = stats_versions[-1]
+        out = os.path.join(stats_dir, f"v{k}.e{e + 1}")
         recomputed.repartition(state_partitions).write.mode(
             "overwrite"
         ).parquet(out)
@@ -430,16 +430,16 @@ def forget_from_ivfpq_index(spark, path: str, ids) -> int:
     return total
 
 
-def _golden_versions(subdir: str) -> list[tuple[int, str]]:
-    """Sorted ``(version, path)`` of the golden store's ``v<k>``
-    directories (the ivm rewrite-versioned convention — no marker:
-    each version is written whole)."""
-    out = []
-    for p in glob.glob(os.path.join(subdir, "v*")):
-        tail = os.path.basename(p)[1:]
-        if tail.isdigit():
-            out.append((int(tail), p))
-    return sorted(out)
+def _golden_versions(subdir: str) -> list[tuple[tuple[int, int], str]]:
+    """Sorted ``((batch, erase_epoch), path)`` of a rewrite store's
+    COMPLETE versions — ``v<k>`` batch applies and ``v<k>.e<n>``
+    erasure cutovers (dedup_state._scan_versions, the shared
+    convention): erasure lives in its own epoch dimension and never
+    consumes a batch id, torn writes (no ``_SUCCESS``) are invisible
+    to readers."""
+    from .dedup_state import _scan_versions
+
+    return _scan_versions(subdir)
 
 
 def forget_from_golden_state(
@@ -588,45 +588,65 @@ def _rewrite_versions(subdir: str) -> list[tuple[int, str]]:
 def _heal_and_purge_history(subdir: str, versions) -> None:
     """Entry hygiene shared by the rewrite-versioned erasures: stale
     temp dirs from an interrupted prior erasure go first, then every
-    SUPERSEDED version — each older ``v<k>`` is a full rewrite that
-    still holds the rows (PII included) its successor replaced, so
-    purging them is part of the erasure, not housekeeping."""
+    SUPERSEDED version — each older ``v<k>``/``v<k>.e<n>`` is a full
+    rewrite that still holds the rows (PII included) its successor
+    replaced, so purging them is part of the erasure, not
+    housekeeping. Torn version dirs (no ``_SUCCESS`` — a crashed
+    apply's partial write) are purged too: readers already skip them,
+    and their files physically retain possibly-doomed rows."""
+    from .dedup_state import _VERSION_RE
+
+    live = versions[-1][1] if versions else None
+    complete = {p for _v, p in versions}
     for p in glob.glob(os.path.join(subdir, ".v*.tmp")):
         shutil.rmtree(p, ignore_errors=True)
     for _v, p in versions[:-1]:
         shutil.rmtree(p, ignore_errors=True)
+    for p in glob.glob(os.path.join(subdir, "v*")):
+        if (
+            p != live
+            and p not in complete
+            and _VERSION_RE.match(os.path.basename(p))
+        ):
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def _atomic_version_cutover(
     new_state: DataFrame,
     subdir: str,
-    cur_version: int,
+    cur_version: tuple[int, int],
     cur_path: str,
     state_partitions: int,
 ) -> None:
-    """Write *new_state* as ``v<cur+1>`` via write-to-temp + atomic
-    rename (rename LAST — a crash leaves either the old or the new
-    state, never a torn one), then purge the superseded version. A
-    crash between rename and purge is healed on the next erasure's
-    entry sweep.
+    """Write *new_state* as an ERASE EPOCH of the live version —
+    ``v<k>.e<n+1>`` where the live state is ``v<k>``/``v<k>.e<n>``
+    (the packing assign-store convention) — via write-to-temp +
+    atomic rename (rename LAST — a crash leaves either the old or
+    the new state, never a torn one), then purge the superseded
+    version. A crash between rename and purge is healed on the next
+    erasure's entry sweep.
 
-    The new version carries an ``_ERASE`` sentinel file (parquet
-    readers ignore underscore files): it marks the version as an
-    erasure CUTOVER, not a batch apply — the ingest-side
-    ``_rewrite_batch_guard`` (operators/dedup_state.py) uses it to
-    reject a later apply whose batch id collides with the erasure
-    version. Without the guard, an apply at the natural next id would
-    find no version strictly below itself (history was purged) and
-    silently REBUILD the store from that one batch — the erased state
-    discarded without an error."""
-    nxt = cur_version + 1
-    tmp = os.path.join(subdir, f".v{nxt}.tmp")
+    Erase epochs live OUTSIDE the batch-id space: a checkpointed
+    stream that last applied batch k keeps its engine-assigned next
+    id k+1 valid after any number of erasures (r11's cutover wrote
+    ``v<k+1>``, which collided with exactly that id and wedged the
+    resumed stream against ``_rewrite_batch_guard`` permanently —
+    engine batch ids cannot be renumbered). The guard still rejects
+    a REPLAY of batch k itself after an erasure at k (erasure is
+    sticky — the rewrite would resurrect forgotten rows), which is
+    the loud ack-and-skip contract, not a wedge: only already-applied
+    ids below the horizon raise. The ``_ERASE`` sentinel is kept for
+    audit and for legacy (integer-versioned) cutovers the guard must
+    still refuse to overwrite."""
+    k, e = cur_version
+    nxt = f"v{k}.e{e + 1}"
+    tmp = os.path.join(subdir, f".{nxt}.tmp")
     new_state.repartition(state_partitions).write.mode("overwrite").parquet(
         tmp
     )
     with open(os.path.join(tmp, "_ERASE"), "w"):
         pass
-    os.rename(tmp, os.path.join(subdir, f"v{nxt}"))  # atomic cutover
+    os.rename(tmp, os.path.join(subdir, nxt))  # atomic cutover
     shutil.rmtree(cur_path, ignore_errors=True)
 
 
@@ -883,13 +903,29 @@ STATE_STORE_REGISTRY: dict[str, dict[str, str]] = {
             "WAIVED: ordered merge-rule table — corpus-level pair-"
             "frequency aggregates (subword fragments), no per-row "
             "input values; the frozen-vintage contract requires the "
-            "rules to stay immutable"
+            "rules to stay immutable. ROUNDS-DEPENDENT (VERDICT "
+            "r11): at the small `rounds` used here fragments stay "
+            "a few characters, but a large-`rounds` BPE can "
+            "memorize a rare-but-repeated PII string VERBATIM as a "
+            "merge chain (the classic tokenizer-memorization "
+            "result) — the no-row-values claim weakens as rounds "
+            "grow. Tokenizer-bearing deployments that accept "
+            "deletion requests must either cap rounds low enough "
+            "that fragments stay sub-identifier length, or treat "
+            "the tokenizer itself as erasable: RETRAIN-ON-FORGET "
+            "(build_bpe_state over the retained corpus — a new "
+            "vintage, so downstream ids must re-encode, which the "
+            "q285 frozen-vintage machinery makes an explicit, "
+            "gated step rather than a silent drift)"
         ),
         "vocab": (
             "WAIVED: frozen (sym, tok_id) table — the distinct "
             "subword set of the trained vocabulary, a corpus-level "
             "aggregate with no per-row input values; the vintage "
-            "contract requires ids to stay immutable"
+            "contract requires ids to stay immutable. Shares the "
+            "merges store's rounds-dependence caveat: vocab entries "
+            "are merge products, so the same retrain-on-forget (or "
+            "documented rounds cap) applies"
         ),
     },
     "cdc": {"snapshot": "forget_from_cdc_state"},

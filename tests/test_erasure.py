@@ -729,31 +729,37 @@ def test_forget_everywhere_covers_cdc_and_clusters(spark, tmp_path):
     assert out["duplicate_clusters"] == 1
 
 
-def test_post_erase_batch_id_collision_raises(spark, tmp_path):
-    """The review-confirmed silent-reset hole: after an erasure writes
-    v<k+1> and purges history, an apply at batch_id k+1 would find no
-    version below itself and rebuild the store from one batch. The
-    _rewrite_batch_guard now rejects the collision loudly; the next
-    FREE id folds onto the erased state correctly."""
+def test_post_erase_next_engine_batch_id_proceeds(spark, tmp_path):
+    """Erase epochs live OUTSIDE the batch-id space (ADVICE r11): an
+    erasure at live v2 writes v2.e1 — NOT v3 — so a checkpointed
+    stream's engine-assigned next id 3 folds onto the erased state
+    instead of wedging against the guard forever (engine batch ids
+    cannot be renumbered). A REPLAY of batch 2 itself stays rejected:
+    erasure is sticky, the rewrite would resurrect forgotten rows."""
+    import os
+
     from etlhelper_spark.operators.erasure import forget_from_sample_state
     from etlhelper_spark.operators.sample_state import (
         weighted_sample_incremental,
     )
 
     st = str(tmp_path / "st")
-    d, sample = _fold_sample(spark, st)  # batches 0,1,2 -> erase -> v3
+    d, sample = _fold_sample(spark, st)  # batches 0,1,2 -> live v2
     doomed = [sample.select("doc_id").first()["doc_id"]]
     forget_from_sample_state(spark, st, doomed, "doc_id")
-    with pytest.raises(ValueError, match="erasure cutover"):
-        weighted_sample_incremental(
-            d.limit(5), st, 3, "w", 10, "doc_id"
-        )
-    # a fresh id ABOVE the erasure version folds onto the erased state
+    assert os.path.isdir(os.path.join(st, "wsample", "v2.e1"))
+    assert not os.path.isdir(os.path.join(st, "wsample", "v3"))
+    # the engine's natural next id folds onto the ERASED state
     out = weighted_sample_incremental(
-        d.where(~F.col("doc_id").isin(doomed)), st, 4, "w", 10, "doc_id"
+        d.where(~F.col("doc_id").isin(doomed)), st, 3, "w", 10, "doc_id"
     )
     assert out.count() == 10
     assert out.where(F.col("doc_id").isin(doomed)).count() == 0
+    # replaying the erased batch id itself is refused (sticky erasure)
+    with pytest.raises(ValueError, match="erasure"):
+        weighted_sample_incremental(
+            d.limit(5), st, 2, "w", 10, "doc_id"
+        )
 
 
 def test_replay_below_purged_horizon_raises(spark, tmp_path):
@@ -812,3 +818,26 @@ def test_forget_cdc_state_string_keys_from_list(spark, tmp_path):
         glob.glob(os.path.join(st, "snapshot", "v*"))[0]
     )
     assert [r["email"] for r in left.collect()] == ["bob@x.com"]
+
+
+def test_torn_version_write_heals_instead_of_wedging(spark, tmp_path):
+    """A crashed apply's partial write (version dir without Spark's
+    _SUCCESS marker — ADVICE r11) must neither block the batch
+    sequence nor be handed to readers: the guard treats it as absent
+    (the batch's own overwrite heals it) and _latest_version skips it."""
+    import os
+
+    from etlhelper_spark.operators.sample_state import (
+        weighted_sample_incremental,
+    )
+
+    st = str(tmp_path / "st")
+    d, _sample = _fold_sample(spark, st)  # batches 0,1,2 -> live v2
+    # simulate a torn write of batch 7: dir exists, no _SUCCESS
+    torn = os.path.join(st, "wsample", "v7")
+    os.makedirs(torn)
+    # a fresh batch at or below the torn id proceeds (torn is not a
+    # version) and reads v2, not the torn dir
+    out = weighted_sample_incremental(d, st, 7, "w", 10, "doc_id")
+    assert out.count() == 10
+    assert os.path.exists(os.path.join(st, "wsample", "v7", "_SUCCESS"))

@@ -382,3 +382,45 @@ def test_windows_reject_missing_document(spark, tok_docs):
     holey = tok_docs.where(F.col("doc_id") != some_id)
     with pytest.raises(SparkRuntimeException, match="no token_ids row"):
         pack_token_windows(holey, asg, budget=512).collect()
+
+
+def test_pack_token_windows_stale_assignments_raise(spark):
+    """Reverse membership gate (ADVICE r11): an encoded document with
+    no pack assignment — a stale assignment table — raises instead of
+    silently vanishing from the tensors; check_unassigned=False opts
+    into the drop; duplicate assignment rows also trip the gate."""
+    import pytest
+
+    from etlhelper_spark.functions.packing import (
+        pack_documents,
+        pack_token_windows,
+    )
+    from etlhelper_spark.functions.util import literal_frame
+
+    dt = literal_frame(
+        spark,
+        [(1, [10, 11]), (2, [20]), (3, [30, 31, 32])],
+        "doc_id long, token_ids array<long>",
+    )
+    # assignments built BEFORE doc 3 was encoded (stale)
+    asg = pack_documents(
+        dt.where("doc_id < 3").select(
+            "doc_id", F.size("token_ids").cast("long").alias("n_tokens")
+        ),
+        budget=8,
+        tokens_col="n_tokens",
+        n_shards=1,
+    )
+    with pytest.raises(Exception, match="stale"):
+        pack_token_windows(dt, asg, budget=8).collect()
+    # opting out drops doc 3 knowingly, keeps 1 and 2
+    out = pack_token_windows(
+        dt, asg, budget=8, check_unassigned=False
+    ).collect()
+    assert sum(r["n_docs"] for r in out) == 2
+    # duplicate assignment rows (negative count diff) also raise
+    dup = asg.unionByName(asg.limit(1))
+    with pytest.raises(Exception, match="duplicate|stale"):
+        pack_token_windows(
+            dt.where("doc_id < 3"), dup, budget=8
+        ).collect()

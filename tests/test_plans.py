@@ -299,14 +299,22 @@ def test_pack_token_windows_single_aggregate_exchange(spark):
         pack_token_windows(dt, asg, budget=256, with_metadata=True)
     )
     tree = plan.split("\n\n")[0]
-    # one shuffle: the pack-keyed aggregate (broadcast join adds a
-    # BroadcastExchange, which is not a data shuffle)
+    # one CORPUS shuffle: the pack-keyed hashpartitioning aggregate
+    # (broadcast join adds a BroadcastExchange, which is not a data
+    # shuffle; the reverse membership gate adds Exchange
+    # SinglePartition nodes that move one count row per partition,
+    # never the token arrays)
     import re
 
     # \bExchange\b cannot match inside BroadcastExchange (no word
-    # boundary before the E), so this counts true shuffles only
-    shuffles = len(re.findall(r"\bExchange\b", tree))
-    assert shuffles == 1, tree
+    # boundary before the E), so this counts true shuffles only;
+    # formatted mode keeps partitioning in the detail sections, so
+    # subtract the SinglePartition (one-count-row) exchanges there
+    n_exchanges = len(re.findall(r"\bExchange\b", tree))
+    n_single = len(
+        re.findall(r"Arguments: SinglePartition", plan)
+    )
+    assert n_exchanges - n_single == 1, tree
     assert "Window" not in tree
 
 
