@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["chunk_documents"]
+__all__ = ["chunk_documents", "chunk_token_ids"]
 
 
 def chunk_documents(
@@ -122,3 +122,75 @@ def chunk_documents(
     if with_text:
         out_cols.append(F.array_join(piece, " ").alias("chunk_text"))
     return exploded.select(*out_cols)
+
+
+def chunk_token_ids(
+    df: DataFrame,
+    size: int,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    chunk_id_col: str = "chunk_id",
+    stride_bits: int = 20,
+) -> DataFrame:
+    """Chunk per-document TOKEN-ID arrays into consecutive windows —
+    the encode-then-chunk composition the tensor path needs: when the
+    corpus is already encoded (text.py::word_token_ids /
+    bpe_doc_token_ids), chunking the ID ARRAYS instead of re-splitting
+    text guarantees the chunk token counts and the downstream
+    pack_token_windows length gate can never disagree about tokenizer
+    vintage (chunk_documents' text-split counts only match an
+    encoder's when their token rules are identical — this operator
+    removes that coupling entirely). Returns ``(<chunk_id_col>,
+    <ids_col> array<long>, n_tokens)`` with the derived id
+    ``doc_id * 2^stride_bits + chunk_idx`` — the q270 stride
+    convention, enforced IN-PLAN: a document with ``>= 2^stride_bits``
+    chunks raises from the executor instead of silently colliding two
+    chunks into one id (which would make pack order
+    arrival-dependent). No overlap: packing windows must partition the
+    token stream, or repeated spans would train twice.
+
+    Distributed shape: a generated chunk-index sequence, posexplode,
+    slice — one codegen projection, zero shuffle, zero Python; at
+    100 TB this runs at scan speed (plan-asserted in
+    tests/test_plans.py). Note the stride is a power of two: shard
+    downstream with ``n_shards`` COPRIME to it (7, not 8), or
+    ``chunk_id % n_shards`` degenerates to ``chunk_idx % n_shards``
+    and every chunk-0 lands in one shard."""
+    size = int(size)
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    cap = 1 << int(stride_bits)
+    n = F.size(F.col(ids_col))
+    last = F.floor(
+        (F.greatest(n, F.lit(1)) - F.lit(1)) / F.lit(size)
+    ).cast("int")
+    exploded = df.select(
+        F.col(id_col),
+        F.col(ids_col).alias("__t"),
+        F.posexplode(F.sequence(F.lit(0), last)).alias(
+            "chunk_idx", "__i"
+        ),
+    )
+    over = F.raise_error(
+        F.concat(
+            F.lit("chunk_token_ids: document "),
+            F.col(id_col).cast("string"),
+            F.lit(
+                f" exceeds 2^{int(stride_bits)} chunks — widen "
+                "stride_bits or chunk with a larger size"
+            ),
+        )
+    )
+    cid = F.when(
+        F.col("chunk_idx") >= F.lit(cap), over.cast("long")
+    ).otherwise(
+        F.col(id_col).cast("long") * F.lit(cap) + F.col("chunk_idx")
+    )
+    piece = F.slice(
+        F.col("__t"), F.col("chunk_idx") * F.lit(size) + F.lit(1), size
+    )
+    return exploded.select(
+        cid.alias(chunk_id_col),
+        piece.alias(ids_col),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )

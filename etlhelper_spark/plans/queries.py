@@ -18339,6 +18339,444 @@ def q285_frozen_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q286_epoch_packed_tensors",
+    """
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tokens,
+               md5(concat('rep:', CAST(doc_id AS VARCHAR))) AS pri
+        FROM documents
+    ), s AS (
+        SELECT source, sum(n_tokens) AS total FROM tok GROUP BY source
+    ), b AS (
+        SELECT source, total,
+               CAST(floor(total * 2.3) AS BIGINT) AS budget
+        FROM s
+    ), plan AS (
+        SELECT source, CAST(floor(budget / total) AS BIGINT) AS n_full,
+               budget - CAST(floor(budget / total) AS BIGINT) * total
+                   AS rem
+        FROM b
+    ), whole AS (
+        SELECT t.doc_id, CAST(unnest(range(0, p.n_full)) AS BIGINT)
+                   AS epoch
+        FROM tok t JOIN plan p USING (source)
+        WHERE p.n_full > 0
+    ), raced AS (
+        SELECT t.doc_id, p.n_full,
+               sum(t.n_tokens) OVER (PARTITION BY t.source
+                                     ORDER BY t.pri, t.doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+                   - t.n_tokens AS cum_before, p.rem
+        FROM tok t JOIN plan p USING (source)
+    ), ep AS (
+        SELECT doc_id, epoch FROM whole
+        UNION ALL
+        SELECT doc_id, n_full AS epoch FROM raced
+        WHERE cum_before < rem
+    ), vocab AS (
+        SELECT w, CAST(row_number() OVER (ORDER BY w) - 1 AS BIGINT)
+                   AS tid
+        FROM (
+            SELECT DISTINCT unnest(
+                regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM documents WHERE trim(text) <> ''
+        ) WHERE w <> ''
+    ), dw AS (
+        SELECT doc_id, u.p AS wpos, u.w AS w FROM (
+            SELECT doc_id,
+                   unnest([{'p': i, 'w': arr[i]}
+                           FOR i IN range(1, len(arr)+1)]) AS u
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+')
+                           AS arr
+                FROM documents WHERE trim(text) <> ''
+            )
+        ) WHERE u.w <> ''
+    ), doc_tok AS (
+        SELECT d.doc_id, list(v.tid ORDER BY d.wpos) AS toks
+        FROM dw d JOIN vocab v ON d.w = v.w GROUP BY d.doc_id
+    ), sized AS (
+        SELECT e.doc_id * 1048576 + e.epoch AS eid, d.toks,
+               CAST(len(d.toks) AS BIGINT) AS n_tokens,
+               CAST((e.doc_id * 1048576 + e.epoch) % 7 AS INT)
+                   AS shard
+        FROM ep e JOIN doc_tok d USING (doc_id)
+    ), ord AS (
+        SELECT eid, n_tokens, shard,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY eid
+               ) AS pos
+        FROM sized
+    ), walk AS (
+        SELECT shard, pos, eid, n_tokens,
+               CAST(0 AS BIGINT) AS pack_local, n_tokens AS fill
+        FROM ord WHERE pos = 1
+        UNION ALL
+        SELECT o.shard, o.pos, o.eid, o.n_tokens,
+               CASE WHEN w.fill + o.n_tokens > 384
+                    THEN w.pack_local + 1 ELSE w.pack_local END,
+               CASE WHEN w.fill + o.n_tokens > 384
+                    THEN o.n_tokens ELSE w.fill + o.n_tokens END
+        FROM walk w
+        JOIN ord o ON o.shard = w.shard AND o.pos = w.pos + 1
+    ), asg AS (
+        SELECT eid, n_tokens, shard,
+               shard * 4294967296 + pack_local AS pack_id,
+               fill - n_tokens AS off,
+               CAST(row_number() OVER (
+                   PARTITION BY shard, pack_local
+                   ORDER BY fill - n_tokens
+               ) - 1 AS BIGINT) AS seg
+        FROM walk
+    ), win AS (
+        SELECT a.pack_id, a.shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(a.n_tokens) AS BIGINT) AS pack_tokens,
+               CAST(384 - sum(a.n_tokens) AS BIGINT) AS pad_tokens,
+               flatten(list(s.toks ORDER BY a.off)) AS ids,
+               flatten(list([a.seg FOR i IN range(a.n_tokens)]
+                            ORDER BY a.off)) AS segs,
+               flatten(list([CAST(i AS BIGINT)
+                             FOR i IN range(a.n_tokens)]
+                            ORDER BY a.off)) AS poss
+        FROM asg a JOIN sized s USING (eid)
+        GROUP BY a.pack_id, a.shard
+    )
+    SELECT pack_id, shard, n_docs, pack_tokens, pad_tokens,
+           ids || [CAST(-1 AS BIGINT) FOR i IN range(384 - len(ids))]
+               AS input_ids,
+           segs || [CAST(-1 AS BIGINT) FOR i IN range(384 - len(segs))]
+               AS segment_ids,
+           poss || [CAST(-1 AS BIGINT) FOR i IN range(384 - len(poss))]
+               AS position_ids
+    FROM win
+    """,
+)
+def q286_epoch_packed_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPOCH-AWARE PACKED TENSORS (VERDICT r11 #3) — the composition
+    q282's docstring promised but nothing gated: the data-constrained
+    epoch plan (functions/selection.py::repeat_to_budget, 2.3x
+    quotas → 2 whole epochs + a partial third) feeds packing and
+    tensor export, so every REPEATED epoch instance appears as its
+    own window content. Each (doc, epoch) row gets the derived id
+    ``doc_id * 2^20 + epoch`` — the q270 stride convention, with the
+    same loud in-plan collision gate (an epoch count at or past 2^20
+    raises instead of silently folding two instances into one id and
+    making the pack order arrival-dependent). The token arrays are
+    the zero-merge word tokenizer's (q281), joined to the epoch plan
+    by doc id — repeats are GENERATED by the join, never shuffled as
+    text — and packed next-fit against a 384 budget with attention
+    metadata in the same aggregate. n_shards is 7, NOT a power of
+    two: the 2^20 stride is divisible by any power-of-2 shard count,
+    which would make ``eid % n_shards == epoch % n_shards`` — every
+    epoch-0 instance in one shard, a total skew collapse; a shard
+    count coprime to the stride interleaves docs and epochs. The
+    oracle restates the ENTIRE chain — quota plan, whole-epoch
+    explode, windowed remainder race, vocabulary rank, derived-id
+    packing recursion, flatten+pad — so the hash pins every element
+    of every window including the repeated ones and the pad tails."""
+    from ..functions.packing import pack_documents, pack_token_windows
+    from ..functions.selection import repeat_to_budget
+    from ..functions.text import word_token_ids
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    budgets = d.groupBy("source").agg(
+        F.floor(
+            F.sum(
+                F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+            )
+            * F.lit(2.3)
+        ).alias("budget_tokens")
+    )
+    plan = repeat_to_budget(d, budgets).localCheckpoint(
+        eager=False
+    )
+    # derived ids are unique while epoch < 2^20 (far past any real
+    # repeat factor) — enforce loudly, the q270 convention
+    over = plan.where(F.col("epoch") >= 1048576).count()
+    if over != 0:
+        raise ValueError(
+            f"q286: {over} epoch rows exceed the 2^20 id stride — "
+            "widen the multiplier in query AND oracle"
+        )
+    dt = word_token_ids(d).localCheckpoint(eager=False)
+    edt = (
+        plan.select("doc_id", "epoch")
+        .join(dt, "doc_id")
+        .select(
+            (F.col("doc_id") * F.lit(1048576) + F.col("epoch"))
+            .alias("doc_id"),
+            "token_ids",
+            F.size("token_ids").cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    asg = pack_documents(
+        edt.select("doc_id", "n_tokens"),
+        budget=384,
+        tokens_col="n_tokens",
+        n_shards=7,
+    )
+    return pack_token_windows(
+        edt, asg, budget=384, pad_id=-1, with_metadata=True
+    )
+
+
+@query(
+    "q287_training_pipeline",
+    """
+    WITH RECURSIVE feat AS (
+        SELECT doc_id, source, text,
+               len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                   AS n_tok,
+               len(list_distinct(
+                   regexp_split_to_array(trim(lower(text)), '\\s+')))
+                   AS n_distinct,
+               CAST(round(CAST(
+                   least(len(regexp_split_to_array(trim(text), '\\s+'))
+                         / 50.0, 1.0)
+                   * (1.0 - length(regexp_replace(text, '[^.,;:!?]',
+                                                  '', 'g'))
+                          / greatest(length(text), 1))
+                   AS DECIMAL(30,10)), 4) AS DOUBLE) AS quality
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, source, text FROM feat
+        WHERE n_tok >= 10
+          AND n_distinct / CAST(n_tok AS DOUBLE) >= 0.5
+          AND quality >= 0.3
+    ), ded AS (
+        SELECT min(doc_id) AS doc_id
+        FROM (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                                      'g')) AS fp
+            FROM kept
+        ) GROUP BY fp
+    ), corpus AS (
+        SELECT k.doc_id, k.source, k.text
+        FROM kept k JOIN ded USING (doc_id)
+    ), tok AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS n_tokens,
+               md5(concat('rep:', CAST(doc_id AS VARCHAR))) AS pri
+        FROM corpus
+    ), s AS (
+        SELECT source, sum(n_tokens) AS total FROM tok GROUP BY source
+    ), b AS (
+        SELECT source, total,
+               CAST(floor(total * 0.8) AS BIGINT) AS budget
+        FROM s
+    ), plan AS (
+        SELECT source, CAST(floor(budget / total) AS BIGINT) AS n_full,
+               budget - CAST(floor(budget / total) AS BIGINT) * total
+                   AS rem
+        FROM b
+    ), whole AS (
+        SELECT t.doc_id, CAST(unnest(range(0, p.n_full)) AS BIGINT)
+                   AS epoch
+        FROM tok t JOIN plan p USING (source)
+        WHERE p.n_full > 0
+    ), raced AS (
+        SELECT t.doc_id, p.n_full,
+               sum(t.n_tokens) OVER (PARTITION BY t.source
+                                     ORDER BY t.pri, t.doc_id
+                                     ROWS UNBOUNDED PRECEDING)
+                   - t.n_tokens AS cum_before, p.rem
+        FROM tok t JOIN plan p USING (source)
+    ), picked AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_id FROM whole
+            UNION ALL
+            SELECT doc_id FROM raced WHERE cum_before < rem
+        )
+    ), sel AS (
+        SELECT c.doc_id, c.text FROM corpus c JOIN picked USING (doc_id)
+    ), vocab AS (
+        SELECT w, CAST(row_number() OVER (ORDER BY w) - 1 AS BIGINT)
+                   AS tid
+        FROM (
+            SELECT DISTINCT unnest(
+                regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+            FROM sel WHERE trim(text) <> ''
+        ) WHERE w <> ''
+    ), dw AS (
+        SELECT doc_id, u.p AS wpos, u.w AS w FROM (
+            SELECT doc_id,
+                   unnest([{'p': i, 'w': arr[i]}
+                           FOR i IN range(1, len(arr)+1)]) AS u
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+')
+                           AS arr
+                FROM sel WHERE trim(text) <> ''
+            )
+        ) WHERE u.w <> ''
+    ), doc_tok AS (
+        SELECT d.doc_id, list(v.tid ORDER BY d.wpos) AS toks
+        FROM dw d JOIN vocab v ON d.w = v.w GROUP BY d.doc_id
+    ), cidx AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0,
+                   CAST((len(toks) - 1) // 32 AS BIGINT))) AS i
+        FROM doc_tok
+    ), chunks AS (
+        SELECT doc_id * 1048576 + i AS cid,
+               toks[i*32 + 1 : i*32 + 32] AS ctoks,
+               CAST(len(toks[i*32 + 1 : i*32 + 32]) AS BIGINT)
+                   AS n_tokens,
+               CAST((doc_id * 1048576 + i) % 7 AS INT) AS shard
+        FROM cidx
+    ), ord AS (
+        SELECT cid, n_tokens, shard,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY cid
+               ) AS pos
+        FROM chunks
+    ), walk AS (
+        SELECT shard, pos, cid, n_tokens,
+               CAST(0 AS BIGINT) AS pack_local, n_tokens AS fill
+        FROM ord WHERE pos = 1
+        UNION ALL
+        SELECT o.shard, o.pos, o.cid, o.n_tokens,
+               CASE WHEN w.fill + o.n_tokens > 128
+                    THEN w.pack_local + 1 ELSE w.pack_local END,
+               CASE WHEN w.fill + o.n_tokens > 128
+                    THEN o.n_tokens ELSE w.fill + o.n_tokens END
+        FROM walk w
+        JOIN ord o ON o.shard = w.shard AND o.pos = w.pos + 1
+    ), asg AS (
+        SELECT cid, n_tokens, shard,
+               shard * 4294967296 + pack_local AS pack_id,
+               fill - n_tokens AS off,
+               CAST(row_number() OVER (
+                   PARTITION BY shard, pack_local
+                   ORDER BY fill - n_tokens
+               ) - 1 AS BIGINT) AS seg
+        FROM walk
+    ), win AS (
+        SELECT a.pack_id, a.shard,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(a.n_tokens) AS BIGINT) AS pack_tokens,
+               CAST(128 - sum(a.n_tokens) AS BIGINT) AS pad_tokens,
+               flatten(list(c.ctoks ORDER BY a.off)) AS ids,
+               flatten(list([a.seg FOR i IN range(a.n_tokens)]
+                            ORDER BY a.off)) AS segs,
+               flatten(list([CAST(i AS BIGINT)
+                             FOR i IN range(a.n_tokens)]
+                            ORDER BY a.off)) AS poss
+        FROM asg a JOIN chunks c USING (cid)
+        GROUP BY a.pack_id, a.shard
+    )
+    SELECT pack_id, shard, n_docs, pack_tokens, pad_tokens,
+           ids || [CAST(-1 AS BIGINT) FOR i IN range(128 - len(ids))]
+               AS input_ids,
+           segs || [CAST(-1 AS BIGINT) FOR i IN range(128 - len(segs))]
+               AS segment_ids,
+           poss || [CAST(-1 AS BIGINT) FOR i IN range(128 - len(poss))]
+               AS position_ids
+    FROM win
+    """,
+)
+def q287_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END TRAINING PIPELINE (VERDICT r11 #4) — the artifact a
+    user actually ships, as ONE declared query hashing the FINAL
+    tensors: quality filter (q99's Gopher/C4 rule stack: length,
+    token-diversity, punctuation-quality gates) → exact dedup
+    (functions/dedup.py::dedup_exact, first-seen survivor per
+    normalized fingerprint) → data-constrained selection
+    (functions/selection.py::repeat_to_budget at 0.8x per-source
+    quotas — a sub-size budget, so the plan degenerates to the pure
+    deterministic remainder race: a reproducible 80%-by-tokens
+    subset per source) → encode (word_token_ids over the SELECTED
+    corpus — the vocabulary is a pipeline artifact, so it must be
+    built after selection, which the oracle restates) → chunk
+    (functions/chunking.py::chunk_token_ids, 32-token windows over
+    the id ARRAYS — chunk counts and the tensor length gate share
+    one tokenizer vintage by construction; executor-raising 2^20
+    stride gate) → pack (next-fit, budget 128, n_shards=7 — coprime
+    to the power-of-two stride, see q286) → tensor export
+    (pack_token_windows with attention metadata). Composition bugs
+    are exactly what this gates: an id-space mismatch between chunk
+    and pack, a vintage mismatch between selection weights and
+    encoded counts, or a filter/dedup order swap all flip the hash.
+    Every stage is individually gated elsewhere (q99/q23/q282/q281/
+    q270/q279) — this pins their COMPOSITION, element-for-element
+    through the final pad tails."""
+    from ..functions.chunking import chunk_token_ids
+    from ..functions.dedup import dedup_exact
+    from ..functions.packing import pack_documents, pack_token_windows
+    from ..functions.selection import repeat_to_budget
+    from ..functions.text import word_token_ids
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # 1. quality filter — q99's predicate stack, same rounding
+    toks = F.split(F.lower(F.trim("text")), r"\s+")
+    n_tok = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)) / n_tok.cast("double")
+    punct = F.length(
+        F.regexp_replace(F.col("text"), r"[^.,;:!?]", "")
+    ) / F.greatest(F.length(F.col("text")), F.lit(1))
+    raw_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    quality = _sround(
+        F.least(raw_tok / F.lit(50.0), F.lit(1.0))
+        * (F.lit(1.0) - punct),
+        4,
+    )
+    kept = d.where(
+        (n_tok >= 10) & (diversity >= 0.5) & (quality >= 0.3)
+    )
+    # 2. exact dedup, first-seen survivor
+    corpus = dedup_exact(kept, "text", "doc_id")
+    # 3. selection: 0.8x per-source token quotas -> pure remainder
+    # race (sub-size budget, so repeat_to_budget plans no whole
+    # epochs — an exact, restatable 80% subset)
+    budgets = corpus.groupBy("source").agg(
+        F.floor(
+            F.sum(
+                F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+            )
+            * F.lit(0.8)
+        ).alias("budget_tokens")
+    )
+    picked_ids = (
+        repeat_to_budget(corpus, budgets)
+        .select("doc_id")
+        .distinct()
+    )
+    sel = corpus.join(picked_ids, "doc_id", "left_semi")
+    # 4. encode the selected corpus (vocabulary is a pipeline
+    # artifact of the SELECTED docs)
+    dt = word_token_ids(sel).localCheckpoint(eager=False)
+    # 5. chunk the id arrays (one tokenizer vintage end-to-end)
+    ch = chunk_token_ids(dt, size=32).localCheckpoint(eager=False)
+    # 6-7. pack and export
+    asg = pack_documents(
+        ch.select("chunk_id", "n_tokens"),
+        budget=128,
+        tokens_col="n_tokens",
+        id_col="chunk_id",
+        n_shards=7,
+    )
+    return pack_token_windows(
+        ch,
+        asg,
+        budget=128,
+        pad_id=-1,
+        id_col="chunk_id",
+        with_metadata=True,
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q03_join_revenue(spark, sf_dir)

@@ -198,3 +198,44 @@ def test_chunking_is_stream_native(spark, docs, tmp_path):
         map(tuple, chunk_documents(docs, size=16, overlap=4).collect())
     )
     assert got == want
+
+
+def test_chunk_token_ids_partitions_arrays_exactly(spark):
+    """chunk_token_ids: windows partition each id array exactly (no
+    overlap, full coverage, order preserved), derived ids follow the
+    2^20 stride, and a document past the stride raises in-plan."""
+    import pytest
+
+    from etlhelper_spark.functions.chunking import chunk_token_ids
+    from etlhelper_spark.functions.util import literal_frame
+
+    df = literal_frame(
+        spark,
+        [(1, list(range(7))), (2, list(range(3))), (3, [9])],
+        "doc_id long, token_ids array<long>",
+    )
+    out = chunk_token_ids(df, size=3).collect()
+    got = {
+        r["chunk_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in out
+    }
+    assert got == {
+        1 * 1048576 + 0: ([0, 1, 2], 3),
+        1 * 1048576 + 1: ([3, 4, 5], 3),
+        1 * 1048576 + 2: ([6], 1),
+        2 * 1048576 + 0: ([0, 1, 2], 3),
+        3 * 1048576 + 0: ([9], 1),
+    }
+    # reassembly: concatenating a doc's chunks in id order restores it
+    doc1 = [
+        t
+        for cid in sorted(k for k in got if k < 2 * 1048576)
+        for t in got[cid][0]
+    ]
+    assert doc1 == list(range(7))
+    # stride overflow raises from the executor
+    big = literal_frame(
+        spark, [(5, [0] * 10)], "doc_id long, token_ids array<long>"
+    )
+    with pytest.raises(Exception, match="chunk_token_ids"):
+        chunk_token_ids(big, size=1, stride_bits=3).collect()

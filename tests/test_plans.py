@@ -324,7 +324,7 @@ def test_corpus_count_pinned():
     registry (VERDICT r2: COVERAGE/README/commit messages disagreed)."""
     from etlhelper_spark.plans import ORACLES, QUERIES
 
-    assert len(QUERIES) == len(ORACLES) == 286
+    assert len(QUERIES) == len(ORACLES) == 288
 
 
 def test_round3_plan_shapes(spark):
@@ -482,3 +482,19 @@ def test_repeat_to_budget_no_corpus_wide_window(spark):
     assert specs, "expected window specs in the q282 plan"
     for spec in specs:
         assert "__bkt" in spec, spec
+
+
+def test_chunk_token_ids_zero_exchange_no_python(spark):
+    """chunk_token_ids (q287's chunk stage) is a pure codegen map —
+    sequence/posexplode/slice in one projection: zero exchanges, no
+    Python, parallelism is the scan's."""
+    from etlhelper_spark.functions.chunking import chunk_token_ids
+    from etlhelper_spark.functions.text import word_token_ids
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    dt = word_token_ids(d).localCheckpoint()
+    plan = explain_str(chunk_token_ids(dt, size=32))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
