@@ -273,6 +273,8 @@ HEADLINE = [
     "q281_packed_attention",
     "q282_epoch_repeats",
     "q285_frozen_vocab_encode",
+    "q286_epoch_packed_tensors",
+    "q287_training_pipeline",
 ]
 
 
@@ -390,7 +392,11 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Per-query MIN-OF-N (default 2): each timed pass is a full sweep
+    # Per-query MIN-OF-N (default 3 — VERDICT r11 #2: two samples
+    # cannot separate a +6% uniform drift from the measured 31s
+    # pass-to-pass spread; three tighten the min enough to read
+    # delta_vs_prev against per-query spread): each timed pass is a
+    # full sweep
     # with the memoized cross-query stages flushed first, so every pass
     # has identical cache behavior (comparable to prior rounds' single
     # pass) and min() suppresses one-off noise — GC pauses, a noisy
@@ -400,7 +406,7 @@ def main() -> None:
     # restores the old single-pass behavior.
     from etlhelper_spark.plans.queries import clear_stage_caches
 
-    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for p in range(n_passes):
         clear_stage_caches()
@@ -474,6 +480,9 @@ def main() -> None:
     run_spread = round(
         sum(max(ts) - min(ts) for ts in runs.values()), 3
     )
+    per_query_spread = {
+        name: round(max(ts) - min(ts), 3) for name, ts in runs.items()
+    }
     full = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -482,6 +491,7 @@ def main() -> None:
         "runs": runs,
         "passes": n_passes,
         "run_spread_sec": run_spread,
+        "per_query_spread_sec": per_query_spread,
         "delta_vs_prev": delta_vs_prev,
         "prev_shared_total_sec": prev_total,
         "sf": sf_val,

@@ -22,4 +22,15 @@ if [ -n "$touched" ]; then
 else
     echo "== preflight: no touched test files =="
 fi
+
+# The Arrow/pandas-UDF hot paths (applyInPandas/mapInPandas folds in
+# packing, export, drift, and the ETL chunk transforms) run with
+# FutureWarning promoted to an error, so the next pandas-major
+# behavior change fails HERE instead of landing silently (VERDICT
+# r11 #6 — the r10 pack-fold all-NA dtype warning was this class).
+echo "== preflight: pandas-UDF suites under -W error::FutureWarning =="
+python -m pytest tests/test_packing.py tests/test_packing_state.py \
+    tests/test_export.py tests/test_drift.py tests/test_load_copy.py \
+    -q -W error::FutureWarning
+
 echo "preflight OK"

@@ -1492,6 +1492,52 @@ def main() -> None:
     probe("epoch repeat plan SKEWED (one source=90% of 1M docs)",
           n_docs, _repeat_skew_probe)
 
+    def _pipeline_probe():
+        # q287's full chain at ~200x bench scale: filter -> exact
+        # dedup -> 0.8x selection race -> encode -> chunk ids ->
+        # pack -> tensors (8-token chunks / 32 budget keep output
+        # sizes sane against the 10-word synthetic docs)
+        from etlhelper_spark.functions.chunking import chunk_token_ids
+        from etlhelper_spark.functions.dedup import dedup_exact
+        from etlhelper_spark.functions.packing import (
+            pack_documents,
+            pack_token_windows,
+        )
+        from etlhelper_spark.functions.selection import repeat_to_budget
+        from etlhelper_spark.functions.text import word_token_ids
+
+        d = docs.withColumn("source", F.pmod("doc_id", F.lit(10)))
+        toks = F.split(F.lower(F.trim("text")), r"\s+")
+        kept = d.where(
+            (F.size(toks) >= 5)
+            & (F.size(F.array_distinct(toks))
+               / F.size(toks).cast("double") >= 0.3)
+        )
+        corpus = dedup_exact(kept, "text", "doc_id")
+        budgets = corpus.groupBy("source").agg(
+            F.floor(
+                F.sum(F.size(F.split(F.trim("text"), r"\s+"))
+                      .cast("long")) * F.lit(0.8)
+            ).alias("budget_tokens")
+        )
+        picked = repeat_to_budget(corpus, budgets).select(
+            "doc_id"
+        ).distinct()
+        sel = corpus.join(picked, "doc_id", "left_semi")
+        dt = word_token_ids(sel).localCheckpoint()
+        ch = chunk_token_ids(dt, size=8).localCheckpoint()
+        asg = pack_documents(
+            ch.select("chunk_id", "n_tokens"), budget=32,
+            tokens_col="n_tokens", id_col="chunk_id", n_shards=7,
+        )
+        return pack_token_windows(
+            ch, asg, budget=32, pad_id=-1, id_col="chunk_id",
+            with_metadata=True,
+        ).count()
+
+    probe("training pipeline end-to-end (filter/dedup/select/encode/"
+          "chunk/pack/tensors)", n_docs, _pipeline_probe)
+
     if args.only:
         for name, dt, rows, rate in results:
             print(f"| {name} | {dt} | {rows:,} | {rate:,} |")
