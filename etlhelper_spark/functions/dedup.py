@@ -44,7 +44,12 @@ def dedup_exact(
       complete variant when near-identical records normalize equal)
 
     Single shuffle on the fingerprint; row_number picks the survivor.
-    Scales as a plain hash aggregate.
+    Scales as a plain hash aggregate — including under MASS
+    duplication: Catalyst's rank-limit pushdown plants a Partial
+    WindowGroupLimit below the exchange, so every map task reduces
+    to one row per fingerprint BEFORE the shuffle and a boilerplate
+    page duplicated millions of times never concentrates in one
+    task (plan-asserted in tests/test_plans.py).
     """
     fp = (
         document_fingerprint(F.col(text_col))

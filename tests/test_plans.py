@@ -498,3 +498,27 @@ def test_chunk_token_ids_zero_exchange_no_python(spark):
     plan = explain_str(chunk_token_ids(dt, size=32))
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_dedup_exact_partial_window_group_limit(spark):
+    """dedup_exact's survivor pick must keep Spark's rank-limit
+    pushdown: a Partial WindowGroupLimit BELOW the exchange reduces
+    every map task to one row per fingerprint BEFORE the shuffle —
+    the property that makes a mass-duplicate fingerprint (boilerplate
+    duplicated millions of times) a non-event instead of one task
+    sorting the whole hot group. Losing it (a filter shape change,
+    a config regression) would reintroduce the skew silently."""
+    from etlhelper_spark.functions.dedup import dedup_exact
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    import re
+
+    plan = explain_str(dedup_exact(d, "text", "doc_id"))
+    assert "WindowGroupLimit" in plan
+    # formatted explain lists the node's mode as the last Argument:
+    # the PARTIAL (pre-shuffle) instance is the skew guard
+    assert re.search(
+        r"row_number\(\), 1, Partial", plan
+    ), plan
