@@ -73,7 +73,9 @@ REPRESENTATIVE = [
     ("q270_chunk_then_pack", "chunk-then-pack: narrow chunk stage + packing's single shard exchange"),
     ("q271_repetition_quality", "repetition metrics: sorted-array run-length stats, zero exchange, no explode"),
     ("q281_packed_attention", "packed windows + attention metadata: one id-keyed array shuffle, one pack aggregate, metadata in the same projection"),
-    ("q282_epoch_repeats", "epoch plan: broadcast quota join, generated explode, one per-source cumsum window"),
+    ("q282_epoch_repeats", "epoch plan: broadcast quota join, generated explode, two-level bucketed remainder race (every window bucketed)"),
+    ("q286_epoch_packed_tensors", "epoch-repeated tensors: derived-id join generates repeats, single pack aggregate"),
+    ("q287_training_pipeline", "end-to-end pipeline: filter scan -> dedup group-limit -> selection race -> chunked encode -> pack shuffle"),
 ]
 
 
