@@ -290,10 +290,6 @@ def prune_state_versions(
     if keep < 1:
         raise ValueError("prune_state_versions: keep must be >= 1")
     subdir = os.path.join(state_dir, store)
-    # sort by (batch, erase_epoch): an erasure cutover v<k>.e<n>
-    # outranks its source v<k>, so a crash-window leftover v<k>
-    # (erasure renamed but did not finish purging) prunes FIRST —
-    # it still holds the forgotten rows
     versions = []
     for p in glob.glob(os.path.join(subdir, "v*")):
         m = _VERSION_RE.match(os.path.basename(p))
@@ -302,7 +298,23 @@ def prune_state_versions(
                 ((int(m.group(1)), int(m.group(2) or 0)), p)
             )
     versions.sort()
-    doomed = versions[:-keep] if keep < len(versions) else []
+    # outranked same-batch epochs prune UNCONDITIONALLY (not against
+    # *keep*): an erasure cutover v<k>.e<n> supersedes every lower
+    # epoch of batch k — a crash-window leftover v<k> is invisible to
+    # readers but physically retains the forgotten rows, so keeping
+    # it under a generous *keep* would defeat the erasure
+    newest_epoch: dict[int, int] = {}
+    for (k, e), _p in versions:
+        newest_epoch[k] = max(newest_epoch.get(k, 0), e)
+    outranked = [
+        (ke, p) for ke, p in versions if ke[1] < newest_epoch[ke[0]]
+    ]
+    ranked = [
+        (ke, p) for ke, p in versions if ke[1] == newest_epoch[ke[0]]
+    ]
+    doomed = outranked + (
+        ranked[:-keep] if keep < len(ranked) else []
+    )
     for _, p in doomed:
         shutil.rmtree(p, ignore_errors=True)
     return len(doomed)

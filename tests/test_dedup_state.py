@@ -741,3 +741,26 @@ def test_forget_from_dedup_state(spark):
             )
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def test_prune_outranked_erase_epoch_always_goes(spark, tmp_path):
+    """prune_state_versions: a crash-window leftover v<k> superseded
+    by its erase epoch v<k>.e1 prunes regardless of *keep* — it is
+    invisible to readers but physically retains the forgotten rows."""
+    import os
+
+    from etlhelper_spark.operators.dedup_state import (
+        prune_state_versions,
+    )
+
+    st = tmp_path / "st" / "snap"
+    for name in ("v1", "v2", "v2.e1"):
+        d = st / name
+        os.makedirs(d)
+        (d / "_SUCCESS").touch()
+    removed = prune_state_versions(str(tmp_path / "st"), "snap", keep=2)
+    left = sorted(os.listdir(st))
+    # v2 (outranked by its erase epoch) went despite keep=2;
+    # v1 and v2.e1 are the two kept ranked versions
+    assert removed == 1
+    assert left == ["v1", "v2.e1"]
