@@ -284,7 +284,15 @@ def streaming_golden(
     directory (replay-idempotent), and because the merge is an
     associative argmax the drained state equals golden_records over
     the whole feed regardless of how the files were micro-batched.
-    Starts and drains an availableNow query."""
+    Starts and drains an availableNow query.
+
+    Erasure mid-stream is safe: forget_from_golden_state writes an
+    ERASE EPOCH (``v<k>.e<n>``) outside the batch-id space, so a
+    checkpointed stream resumed after an erasure continues at its
+    engine-assigned next id against the erased state — only a replay
+    of the erased batch id itself is refused (sticky erasure; the
+    engine never replays an already-committed id, so this fires only
+    on checkpoint loss or manual renumbering)."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

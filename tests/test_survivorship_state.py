@@ -256,3 +256,76 @@ def test_remap_rejects_chained_mapping(spark, recs):
         remap_golden_clusters(spark, d, ok, batch_id=11)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_resumes_after_midstream_erasure(spark, recs, tmp_path):
+    """The ADVICE r11 wedge, exercised with a REAL checkpoint: drain
+    a stream, erase from the golden state, append new feed files, and
+    resume the SAME checkpointed stream — the engine's next assigned
+    batch id must fold onto the erased state (erase epochs live
+    outside the batch-id space), and the forgotten cluster must not
+    resurrect. Pre-r12, the erasure consumed exactly the resumed
+    stream's next id and every retry raised forever."""
+    import glob
+    import os
+    import time
+
+    from etlhelper_spark.operators.erasure import (
+        forget_from_golden_state,
+    )
+
+    feed = str(tmp_path / "feed")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    parts_seen = set()
+    t0 = time.time() - 1000
+
+    def land(df, i):
+        nonlocal parts_seen
+        df.coalesce(1).write.mode(
+            "append" if os.path.isdir(feed) else "overwrite"
+        ).parquet(feed)
+        new = set(glob.glob(os.path.join(feed, "part-*"))) - parts_seen
+        for p in new:
+            os.utime(p, (t0 + 100 * i, t0 + 100 * i))
+        parts_seen |= new
+
+    first = recs.where(F.col("ck") != 4)
+    for i in range(2):
+        land(first.where((F.col("rid") % 2) == i), i)
+    stream = (
+        spark.readStream.schema(recs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    streaming_golden(stream, state, ckpt, *ARGS)
+    n_before = len(glob.glob(os.path.join(state, "golden", "v*")))
+    assert n_before >= 2
+
+    # erase an entire cluster from the drained state
+    doomed = [
+        r["rid"]
+        for r in first.where(F.col("ck") == 2).select("rid").collect()
+    ]
+    forget_from_golden_state(
+        spark,
+        state,
+        doomed,
+        recs.where(~F.col("rid").isin(doomed)),
+        *ARGS,
+        forgotten_records=first.where(F.col("ck") == 2),
+    )
+    assert glob.glob(os.path.join(state, "golden", "v*.e1"))
+
+    # append NEW feed files and resume the SAME checkpoint: the
+    # engine assigns the next batch id — it must apply cleanly
+    land(recs.where(F.col("ck") == 4), 5)
+    stream2 = (
+        spark.readStream.schema(recs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    streaming_golden(stream2, state, ckpt, *ARGS)
+    out = read_golden_state(spark, state)
+    assert out.where(F.col("cluster_id") == 4).count() == 1
+    assert out.where(F.col("cluster_id") == 2).count() == 0
