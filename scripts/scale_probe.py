@@ -1538,6 +1538,47 @@ def main() -> None:
     probe("training pipeline end-to-end (filter/dedup/select/encode/"
           "chunk/pack/tensors)", n_docs, _pipeline_probe)
 
+    def _epoch_tensor_probe():
+        # q286's composition at scale: 2.3x quotas -> ~2.3M (doc,
+        # epoch) instances; repeats are GENERATED by the id join,
+        # never shuffled as text, then packed into 64-token windows
+        from etlhelper_spark.functions.packing import (
+            pack_documents,
+            pack_token_windows,
+        )
+        from etlhelper_spark.functions.selection import repeat_to_budget
+        from etlhelper_spark.functions.text import word_token_ids
+
+        d = docs.withColumn("source", F.pmod("doc_id", F.lit(10)))
+        budgets = d.groupBy("source").agg(
+            F.floor(
+                F.sum(F.size(F.split(F.trim("text"), r"\s+"))
+                      .cast("long")) * F.lit(2.3)
+            ).alias("budget_tokens")
+        )
+        plan = repeat_to_budget(d, budgets)
+        dt = word_token_ids(d).localCheckpoint()
+        edt = (
+            plan.select("doc_id", "epoch")
+            .join(dt, "doc_id")
+            .select(
+                (F.col("doc_id") * F.lit(1048576) + F.col("epoch"))
+                .alias("doc_id"),
+                "token_ids",
+                F.size("token_ids").cast("long").alias("n_tokens"),
+            )
+        )
+        asg = pack_documents(
+            edt.select("doc_id", "n_tokens"), budget=64,
+            tokens_col="n_tokens", n_shards=7,
+        )
+        return pack_token_windows(
+            edt, asg, budget=64, pad_id=-1, with_metadata=True
+        ).count()
+
+    probe("epoch-repeated tensor export (2.3x quotas, ~2.3M instances)",
+          n_docs, _epoch_tensor_probe)
+
     if args.only:
         for name, dt, rows, rate in results:
             print(f"| {name} | {dt} | {rows:,} | {rate:,} |")
