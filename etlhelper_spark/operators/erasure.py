@@ -27,7 +27,7 @@ Design per store, matching each layer's own durability discipline:
   O(state) scan+write, never the corpus.
 - **Inverted index** (operators/index_state.py): postings get the
   same versioned rewrite; stats are RECOMPUTED from the kept postings
-  into a fresh ``v<k+1>`` version (exact by construction — no
+  into a fresh ``v<k>.e<n>`` erase epoch (exact by construction — no
   subtract-to-zero edge cases), so df/cf no longer count the
   forgotten document's tokens.
 - **ANN / IVFPQ indexes** (functions/ann_index.py, ivfpq.py):
@@ -483,7 +483,9 @@ def forget_from_golden_state(
     but ``n_records`` counts them, and as-if-never-ingested means the
     count must drop too. Clusters emptied of retained records vanish.
 
-    Durability: the rewritten state lands in a fresh ``v<k+1>`` via
+    Durability: the rewritten state lands in a fresh ``v<k>.e<n>``
+    erase epoch — outside the batch-id space, so a checkpointed
+    stream's next engine-assigned id stays valid — via
     write-to-temp + atomic rename (rename LAST — a crash leaves either
     the old or the new state, never a torn one), then EVERY older
     version directory is deleted — old versions still hold the
@@ -721,11 +723,12 @@ def forget_from_sample_state(
       forget_from_golden_state contract. A retained feed still
       containing a doomed id is rejected loudly.
 
-    Durability is the golden convention: fresh ``v<k+1>`` via
-    write-to-temp + atomic rename, then EVERY older version is
-    deleted (each one is a full PII-bearing copy); stale temps and
-    superseded versions are healed on entry. Subsequent ingest batch
-    ids must stay above the new version (the monotone-batch
+    Durability is the golden convention: a fresh ``v<k>.e<n>`` erase
+    epoch (outside the batch-id space) via write-to-temp + atomic
+    rename, then EVERY older version is deleted (each one is a full
+    PII-bearing copy); stale temps and superseded versions are healed
+    on entry. Subsequent ingest batch ids continue from the engine's
+    own counter (the monotone-batch
     contract). Returns the number of doomed rows that were present in
     the live sample — the audit measure of winners actually erased
     (older versions may have held more copies; they are purged
@@ -792,9 +795,10 @@ def forget_from_frequency_state(
     items that later reappear re-enter as new counters — the
     re-admission contract every store here has.
 
-    Durability: fresh ``v<k+1>`` via write-to-temp + atomic rename,
-    every older (PII-bearing) version purged, stale temps healed on
-    entry; subsequent batch ids must stay above the new version.
+    Durability: a fresh ``v<k>.e<n>`` erase epoch (outside the
+    batch-id space) via write-to-temp + atomic rename, every older
+    (PII-bearing) version purged, stale temps healed on entry;
+    subsequent batch ids continue from the engine's own counter.
     Returns the number of counter rows erased from the live state."""
     subdir, cur_v, cur_path, state = _live_rewrite_store(
         spark, state_dir, "freq", "frequency state"
