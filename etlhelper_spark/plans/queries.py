@@ -18709,17 +18709,16 @@ def q287_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoded counts, or a filter/dedup order swap all flip the hash.
     Every stage is individually gated elsewhere (q99/q23/q282/q281/
     q270/q279) — this pins their COMPOSITION, element-for-element
-    through the final pad tails."""
-    from ..functions.chunking import chunk_token_ids
-    from ..functions.dedup import dedup_exact
-    from ..functions.packing import pack_documents, pack_token_windows
-    from ..functions.selection import repeat_to_budget
-    from ..functions.text import word_token_ids
+    through the final pad tails. The chain ships as ONE library
+    call — functions/pipeline.py::prepare_training_tensors — and
+    this query runs THAT function, so the product surface a user
+    invokes is exactly what the oracle hashes."""
+    from ..functions.pipeline import prepare_training_tensors
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    # 1. quality filter — q99's predicate stack, same rounding
+    # quality gate — q99's predicate stack, same rounding
     toks = F.split(F.lower(F.trim("text")), r"\s+")
     n_tok = F.size(toks)
     diversity = F.size(F.array_distinct(toks)) / n_tok.cast("double")
@@ -18732,50 +18731,18 @@ def q287_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1.0) - punct),
         4,
     )
-    kept = d.where(
-        (n_tok >= 10) & (diversity >= 0.5) & (quality >= 0.3)
-    )
-    # 2. exact dedup, first-seen survivor
-    corpus = dedup_exact(kept, "text", "doc_id")
-    # 3. selection: 0.8x per-source token quotas -> pure remainder
-    # race (sub-size budget, so repeat_to_budget plans no whole
-    # epochs — an exact, restatable 80% subset)
-    budgets = corpus.groupBy("source").agg(
-        F.floor(
-            F.sum(
-                F.size(F.split(F.trim("text"), r"\s+")).cast("long")
-            )
-            * F.lit(0.8)
-        ).alias("budget_tokens")
-    )
-    picked_ids = (
-        repeat_to_budget(corpus, budgets)
-        .select("doc_id")
-        .distinct()
-    )
-    sel = corpus.join(picked_ids, "doc_id", "left_semi")
-    # 4. encode the selected corpus (vocabulary is a pipeline
-    # artifact of the SELECTED docs)
-    dt = word_token_ids(sel).localCheckpoint(eager=False)
-    # 5. chunk the id arrays (one tokenizer vintage end-to-end)
-    ch = chunk_token_ids(dt, size=32).localCheckpoint(eager=False)
-    # 6-7. pack and export
-    asg = pack_documents(
-        ch.select("chunk_id", "n_tokens"),
-        budget=128,
-        tokens_col="n_tokens",
-        id_col="chunk_id",
+    return prepare_training_tensors(
+        d,
+        filter_expr=(
+            (n_tok >= 10) & (diversity >= 0.5) & (quality >= 0.3)
+        ),
+        budget_factor=0.8,
+        chunk_size=32,
+        pack_budget=128,
         n_shards=7,
-    )
-    return pack_token_windows(
-        ch,
-        asg,
-        budget=128,
         pad_id=-1,
-        id_col="chunk_id",
         with_metadata=True,
     )
-
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query for the driver's smoke check."""
