@@ -31,7 +31,26 @@ from .similarity import (
     nearest_pivot,
     nearest_pivots,
 )
-from .util import literal_frame
+from .util import count_parquet_rows, literal_frame, load_pivot_rows
+
+
+def _data_file_schema_names(path: str) -> list[str]:
+    """Column names of ONE parquet data file under *path* (searched
+    one partition level deep), read driver-side from the footer —
+    schema discovery without a Spark job or a tree listing (the
+    ivfpq._parquet_file_schema_names contract). Raises if no data
+    file exists: an index with no data cannot be appended to."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    for pat in ("*.parquet", "*=*/*.parquet"):
+        hits = _glob.glob(os.path.join(path, pat))
+        if hits:
+            return list(_pq.read_schema(min(hits)).names)
+    raise ValueError(
+        f"_data_file_schema_names: no parquet data file under {path}"
+    )
 
 __all__ = [
     "adaptive_widen",
@@ -89,8 +108,9 @@ def build_ivf_index(
     )
     assigned.write.partitionBy("list_id").mode("overwrite").parquet(path)
     pivots.write.mode("overwrite").parquet(os.path.join(path, "_pivots"))
-    spark = corpus.sparkSession
-    n = spark.read.parquet(path).count()
+    # footer-sum count (util.count_parquet_rows): the write above is
+    # complete, so the footers ARE the table — no listing + scan job
+    n = count_parquet_rows(path)
     return n, nlist
 
 
@@ -119,16 +139,13 @@ def append_ivf_index(
     degrades if the data distribution drifts — monitor list sizes and
     rebuild when skew warrants, exactly like any IVF deployment.
     Returns the number of appended vectors."""
-    spark = new_corpus.sparkSession
-    pivots = spark.read.parquet(os.path.join(path, "_pivots"))
-    pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
+    pivot_rows = load_pivot_rows(os.path.join(path, "_pivots"))
     # a covering index's attribute columns are discovered from the
-    # stored schema, so appends stay layout-identical automatically
-    attrs = [
-        f.name
-        for f in spark.read.parquet(path).schema.fields
-        if f.name not in ("vec_id", "vec", "list_id")
-    ]
+    # stored schema, so appends stay layout-identical automatically —
+    # one data-file footer read driver-side (list_id is the partition
+    # directory, never in the footer), not a tree-listing Spark read
+    names = _data_file_schema_names(path)
+    attrs = [n for n in names if n not in ("vec_id", "vec", "list_id")]
     c = new_corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(vec_col).alias("vec"),
@@ -139,10 +156,13 @@ def append_ivf_index(
         "vec",
         *attrs,
         nearest_pivot(F.col("vec"), pivot_rows)["pid"].alias("list_id"),
-    ).localCheckpoint()  # assign + scan the batch ONCE: the write and
-    # the returned count both read the checkpoint, not the source plan
+    )
+    # footer-delta count (single-writer store contract): one assign
+    # scan feeds the write; the appended count is the footer-sum delta
+    # — no checkpoint job, no re-scan of the batch
+    before = count_parquet_rows(path)
     assigned.write.partitionBy("list_id").mode("append").parquet(path)
-    return assigned.count()
+    return count_parquet_rows(path) - before
 
 
 def query_ivf_index(
@@ -154,6 +174,7 @@ def query_ivf_index(
     query_id: str = "vec_id",
     vec_col: str = "embedding",
     attr_filter=None,
+    _preloaded: tuple | None = None,
 ) -> DataFrame:
     """Top-k cosine search against a persisted IVF index.
 
@@ -171,8 +192,14 @@ def query_ivf_index(
     probed lists — never a join back to the row store. Recall caveat
     is the standard one: a filter that excludes most of a probed list
     effectively shrinks nprobe; raise nprobe for selective filters."""
-    pivots = spark.read.parquet(os.path.join(path, "_pivots"))
-    pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
+    if _preloaded is not None:
+        # the adaptive widening loop re-probes: frozen pivots and the
+        # index frame (whose construction re-lists the directory) are
+        # loaded once there and threaded through
+        pivot_rows, index_frame = _preloaded
+    else:
+        pivot_rows = load_pivot_rows(os.path.join(path, "_pivots"))
+        index_frame = None
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -189,7 +216,9 @@ def query_ivf_index(
         r["list_id"]
         for r in q_probes.select("list_id").distinct().collect()
     )
-    index = spark.read.parquet(path).where(F.col("list_id").isin(probed))
+    if index_frame is None:
+        index_frame = spark.read.parquet(path)
+    index = index_frame.where(F.col("list_id").isin(probed))
     if attr_filter is not None:
         index = index.where(attr_filter)
     scored = (
@@ -249,8 +278,9 @@ def query_ivf_index_adaptive(
     distribution says the filter got more selective or the lists more
     skewed). Deterministic: widening decisions are exact row counts,
     never float comparisons."""
-    pivots = spark.read.parquet(os.path.join(path, "_pivots"))
-    nlist = pivots.count()
+    pivot_rows = load_pivot_rows(os.path.join(path, "_pivots"))
+    nlist = len(pivot_rows)
+    preloaded = (pivot_rows, spark.read.parquet(path))
 
     def probe(pending, np_eff, shortlist):
         return query_ivf_index(
@@ -262,6 +292,7 @@ def query_ivf_index_adaptive(
             query_id=query_id,
             vec_col=vec_col,
             attr_filter=attr_filter,
+            _preloaded=preloaded,
         )
 
     out = adaptive_widen(
@@ -294,6 +325,13 @@ def adaptive_widen(
     with nprobe_used/n_iters attached; the caller trims to top-k."""
     from .util import literal_frame
 
+    # Each round materializes ONCE: the probe result is lazily
+    # localCheckpoint'ed and the bounded per-query counts collect is
+    # the action that materializes it — one job per round where the
+    # eager-checkpoint + separate-count form paid two. The rows stay
+    # on the executors (no driver shipping beyond the counts); the
+    # result is the union of the per-round checkpoints exactly as
+    # before.
     out_parts = []
     pending = queries
     pending_ids = None
@@ -304,7 +342,7 @@ def adaptive_widen(
         iters += 1
         got = probe_fn(
             pending, min(nprobe, nlist), shortlist
-        ).localCheckpoint()  # consumed by the count AND the result
+        ).localCheckpoint(eager=False)
         counts = {
             r["query_id"]: int(r["n"])
             for r in got.groupBy("query_id")
@@ -433,11 +471,9 @@ def _rebalance_pass(
     if not hot:
         return 0
     pivots_path = os.path.join(path, "_pivots")
-    pivots = spark.read.parquet(pivots_path).collect()
-    next_id = max(int(r["list_id"]) for r in pivots) + 1
-    keep_pivots = {
-        int(r["list_id"]): [float(x) for x in r["pivot"]] for r in pivots
-    }
+    pivot_rows = load_pivot_rows(pivots_path)
+    next_id = max(pid for pid, _ in pivot_rows) + 1
+    keep_pivots = {pid: vec for pid, vec in pivot_rows}
     # ONE pruned scan feeds every hot list's k-means (cold lists are
     # never read); pinned so the Lloyd rounds and the rewrite reuse it
     members = (

@@ -1100,6 +1100,8 @@ def duplicate_clusters(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -1109,6 +1111,12 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # convergence check piggybacks on the checkpoint job via
+        # observe(): the old label rides the round's projection and
+        # the changed-row count fills during the SAME action that
+        # materializes the round — the separate join+count job the
+        # previous shape paid per round is gone
+        obs = Observation()
         new_labels = (
             labels.join(
                 neighbor_min, labels.node == neighbor_min.src, "left"
@@ -1118,16 +1126,18 @@ def duplicate_clusters(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("__old"),
             )
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("label") != F.col("__old"), F.lit(1))
+                ).alias("changed"),
+            )
+            .select("node", "label")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = int(obs.get["changed"])
         labels = new_labels
         if changed == 0:
             break

@@ -183,19 +183,28 @@ def shortest_paths(
             f"column; got {w_dt.simpleString()} (float/double sums are "
             f"order-dependent — cast to decimal first)"
         )
+    from .util import literal_frame
+
     src_dt = e.schema["__src"].dataType.simpleString()
-    dist = spark.createDataFrame(
-        [(source, 0)], f"node {src_dt}, dist long"
+    # literal source row (not createDataFrame: an RDD-backed local
+    # frame pays a Python-worker roundtrip on every evaluation)
+    dist = literal_frame(
+        spark, [(source, 0)], f"node {src_dt}, dist long"
     ).select("node", F.col("dist").cast(dist_t).alias("dist"))
     for _ in range(int(max_hops)):
         relaxed = dist.join(e, dist["node"] == e["__src"]).select(
             F.col("__dst").alias("node"),
             (F.col("dist") + F.col("__w")).cast(dist_t).alias("dist"),
         )
+        # LAZY checkpoints: each hop still truncates lineage when it
+        # materializes, but materialization cascades inside the ONE
+        # job the caller's first action runs — max_hops scheduler
+        # round-trips collapse into a single job (the eager form paid
+        # one full job per hop purely for scheduling)
         dist = (
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return dist

@@ -76,6 +76,7 @@ from .pq import (
     pq_train,
 )
 from .similarity import collect_pivot_rows, nearest_pivot
+from .util import count_parquet_rows, load_pivot_rows
 
 __all__ = [
     "append_ivfpq_index",
@@ -408,7 +409,9 @@ def build_ivfpq_index(
         residual=residual,
         opq=opq,
     )
-    n = spark.read.parquet(path).count()
+    # footer-sum count (util.count_parquet_rows): the write above is
+    # complete, so the footers ARE the table — no listing + scan job
+    n = count_parquet_rows(path)
     return n, nlist, len(books[0])
 
 
@@ -552,8 +555,10 @@ def append_ivfpq_index(
     layout, parquet append applies (a replay duplicates the batch;
     see the module docstring's trade #1)."""
     spark = new_corpus.sparkSession
-    pivots = spark.read.parquet(os.path.join(path, "_pivots"))
-    pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
+    # frozen artifacts read driver-side (util.load_pivot_rows /
+    # pyarrow codebooks): appends re-read them per batch, and the
+    # spark.read+collect form costs two jobs per artifact per call
+    pivot_rows = load_pivot_rows(os.path.join(path, "_pivots"))
     books = load_pq_codebooks(spark, path)
     meta = _read_ivfpq_meta(spark, path)
     if arrow is None:
@@ -609,7 +614,13 @@ def append_ivfpq_index(
         arrow,
         residual,
         extra_cols=attrs,
-    ).localCheckpoint()  # encode + scan the batch ONCE (write + count)
+    )
+    # ONE encode scan feeds the write; the appended count comes from
+    # the written footers driver-side (count_parquet_rows) — no
+    # checkpoint job, no re-scan of the batch. Versioned layout: the
+    # batch's own (list_id, ingest_batch=batch_id) cells ARE the batch
+    # (exact even under a replay overwrite); plain layout: footer-sum
+    # delta under the single-writer store contract.
     if versioned:
         mode_key = "spark.sql.sources.partitionOverwriteMode"
         old = spark.conf.get(mode_key, "static")
@@ -622,9 +633,22 @@ def append_ivfpq_index(
             ).parquet(path)
         finally:
             spark.conf.set(mode_key, old)
-    else:
-        enc.write.partitionBy("list_id").mode("append").parquet(path)
-    return enc.count()
+        import pyarrow.parquet as _pq
+
+        return sum(
+            _pq.ParquetFile(f).metadata.num_rows
+            for f in glob.glob(
+                os.path.join(
+                    path,
+                    "list_id=*",
+                    f"ingest_batch={int(batch_id)}",
+                    "*.parquet",
+                )
+            )
+        )
+    before = count_parquet_rows(path)
+    enc.write.partitionBy("list_id").mode("append").parquet(path)
+    return count_parquet_rows(path) - before
 
 
 def rebalance_ivfpq_index(
@@ -738,11 +762,9 @@ def _ivfpq_rebalance_pass(
     if not hot:
         return 0
     pivots_path = os.path.join(path, "_pivots")
-    pivots = spark.read.parquet(pivots_path).collect()
-    next_id = max(int(r["list_id"]) for r in pivots) + 1
-    keep_pivots = {
-        int(r["list_id"]): [float(x) for x in r["pivot"]] for r in pivots
-    }
+    pivot_rows = load_pivot_rows(pivots_path)
+    next_id = max(pid for pid, _ in pivot_rows) + 1
+    keep_pivots = {pid: vec for pid, vec in pivot_rows}
     # the row-store fetch: hot code rows keyed by vec_id pick up their
     # float vectors — the ONLY contact with floats in this module
     store = row_store.select(
@@ -1294,14 +1316,16 @@ def query_ivfpq_index(
     row-store join. Like query_ivf_index's, a selective filter at
     fixed nprobe costs recall — query_ivfpq_index_adaptive is the
     production form."""
+    index_rows = None
     if _preloaded is not None:
         # the adaptive widening loop probes up to log2(nlist) rounds —
-        # the frozen artifacts (pivots, codebooks, meta, rotation) are
-        # loaded once there and threaded through instead of re-read
-        pivot_rows, books, meta, rotation = _preloaded
+        # the frozen artifacts (pivots, codebooks, meta, rotation) AND
+        # the index rows frame (whose construction re-lists the
+        # version dirs and re-reads footers) are loaded once there
+        # and threaded through instead of re-read per round
+        pivot_rows, books, meta, rotation, index_rows = _preloaded
     else:
-        pivots = spark.read.parquet(os.path.join(path, "_pivots"))
-        pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
+        pivot_rows = load_pivot_rows(os.path.join(path, "_pivots"))
         books = load_pq_codebooks(spark, path)
         meta = _read_ivfpq_meta(spark, path)
         rotation = (
@@ -1333,9 +1357,9 @@ def query_ivfpq_index(
         residual=residual,
         rotation=rotation,
     )
-    index = read_ivfpq_rows(spark, path).where(
-        F.col("list_id").isin(probed)
-    )
+    if index_rows is None:
+        index_rows = read_ivfpq_rows(spark, path)
+    index = index_rows.where(F.col("list_id").isin(probed))
     if attr_filter is not None:
         index = index.where(attr_filter)
     adc = _adc_sim_col_residual(books) if residual else _adc_sim_col(books)
@@ -1453,9 +1477,8 @@ def query_ivfpq_index_adaptive(
     deciding WHICH codes ever reach the re-rank."""
     from .ann_index import adaptive_widen
 
-    pivots = spark.read.parquet(os.path.join(path, "_pivots"))
-    nlist = pivots.count()
-    pivot_rows = collect_pivot_rows(pivots, "list_id", "pivot")
+    pivot_rows = load_pivot_rows(os.path.join(path, "_pivots"))
+    nlist = len(pivot_rows)
     books = load_pq_codebooks(spark, path)
     meta = _read_ivfpq_meta(spark, path)
     rotation = (
@@ -1463,7 +1486,13 @@ def query_ivfpq_index_adaptive(
         if meta is not None and meta.get("opq", False)
         else None
     )
-    preloaded = (pivot_rows, books, meta, rotation)
+    preloaded = (
+        pivot_rows,
+        books,
+        meta,
+        rotation,
+        read_ivfpq_rows(spark, path),
+    )
 
     def probe(pending, np_eff, shortlist):
         return query_ivfpq_index(

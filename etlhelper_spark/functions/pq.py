@@ -434,21 +434,40 @@ def build_pq_index(
     pq_codebook_df(spark, books).write.mode("overwrite").parquet(
         os.path.join(path, "_codebooks")
     )
-    enc = pq_encode(corpus, books, id_col, vec_col).localCheckpoint()
-    enc.write.mode("overwrite").parquet(os.path.join(path, "codes"))
-    return enc.count()
+    from .util import count_parquet_rows
+
+    pq_encode(corpus, books, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "codes"))
+    # footer-sum count: the overwrite is complete, so the footers ARE
+    # the table — no checkpoint job, no re-scan (one encode scan total)
+    return count_parquet_rows(os.path.join(path, "codes"))
 
 
 def load_pq_codebooks(spark, path: str) -> dict:
     """Read persisted codebooks back into the {sub: [(code, centroid)]}
-    form every PQ kernel consumes."""
+    form every PQ kernel consumes. Driver-side pyarrow read
+    (util.read_sidecar_table): the codebook sidecar is m x k rows and
+    is re-read on every append/probe, so the spark.read+collect form
+    paid two fixed-overhead jobs per call for identical bytes."""
     import os
 
-    rows = spark.read.parquet(os.path.join(path, "_codebooks")).collect()
+    from .util import read_sidecar_table
+
+    tbl = read_sidecar_table(os.path.join(path, "_codebooks"))
+    if tbl is None:
+        raise ValueError(
+            f"load_pq_codebooks: no codebook data files under {path}"
+        )
+    d = tbl.to_pydict()
+    rows = sorted(
+        zip(d["sub"], d["code"], d["centroid"]),
+        key=lambda r: (r[0], r[1]),
+    )
     books: dict[int, list] = {}
-    for r in sorted(rows, key=lambda r: (r["sub"], r["code"])):
-        books.setdefault(int(r["sub"]), []).append(
-            (int(r["code"]), [float(x) for x in r["centroid"]])
+    for sub, code, centroid in rows:
+        books.setdefault(int(sub), []).append(
+            (int(code), [float(x) for x in centroid])
         )
     return books
 
@@ -471,11 +490,18 @@ def append_pq_codes(
     retrain when it warrants. Returns the appended count."""
     import os
 
+    from .util import count_parquet_rows
+
     spark = new_corpus.sparkSession
     books = load_pq_codebooks(spark, path)
-    enc = pq_encode(new_corpus, books, id_col, vec_col).localCheckpoint()
-    enc.write.mode("append").parquet(os.path.join(path, "codes"))
-    return enc.count()
+    # footer-delta count (single-writer store contract): the append
+    # adds files, so the appended count is the footer-sum delta — one
+    # encode scan total, no checkpoint job, no re-scan
+    before = count_parquet_rows(os.path.join(path, "codes"))
+    pq_encode(new_corpus, books, id_col, vec_col).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "codes"))
+    return count_parquet_rows(os.path.join(path, "codes")) - before
 
 
 def read_pq_codes(spark, path: str) -> DataFrame:

@@ -416,3 +416,77 @@ def stratified_weighted_sample(
         .where(F.col("__es_rn") <= int(n_per_stratum))
         .drop("__es_rn")
     )
+
+
+def read_sidecar_table(path_dir: str):
+    """All rows of a SMALL parquet sidecar directory (pivots,
+    codebooks, cursors — the bounded frozen artifacts of a persisted
+    index) as one pyarrow Table, read DRIVER-SIDE: no Spark job, no
+    directory-tree listing beyond one glob. A ``spark.read.parquet``
+    + ``collect`` of the same sidecar costs two jobs (schema
+    inference + collect) — ~0.2-0.4 s of fixed overhead PER CALL on
+    an idle local session, and strictly more on a busy cluster; these
+    artifacts are re-read on every append/probe, so the fixed cost
+    multiplies across an index lifecycle. Parquet bytes decode to the
+    identical IEEE-754 values either way (both readers surface the
+    stored float32/float64 bits), so literal plans built from the
+    result are bit-identical to the collect() form. Returns None when
+    the directory has no data files."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    hits = sorted(_glob.glob(_os.path.join(path_dir, "*.parquet")))
+    if not hits:
+        return None
+    import pyarrow as _pa
+
+    return _pa.concat_tables([_pq.read_table(h) for h in hits])
+
+
+def load_pivot_rows(path_dir: str) -> list[tuple[int, list[float]]]:
+    """The persisted ``_pivots`` sidecar as the ``[(list_id, vec)]``
+    literal form every probe/append kernel consumes, ordered by id —
+    ``collect_pivot_rows`` semantics without the Spark job (see
+    read_sidecar_table). Raises if the sidecar is missing: a pivot
+    sidecar is never legitimately absent from a built index."""
+    tbl = read_sidecar_table(path_dir)
+    if tbl is None:
+        raise ValueError(
+            f"load_pivot_rows: no pivot data files under {path_dir}"
+        )
+    d = tbl.to_pydict()
+    idc = "list_id" if "list_id" in d else next(iter(d))
+    vecc = "pivot" if "pivot" in d else [k for k in d if k != idc][0]
+    rows = [
+        (int(i), [float(x) for x in v]) for i, v in zip(d[idc], d[vecc])
+    ]
+    rows.sort(key=lambda r: r[0])
+    return rows
+
+
+def count_parquet_rows(path: str) -> int:
+    """Row count of a parquet table directory from the file FOOTERS,
+    read driver-side — the count ``spark.read.parquet(path).count()``
+    would return, without the listing + scan job. Mirrors Spark's
+    visibility rule: files and directories whose name starts with
+    ``_`` or ``.`` are invisible (sidecars like ``_pivots`` never
+    count)."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    total = 0
+    for root, dirs, files in _os.walk(path):
+        dirs[:] = [
+            d for d in dirs if not (d.startswith("_") or d.startswith("."))
+        ]
+        for f in files:
+            if f.startswith("_") or f.startswith("."):
+                continue
+            if f.endswith(".parquet"):
+                total += _pq.ParquetFile(
+                    _os.path.join(root, f)
+                ).metadata.num_rows
+    return total

@@ -48,6 +48,39 @@ __all__ = [
 ]
 
 
+def _latest_version_meta(
+    subdir: str, batch_id: int, columns: list[str]
+) -> dict | None:
+    """One row's named columns from the latest complete state version
+    strictly below *batch_id*, read DRIVER-SIDE from a parquet footer
+    + first row group (pyarrow) — the per-batch parameter probe
+    (edges / column name / dim) without the .first() Spark job the
+    fold used to pay on every apply. None when no version exists;
+    raises loudly on a version with no rows (nothing to validate
+    against — the .first() form would have crashed there too)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from .dedup_state import _scan_versions
+
+    versions = [
+        (ke, p) for ke, p in _scan_versions(subdir) if ke[0] < batch_id
+    ]
+    if not versions:
+        return None
+    vdir = versions[-1][1]
+    for f in sorted(_glob.glob(os.path.join(vdir, "*.parquet"))):
+        pf = _pq.ParquetFile(f)
+        if pf.metadata.num_rows:
+            t = pf.read_row_group(0, columns=columns)
+            return {c: t[c][0].as_py() for c in columns}
+    raise ValueError(
+        f"state version {vdir} has no rows — cannot validate "
+        "fold parameters against an empty state"
+    )
+
+
 def histogram_incremental(
     new_df: DataFrame,
     state_dir: str,
@@ -73,7 +106,7 @@ def histogram_incremental(
     delta = histogram_counts(new_df, col, lo_f, hi_f, bins_i)
     prior = _latest_version(spark, subdir, batch_id)
     if prior is not None:
-        meta = prior.select("lo", "hi", "bins").first()
+        meta = _latest_version_meta(subdir, batch_id, ["lo", "hi", "bins"])
         if (meta["lo"], meta["hi"], int(meta["bins"])) != (
             lo_f,
             hi_f,
@@ -144,7 +177,7 @@ def category_counts_incremental(
     )
     prior = _latest_version(spark, subdir, batch_id)
     if prior is not None:
-        meta = prior.select("col").first()
+        meta = _latest_version_meta(subdir, batch_id, ["col"])
         if meta["col"] != col:
             raise ValueError(
                 f"category_counts_incremental: state at {subdir} counts "
@@ -262,7 +295,7 @@ def embedding_moments_incremental(
         )
     )
     if prior is not None:
-        meta = prior.select("dim").first()
+        meta = _latest_version_meta(subdir, batch_id, ["dim"])
         if int(meta["dim"]) != dim:
             raise ValueError(
                 f"embedding_moments_incremental: state at {subdir} has "

@@ -207,20 +207,38 @@ def pack_incremental(
         slim = slim.where(F.col("n_tokens") <= budget)
 
     cursor_dir = os.path.join(state_dir, "cursor")
-    from .dedup_state import _latest_version
+    from ..functions.util import literal_frame, read_sidecar_table
+    from .dedup_state import _scan_versions
 
-    prior = _latest_version(spark, cursor_dir, int(batch_id))
-    if prior is not None:
-        state_rows = prior.select(
-            F.lit(True).alias("is_state"),
-            F.lit(None).cast("long").alias("__id"),
-            F.lit(0).cast("long").alias("n_tokens"),
-            F.col("shard").cast("int").alias("shard"),
-            F.col("pack_local").cast("long").alias("pack_local"),
-            F.col("fill").cast("long").alias("fill"),
-            F.col("started").alias("started"),
-        )
-        slim = slim.unionByName(state_rows)
+    # the cursor is BOUNDED (≤ n_shards rows): read the latest
+    # complete version driver-side (pyarrow) and union it in as a
+    # literal frame — no per-batch file-scan stage for a 32-row table
+    # (the same _scan_versions completeness/epoch rule _latest_version
+    # applies, so erase epochs and torn dirs behave identically)
+    cursor_versions = [
+        (ke, pth)
+        for ke, pth in _scan_versions(cursor_dir)
+        if ke[0] < int(batch_id)
+    ]
+    if cursor_versions:
+        ctbl = read_sidecar_table(cursor_versions[-1][1])
+        cd = ctbl.to_pydict() if ctbl is not None else None
+        if cd:
+            state_rows = literal_frame(
+                spark,
+                [
+                    (True, None, 0, int(sh), int(pl), int(fi), bool(st))
+                    for sh, pl, fi, st in zip(
+                        cd["shard"],
+                        cd["pack_local"],
+                        cd["fill"],
+                        cd["started"],
+                    )
+                ],
+                "is_state boolean, __id long, n_tokens long, shard int, "
+                "pack_local long, fill long, started boolean",
+            )
+            slim = slim.unionByName(state_rows)
 
     out_schema = (
         "is_state boolean, __id long, n_tokens long, shard int, "
