@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _dlit, collect_pivot_rows, nearest_pivot
+from .similarity import _dlit, nearest_pivot
 from .util import literal_frame
 
 __all__ = [
@@ -126,17 +126,23 @@ def pq_train(
             F.row_number().over(Window.orderBy(F.col("id").asc())) - 1,
         )
     )
+    # ONE collect for every subspace's seed slice (the per-subspace
+    # collect_pivot_rows form paid m_sub jobs + m_sub plan analyses
+    # for the same k rows)
+    seed_rows = seeds.select(
+        F.col("code"),
+        *[
+            F.transform(
+                F.slice("vec", j * sd + 1, sd), lambda x: _round6(x)
+            ).alias(f"__c{j}")
+            for j in range(m_sub)
+        ],
+    ).orderBy("code").collect()
     books = {
-        j: collect_pivot_rows(
-            seeds.select(
-                F.col("code"),
-                F.transform(
-                    F.slice("vec", j * sd + 1, sd), lambda x: _round6(x)
-                ).alias("centroid"),
-            ),
-            "code",
-            "centroid",
-        )
+        j: [
+            (int(r["code"]), [float(x) for x in r[f"__c{j}"]])
+            for r in seed_rows
+        ]
         for j in range(m_sub)
     }
     for _ in range(iterations - 1):
