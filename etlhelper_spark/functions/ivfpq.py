@@ -115,12 +115,12 @@ def _encode_cols(
     else:
         code_cols = [
             nearest_pivot(
-                F.slice(vec_col, j * sd + 1, sd), books[j]
+                f"slice(`{vec_col}`, {j * sd + 1}, {sd})", books[j]
             )["pid"].cast("int")
             for j in sorted(books)
         ]
     return [
-        nearest_pivot(F.col(vec_col), pivot_rows)["pid"].alias("list_id"),
+        nearest_pivot(f"`{vec_col}`", pivot_rows)["pid"].alias("list_id"),
         F.array(*code_cols).alias("codes"),
     ]
 
@@ -132,13 +132,15 @@ def _pivot_map_col(pivot_rows: list):
     residual encoding."""
     from .similarity import _dlit
 
-    entries = []
-    for pid, vec in pivot_rows:
-        entries.append(F.lit(int(pid)).cast("long"))
-        entries.append(
-            F.expr("array({})".format(", ".join(_dlit(x) for x in vec)))
+    if not pivot_rows:
+        return F.create_map()
+    entries = ", ".join(
+        "{pid}L, array({vals})".format(
+            pid=int(pid), vals=", ".join(_dlit(x) for x in vec)
         )
-    return F.create_map(*entries)
+        for pid, vec in pivot_rows
+    )
+    return F.expr(f"map({entries})")
 
 
 def _encode_frame(
@@ -172,7 +174,7 @@ def _encode_frame(
     assigned = corpus.select(
         F.col(corpus_id).alias("vec_id"),
         F.col(vec_col).alias("__v"),
-        nearest_pivot(F.col(vec_col), pivot_rows)["pid"].alias("list_id"),
+        nearest_pivot(f"`{vec_col}`", pivot_rows)["pid"].alias("list_id"),
         *extra,
     )
     with_res = assigned.select(
@@ -203,9 +205,9 @@ def _encode_frame(
         from .similarity import nearest_pivot_l2
 
         code_cols = [
-            nearest_pivot_l2(F.slice("__res", j * sd + 1, sd), books[j])[
-                "pid"
-            ].cast("int")
+            nearest_pivot_l2(
+                f"slice(__res, {j * sd + 1}, {sd})", books[j]
+            )["pid"].cast("int")
             for j in sorted(books)
         ]
     return with_res.select(

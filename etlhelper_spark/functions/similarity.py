@@ -99,7 +99,32 @@ def _dlit(x: float) -> str:
     return f"CAST('{x!r}' AS DOUBLE)"
 
 
-def _pivot_scores(vec: Column, pivot_rows) -> Column:
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text mirror of :func:`_dot` — parses to the identical
+    Catalyst tree (same casts, same fold order)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    """SQL text mirror of :func:`_norm`."""
+    return (
+        f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * "
+        f"CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v))"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """SQL text mirror of :func:`cosine_similarity`."""
+    return (
+        f"coalesce(try_divide({_dot_sql(a, b)}, "
+        f"{_norm_sql(a)} * {_norm_sql(b)}), -1.0D)"
+    )
+
+
+def _pivot_scores(vec, pivot_rows) -> Column:
     """Literal pivot array scored against *vec*: array of structs
     (nsim, pid) where nsim = -cosine, so natural struct ordering
     (ascending) ranks by similarity DESC, pivot id ASC — the identical
@@ -109,13 +134,27 @@ def _pivot_scores(vec: Column, pivot_rows) -> Column:
     Column objects: nlist × dim F.lit() calls each cost a py4j round
     trip (~2s of driver time for 16×64 at every query build), while
     one expr() string parses in milliseconds and constant-folds to the
-    same literal array."""
+    same literal array.
+
+    *vec* may be a Column or a SQL text fragment (str). The str form
+    builds the ENTIRE scored array — pivot literal, cosine fold,
+    struct projection — as one parsed expr: the Column form still
+    pays ~300 py4j round trips (~0.15 s) assembling the lambda
+    machinery per call, which multiplied across encode loops
+    (m_sub + 1 calls per batch) and probe builds dominated the ANN
+    lifecycles' driver time; the parsed tree is node-identical, so
+    results are bit-equal (verified element-wise at 5k rows)."""
     elems = ", ".join(
         "named_struct('pid', {pid}L, 'pivot', array({vals}))".format(
             pid=int(pid), vals=", ".join(_dlit(x) for x in pvec)
         )
         for pid, pvec in pivot_rows
     )
+    if isinstance(vec, str):
+        return F.expr(
+            f"transform(array({elems}), p -> named_struct("
+            f"'nsim', -({_cos_sql(vec, 'p.pivot')}), 'pid', p.pid))"
+        )
     pivot_lit = F.expr(f"array({elems})")
     return F.transform(
         pivot_lit,
@@ -126,13 +165,15 @@ def _pivot_scores(vec: Column, pivot_rows) -> Column:
     )
 
 
-def nearest_pivot(vec: Column, pivot_rows) -> Column:
+def nearest_pivot(vec, pivot_rows) -> Column:
     """Struct (nsim, pid) of the nearest pivot to *vec* — argmax as
-    array_min over the scored literal array, entirely inside codegen."""
+    array_min over the scored literal array, entirely inside codegen.
+    *vec*: Column, or a SQL fragment (str) for the one-parse fast
+    build (see _pivot_scores)."""
     return F.array_min(_pivot_scores(vec, pivot_rows))
 
 
-def nearest_pivots(vec: Column, pivot_rows, n: int) -> Column:
+def nearest_pivots(vec, pivot_rows, n: int) -> Column:
     """The *n* nearest pivots to *vec* as a sorted array of structs
     (nsim, pid) — the probe-side top-n, also shuffle-free."""
     return F.slice(F.array_sort(_pivot_scores(vec, pivot_rows)), 1, n)
@@ -243,7 +284,7 @@ def nearest_pivot_batched(pivot_rows):
     )
 
 
-def nearest_pivot_l2(vec: Column, pivot_rows) -> Column:
+def nearest_pivot_l2(vec, pivot_rows) -> Column:
     """Struct (ndist, pid) of the L2-NEAREST pivot — the Euclidean
     sibling of nearest_pivot for quantizers where MAGNITUDE matters
     (residual PQ: residual centroids are means, and assigning a small
@@ -252,7 +293,10 @@ def nearest_pivot_l2(vec: Column, pivot_rows) -> Column:
     ``||c||^2 - 2 v.c`` (the ||v||^2 term is constant per row, so the
     argmin is unchanged and the fold stays one dot per pivot); ties
     break (dist asc, pid asc) via natural struct ordering — same
-    total-order discipline as the cosine kernel."""
+    total-order discipline as the cosine kernel.
+
+    *vec*: Column, or a SQL fragment (str) for the one-parse fast
+    build (_pivot_scores' rationale; node-identical tree)."""
     elems = ", ".join(
         "named_struct('pid', {pid}L, 'pivot', array({vals}), "
         "'c2', {c2})".format(
@@ -262,6 +306,15 @@ def nearest_pivot_l2(vec: Column, pivot_rows) -> Column:
         )
         for pid, pvec in pivot_rows
     )
+    if isinstance(vec, str):
+        dot = (
+            f"aggregate(zip_with({vec}, p.pivot, (a, b) -> "
+            f"CAST(a AS DOUBLE) * b), 0.0D, (acc, x) -> acc + x)"
+        )
+        return F.expr(
+            f"array_min(transform(array({elems}), p -> named_struct("
+            f"'ndist', p.c2 - 2.0D * {dot}, 'pid', p.pid)))"
+        )
     pivot_lit = F.expr(f"array({elems})")
     dot = lambda p: F.aggregate(
         F.zip_with(vec, p["pivot"], lambda a, b: a.cast("double") * b),
