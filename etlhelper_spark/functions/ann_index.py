@@ -104,7 +104,7 @@ def build_ivf_index(
         "vec_id",
         "vec",
         *attrs,
-        nearest_pivot(F.col("vec"), pivot_rows)["pid"].alias("list_id"),
+        nearest_pivot("`vec`", pivot_rows)["pid"].alias("list_id"),
     )
     assigned.write.partitionBy("list_id").mode("overwrite").parquet(path)
     pivots.write.mode("overwrite").parquet(os.path.join(path, "_pivots"))
@@ -155,7 +155,7 @@ def append_ivf_index(
         "vec_id",
         "vec",
         *attrs,
-        nearest_pivot(F.col("vec"), pivot_rows)["pid"].alias("list_id"),
+        nearest_pivot("`vec`", pivot_rows)["pid"].alias("list_id"),
     )
     # footer-delta count (single-writer store contract): one assign
     # scan feeds the write; the appended count is the footer-sum delta
@@ -207,7 +207,7 @@ def query_ivf_index(
         "query_id",
         "qv",
         F.explode(
-            nearest_pivots(F.col("qv"), pivot_rows, nprobe)["pid"]
+            nearest_pivots("`qv`", pivot_rows, nprobe)["pid"]
         ).alias("list_id"),
     )
     # ≤ |queries| × nprobe ints — the literal filter that turns probing
@@ -504,7 +504,7 @@ def _rebalance_pass(
         # hot lists, zero shuffle (clustering.py's assignment, grouped)
         expr = None
         for L in sorted(books):
-            c = nearest_pivot(F.col("vec"), books[L])["pid"]
+            c = nearest_pivot("`vec`", books[L])["pid"]
             cond = F.col("list_id") == L
             expr = F.when(cond, c) if expr is None else expr.when(cond, c)
         return expr

@@ -87,7 +87,7 @@ def kmeans_assignments(
             # literal-centroid argmax: a single codegen projection over
             # the corpus — no join, no window, no shuffle
             return vecs.withColumn(
-                "best", nearest_pivot(F.col("vec"), cent_rows)
+                "best", nearest_pivot("`vec`", cent_rows)
             ).select(
                 "id",
                 "vec",

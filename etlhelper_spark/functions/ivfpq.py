@@ -229,7 +229,7 @@ def _residual_frame(
             F.col(vec_col),
             F.element_at(
                 _pivot_map_col(pivot_rows),
-                nearest_pivot(F.col(vec_col), pivot_rows)["pid"],
+                nearest_pivot(f"`{vec_col}`", pivot_rows)["pid"],
             ),
             lambda a, b: a.cast("double") - b,
         ).alias("__res"),
@@ -798,7 +798,7 @@ def _ivfpq_rebalance_pass(
     def assign_col():
         expr = None
         for L in sorted(books):
-            c = nearest_pivot(F.col("vec"), books[L])["pid"]
+            c = nearest_pivot("`vec`", books[L])["pid"]
             cond = F.col("list_id") == L
             expr = F.when(cond, c) if expr is None else expr.when(cond, c)
         return expr
@@ -885,7 +885,7 @@ def _ivfpq_rebalance_pass(
             F.array(
                 *[
                     nearest_pivot_l2(
-                        F.slice("__res", j * sd + 1, sd), pq_books[j]
+                        f"slice(__res, {j * sd + 1}, {sd})", pq_books[j]
                     )["pid"].cast("int")
                     for j in sorted(pq_books)
                 ]

@@ -209,7 +209,7 @@ def _assign(
                 "vec",
                 *[
                     nearest_pivot_l2(
-                        F.slice("vec", j * sd + 1, sd), books[j]
+                        f"slice(vec, {j * sd + 1}, {sd})", books[j]
                     ).alias(f"__b{j}")
                     for j in sorted(books)
                 ],
@@ -230,7 +230,7 @@ def _assign(
             "vec",
             *[
                 nearest_pivot(
-                    F.slice("vec", j * sd + 1, sd), books[j]
+                    f"slice(vec, {j * sd + 1}, {sd})", books[j]
                 ).alias(f"__b{j}")
                 for j in sorted(books)
             ],

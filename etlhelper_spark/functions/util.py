@@ -5,6 +5,67 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+class _Unrenderable(Exception):
+    """A value with no safe SQL-text literal form (falls back to the
+    Column build in literal_frame)."""
+
+
+def _sql_lit(v, dt) -> str:
+    """SQL literal text for one Python value, mirroring the Column
+    path's ``F.lit(v).cast(dt)`` — the outer CAST to the field's DDL
+    reproduces lit()'s implicit typing exactly (int widening, double→
+    float truncation, string parses). Doubles render through repr(),
+    Python's shortest round-trip form, which a string→double CAST
+    re-parses to the identical IEEE-754 bits JVM-side (similarity's
+    _dlit discipline). Raises _Unrenderable for types without a safe
+    text form (datetime/Decimal/map/nested rows — rare in state rows)."""
+    from pyspark.sql.types import ArrayType
+
+    ddl = dt.simpleString()
+    if v is None:
+        return f"CAST(NULL AS {ddl})"
+    if isinstance(v, bool):
+        return "CAST({} AS {})".format("TRUE" if v else "FALSE", ddl)
+    if isinstance(v, int):
+        return f"CAST({v} AS {ddl})"
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            # no non-nullable literal form; Column build handles these
+            raise _Unrenderable("non-finite float")
+        # repr is the shortest round-trip decimal; the JVM's correctly
+        # rounded parse yields the identical IEEE-754 bits, and the D
+        # suffix keeps it a (non-nullable) double literal, matching
+        # F.lit's nullability
+        return f"CAST({v!r}D AS {ddl})"
+    if isinstance(v, str):
+        # escape to Spark's default backslash-escaped single-quoted
+        # literal; control chars go through \uXXXX so the parsed
+        # string is byte-for-byte the Python value
+        out = []
+        for ch in v:
+            if ch == "\\":
+                out.append("\\\\")
+            elif ch == "'":
+                out.append("\\'")
+            elif ord(ch) < 0x20 or ord(ch) == 0x7F:
+                out.append("\\u%04X" % ord(ch))
+            else:
+                out.append(ch)
+        return "CAST('{}' AS {})".format("".join(out), ddl)
+    if isinstance(v, (bytearray, memoryview)):
+        v = bytes(v)
+    if isinstance(v, bytes):
+        return "CAST(X'{}' AS {})".format(v.hex(), ddl)
+    if isinstance(v, (list, tuple)):
+        if not isinstance(dt, ArrayType):
+            raise _Unrenderable(type(v))
+        if not v:
+            return f"CAST(array() AS {ddl})"
+        elems = ", ".join(_sql_lit(x, dt.elementType) for x in v)
+        return f"CAST(array({elems}) AS {ddl})"
+    raise _Unrenderable(type(v))
+
+
 def literal_frame(spark, rows, schema) -> DataFrame:
     """A small DataFrame of driver-side values, built as PURE CATALYST
     LITERALS (range(1) + explode of a struct-literal array) instead of
@@ -18,6 +79,13 @@ def literal_frame(spark, rows, schema) -> DataFrame:
     identical write through this literal shape costs ~0.2 s. On hot
     paths (per-batch state writes, codebook/pivot frames, bounded
     merge results) that difference dominates the whole operator.
+
+    The struct array renders as ONE SQL string parsed by a single
+    expr() — the per-value F.lit/F.struct Column build costs a py4j
+    round trip per value (~4 s of driver time for a 500-row codebook
+    frame rebuilt per lifecycle step); one parse is ~ms at identical
+    analyzed plans. Values whose type has no safe text form fall back
+    to the Column build (same tree, slower construction).
 
     *rows* must be bounded (state rows, pivots, codebooks — the
     bounded-driver contract); above 10k rows this falls back to
@@ -36,6 +104,25 @@ def literal_frame(spark, rows, schema) -> DataFrame:
     rows = list(rows)
     if not rows or len(rows) > 10_000:
         return spark.createDataFrame(rows, st)
+
+    try:
+        names = [f.name.replace("'", "\\'") for f in st.fields]
+        structs = ", ".join(
+            "named_struct({})".format(
+                ", ".join(
+                    "'{}', {}".format(n, _sql_lit(v, f.dataType))
+                    for n, f, v in zip(names, st.fields, r)
+                )
+            )
+            for r in rows
+        )
+        return (
+            spark.range(1)
+            .select(F.explode(F.expr(f"array({structs})")).alias("_r"))
+            .select("_r.*")
+        )
+    except _Unrenderable:
+        pass
 
     def _lit(v, dt):
         if v is None:
