@@ -31,7 +31,12 @@ from .similarity import (
     nearest_pivot,
     nearest_pivots,
 )
-from .util import count_parquet_rows, literal_frame, load_pivot_rows
+from .util import (
+    count_parquet_rows,
+    in_values,
+    literal_frame,
+    load_pivot_rows,
+)
 
 
 def _data_file_schema_names(path: str) -> list[str]:
@@ -218,7 +223,7 @@ def query_ivf_index(
     )
     if index_frame is None:
         index_frame = spark.read.parquet(path)
-    index = index_frame.where(F.col("list_id").isin(probed))
+    index = index_frame.where(in_values("list_id", probed))
     if attr_filter is not None:
         index = index.where(attr_filter)
     scored = (
@@ -381,7 +386,7 @@ def adaptive_widen(
         )
         if nprobe >= nlist or not deficient:
             break
-        pending = queries.where(F.col(query_id).isin(deficient))
+        pending = queries.where(in_values(query_id, deficient))
         pending_ids = deficient
         nprobe = min(nprobe * 2, nlist)
     out = out_parts[0]
@@ -478,7 +483,7 @@ def _rebalance_pass(
     # never read); pinned so the Lloyd rounds and the rewrite reuse it
     members = (
         spark.read.parquet(path)
-        .where(F.col("list_id").isin(list(hot)))
+        .where(in_values("list_id", sorted(hot)))
         .select("list_id", "vec_id", "vec")
         .localCheckpoint()
     )

@@ -76,7 +76,7 @@ from .pq import (
     pq_train,
 )
 from .similarity import collect_pivot_rows, nearest_pivot
-from .util import count_parquet_rows, load_pivot_rows
+from .util import count_parquet_rows, in_values, load_pivot_rows
 
 __all__ = [
     "append_ivfpq_index",
@@ -348,7 +348,7 @@ def build_ivfpq_index(
         # collapses to a single near-zero entry (all signal lost)
         pivot_ids = [int(p) for p, _ in pivot_rows]
         train_src = _residual_frame(
-            corpus.where(~F.col(corpus_id).isin(pivot_ids)),
+            corpus.where(~in_values(corpus_id, pivot_ids)),
             corpus_id,
             pivot_rows,
             vec_col,
@@ -773,7 +773,7 @@ def _ivfpq_rebalance_pass(
         F.col(corpus_id).alias("vec_id"), F.col(vec_col).alias("vec")
     )
     members = (
-        rows.where(F.col("list_id").isin(list(hot)))
+        rows.where(in_values("list_id", sorted(hot)))
         .select("list_id", "vec_id", "codes")
         .join(store, "vec_id")
         .localCheckpoint()
@@ -1361,7 +1361,7 @@ def query_ivfpq_index(
     )
     if index_rows is None:
         index_rows = read_ivfpq_rows(spark, path)
-    index = index_rows.where(F.col("list_id").isin(probed))
+    index = index_rows.where(in_values("list_id", probed))
     if attr_filter is not None:
         index = index.where(attr_filter)
     adc = _adc_sim_col_residual(books) if residual else _adc_sim_col(books)

@@ -66,6 +66,48 @@ def _sql_lit(v, dt) -> str:
     raise _Unrenderable(type(v))
 
 
+def in_values(col: str, values):
+    """``col IN (...)`` as ONE parsed expression. ``Column.isin``
+    creates every element literal through its own py4j round trip
+    (~3 ms each — a 300-int probe list costs ~1 s of driver time per
+    build); the SQL text parses to the identical ``In`` predicate
+    (same pushdown, same null semantics) in one trip. *col* is a
+    column NAME (backtick-quoted here); falls back to ``isin`` for
+    empty lists and element types without a safe text form."""
+    from pyspark.sql import functions as F
+
+    vals = list(values)
+    if not vals:
+        return F.col(col).isin(vals)
+    parts = []
+    for v in vals:
+        if v is None:
+            parts.append("NULL")
+        elif isinstance(v, bool):
+            parts.append("TRUE" if v else "FALSE")
+        elif isinstance(v, int):
+            parts.append(str(v))
+        elif isinstance(v, float):
+            if v != v or v in (float("inf"), float("-inf")):
+                return F.col(col).isin(vals)
+            parts.append(f"{v!r}D")
+        elif isinstance(v, str):
+            out = []
+            for ch in v:
+                if ch == "\\":
+                    out.append("\\\\")
+                elif ch == "'":
+                    out.append("\\'")
+                elif ord(ch) < 0x20 or ord(ch) == 0x7F:
+                    out.append("\\u%04X" % ord(ch))
+                else:
+                    out.append(ch)
+            parts.append("'{}'".format("".join(out)))
+        else:
+            return F.col(col).isin(vals)
+    return F.expr("`{}` IN ({})".format(col, ", ".join(parts)))
+
+
 def literal_frame(spark, rows, schema) -> DataFrame:
     """A small DataFrame of driver-side values, built as PURE CATALYST
     LITERALS (range(1) + explode of a struct-literal array) instead of
@@ -300,7 +342,7 @@ def in_filter_join(
             fact[fact_key] == keys_df["k"],
             "left_semi",
         )
-    return fact.where(F.col(fact_key).isin(keys))
+    return fact.where(in_values(fact_key, keys))
 
 def mg_evict(mg: dict, cap: int) -> dict:
     """Misra-Gries eviction to *cap* counters as ONE quantile

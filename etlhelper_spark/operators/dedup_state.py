@@ -65,6 +65,8 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.util import in_values
 from pyspark.sql.window import Window
 
 
@@ -248,9 +250,9 @@ def forget_from_dedup_state(
         )
     else:
         id_list = [int(x) for x in ids]
-        kept = merged.where(~F.col("survivor_id").isin(id_list))
+        kept = merged.where(~in_values("survivor_id", id_list))
         n_forgotten = merged.where(
-            F.col("survivor_id").isin(id_list)
+            in_values("survivor_id", id_list)
         ).count()
     versions = _base_versions(subdir)
     nxt = (versions[-1][0] + 1) if versions else 1

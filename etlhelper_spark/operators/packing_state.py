@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.packing import _next_fit
-from ..functions.util import literal_frame
+from ..functions.util import in_values, literal_frame
 
 __all__ = [
     "forget_from_pack_state",
@@ -470,8 +470,8 @@ def forget_from_pack_state(
                     "left_anti",
                 )
             else:
-                hit = cur.where(F.col(id_col).isin(id_list))
-                kept = cur.where(~F.col(id_col).isin(id_list))
+                hit = cur.where(in_values(id_col, id_list))
+                kept = cur.where(~in_values(id_col, id_list))
             n = hit.count()
             if n == 0:
                 # nothing doomed in the AUTHORITATIVE epoch — but
