@@ -614,11 +614,21 @@ def edit_distance_join(
             "(variant count is O(len^d)); use strategy='grams'"
         )
 
-    A = a.select(F.col(id_col).alias("id"), F.col(str_col).alias("s")).where(
-        F.col(str_col).isNotNull()
+    from .util import ensure_parallelism
+
+    # single-file scans arrive as ONE partition, which would serialize
+    # the variant/gram generation (and any broadcast build over it)
+    # onto one core — a straggler at local scale, a no-op re-check at
+    # real scale where the scan already has enough partitions
+    A = ensure_parallelism(
+        a.select(F.col(id_col).alias("id"), F.col(str_col).alias("s")).where(
+            F.col(str_col).isNotNull()
+        )
     )
-    B = b.select(F.col(id_col).alias("id"), F.col(str_col).alias("s")).where(
-        F.col(str_col).isNotNull()
+    B = ensure_parallelism(
+        b.select(F.col(id_col).alias("id"), F.col(str_col).alias("s")).where(
+            F.col(str_col).isNotNull()
+        )
     )
 
     if strategy == "deletes":
@@ -811,11 +821,15 @@ def phonetic_block_join(
     candidate set; pair it with the edit-distance path, which keeps
     full-entropy keys, rather than raising the cap). Compose with
     edit_distance_join via unionByName + distinct on (id_a, id_b)."""
-    ka = a.select(
+    from .util import ensure_parallelism
+
+    # parallelize the regexp-chain key compute off single-partition
+    # scans (see edit_distance_join); no-op when the scan is wide
+    ka = ensure_parallelism(a).select(
         F.col(id_col).alias("id_a"),
         phonetic_key(F.col(str_col)).alias("key"),
     )
-    kb = b.select(
+    kb = ensure_parallelism(b).select(
         F.col(id_col).alias("id_b"),
         phonetic_key(F.col(str_col)).alias("key"),
     )
