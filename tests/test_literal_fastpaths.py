@@ -166,3 +166,64 @@ def test_nearest_pivot_str_slice_form(spark):
         nearest_pivot("slice(vec, 5, 4)", rows)["pid"].alias("c")
     ).collect()
     assert a == b
+
+
+def test_fastpaths_under_escaped_string_literals(spark):
+    """With spark.sql.parser.escapedStringLiterals=true the backslash
+    escapes the SQL renders emit are taken literally — both fast paths
+    must detect the legacy parser mode and fall back to the Column
+    build / isin, keeping results correct (ADVICE r12 medium)."""
+    rows = [(1, "a\\b"), (2, "it's\nx")]
+    ddl = "i int, s string"
+    vals = ["a\\b", "x\ny", "plain"]
+    df = spark.createDataFrame(
+        [("a\\b",), ("x\ny",), ("zzz",)], "s string"
+    )
+    ref_frame = [tuple(r) for r in literal_frame(spark, rows, ddl).collect()]
+    ref_in = sorted(
+        str(r) for r in df.where(F.col("s").isin(vals)).collect()
+    )
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        got_frame = [
+            tuple(r) for r in literal_frame(spark, rows, ddl).collect()
+        ]
+        got_in = sorted(
+            str(r) for r in df.where(in_values("s", vals)).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+    assert got_frame == ref_frame == [(1, "a\\b"), (2, "it's\nx")]
+    assert got_in == ref_in and len(got_in) == 2
+
+
+def test_in_values_dotted_column_resolves_nested_field(spark):
+    """in_values must replicate F.col's multipart resolution: a dotted
+    name is nested-field access, exactly like the isin fallback branch
+    (ADVICE r12)."""
+    df = spark.range(10).select(
+        F.struct(F.col("id").alias("key")).alias("payload")
+    )
+    ref = sorted(
+        r["payload"]["key"]
+        for r in df.where(F.col("payload.key").isin([2, 5])).collect()
+    )
+    got = sorted(
+        r["payload"]["key"]
+        for r in df.where(in_values("payload.key", [2, 5])).collect()
+    )
+    assert got == ref == [2, 5]
+
+
+def test_literal_frame_exotic_field_names_fall_back(spark):
+    """Field names with backslashes or quotes must never crash the SQL
+    fast path — they either render correctly or degrade to the Column
+    build (ADVICE r12)."""
+    for ddl_name in ("`a\\\\b`", "`it's`"):
+        schema = f"{ddl_name} int, v string"
+        got = literal_frame(spark, [(1, "x")], schema)
+        ref = _column_literal_frame(spark, [(1, "x")], schema)
+        assert got.schema == ref.schema
+        assert [tuple(r) for r in got.collect()] == [
+            tuple(r) for r in ref.collect()
+        ]
