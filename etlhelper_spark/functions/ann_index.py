@@ -42,20 +42,18 @@ from .util import (
 def _data_file_schema_names(path: str) -> list[str]:
     """Column names of ONE parquet data file under *path* (searched
     one partition level deep), read driver-side from the footer —
-    schema discovery without a Spark job or a tree listing (the
-    ivfpq._parquet_file_schema_names contract). Raises if no data
-    file exists: an index with no data cannot be appended to."""
-    import glob as _glob
+    schema discovery without a Spark job (the
+    ivfpq._parquet_file_schema_names contract), object-store-ready
+    via pyarrow.fs (VERDICT r12 #4). Raises if no data file exists:
+    an index with no data cannot be appended to."""
+    from .util import parquet_schema_names
 
-    import pyarrow.parquet as _pq
-
-    for pat in ("*.parquet", "*=*/*.parquet"):
-        hits = _glob.glob(os.path.join(path, pat))
-        if hits:
-            return list(_pq.read_schema(min(hits)).names)
-    raise ValueError(
-        f"_data_file_schema_names: no parquet data file under {path}"
-    )
+    names = parquet_schema_names(path, max_depth=1)
+    if names is None:
+        raise ValueError(
+            f"_data_file_schema_names: no parquet data file under {path}"
+        )
+    return names
 
 __all__ = [
     "adaptive_widen",

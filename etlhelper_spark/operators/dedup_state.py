@@ -919,15 +919,31 @@ def _scan_versions(subdir: str) -> list[tuple[tuple[int, int], str]]:
     write from a crashed apply is invisible — never read, never a
     version that blocks the batch sequence — and is healed by the
     overwrite of the next complete write at that version."""
-    out = []
-    for p in glob.glob(os.path.join(subdir, "v*")):
-        m = _VERSION_RE.match(os.path.basename(p))
-        if not m:
-            continue
-        if not os.path.exists(os.path.join(p, "_SUCCESS")):
-            continue
-        out.append(((int(m.group(1)), int(m.group(2) or 0)), p))
-    return sorted(out)
+    from ..functions.util import list_fileinfos
+
+    fs, infos = list_fileinfos(subdir)
+    # pyarrow FileInfo paths are scheme-less; re-prefix so callers can
+    # hand the version path straight to spark.read.parquet
+    scheme = (
+        subdir.split("://", 1)[0] + "://" if "://" in subdir else ""
+    )
+    cand = []
+    for i in infos:
+        m = _VERSION_RE.match(i.base_name)
+        if m and not i.is_file:
+            cand.append(((int(m.group(1)), int(m.group(2) or 0)), i.path))
+    if not cand:
+        return []
+    # one BATCHED existence probe for every _SUCCESS marker (a single
+    # round trip on object stores, same syscalls locally)
+    marks = fs.get_file_info([p + "/_SUCCESS" for _ke, p in cand])
+    from pyarrow.fs import FileType
+
+    return sorted(
+        (ke, scheme + p)
+        for (ke, p), mk in zip(cand, marks)
+        if mk.type != FileType.NotFound
+    )
 
 
 def _rewrite_batch_guard(subdir: str, batch_id: int) -> None:

@@ -58,10 +58,9 @@ def _latest_version_meta(
     fold used to pay on every apply. None when no version exists;
     raises loudly on a version with no rows (nothing to validate
     against — the .first() form would have crashed there too)."""
-    import glob as _glob
-
     import pyarrow.parquet as _pq
 
+    from ..functions.util import list_fileinfos
     from .dedup_state import _scan_versions
 
     versions = [
@@ -70,11 +69,17 @@ def _latest_version_meta(
     if not versions:
         return None
     vdir = versions[-1][1]
-    for f in sorted(_glob.glob(os.path.join(vdir, "*.parquet"))):
-        pf = _pq.ParquetFile(f)
-        if pf.metadata.num_rows:
-            t = pf.read_row_group(0, columns=columns)
-            return {c: t[c][0].as_py() for c in columns}
+    fs, infos = list_fileinfos(vdir)
+    for p in sorted(
+        i.path
+        for i in infos
+        if i.is_file and i.base_name.endswith(".parquet")
+    ):
+        with fs.open_input_file(p) as f:
+            pf = _pq.ParquetFile(f)
+            if pf.metadata.num_rows:
+                t = pf.read_row_group(0, columns=columns)
+                return {c: t[c][0].as_py() for c in columns}
     raise ValueError(
         f"state version {vdir} has no rows — cannot validate "
         "fold parameters against an empty state"

@@ -81,18 +81,26 @@ def _existing_dist(spark, state_dir: str) -> int | None:
     enforces per-store consistency at write time, so any piece's d is
     THE store's d; a full-store distinct here would make every append
     and link O(state) just to read a parameter."""
-    import glob as _glob
-
     import pyarrow.parquet as _pq
+
+    from ..functions.util import list_fileinfos
 
     for p in _sources(state_dir):
         # driver-side pyarrow read of ONE value — the spark.read +
         # first() form paid a listing + scan job per append/link call
-        # just to fetch a parameter
-        for f in sorted(_glob.glob(os.path.join(p, "*.parquet"))):
-            pf = _pq.ParquetFile(f)
-            if pf.metadata.num_rows:
-                return int(pf.read_row_group(0, columns=["d"])["d"][0].as_py())
+        # just to fetch a parameter; object-store-ready (pyarrow.fs)
+        fs, infos = list_fileinfos(p)
+        for fp in sorted(
+            i.path
+            for i in infos
+            if i.is_file and i.base_name.endswith(".parquet")
+        ):
+            with fs.open_input_file(fp) as f:
+                pf = _pq.ParquetFile(f)
+                if pf.metadata.num_rows:
+                    return int(
+                        pf.read_row_group(0, columns=["d"])["d"][0].as_py()
+                    )
     return None
 
 
