@@ -504,8 +504,15 @@ def main() -> None:
     }
     with open(out_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:5]
+    # Stdout carries the FULL per-query map (slowest first so a
+    # truncated tail-capture still sees the heavy queries), not just
+    # the top five: a 238-float map is ~6 KB and fits on one line,
+    # and the round-12 top-5-only line made improvements read as
+    # "dropped_from_bench" in the driver's round-over-round diff.
+    # `cpus` states the core count the run actually used so the
+    # scaling comparison across SPARK_GRAFT_CPUS values is legible.
+    ordered = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
     )
     print(
         json.dumps(
@@ -513,9 +520,11 @@ def main() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": slowest,
+                "queries": ordered,
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "0"))
+                or spark.sparkContext.defaultParallelism,
                 "full": "BENCH_FULL.json",
             }
         )

@@ -15631,10 +15631,13 @@ def q262_incremental_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
             recs.where(F.pmod("rid", F.lit(3)) == 2), work, 2, *args
         )
         after = read_golden_state(spark, work)
-        n_before = before.count()
+        # multiset equality as ONE job (symmetric exceptAll union) —
+        # same check the count+except pair made in two jobs
         if (
-            after.count() != n_before
-            or before.exceptAll(after).count() != 0
+            before.exceptAll(after)
+            .unionAll(after.exceptAll(before))
+            .count()
+            != 0
         ):
             raise ValueError("golden-state replay was not idempotent")
     finally:
@@ -16055,9 +16058,12 @@ def q265_remap_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         # replay under the same batch id: identical state
         remap_golden_clusters(spark, work, mapping, batch_id=10)
         again = read_golden_state(spark, work)
+        # multiset equality as ONE job (symmetric exceptAll union)
         if (
-            again.count() != n_after
-            or state.exceptAll(again).count() != 0
+            state.exceptAll(again)
+            .unionAll(again.exceptAll(state))
+            .count()
+            != 0
         ):
             raise ValueError("golden remap replay was not idempotent")
     finally:
@@ -16970,9 +16976,12 @@ def q273_incremental_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             batches[1], work, batch_id=2, budget=256, n_shards=8
         )
         again = read_pack_assignments(spark, work)
+        # multiset equality as ONE job: |A\\B| + |B\\A| == 0 (the
+        # two separate exceptAll counts paid two scheduler round trips
+        # for the same check — guide SS1.5/SS5.3)
         if (
-            out.exceptAll(again).count() != 0
-            or again.exceptAll(out).count() != 0
+            out.exceptAll(again).unionAll(again.exceptAll(out)).count()
+            != 0
         ):
             raise ValueError(
                 "incremental packing replay was not idempotent"
@@ -17182,9 +17191,12 @@ def q275_stream_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_shards=8,
         )
         again = read_pack_assignments(spark, state)
+        # multiset equality as ONE job: |A\\B| + |B\\A| == 0 (the
+        # two separate exceptAll counts paid two scheduler round trips
+        # for the same check — guide SS1.5/SS5.3)
         if (
-            out.exceptAll(again).count() != 0
-            or again.exceptAll(out).count() != 0
+            out.exceptAll(again).unionAll(again.exceptAll(out)).count()
+            != 0
         ):
             raise ValueError(
                 "streaming pack redelivery was not idempotent"
@@ -17747,9 +17759,12 @@ def q280_stream_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_shards=8,
         )
         again = read_pack_assignments(spark, state)
+        # multiset equality as ONE job: |A\\B| + |B\\A| == 0 (the
+        # two separate exceptAll counts paid two scheduler round trips
+        # for the same check — guide SS1.5/SS5.3)
         if (
-            out.exceptAll(again).count() != 0
-            or again.exceptAll(out).count() != 0
+            out.exceptAll(again).unionAll(again.exceptAll(out)).count()
+            != 0
         ):
             raise ValueError(
                 "stream chunk-pack redelivery was not idempotent"
