@@ -309,9 +309,6 @@ def pack_incremental(
             return cursor[cols]
         return pd.concat([out[cols], cursor[cols]], ignore_index=True)
 
-    # persist (not localCheckpoint) and release after the two writes —
-    # the r9 cache-hygiene rule: operator-owned storage must not
-    # outlive the call (streaming_pack calls this once per micro-batch)
     # sticky erasure, enforced BEFORE the write: if this batch already
     # has an erase epoch (assign/v<batch>.e<n> from
     # forget_from_pack_state), a redelivery must never recreate the
@@ -326,27 +323,110 @@ def pack_incremental(
     epoch, authoritative = _assign_versions(state_dir).get(
         int(batch_id), (0, assign_target)
     )
-    folded = (
-        slim.groupBy("shard")
-        .applyInPandas(pack_shard, out_schema)
-        .persist()
-    )
-    try:
-        if epoch == 0:
-            folded.where(~F.col("is_state")).select(
+    folded = slim.groupBy("shard").applyInPandas(pack_shard, out_schema)
+    cursor_target = os.path.join(cursor_dir, f"v{int(batch_id)}")
+    cursor_struct = F.struct("shard", "pack_local", "fill", "started")
+    if epoch == 0:
+        # ONE job for the whole apply: the assignments write is the
+        # only action, and the (≤ n_shards rows) cursor rides it via
+        # observe() — the previous persist + separate cursor-write
+        # action paid a second scheduler round trip per batch (guide
+        # §1.5/§5.3). Write order is still assignments THEN cursor
+        # (obs.get returns only after the write commits), preserving
+        # the crash-window contract above.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        (
+            folded.observe(
+                obs,
+                F.collect_list(
+                    F.when(F.col("is_state"), cursor_struct)
+                ).alias("__cursors"),
+            )
+            .where(~F.col("is_state"))
+            .select(
                 F.col("__id").alias(id_col),
                 "n_tokens",
                 "shard",
                 "pack_id",
                 "offset",
-            ).write.mode("overwrite").parquet(assign_target)
-        cursor_target = os.path.join(cursor_dir, f"v{int(batch_id)}")
-        folded.where(F.col("is_state")).select(
-            "shard", "pack_local", "fill", "started"
-        ).repartition(1).write.mode("overwrite").parquet(cursor_target)
-    finally:
-        folded.unpersist()
-    return spark.read.parquet(authoritative)
+            )
+            .write.mode("overwrite")
+            .parquet(assign_target)
+        )
+        cur_rows = [tuple(r) for r in obs.get["__cursors"]]
+    else:
+        # erased-batch replay: assignments stay at the authoritative
+        # epoch; only the cursor folds — one bounded collect
+        cur_rows = [
+            tuple(r)
+            for r in folded.where(F.col("is_state"))
+            .select(cursor_struct.alias("c"))
+            .select("c.*")
+            .collect()
+        ]
+    _write_cursor_version(cursor_target, cur_rows)
+    return spark.read.schema(
+        _assign_schema(id_col)
+    ).parquet(authoritative)
+
+
+def _assign_schema(id_col: str):
+    """The assignment versions' exact on-disk schema — passing it to
+    ``spark.read.schema`` skips the per-read footer-inference job the
+    bare ``spark.read.parquet`` pays (one scheduled job per lifecycle
+    step at zero information gain: the layout is frozen by contract)."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("shard", IntegerType()),
+            StructField("pack_id", LongType()),
+            StructField("offset", LongType()),
+        ]
+    )
+
+
+def _write_cursor_version(target: str, rows) -> None:
+    """Persist one cursor version (≤ n_shards tiny rows) DRIVER-SIDE
+    via pyarrow — the per-batch Spark write job this replaces moved
+    ~100 bytes through a full scheduler round trip. Layout-compatible
+    with the Spark write it replaces: one parquet data file with the
+    identical column types, ``_SUCCESS`` marker written LAST (the
+    completeness rule _scan_versions enforces), overwrite semantics
+    (clear, write data, then marker). Object-store-ready (pyarrow.fs)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from ..functions.util import parquet_fs
+
+    fs, p = parquet_fs(target)
+    try:
+        fs.delete_dir(p)
+    except (FileNotFoundError, OSError):
+        pass
+    fs.create_dir(p, recursive=True)
+    rows = sorted(rows)  # deterministic file bytes (collect order isn't)
+    t = _pa.table(
+        {
+            "shard": _pa.array([r[0] for r in rows], _pa.int32()),
+            "pack_local": _pa.array([r[1] for r in rows], _pa.int64()),
+            "fill": _pa.array([r[2] for r in rows], _pa.int64()),
+            "started": _pa.array([r[3] for r in rows], _pa.bool_()),
+        }
+    )
+    with fs.open_output_stream(p + "/part-00000.parquet") as f:
+        _pq.write_table(t, f)
+    with fs.open_output_stream(p + "/_SUCCESS"):
+        pass
 
 
 def _assign_versions(state_dir: str) -> dict[int, tuple[int, str]]:
@@ -397,9 +477,15 @@ def read_pack_assignments(
     versions = _assign_versions(state_dir)
     if not versions:
         raise ValueError(f"no pack assignments under {state_dir}")
-    return spark.read.parquet(
-        *(p for _e, p in versions.values())
-    )
+    paths = [p for _e, p in versions.values()]
+    meta = _read_meta(state_dir)
+    if meta and meta.get("id_col"):
+        # frozen layout: the static schema skips the footer-inference
+        # job a bare read pays per call
+        return spark.read.schema(
+            _assign_schema(meta["id_col"])
+        ).parquet(*paths)
+    return spark.read.parquet(*paths)
 
 
 def forget_from_pack_state(
@@ -463,10 +549,20 @@ def forget_from_pack_state(
             if m and int(m.group(1)) == batch and p != keep_path:
                 shutil.rmtree(p, ignore_errors=True)
 
+    meta = _read_meta(state_dir)
+    sch = (
+        _assign_schema(meta["id_col"])
+        if meta and meta.get("id_col")
+        else None
+    )
     total = 0
     try:
         for batch, (epoch, path) in sorted(versions.items()):
-            cur = spark.read.parquet(path)
+            cur = (
+                spark.read.schema(sch).parquet(path)
+                if sch is not None
+                else spark.read.parquet(path)
+            )
             id_col = cur.columns[0]
             if doomed is not None:
                 hit = cur.join(
