@@ -36,6 +36,8 @@ from .util import (
     in_values,
     literal_frame,
     load_pivot_rows,
+    parquet_partition_counts,
+    write_pivot_rows,
 )
 
 
@@ -110,7 +112,9 @@ def build_ivf_index(
         nearest_pivot("`vec`", pivot_rows)["pid"].alias("list_id"),
     )
     assigned.write.partitionBy("list_id").mode("overwrite").parquet(path)
-    pivots.write.mode("overwrite").parquet(os.path.join(path, "_pivots"))
+    # pivot_rows are already collected: persist the sidecar driver-side
+    # (one fewer Spark write job per build — util.write_pivot_rows)
+    write_pivot_rows(os.path.join(path, "_pivots"), pivot_rows)
     # footer-sum count (util.count_parquet_rows): the write above is
     # complete, so the footers ARE the table — no listing + scan job
     n = count_parquet_rows(path)
@@ -460,16 +464,15 @@ def _rebalance_pass(
 
     from .similarity import _round6_py
 
-    sizes = (
-        spark.read.parquet(path)
-        .groupBy("list_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
+    # per-list sizes from parquet footers driver-side (util.
+    # parquet_partition_counts): the writes this pass follows are
+    # complete, so the footers ARE the table — the groupBy(list_id)
+    # count scan this replaces ran on EVERY pass, including the
+    # terminal one that finds nothing hot
     hot = {
-        int(r["list_id"]): int(r["n"])
-        for r in sizes
-        if r["n"] > max_list_size
+        L: n
+        for L, n in parquet_partition_counts(path, "list_id").items()
+        if n > max_list_size
     }
     if not hot:
         return 0
@@ -579,12 +582,9 @@ def _rebalance_pass(
         .mode("append")
         .parquet(path)
     )
-    new_pivots = literal_frame(
-        spark,
-        sorted(keep_pivots.items()),
-        "list_id bigint, pivot array<double>",
-    )
-    new_pivots.write.mode("overwrite").parquet(pivots_path)
+    # driver-known pivot set: persist driver-side (one fewer Spark
+    # write job per rebalance pass — util.write_pivot_rows)
+    write_pivot_rows(pivots_path, keep_pivots.items())
     for d in doomed_dirs:
         shutil.rmtree(d, ignore_errors=True)
     return len(doomed_dirs)

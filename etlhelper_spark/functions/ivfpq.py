@@ -71,12 +71,18 @@ from pyspark.sql.window import Window
 
 from .pq import (
     _adc_sim_col,
+    _codebook_table,
     load_pq_codebooks,
-    pq_codebook_df,
     pq_train,
 )
 from .similarity import collect_pivot_rows, nearest_pivot
-from .util import count_parquet_rows, in_values, load_pivot_rows
+from .util import (
+    count_parquet_rows,
+    in_values,
+    load_pivot_rows,
+    write_pivot_rows,
+    write_sidecar_table,
+)
 
 __all__ = [
     "append_ivfpq_index",
@@ -383,23 +389,32 @@ def build_ivfpq_index(
         ).parquet(path)
     else:
         enc.write.partitionBy("list_id").mode("overwrite").parquet(path)
-    pivots.write.mode("overwrite").parquet(os.path.join(path, "_pivots"))
-    pq_codebook_df(spark, books).write.mode("overwrite").parquet(
-        os.path.join(path, "_codebooks")
+    # sidecars are bounded, driver-known artifacts (pivot_rows and
+    # books are already collected): persist them driver-side instead
+    # of paying one Spark write job + commit each (util.
+    # write_sidecar_table; values round-trip bit-identically)
+    write_pivot_rows(os.path.join(path, "_pivots"), pivot_rows)
+    write_sidecar_table(
+        os.path.join(path, "_codebooks"), _codebook_table(books)
     )
     # one-row sidecar: appends must take the SAME encode path the
     # build did (the arrow decision is part of the frozen contract —
     # the literal fold and the numpy argmax differ by one ulp on ties,
     # so deriving it from SURVIVING codebook entries could flip it)
     if rotation is not None:
-        from .util import literal_frame
+        import pyarrow as _pa
 
-        literal_frame(
-            spark,
-            [(i, list(row)) for i, row in enumerate(rotation)],
-            "i int, r array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, "_rotation")
+        write_sidecar_table(
+            os.path.join(path, "_rotation"),
+            _pa.table(
+                {
+                    "i": _pa.array(range(len(rotation)), _pa.int32()),
+                    "r": _pa.array(
+                        [[float(x) for x in row] for row in rotation],
+                        _pa.list_(_pa.float64()),
+                    ),
+                }
+            ),
         )
     _write_ivfpq_meta(
         spark,
@@ -420,30 +435,32 @@ def build_ivfpq_index(
 def _write_ivfpq_meta(spark, path: str, **meta) -> None:
     """Persist the build-time decisions appends/probes must reuse
     (``_meta``, one row): m_sub, k_codes, the arrow encode-path
-    choice, and the versioned-ingest layout flag. Written through
-    literal_frame, NOT createDataFrame: any action on an RDD-backed
-    local frame after coalesce(1) costs ~4s of Python-worker
-    round-trip on this stack (the r8->r9 bisect's measured cause of
-    the q234/ivfpq-build regression — BENCH notes); the literal shape
-    writes in ~0.2s."""
-    from .util import literal_frame
+    choice, and the versioned-ingest layout flag. Written DRIVER-SIDE
+    (util.write_sidecar_table): one row of driver-known scalars never
+    needs a Spark write job — the literal_frame form this replaces
+    still paid a scheduled job + commit per build (~0.2s), and the
+    r8->r9 bisect's createDataFrame form ~4s of Python-worker
+    round-trip."""
+    import pyarrow as _pa
 
-    literal_frame(
-        spark,
-        [
-            (
-                int(meta["m_sub"]),
-                int(meta["k_codes"]),
-                bool(meta["arrow"]),
-                bool(meta["versioned_ingest"]),
-                bool(meta.get("residual", False)),
-                bool(meta.get("opq", False)),
-            )
-        ],
-        "m_sub int, k_codes int, arrow boolean, "
-        "versioned_ingest boolean, residual boolean, opq boolean",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "_meta")
+    write_sidecar_table(
+        os.path.join(path, "_meta"),
+        _pa.table(
+            {
+                "m_sub": _pa.array([int(meta["m_sub"])], _pa.int32()),
+                "k_codes": _pa.array([int(meta["k_codes"])], _pa.int32()),
+                "arrow": _pa.array([bool(meta["arrow"])], _pa.bool_()),
+                "versioned_ingest": _pa.array(
+                    [bool(meta["versioned_ingest"])], _pa.bool_()
+                ),
+                "residual": _pa.array(
+                    [bool(meta.get("residual", False))], _pa.bool_()
+                ),
+                "opq": _pa.array(
+                    [bool(meta.get("opq", False))], _pa.bool_()
+                ),
+            }
+        ),
     )
 
 
@@ -718,7 +735,6 @@ def _ivfpq_rebalance_pass(
     import shutil
 
     from .similarity import _round6_py
-    from .util import literal_frame
 
     meta = _read_ivfpq_meta(spark, path)
     residual = bool(meta.get("residual", False)) if meta else False
@@ -739,15 +755,19 @@ def _ivfpq_rebalance_pass(
                 "rebalance_ivfpq_index: live ingest cells above the "
                 f"watermark {w} — compact them into the base first"
             )
-    rows = read_ivfpq_rows(spark, path)
-    sizes = rows.groupBy("list_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    # per-list sizes from parquet footers driver-side: the writes this
+    # pass follows (build/append/compact/previous pass) are complete,
+    # so the footers ARE the table — the groupBy(list_id).count() scan
+    # this replaces ran on EVERY pass, including the terminal pass
+    # that finds nothing hot
     hot = {
-        int(r["list_id"]): int(r["n"])
-        for r in sizes
-        if r["n"] > max_list_size
+        L: n
+        for L, n in _effective_list_sizes(path).items()
+        if n > max_list_size
     }
     if not hot:
         return 0
+    rows = read_ivfpq_rows(spark, path)
     pivots_path = os.path.join(path, "_pivots")
     pivot_rows = load_pivot_rows(pivots_path)
     next_id = max(pid for pid, _ in pivot_rows) + 1
@@ -884,12 +904,9 @@ def _ivfpq_rebalance_pass(
     moved.select("vec_id", "codes", "list_id").write.partitionBy(
         "list_id"
     ).mode("append").parquet(target)
-    new_pivots = literal_frame(
-        spark,
-        sorted(keep_pivots.items()),
-        "list_id bigint, pivot array<double>",
-    )
-    new_pivots.write.mode("overwrite").parquet(pivots_path)
+    # driver-known pivot set: persist driver-side (one fewer Spark
+    # write job per rebalance pass — util.write_pivot_rows)
+    write_pivot_rows(pivots_path, keep_pivots.items())
     for L in doomed:
         shutil.rmtree(
             os.path.join(path, f"list_id={L}"), ignore_errors=True
@@ -934,6 +951,51 @@ def ivfpq_ingest_watermark(path: str) -> int | None:
     index was never compacted."""
     versions = _ingest_base_versions(path)
     return versions[-1][2] if versions else None
+
+
+def _effective_list_sizes(path: str) -> dict[int, int]:
+    """Per-list row counts of the index's EFFECTIVE rows —
+    read_ivfpq_rows' exact visibility rule (newest complete compacted
+    base plus live cells ABOVE its watermark) — from parquet footers,
+    read driver-side: no listing + scan job. Callers run this between
+    completed writes, so the footers are authoritative."""
+    import pyarrow.parquet as _pq
+
+    from .util import list_fileinfos
+
+    versions = _ingest_base_versions(path)
+    w = versions[-1][2] if versions else None
+
+    def _accumulate(root: str, watermark, sizes: dict) -> None:
+        fs, infos = list_fileinfos(root, recursive=True)
+        base_len = len(str(root).rstrip("/").split("://")[-1].split("/"))
+        for i in infos:
+            if not (i.is_file and i.base_name.endswith(".parquet")):
+                continue
+            rel = i.path.rstrip("/").split("/")[base_len:]
+            if any(p.startswith(("_", ".")) for p in rel):
+                continue
+            parts = dict(
+                seg.split("=", 1) for seg in rel[:-1] if "=" in seg
+            )
+            if "list_id" not in parts:
+                continue
+            if (
+                watermark is not None
+                and "ingest_batch" in parts
+                and int(parts["ingest_batch"]) <= watermark
+            ):
+                continue  # folded into the base: invisible
+            with fs.open_input_file(i.path) as f:
+                n = _pq.ParquetFile(f).metadata.num_rows
+            L = int(parts["list_id"])
+            sizes[L] = sizes.get(L, 0) + n
+
+    sizes: dict[int, int] = {}
+    if versions:
+        _accumulate(versions[-1][1], None, sizes)
+    _accumulate(path, w, sizes)
+    return sizes
 
 
 def read_ivfpq_rows(spark: SparkSession, path: str) -> DataFrame:

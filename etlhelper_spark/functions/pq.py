@@ -262,6 +262,31 @@ def pq_codebook_df(spark, books: dict) -> DataFrame:
     )
 
 
+def _codebook_table(books: dict):
+    """Codebooks as a pyarrow Table in pq_codebook_df's exact layout
+    (sub int, code int, centroid array<double>) — the driver-side
+    persist form (util.write_sidecar_table): books are already
+    driver-known, so the Spark write job the frame form paid per
+    index build carries zero information."""
+    import pyarrow as _pa
+
+    rows = [
+        (j, code, centroid)
+        for j in sorted(books)
+        for code, centroid in books[j]
+    ]
+    return _pa.table(
+        {
+            "sub": _pa.array([int(r[0]) for r in rows], _pa.int32()),
+            "code": _pa.array([int(r[1]) for r in rows], _pa.int32()),
+            "centroid": _pa.array(
+                [[float(x) for x in r[2]] for r in rows],
+                _pa.list_(_pa.float64()),
+            ),
+        }
+    )
+
+
 def pq_encode(
     df: DataFrame,
     books: dict,
@@ -436,11 +461,13 @@ def build_pq_index(
     import os
 
     books = pq_train(corpus, id_col, vec_col, m_sub, k_codes, iterations)
-    spark = corpus.sparkSession
-    pq_codebook_df(spark, books).write.mode("overwrite").parquet(
-        os.path.join(path, "_codebooks")
+    from .util import count_parquet_rows, write_sidecar_table
+
+    # books are driver-known: persist the sidecar driver-side (one
+    # fewer Spark write job per build — util.write_sidecar_table)
+    write_sidecar_table(
+        os.path.join(path, "_codebooks"), _codebook_table(books)
     )
-    from .util import count_parquet_rows
 
     pq_encode(corpus, books, id_col, vec_col).write.mode(
         "overwrite"

@@ -664,6 +664,57 @@ def read_sidecar_table(path_dir: str):
     )
 
 
+def write_sidecar_table(path_dir: str, table) -> None:
+    """Persist a SMALL parquet sidecar (pivots, codebooks, meta — the
+    bounded frozen artifacts of a persisted index) DRIVER-SIDE via
+    pyarrow: the ``df.write.parquet`` job each of these replaced moved
+    a few hundred bytes through a full Spark scheduler round trip +
+    commit protocol (~0.2-0.4 s per write on an idle local session),
+    and an index-build lifecycle pays several of them back to back.
+    Layout-identical to the Spark write: one data file, ``_SUCCESS``
+    written LAST, overwrite semantics (clear, data, then marker) — so
+    ``spark.read.parquet`` and :func:`read_sidecar_table` both read it
+    unchanged. Paths may be local or any pyarrow.fs URI."""
+    import pyarrow.parquet as _pq
+
+    fs, p = parquet_fs(path_dir)
+    try:
+        fs.delete_dir(p)
+    except (FileNotFoundError, OSError):
+        pass
+    fs.create_dir(p, recursive=True)
+    with fs.open_output_stream(p + "/part-00000.parquet") as f:
+        _pq.write_table(table, f)
+    with fs.open_output_stream(p + "/_SUCCESS"):
+        pass
+
+
+def write_pivot_rows(path_dir: str, pivot_rows) -> None:
+    """Persist ``[(list_id, vec)]`` pivot rows as the ``_pivots``
+    sidecar (``list_id bigint, pivot array<double>`` — the
+    literal_frame schema the rebalance rewrites always used), sorted
+    by id for deterministic file bytes. Values are the exact doubles
+    the caller collected, so a :func:`load_pivot_rows` round trip is
+    bit-identical to the Spark-write form it replaces."""
+    import pyarrow as _pa
+
+    rows = sorted(pivot_rows)
+    write_sidecar_table(
+        path_dir,
+        _pa.table(
+            {
+                "list_id": _pa.array(
+                    [int(i) for i, _ in rows], _pa.int64()
+                ),
+                "pivot": _pa.array(
+                    [[float(x) for x in v] for _, v in rows],
+                    _pa.list_(_pa.float64()),
+                ),
+            }
+        ),
+    )
+
+
 def load_pivot_rows(path_dir: str) -> list[tuple[int, list[float]]]:
     """The persisted ``_pivots`` sidecar as the ``[(list_id, vec)]``
     literal form every probe/append kernel consumes, ordered by id —
@@ -711,6 +762,37 @@ def parquet_schema_names(src_dir: str, max_depth: int = 2):
         with fs.open_input_file(min(by_depth[depth])) as f:
             return list(_pq.ParquetFile(f).schema_arrow.names)
     return None
+
+
+def parquet_partition_counts(path: str, key: str) -> dict[int, int]:
+    """Per-partition row counts of a ``key=value``-partitioned parquet
+    table from the file FOOTERS, read driver-side — exactly what
+    ``spark.read.parquet(path).groupBy(key).count()`` returns once the
+    writes are complete, without the listing + full-scan job (the
+    rebalance hot-list probe paid that scan on EVERY pass, including
+    the terminal pass that finds nothing hot). Spark's visibility rule
+    applies (``_``/``.`` entries are invisible); files outside any
+    ``key=`` directory are ignored. Paths may be local or any
+    pyarrow.fs URI."""
+    import pyarrow.parquet as _pq
+
+    fs, infos = list_fileinfos(path, recursive=True)
+    base_len = len(str(path).rstrip("/").split("://")[-1].split("/"))
+    out: dict[int, int] = {}
+    prefix = f"{key}="
+    for i in infos:
+        if not (i.is_file and i.base_name.endswith(".parquet")):
+            continue
+        rel_parts = i.path.rstrip("/").split("/")[base_len:]
+        if any(p.startswith(("_", ".")) for p in rel_parts):
+            continue
+        vals = [p for p in rel_parts[:-1] if p.startswith(prefix)]
+        if not vals:
+            continue
+        k = int(vals[0][len(prefix):])
+        with fs.open_input_file(i.path) as f:
+            out[k] = out.get(k, 0) + _pq.ParquetFile(f).metadata.num_rows
+    return out
 
 
 def count_parquet_rows(path: str) -> int:

@@ -9346,13 +9346,14 @@ def q193_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(work, "ivf")
     n, _nlist = build_ivf_index(e, path, nlist=4)
     cap = -(-n // 6)  # ceil(n/6): every initial list (~n/4) is hot
-    sizes = lambda: [  # noqa: E731
-        int(r["n"])
-        for r in spark.read.parquet(path)
-        .groupBy("list_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    ]
+    # per-list sizes from parquet footers driver-side (the build/
+    # rebalance writes are complete when each call runs): identical
+    # integers to the groupBy-count scan this replaces
+    from ..functions.util import parquet_partition_counts
+
+    sizes = lambda: list(  # noqa: E731
+        parquet_partition_counts(path, "list_id").values()
+    )
     before = max(sizes())
     rebalance_ivf_index(spark, path, max_list_size=cap)
     after = sizes()
@@ -13545,20 +13546,20 @@ def q244_ivfpq_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.pmod("vec_id", F.lit(2)) == 1), path, batch_id=1
     )
     compact_ivfpq_ingest(spark, path, watermark=1)
-    n = read_ivfpq_rows(spark, path).count()
+    # effective counts/sizes from parquet footers driver-side (the
+    # compaction just completed, so the footers ARE the table) — the
+    # three scan+collect jobs this replaces returned the identical
+    # integers; the probe invariants below are unchanged
+    from ..functions.ivfpq import _effective_list_sizes
+
+    n = sum(_effective_list_sizes(path).values())
     cap = -(-n // 12)  # ceil(n/12): every initial list (~n/8) is hot
     q = e.where(F.col("vec_id") < 5)
     probe = lambda npr: {  # noqa: E731
         (r["query_id"], r["neighbor_id"], r["rank"])
         for r in query_ivfpq_index(spark, path, q, k=10, nprobe=npr).collect()
     }
-    sizes = lambda: [  # noqa: E731
-        int(r["n"])
-        for r in read_ivfpq_rows(spark, path)
-        .groupBy("list_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    ]
+    sizes = lambda: list(_effective_list_sizes(path).values())  # noqa: E731
     before_sizes = sizes()
     before_probe = probe(len(before_sizes))
     split = rebalance_ivfpq_index(
