@@ -33,6 +33,7 @@ from .similarity import (
 )
 from .util import (
     count_parquet_rows,
+    read_parquet_state,
     in_values,
     literal_frame,
     load_pivot_rows,
@@ -224,7 +225,7 @@ def query_ivf_index(
         for r in q_probes.select("list_id").distinct().collect()
     )
     if index_frame is None:
-        index_frame = spark.read.parquet(path)
+        index_frame = read_parquet_state(spark, path)
     index = index_frame.where(in_values("list_id", probed))
     if attr_filter is not None:
         index = index.where(attr_filter)
@@ -287,7 +288,7 @@ def query_ivf_index_adaptive(
     never float comparisons."""
     pivot_rows = load_pivot_rows(os.path.join(path, "_pivots"))
     nlist = len(pivot_rows)
-    preloaded = (pivot_rows, spark.read.parquet(path))
+    preloaded = (pivot_rows, read_parquet_state(spark, path))
 
     def probe(pending, np_eff, shortlist):
         return query_ivf_index(
@@ -483,7 +484,7 @@ def _rebalance_pass(
     # ONE pruned scan feeds every hot list's k-means (cold lists are
     # never read); pinned so the Lloyd rounds and the rewrite reuse it
     members = (
-        spark.read.parquet(path)
+        read_parquet_state(spark, path)
         .where(in_values("list_id", sorted(hot)))
         .select("list_id", "vec_id", "vec")
         .localCheckpoint()

@@ -78,6 +78,7 @@ from .pq import (
 from .similarity import collect_pivot_rows, nearest_pivot
 from .util import (
     count_parquet_rows,
+    read_parquet_state,
     in_values,
     load_pivot_rows,
     write_pivot_rows,
@@ -577,7 +578,7 @@ def append_ivfpq_index(
     versioned = (
         bool(meta["versioned_ingest"])
         if meta is not None
-        else "ingest_batch" in spark.read.parquet(path).columns
+        else "ingest_batch" in read_parquet_state(spark, path).columns
     )
     if versioned and batch_id is None:
         raise ValueError(
@@ -1016,9 +1017,11 @@ def read_ivfpq_rows(spark: SparkSession, path: str) -> DataFrame:
     cols = ["vec_id", "list_id", "codes"] + _ivfpq_stored_attrs(spark, path)
     frames = []
     if versions:
-        frames.append(spark.read.parquet(versions[-1][1]).select(*cols))
+        frames.append(
+            read_parquet_state(spark, versions[-1][1]).select(*cols)
+        )
     if cells_exist:
-        live = spark.read.parquet(path)
+        live = read_parquet_state(spark, path)
         if versions and "ingest_batch" in live.columns:
             live = live.where(
                 F.col("ingest_batch") > F.lit(int(versions[-1][2]))
@@ -1077,7 +1080,9 @@ def compact_ivfpq_ingest(
     cols = ["vec_id", "list_id", "codes"] + _ivfpq_stored_attrs(spark, path)
     frames = []
     if versions:
-        frames.append(spark.read.parquet(versions[-1][1]).select(*cols))
+        frames.append(
+            read_parquet_state(spark, versions[-1][1]).select(*cols)
+        )
     cell_dirs = [
         p
         for p in glob.glob(
@@ -1090,7 +1095,7 @@ def compact_ivfpq_ingest(
         )
     ]
     if cell_dirs:
-        live = spark.read.parquet(path).where(
+        live = read_parquet_state(spark, path).where(
             F.col("ingest_batch") <= F.lit(w)
             if w_prev is None
             else (F.col("ingest_batch") > F.lit(w_prev))

@@ -541,4 +541,6 @@ def read_pq_codes(spark, path: str) -> DataFrame:
     """The accumulated (id, codes) table of a persisted PQ index."""
     import os
 
-    return spark.read.parquet(os.path.join(path, "codes"))
+    from .util import read_parquet_state
+
+    return read_parquet_state(spark, os.path.join(path, "codes"))

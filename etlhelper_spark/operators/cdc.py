@@ -128,7 +128,9 @@ def snapshot_apply_incremental(
     )
     out = os.path.join(subdir, f"v{int(batch_id)}")
     state.repartition(state_partitions).write.mode("overwrite").parquet(out)
-    return changes.sparkSession.read.parquet(out)
+    from ..functions.util import read_parquet_state
+
+    return read_parquet_state(changes.sparkSession, out)
 
 
 def read_snapshot_state(

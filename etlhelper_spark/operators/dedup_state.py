@@ -66,7 +66,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.util import in_values
+from ..functions.util import in_values, read_parquet_state
 from pyspark.sql.window import Window
 
 
@@ -128,10 +128,12 @@ def _read_prior(spark, subdir: str, batch_id: int) -> DataFrame | None:
     base = _current_base(subdir)
     if base is not None:
         frames.append(
-            spark.read.parquet(base).where(F.col("batch") < int(batch_id))
+            read_parquet_state(spark, base).where(
+                F.col("batch") < int(batch_id)
+            )
         )
     if paths:
-        frames.append(spark.read.parquet(*paths))
+        frames.append(read_parquet_state(spark, *paths))
     if not frames:
         return None
     out = frames[0]
@@ -182,7 +184,7 @@ def compact_dedup_state(
     if not batch_dirs:
         return 0
     sources = ([cur] if cur else []) + batch_dirs
-    merged = spark.read.parquet(*sources)
+    merged = read_parquet_state(spark, *sources)
     versions = _base_versions(subdir)
     nxt = (versions[-1][0] + 1) if versions else 1
     new_base = os.path.join(subdir, f"base_v{nxt}")
@@ -239,7 +241,7 @@ def forget_from_dedup_state(
         raise ValueError(
             f"forget_from_dedup_state: no state under {subdir}"
         )
-    merged = spark.read.parquet(*sources)
+    merged = read_parquet_state(spark, *sources)
     if isinstance(ids, _DF):
         doomed = ids.select(
             F.col(ids.columns[0]).alias("survivor_id")
@@ -1003,7 +1005,7 @@ def _latest_version(spark, subdir: str, batch_id: int) -> DataFrame | None:
     ]
     if not versions:
         return None
-    return spark.read.parquet(versions[-1][1])
+    return read_parquet_state(spark, versions[-1][1])
 
 
 def duplicate_clusters_incremental(
@@ -1110,7 +1112,7 @@ def duplicate_clusters_incremental(
         )
     out = os.path.join(subdir, f"v{int(batch_id)}")
     state.repartition(state_partitions).write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out)
+    return read_parquet_state(spark, out)
 
 
 def span_dedup_incremental(
@@ -1320,4 +1322,4 @@ def read_dedup_verdicts(spark, out_dir: str) -> DataFrame:
         raise ValueError(
             f"read_dedup_verdicts: no verdict partitions under {out_dir}"
         )
-    return spark.read.parquet(*sorted(paths))
+    return read_parquet_state(spark, *sorted(paths))

@@ -32,6 +32,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.util import read_parquet_state
 from .dedup_state import _latest_version
 
 __all__ = [
@@ -139,7 +140,9 @@ def histogram_incremental(
     state.repartition(state_partitions).write.mode("overwrite").parquet(
         os.path.join(subdir, f"v{int(batch_id)}")
     )
-    return spark.read.parquet(os.path.join(subdir, f"v{int(batch_id)}"))
+    return read_parquet_state(
+        spark, os.path.join(subdir, f"v{int(batch_id)}")
+    )
 
 
 def read_histogram_state(spark, state_dir: str, batch_id: int) -> DataFrame:
@@ -199,7 +202,9 @@ def category_counts_incremental(
     state.repartition(state_partitions).write.mode("overwrite").parquet(
         os.path.join(subdir, f"v{int(batch_id)}")
     )
-    return spark.read.parquet(os.path.join(subdir, f"v{int(batch_id)}"))
+    return read_parquet_state(
+        spark, os.path.join(subdir, f"v{int(batch_id)}")
+    )
 
 
 def read_category_state(spark, state_dir: str, batch_id: int) -> DataFrame:
@@ -222,13 +227,17 @@ def chi2_against_state(
     license mixes across vintages exactly like its numeric columns):
     ``(category, cnt_a, cnt_b, chi2_cell, chi2_total)`` where side a
     is the state, side b the candidate batch. The monitored column
-    comes from the state rows (no side channel); cost is one scan of
-    the new batch + O(categories)."""
+    comes from the state rows (no side channel — read driver-side from
+    the state version's footer, the same probe the fold uses: the
+    ``.first()`` Spark job this replaces ran on every gate call); cost
+    is one scan of the new batch + O(categories)."""
     from ..functions.drift import chi2_report
 
     spark = new_df.sparkSession
     state = read_category_state(spark, state_dir, batch_id)
-    col = state.select("col").first()["col"]
+    col = _latest_version_meta(
+        os.path.join(state_dir, "cats"), int(batch_id), ["col"]
+    )["col"]
     new_counts = (
         new_df.groupBy(F.col(col).alias("category"))
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -289,7 +298,9 @@ def embedding_moments_incremental(
         prior.repartition(state_partitions).write.mode(
             "overwrite"
         ).parquet(os.path.join(subdir, f"v{int(batch_id)}"))
-        return spark.read.parquet(os.path.join(subdir, f"v{int(batch_id)}"))
+        return read_parquet_state(
+            spark, os.path.join(subdir, f"v{int(batch_id)}")
+        )
     dim = int(d0["dmin"])
     delta = (
         new_df.select(F.posexplode(vec_col).alias("pos0", "val"))
@@ -323,7 +334,9 @@ def embedding_moments_incremental(
     state.repartition(state_partitions).write.mode("overwrite").parquet(
         os.path.join(subdir, f"v{int(batch_id)}")
     )
-    return spark.read.parquet(os.path.join(subdir, f"v{int(batch_id)}"))
+    return read_parquet_state(
+        spark, os.path.join(subdir, f"v{int(batch_id)}")
+    )
 
 
 def read_embedding_state(spark, state_dir: str, batch_id: int) -> DataFrame:
@@ -447,20 +460,27 @@ def streaming_category_gate(
     the gate is the measurement, and recording it BEFORE the merge is
     what makes a post-hoc audit of 'which vintage moved the mix'
     possible at all."""
-    from ..functions.util import literal_frame
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        n_rows = batch_df.count()
-        if n_rows == 0:
+        if batch_df.isEmpty():
             return  # empty micro-batch: nothing to gate or fold
         try:
-            gate = chi2_against_state(batch_df, state_dir, batch_id)
+            # n_rows rides the gate's own action via observe(): the
+            # chi-square aggregates every batch row, so the count fills
+            # during the SAME job — the separate full-scan count()
+            # this replaces ran per micro-batch (plus the limit-1
+            # isEmpty probe above replacing the empty-check half)
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observed = batch_df.observe(
+                obs, F.count(F.lit(1)).alias("__n")
+            )
+            gate = chi2_against_state(observed, state_dir, batch_id)
             total = gate.select("chi2_total").first()
             rows = [
                 (
                     int(batch_id),
-                    int(n_rows),
+                    int(obs.get["__n"]),
                     float(total["chi2_total"]),
                 )
             ]
@@ -468,14 +488,27 @@ def streaming_category_gate(
             rows = []  # first batch: no prior state to score against
         if rows:
             # the batch id is the partition DIRECTORY (batch=<id>), so
-            # the written frame must not carry a `batch` data column —
-            # partition discovery at read time supplies it
-            literal_frame(
-                spark,
-                [r[1:] for r in rows],
-                "n_rows long, chi2_total double",
-            ).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"batch={int(batch_id)}")
+            # the written file must not carry a `batch` data column —
+            # partition discovery at read time supplies it. The verdict
+            # is ONE driver-known row: persist it driver-side (pyarrow,
+            # layout-identical to the Spark write this replaces — one
+            # data file, _SUCCESS last, overwrite semantics)
+            import pyarrow as _pa
+
+            from ..functions.util import write_sidecar_table
+
+            write_sidecar_table(
+                os.path.join(out_dir, f"batch={int(batch_id)}"),
+                _pa.table(
+                    {
+                        "n_rows": _pa.array(
+                            [int(rows[0][1])], _pa.int64()
+                        ),
+                        "chi2_total": _pa.array(
+                            [float(rows[0][2])], _pa.float64()
+                        ),
+                    }
+                ),
             )
         category_counts_incremental(batch_df, state_dir, batch_id, col)
 

@@ -88,7 +88,9 @@ def inverted_index_incremental(
     )
     out = os.path.join(stats_dir, f"v{int(batch_id)}")
     merged.repartition(state_partitions).write.mode("overwrite").parquet(out)
-    return spark.read.parquet(out)
+    from ..functions.util import read_parquet_state
+
+    return read_parquet_state(spark, out)
 
 
 def read_index_top(

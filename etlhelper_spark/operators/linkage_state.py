@@ -180,7 +180,9 @@ def read_linkage_state(spark, state_dir: str) -> DataFrame:
     src = _sources(state_dir)
     if not src:
         raise ValueError(f"no linkage index at {state_dir}")
-    return spark.read.parquet(*src)
+    from ..functions.util import read_parquet_state
+
+    return read_parquet_state(spark, *src)
 
 
 def streaming_link(
@@ -333,7 +335,9 @@ def link_batch(
             f"linkage index at {state_dir} has no phonetic substore — "
             f"append with phonetic=True to link phonetically"
         )
-    pkeys = spark.read.parquet(*psrc).select(
+    from ..functions.util import read_parquet_state
+
+    pkeys = read_parquet_state(spark, *psrc).select(
         F.col("id").alias("id_b"), F.col("s").alias("s_b"), "k"
     )
     # the '000' key (empty / non-letter names) asserts no phonetic

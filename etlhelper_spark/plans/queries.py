@@ -34,6 +34,7 @@ from ..functions.dedup import (
     simhash,
 )
 from ..functions.multimodal import documents_as_media, extract_features
+from ..functions.util import read_parquet_state
 from ..functions.similarity import brute_force_topk, lsh_bucket_topk
 from ..functions.text import text_stats, top_tokens
 from ..session import configure_session
@@ -2632,7 +2633,7 @@ def q75_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         broadcast_source=False,
     )
-    merged = spark.read.parquet(staged)
+    merged = read_parquet_state(spark, staged)
     return merged.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count("*").alias("n"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
@@ -8006,7 +8007,7 @@ def q172_stream_cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed.repartition(2, tag).write.mode("overwrite").parquet(src_dir)
 
     stream = (
-        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        spark.readStream.schema(read_parquet_state(spark, src_dir).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
@@ -8535,7 +8536,7 @@ def q180_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("vec_id") < half), idx_dir, nlist=16
     )
     append_ivf_index(e.where(F.col("vec_id") >= half), idx_dir)
-    index = spark.read.parquet(idx_dir)
+    index = read_parquet_state(spark, idx_dir)
     return index.groupBy("list_id").agg(
         F.count("*").alias("n_vecs"),
         F.sum("vec_id").alias("sum_ids"),
@@ -9358,7 +9359,7 @@ def q193_ivf_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebalance_ivf_index(spark, path, max_list_size=cap)
     after = sizes()
     ok = bool(max(after) < before and max(after) <= cap)
-    return spark.read.parquet(path).select(
+    return read_parquet_state(spark, path).select(
         "vec_id", F.lit(ok).alias("ok")
     )
 
@@ -9428,7 +9429,7 @@ def q194_stream_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _g
 
     paths = sorted(_g.glob(os.path.join(work, "out", "batch=*")))
-    return spark.read.parquet(*paths).select("id_a", "id_b", "cosine")
+    return read_parquet_state(spark, *paths).select("id_a", "id_b", "cosine")
 
 
 @query(
@@ -10051,7 +10052,7 @@ def q205_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="ehs_shards_")
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
     write_training_shards(d, work, ["doc_id"], 256, seed=42)
-    return spark.read.parquet(os.path.join(work, "shards")).select(
+    return read_parquet_state(spark, os.path.join(work, "shards")).select(
         "doc_id", F.col("shard").cast("long").alias("shard"), "pos"
     )
 
@@ -11572,7 +11573,7 @@ def q223_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     merge_into_parquet(spark, target, ins, ["o_orderkey"])
-    cur = spark.read.parquet(target)
+    cur = read_parquet_state(spark, target)
     dels = cur.where(F.pmod("o_orderkey", F.lit(7)) == 3).select(
         "o_orderkey"
     )
@@ -11585,7 +11586,7 @@ def q223_tpch_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         when_not_matched_insert=False,
     )
     return (
-        spark.read.parquet(target)
+        read_parquet_state(spark, target)
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -12439,7 +12440,7 @@ def q234_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = e.where(F.pmod("vec_id", F.lit(3)) >= 2)
     build_ivfpq_index(b0, work, nlist=8, m_sub=4, k_codes=8, iterations=2)
     append_ivfpq_index(b1, work)
-    idx = spark.read.parquet(work)
+    idx = read_parquet_state(spark, work)
     return idx.select(
         "vec_id",
         F.col("list_id").cast("long").alias("list_id"),
@@ -12550,7 +12551,7 @@ def q235_stream_category_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(work, "gates"),
         "source",
     )
-    return spark.read.parquet(os.path.join(work, "gates")).select(
+    return read_parquet_state(spark, os.path.join(work, "gates")).select(
         F.col("batch").cast("long").alias("batch"),
         "n_rows",
         "chi2_total",
@@ -12796,7 +12797,7 @@ def q239_forget_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_exact_incremental(
             doubled.where(F.pmod("doc_id", F.lit(3)) == i), work, i
         )
-    state = spark.read.parquet(os.path.join(work, "exact"))
+    state = read_parquet_state(spark, os.path.join(work, "exact"))
     doomed = state.where(
         F.pmod("survivor_id", F.lit(7)) == 0
     ).select("survivor_id")
@@ -12932,7 +12933,7 @@ def q240_stream_ivfpq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming_ivfpq_ingest(
         stream, os.path.join(work, "idx"), os.path.join(work, "ckpt")
     )
-    idx = spark.read.parquet(os.path.join(work, "idx"))
+    idx = read_parquet_state(spark, os.path.join(work, "idx"))
     return idx.select(
         "vec_id",
         F.col("list_id").cast("long").alias("list_id"),
@@ -13263,7 +13264,7 @@ def q242_forget_everywhere(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _base(store: str) -> DataFrame:
         import glob as _glob
 
-        return spark.read.parquet(
+        return read_parquet_state(spark, 
             *_glob.glob(os.path.join(st, store, "base_v*"))
         )
 
@@ -13282,15 +13283,16 @@ def q242_forget_everywhere(spark: SparkSession, sf_dir: str) -> DataFrame:
         _base("spans").select(
             F.lit("spans").alias("store"), key("g")
         ),
-        spark.read.parquet(
+        read_parquet_state(
+            spark,
             *__import__("glob").glob(
                 os.path.join(ixst, "postings", "base_v*")
-            )
+            ),
         )
         .select("doc_id")
         .distinct()
         .select(F.lit("inverted_index").alias("store"), key("doc_id")),
-        spark.read.parquet(ivf)
+        read_parquet_state(spark, ivf)
         .select("vec_id")
         .distinct()
         .select(F.lit("ivf_index").alias("store"), key("vec_id")),
@@ -14606,7 +14608,7 @@ def q254_stream_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_dir,
         )
         out = (
-            spark.read.parquet(out_dir)
+            read_parquet_state(spark, out_dir)
             .groupBy("id_a")
             .agg(
                 F.count("*").alias("n_cand"),
@@ -17362,7 +17364,7 @@ def q277_forget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"sample erasure failed: erased={n_erased} (live doomed "
                 f"winners {doomed_in_live}), versions={len(versions)}"
             )
-        state = spark.read.parquet(versions[0]).localCheckpoint()
+        state = read_parquet_state(spark, versions[0]).localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
     leftover = state.where(F.col("doc_id") % 10 == 4).count()
@@ -17443,7 +17445,7 @@ def q278_forget_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"frequency erasure failed: erased={n_erased}, "
                 f"versions={len(versions)}"
             )
-        left = spark.read.parquet(versions[0]).localCheckpoint()
+        left = read_parquet_state(spark, versions[0]).localCheckpoint()
     finally:
         shutil.rmtree(work, ignore_errors=True)
     leftover = left.where(
@@ -18075,7 +18077,7 @@ def q283_forget_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         versions = _glob.glob(os.path.join(work, "snapshot", "v*"))
         raw_leftover = (
-            spark.read.parquet(versions[0])
+            read_parquet_state(spark, versions[0])
             .where(F.col("user_id") % 10 == 4)
             .count()
             if len(versions) == 1
@@ -18155,7 +18157,7 @@ def q284_forget_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_erased = forget_from_clusters_state(spark, work, doomed)
         versions = _glob.glob(os.path.join(work, "clusters", "v*"))
         state = (
-            spark.read.parquet(versions[0]).localCheckpoint()
+            read_parquet_state(spark, versions[0]).localCheckpoint()
             if len(versions) == 1
             else None
         )
