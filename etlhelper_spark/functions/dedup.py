@@ -1109,15 +1109,41 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
     from pyspark.sql import Observation
 
-    for _ in range(max_iterations):
+    if max_iterations <= 0:
+        return edges.select(
+            F.col("src").alias("node_id"),
+            F.col("src").alias("cluster_id"),
+        ).distinct()
+    # ROUND 1 FOLDED INTO THE LABEL INIT: the initial label IS the
+    # node id, so the first round's edge⋈label join is a join against
+    # an identity table — neighbor-min is just min(dst) per src. One
+    # aggregate replaces the separate label-init checkpoint job plus
+    # round 1's join, and emits the identical labels (min of self and
+    # all direct neighbors) with the identical changed count.
+    obs = Observation()
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nbr_label"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("nbr_label")).alias("label"),
+        )
+        .observe(
+            obs,
+            F.count(
+                F.when(F.col("label") != F.col("node"), F.lit(1))
+            ).alias("changed"),
+        )
+        .localCheckpoint()
+    )
+    if int(obs.get["changed"]) == 0:
+        return labels.select(
+            F.col("node").alias("node_id"),
+            F.col("label").alias("cluster_id"),
+        )
+    for _ in range(max_iterations - 1):
         neighbor_min = (
             edges.join(
                 labels.withColumnRenamed("node", "dst_node"),

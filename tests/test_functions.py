@@ -244,6 +244,34 @@ def test_duplicate_clusters_ignores_pair_order(spark):
     assert as_map(fwd) == as_map(rev) == {5: 5, 9: 5, 7: 5}
 
 
+def test_duplicate_clusters_bounded_iterations(spark):
+    # pins the r13 round-1 fold: the first propagation round is an
+    # aggregate (min of self and direct neighbors), not a join against
+    # an identity label table — its output must be exactly the
+    # one-round label set, and iteration accounting must not shift
+    from etlhelper_spark.functions.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    as_map = lambda df, k: {
+        r["node_id"]: r["cluster_id"]
+        for r in duplicate_clusters(df, max_iterations=k).collect()
+    }
+    # 0 rounds: identity labels
+    assert as_map(chain, 0) == {1: 1, 2: 2, 3: 3, 4: 4}
+    # 1 round: min over direct neighbors only (4 sees 3, not 1)
+    assert as_map(chain, 1) == {1: 1, 2: 1, 3: 2, 4: 3}
+    # 2 rounds: two-hop minima
+    assert as_map(chain, 2) == {1: 1, 2: 1, 3: 1, 4: 2}
+    # enough rounds: converged
+    assert as_map(chain, 20) == {1: 1, 2: 1, 3: 1, 4: 1}
+    # single-edge graph converges in the folded first round
+    assert as_map(
+        spark.createDataFrame([(8, 6)], "id_a long, id_b long"), 20
+    ) == {6: 6, 8: 6}
+
+
 def test_select_survivors_quality_policy(spark):
     from etlhelper_spark.functions.dedup import select_survivors
 
