@@ -115,7 +115,9 @@ def _versioned_erase(
     sources = ([cur] if cur else []) + batch_dirs
     if not sources:
         raise ValueError(f"_versioned_erase: no state under {subdir}")
-    merged = spark.read.parquet(*sources)
+    from ..functions.util import read_parquet_state
+
+    merged = read_parquet_state(spark, *sources)
     n_forgotten = int(count_fn(merged))
     kept = keep_fn(merged)
     versions = _base_versions(subdir)
@@ -302,7 +304,9 @@ def forget_from_index_state(
     if stats_versions:
         # newest COMPLETE base only (marker-checked) — a glob would
         # also read a crash-orphaned partial version
-        kept = spark.read.parquet(_current_base(postings_dir))
+        from ..functions.util import read_parquet_state
+
+        kept = read_parquet_state(spark, _current_base(postings_dir))
         recomputed = kept.groupBy("token").agg(
             F.count("*").alias("n"), F.sum("n").alias("cf")
         )
@@ -323,7 +327,9 @@ def _partition_local_erase(
     emptied entirely are deleted explicitly (dynamic overwrite cannot
     touch a partition absent from the written frame). Returns erased
     row count."""
-    df = spark.read.parquet(data_dir)
+    from ..functions.util import read_parquet_state
+
+    df = read_parquet_state(spark, data_dir)
     hit = df.join(
         F.broadcast(doomed), df["vec_id"] == doomed["__fid"], "left_semi"
     )
@@ -509,7 +515,9 @@ def forget_from_golden_state(
     # superseded (PII-bearing) older versions go first
     _heal_and_purge_history(subdir, versions)
     cur_v, cur_path = versions[-1]
-    state = spark.read.parquet(cur_path)
+    from ..functions.util import read_parquet_state
+
+    state = read_parquet_state(spark, cur_path)
     doomed = _doomed_frame(spark, ids)
     win_cols = [c for c in state.columns if c.startswith("__win_")]
     exploded = state.select(
@@ -663,7 +671,9 @@ def _live_rewrite_store(spark, state_dir: str, store: str, what: str):
         raise ValueError(f"no {what} at {state_dir}")
     _heal_and_purge_history(subdir, versions)
     cur_v, cur_path = versions[-1]
-    return subdir, cur_v, cur_path, spark.read.parquet(cur_path)
+    from ..functions.util import read_parquet_state
+
+    return subdir, cur_v, cur_path, read_parquet_state(spark, cur_path)
 
 
 def _typed_doomed(spark, values, dtype, name: str = "__fid") -> DataFrame:

@@ -83,6 +83,7 @@ def compact_parquet_table(
     shuffle) so per-file min/max stats tighten for single-column
     predicates.  Returns {files_before, files_after, bytes, rows}.
     """
+    from ..functions.util import count_parquet_rows
     from ..sources import read_parquet_table
 
     raise_for_abort()
@@ -99,7 +100,9 @@ def compact_parquet_table(
         tempfile.gettempdir(), f"ehs_compact_{uuid.uuid4().hex}"
     )
     out.write.mode("overwrite").parquet(staging)
-    rows = spark.read.parquet(staging).count()
+    # the write just committed: the footers ARE the table (driver-side
+    # count, no listing + scan job — functions/util.count_parquet_rows)
+    rows = count_parquet_rows(staging)
     _swap_in(staging, target_path)
     return {
         "files_before": files_before,
@@ -159,6 +162,7 @@ def clustered_rewrite(
     class as the compaction it replaces.  Returns
     {files, rows, bounds}.
     """
+    from ..functions.util import count_parquet_rows
     from ..sources import read_parquet_table
 
     raise_for_abort()
@@ -185,7 +189,9 @@ def clustered_rewrite(
         tempfile.gettempdir(), f"ehs_zorder_{uuid.uuid4().hex}"
     )
     out.write.mode("overwrite").parquet(staging)
-    rows = spark.read.parquet(staging).count()
+    # the write just committed: the footers ARE the table (driver-side
+    # count, no listing + scan job — functions/util.count_parquet_rows)
+    rows = count_parquet_rows(staging)
     _swap_in(staging, target_path)
     return {
         "files": len(_data_files(target_path)),

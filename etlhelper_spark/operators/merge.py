@@ -155,7 +155,10 @@ def merge_into_parquet(
         tempfile.gettempdir(), f"ehs_merge_{uuid.uuid4().hex}"
     )
     merged.write.mode("overwrite").parquet(staging)
-    n = spark.read.parquet(staging).count()
+    # the write just committed: footer-sum count, no scan job
+    from ..functions.util import count_parquet_rows
+
+    n = count_parquet_rows(staging)
 
     backup = target_path.rstrip("/") + f".__pre_merge_{uuid.uuid4().hex[:8]}"
     os.rename(target_path, backup)
