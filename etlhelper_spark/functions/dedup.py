@@ -1107,7 +1107,9 @@ def duplicate_clusters(
         )
         .select("e.src", "e.dst")
         .distinct()
-        .localCheckpoint()
+        # lazy: materializes inside round 1's (eager) checkpoint job —
+        # a separate edges job per call carried no information
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Observation
 

@@ -376,7 +376,9 @@ def _batch_fingerprints(
     )
     return new_df.select(
         F.col(id_col).alias("id"), fp.alias("fingerprint")
-    ).localCheckpoint()  # consumed twice (survivor election + verdict)
+    ).localCheckpoint(eager=False)  # computed once at the first
+    # action, reused by the second (survivor election + verdict) —
+    # eager paid a separate scheduler job per micro-batch
 
 
 def _resolve_exact(
@@ -410,7 +412,9 @@ def _resolve_exact(
         F.coalesce("prior_survivor", "batch_survivor").alias("survivor_id"),
         F.lit(int(batch_id)).cast("long").alias("batch"),
         F.col("prior_survivor").isNull().alias("__new_fp"),
-    ).localCheckpoint()  # consumed twice (state append + verdict join)
+    ).localCheckpoint(eager=False)  # computed once at the first
+    # action (state append), reused by the verdict join — eager paid a
+    # separate scheduler job per micro-batch
     # verdicts read the RESOLVED survivors (not the files — same
     # values, no re-read); kept = this doc IS the first-seen survivor
     verdict = fps.join(
@@ -534,7 +538,9 @@ def dedup_exact_incremental_bloom(
         # the bitmap covers only bloom-applied batches ≤ its version:
         # newer state rows (plain-variant applies in between) bypass it
         covered = prior.where(F.col("batch") <= int(bv))
-        uncovered = prior.where(F.col("batch") > int(bv)).localCheckpoint()
+        uncovered = prior.where(
+            F.col("batch") > int(bv)
+        ).localCheckpoint(eager=False)
         # candidates are O(duplicates + FP sliver): broadcast them so
         # the covered state prunes scan-side and NEVER shuffles
         prior = covered.join(
@@ -718,7 +724,9 @@ def minhash_incremental(
     subdir = os.path.join(state_dir, "bands")
     keys = minhash_band_keys(
         new_df, id_col, text_col, num_hashes, bands, shingle_size
-    ).localCheckpoint()  # consumed 3x (2 joins + append): compute once
+    ).localCheckpoint(eager=False)  # computed once at the first
+    # action, reused by the other two (2 joins + append) — eager paid a
+    # separate scheduler job per micro-batch
     prior = _read_prior(spark, subdir, batch_id)
     n = keys.alias("n")
     intra = (
@@ -814,7 +822,9 @@ def embedding_lsh_incremental(
         .agg(F.sort_array(F.collect_list("id")).alias("members"))
         .select(F.element_at("members", 1).alias("rep_id"), "members", "v")
         .withColumn("sigs", sig_kernel(F.col("v")))
-        .localCheckpoint()
+        # computed once at the first action (pairs write), reused by
+        # the state append — eager paid a separate job per micro-batch
+        .localCheckpoint(eager=False)
     )
 
     def lean_buckets(rep_frame: DataFrame, rid: str) -> DataFrame:
@@ -1181,8 +1191,9 @@ def span_dedup_incremental(
         marked = marked.join(seen, "g", "left")
     else:
         marked = marked.withColumn("__seen", F.lit(None).cast("boolean"))
-    # consumed twice (verdict rollup + new-digest append)
-    marked = marked.localCheckpoint()
+    # computed once at the first action, reused by the second
+    # (verdict rollup + new-digest append)
+    marked = marked.localCheckpoint(eager=False)
     dup = (F.col("nd_batch") >= 2) | F.coalesce(
         F.col("__seen"), F.lit(False)
     )

@@ -259,7 +259,9 @@ def forget_from_span_state(
         fg = fg.join(
             _span_grams(retained_docs, id_col, text_col, n), "g", "left_anti"
         )
-    fg = fg.localCheckpoint()  # consumed by both the anti-join and count
+    # computed once at the first action (the erased count), reused by
+    # the anti-join rewrite — lazy: a separate job carried no information
+    fg = fg.localCheckpoint(eager=False)
     return _versioned_erase(
         spark,
         os.path.join(state_dir, "spans"),

@@ -70,7 +70,9 @@ def inverted_index_incremental(
     per_doc = (
         tok.groupBy("token", "doc_id")
         .agg(F.count("*").alias("n"))
-        .localCheckpoint()  # consumed twice: postings append + partial
+        # computed once at the first action (postings append), reused
+        # by the partial aggregate — eager paid a separate job per batch
+        .localCheckpoint(eager=False)
     )
     per_doc.withColumn("batch", F.lit(int(batch_id))).repartition(
         state_partitions
