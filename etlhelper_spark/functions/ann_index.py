@@ -183,6 +183,8 @@ def query_ivf_index(
     vec_col: str = "embedding",
     attr_filter=None,
     _preloaded: tuple | None = None,
+    _probe_lo: int = 0,
+    _raw: bool = False,
 ) -> DataFrame:
     """Top-k cosine search against a persisted IVF index.
 
@@ -199,7 +201,14 @@ def query_ivf_index(
     tests), so 'top-k WHERE lang = x' reads only matching rows of
     probed lists — never a join back to the row store. Recall caveat
     is the standard one: a filter that excludes most of a probed list
-    effectively shrinks nprobe; raise nprobe for selective filters."""
+    effectively shrinks nprobe; raise nprobe for selective filters.
+
+    *_probe_lo*/*_raw* serve adaptive_widen's DELTA rounds: with
+    _probe_lo=p only the lists ranked (p, nprobe] per query are probed
+    (the widening loop already holds the candidates from ranks <= p in
+    the previous round's checkpointed shortlist), and _raw skips the
+    output's 4dp rounding so the loop's merge re-rank orders by the
+    same unrounded sim this function ranks on internally."""
     if _preloaded is not None:
         # the adaptive widening loop re-probes: frozen pivots and the
         # index frame (whose construction re-lists the directory) are
@@ -211,12 +220,18 @@ def query_ivf_index(
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
     )
+    pid_arr = nearest_pivots("`qv`", pivot_rows, nprobe)["pid"]
+    if int(_probe_lo) > 0:
+        # delta round: ranks (_probe_lo, nprobe] only — slice of the
+        # same sorted pid array, so the probed set is exactly the
+        # full probe's minus the already-probed prefix
+        pid_arr = F.slice(
+            pid_arr, int(_probe_lo) + 1, int(nprobe) - int(_probe_lo)
+        )
     q_probes = q.select(
         "query_id",
         "qv",
-        F.explode(
-            nearest_pivots("`qv`", pivot_rows, nprobe)["pid"]
-        ).alias("list_id"),
+        F.explode(pid_arr).alias("list_id"),
     )
     # ≤ |queries| × nprobe ints — the literal filter that turns probing
     # into partition pruning
@@ -241,12 +256,11 @@ def query_ivf_index(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
     )
+    sim_out = F.col("sim") if _raw else F.round("sim", 4)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", "rank", F.round("sim", 4).alias("sim")
-        )
+        .select("query_id", "neighbor_id", "rank", sim_out.alias("sim"))
     )
 
 def query_ivf_index_adaptive(
@@ -290,7 +304,7 @@ def query_ivf_index_adaptive(
     nlist = len(pivot_rows)
     preloaded = (pivot_rows, read_parquet_state(spark, path))
 
-    def probe(pending, np_eff, shortlist):
+    def probe(pending, np_eff, shortlist, lo=0, ids=None):
         return query_ivf_index(
             spark,
             path,
@@ -301,12 +315,19 @@ def query_ivf_index_adaptive(
             vec_col=vec_col,
             attr_filter=attr_filter,
             _preloaded=preloaded,
+            _probe_lo=lo,
+            # unrounded sim through the widening rounds so the delta
+            # merge re-ranks by the exact order each probe ranked on;
+            # rounded once below, on the final rows only
+            _raw=True,
         )
 
     out = adaptive_widen(
         spark, queries, query_id, nlist, k, nprobe0, oversample, probe
     )
-    return out.where(F.col("rank") <= int(k))
+    return out.where(F.col("rank") <= int(k)).withColumn(
+        "sim", F.round("sim", 4)
+    )
 
 
 def adaptive_widen(
@@ -318,20 +339,36 @@ def adaptive_widen(
     nprobe0: int,
     oversample: int,
     probe_fn,
+    score_col: str = "sim",
+    initial_ids: list | None = None,
 ) -> DataFrame:
     """The shared probe-WIDENING loop behind query_ivf_index_adaptive
     and ivfpq.query_ivfpq_index_adaptive (one implementation — the
     stopping logic must never diverge between the float and codes
-    paths): each round runs *probe_fn(pending, nprobe, shortlist)*
-    over ONLY the still-deficient queries, counts each query's
-    filtered shortlist (a bounded |queries|-row collect of exact
-    counts — never float comparisons), doubles nprobe for the
-    deficient subset, and stops when every shortlist fills or the
-    probe covers all *nlist* lists. Pending ids are collected ONCE
-    (round 1) and thereafter reused from the deficient list itself —
+    paths): each round runs *probe_fn(pending, nprobe, shortlist,
+    probe_lo, pending_ids)* over ONLY the still-deficient queries,
+    counts each query's filtered shortlist (a bounded |queries|-row
+    collect of exact counts — never float comparisons), doubles nprobe
+    for the deficient subset, and stops when every shortlist fills or
+    the probe covers all *nlist* lists. Pending ids are collected ONCE
+    (round 1, or supplied via *initial_ids* by a caller that already
+    holds them) and thereafter reused from the deficient list itself —
     no per-round re-collect. Returns the union of per-round results
-    with nprobe_used/n_iters attached; the caller trims to top-k."""
-    from .util import literal_frame
+    with nprobe_used/n_iters attached; the caller trims to top-k.
+
+    Widening rounds are DELTA probes: round r scans only the lists
+    ranked (nprobe_{r-1}, nprobe_r] per deficient query and re-ranks
+    their candidates UNIONED with the previous round's checkpointed
+    shortlist, instead of re-scanning every previously probed list.
+    This is row-identical to the full re-probe: each vector lives in
+    exactly one inverted list (frozen-pivot assignment over one
+    consistent index read), per-(query, neighbor) scores are
+    deterministic and round-independent, and the rank order
+    (*score_col* desc, neighbor_id asc) is a total order — so the
+    true top-*shortlist* over the widened probe is contained in
+    prev-top-shortlist ∪ delta-top-shortlist, and re-ranking the
+    union reproduces both the rows and their exact ranks."""
+    from .util import in_values, literal_frame
 
     # Each round materializes ONCE: the probe result is lazily
     # localCheckpoint'ed and the bounded per-query counts collect is
@@ -342,15 +379,33 @@ def adaptive_widen(
     # before.
     out_parts = []
     pending = queries
-    pending_ids = None
+    pending_ids = list(initial_ids) if initial_ids is not None else None
     nprobe = max(1, int(nprobe0))
+    prev_np = 0
+    prev_got = None
     iters = 0
     shortlist = int(k) * max(1, int(oversample))
     while True:
         iters += 1
-        got = probe_fn(
-            pending, min(nprobe, nlist), shortlist
-        ).localCheckpoint(eager=False)
+        np_eff = min(nprobe, nlist)
+        if prev_got is None:
+            got = probe_fn(pending, np_eff, shortlist, 0, pending_ids)
+        else:
+            delta = probe_fn(
+                pending, np_eff, shortlist, prev_np, pending_ids
+            )
+            base = prev_got.where(
+                in_values("query_id", pending_ids)
+            ).drop("rank")
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc(score_col), F.asc("neighbor_id")
+            )
+            got = (
+                base.unionByName(delta.drop("rank"))
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= shortlist)
+            )
+        got = got.localCheckpoint(eager=False)
         counts = {
             r["query_id"]: int(r["n"])
             for r in got.groupBy("query_id")
@@ -383,7 +438,7 @@ def adaptive_widen(
         out_parts.append(
             done_now.select(
                 "*",
-                F.lit(min(nprobe, nlist)).alias("nprobe_used"),
+                F.lit(np_eff).alias("nprobe_used"),
                 F.lit(iters).alias("n_iters"),
             )
         )
@@ -391,6 +446,8 @@ def adaptive_widen(
             break
         pending = queries.where(in_values(query_id, deficient))
         pending_ids = deficient
+        prev_np = np_eff
+        prev_got = got
         nprobe = min(nprobe * 2, nlist)
     out = out_parts[0]
     for part in out_parts[1:]:

@@ -1170,6 +1170,8 @@ def _collected_query_probes(
     vec_col: str,
     residual: bool = False,
     rotation=None,
+    lo: int = 0,
+    qrows: list | None = None,
 ):
     """Driver-side numpy preparation of the bounded query side:
     returns (q_probes frame with one row per (query, probed list)
@@ -1184,14 +1186,22 @@ def _collected_query_probes(
     ``__pc{j}`` = the k-entry table dot(pivot[L]_j, c_j[.]) — the
     cross terms of the reconstruction norm. The per-list tables depend
     only on the list, so they are computed once per list and attached
-    to its probe rows; index-side ADC stays pure codegen lookups."""
+    to its probe rows; index-side ADC stays pure codegen lookups.
+
+    *lo*/*qrows* serve the adaptive loop's delta rounds: with lo=p the
+    probe rows cover only the lists ranked (p, nprobe] per query (the
+    loop holds the candidates from ranks <= p in the previous round's
+    checkpointed shortlist), and *qrows* supplies pre-collected
+    (qid, qv) Rows so widening rounds never re-run the bounded query
+    collect as a fresh Spark job."""
     import numpy as np
 
     sd = len(books[0][0][1])
     m = len(books)
-    qrows = queries.select(
-        F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")
-    ).collect()
+    if qrows is None:
+        qrows = queries.select(
+            F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")
+        ).collect()
     pids = np.array([int(p) for p, _ in pivot_rows], dtype=np.int64)
     P = np.array([v for _, v in pivot_rows], dtype=np.float64)
     pn = np.sqrt((P * P).sum(axis=1))
@@ -1225,7 +1235,7 @@ def _collected_query_probes(
         dots = P @ v
         with np.errstate(divide="ignore", invalid="ignore"):
             sims = np.where(denom > 0.0, dots / denom, -1.0)
-        order = np.lexsort((pids, -sims))[: int(nprobe)]
+        order = np.lexsort((pids, -sims))[int(lo) : int(nprobe)]
         probes = [int(pids[i]) for i in order]
         probed_set.update(probes)
         dts = [
@@ -1339,6 +1349,8 @@ def query_ivfpq_index(
     refine_factor: int = 10,
     attr_filter=None,
     _preloaded: tuple | None = None,
+    _probe_lo: int = 0,
+    _qrows: list | None = None,
 ) -> DataFrame:
     """Top-k ADC search against a persisted IVFPQ index: partition
     pruning first (each query's nprobe nearest lists; the union of
@@ -1410,6 +1422,8 @@ def query_ivfpq_index(
         vec_col,
         residual=residual,
         rotation=rotation,
+        lo=_probe_lo,
+        qrows=_qrows,
     )
     if index_rows is None:
         index_rows = read_ivfpq_rows(spark, path)
@@ -1547,8 +1561,19 @@ def query_ivfpq_index_adaptive(
         rotation,
         read_ivfpq_rows(spark, path),
     )
+    # the bounded query side collects ONCE for the whole widening
+    # loop; each round's probe filters the collected rows driver-side
+    # instead of re-running the collect as a fresh Spark job per round
+    qrows_all = queries.select(
+        F.col(query_id).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
 
-    def probe(pending, np_eff, shortlist):
+    def probe(pending, np_eff, shortlist, lo=0, ids=None):
+        if ids is None:
+            rows = qrows_all
+        else:
+            idset = {int(x) for x in ids}
+            rows = [r for r in qrows_all if int(r["qid"]) in idset]
         return query_ivfpq_index(
             spark,
             path,
@@ -1559,10 +1584,21 @@ def query_ivfpq_index_adaptive(
             vec_col=vec_col,
             attr_filter=attr_filter,
             _preloaded=preloaded,
+            _probe_lo=lo,
+            _qrows=rows,
         )
 
     out = adaptive_widen(
-        spark, queries, query_id, nlist, k, nprobe0, oversample, probe
+        spark,
+        queries,
+        query_id,
+        nlist,
+        k,
+        nprobe0,
+        oversample,
+        probe,
+        score_col="adc_sim",
+        initial_ids=[int(r["qid"]) for r in qrows_all],
     )
     if refine is None:
         return out.where(F.col("rank") <= int(k))

@@ -345,6 +345,56 @@ def test_adaptive_probe_widens_and_matches_exact(spark, tmp_path):
     assert {r["n_iters"] for r in out2.collect()} == {1}
 
 
+def test_adaptive_delta_rounds_match_full_probe_at_stop_width(
+    spark, tmp_path
+):
+    """Float-path twin of the ivfpq delta-equivalence test: each
+    query's adaptive rows — neighbors, ranks, AND 4dp sims — must
+    equal the fixed probe at its stopping width, which is what every
+    widening round recomputed in full before the delta restructure."""
+    from etlhelper_spark.functions.ann_index import (
+        build_ivf_index,
+        query_ivf_index,
+        query_ivf_index_adaptive,
+    )
+
+    vecs = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id", "embedding", F.pmod("vec_id", F.lit(25)).alias("cat")
+    )
+    idx = str(tmp_path / "idx")
+    build_ivf_index(vecs, idx, nlist=8, attr_cols=["cat"])
+    q = vecs.where("vec_id % 10 = 3")
+    flt = F.col("cat") == 3
+    out = query_ivf_index_adaptive(
+        spark, idx, q, k=5, nprobe0=1, attr_filter=flt
+    ).cache()
+    per_q = {
+        r["query_id"]: r["nprobe_used"]
+        for r in out.select("query_id", "nprobe_used").distinct().collect()
+    }
+    assert max(per_q.values()) >= 4, per_q  # chained delta merges ran
+    for np_used in sorted(set(per_q.values())):
+        ids = [qid for qid, w in per_q.items() if w == np_used]
+        fixed = query_ivf_index(
+            spark, idx, q.where(F.col("vec_id").isin(ids)),
+            k=5, nprobe=np_used, attr_filter=flt,
+        )
+        got = {
+            (r["query_id"], r["neighbor_id"], r["rank"], r["sim"])
+            for r in out.where(F.col("query_id").isin(ids))
+            .select("query_id", "neighbor_id", "rank", "sim")
+            .collect()
+        }
+        want = {
+            (r["query_id"], r["neighbor_id"], r["rank"], r["sim"])
+            for r in fixed.collect()
+        }
+        assert got == want, f"nprobe_used={np_used}"
+    out.unpersist()
+
+
 def test_adaptive_probe_unfillable_query_stops_at_nlist(spark, tmp_path):
     """A filter with fewer than k matches corpus-wide can never fill
     the shortlist — the loop must stop at nprobe=nlist and return what

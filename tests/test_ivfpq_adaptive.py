@@ -133,6 +133,50 @@ def test_adaptive_full_coverage_equals_fixed_full_probe(
     assert got == exact
 
 
+def test_adaptive_delta_rounds_match_full_probe_at_stop_width(
+    spark, vecs, covering_index
+):
+    """Widening rounds are DELTA probes (only the newly added lists
+    are scanned; the previous round's shortlist supplies the rest).
+    The load-bearing equivalence: every query's adaptive rows must be
+    IDENTICAL — neighbor set, ranks, adc_sim values — to a fixed
+    full-width probe at the nprobe it stopped at, which is exactly
+    what each round computed before the delta restructure."""
+    q = vecs.where(F.col("vec_id") % 40 == 15).select("vec_id", "embedding")
+    flt = F.col("cat") == 3
+    out = query_ivfpq_index_adaptive(
+        spark, covering_index, q, k=5, nprobe0=1,
+        attr_filter=flt, oversample=4,
+    ).cache()
+    per_q = {
+        r["query_id"]: r["nprobe_used"]
+        for r in out.select("query_id", "nprobe_used").distinct().collect()
+    }
+    # the loop must have widened (delta rounds actually ran), and at
+    # least one query must have widened TWICE (a merge whose base is
+    # itself a merged round)
+    assert max(per_q.values()) >= 4, per_q
+    for np_used in sorted(set(per_q.values())):
+        ids = [qid for qid, w in per_q.items() if w == np_used]
+        fixed = query_ivfpq_index(
+            spark, covering_index,
+            q.where(F.col("vec_id").isin(ids)),
+            k=5, nprobe=np_used, attr_filter=flt,
+        )
+        got = {
+            (r["query_id"], r["neighbor_id"], r["rank"], r["adc_sim"])
+            for r in out.where(F.col("query_id").isin(ids))
+            .select("query_id", "neighbor_id", "rank", "adc_sim")
+            .collect()
+        }
+        want = {
+            (r["query_id"], r["neighbor_id"], r["rank"], r["adc_sim"])
+            for r in fixed.collect()
+        }
+        assert got == want, f"nprobe_used={np_used}"
+    out.unpersist()
+
+
 def test_adaptive_refine_carries_observability(spark, vecs, covering_index):
     q = vecs.where(F.col("vec_id") % 40 == 15).select("vec_id", "embedding")
     out = query_ivfpq_index_adaptive(
