@@ -764,42 +764,51 @@ def parquet_schema_names(src_dir: str, max_depth: int = 2):
     return None
 
 
-def footer_spark_schema(*paths: str):
-    """Spark schema of a parquet STATE directory, derived DRIVER-SIDE
-    from the first data file's footer (pyarrow ``schema_arrow`` →
-    ``from_arrow_schema``) — the schema ``spark.read.parquet`` would
-    infer, without the per-call inference job a bare read schedules
-    (one job at zero information gain on every state fold/probe; the
-    packing read-back measured it at ~0.1-0.2 s per call locally and
-    strictly more on a busy cluster). Intended for the versioned state
-    stores this package writes itself: their columns are strings,
-    integers, doubles, booleans, arrays and decimals, for which the
-    arrow→Spark mapping is exact. Returns None (callers fall back to
-    the inferring read) when no data file exists or when the schema
-    contains a type whose inference Spark bases on footer metadata the
-    arrow conversion does not see (timestamps — the nanos/micros and
-    tz/ntz decisions). Searches *paths* in order; the first data file
-    wins (state stores are schema-uniform by construction)."""
+def footer_spark_schema(*paths: str, spark=None):
+    """Spark schema of a parquet table or STATE directory, derived
+    DRIVER-SIDE from the first data file's footer (pyarrow
+    ``schema_arrow`` → ``from_arrow_schema``) — the schema
+    ``spark.read.parquet`` would infer, without the per-call inference
+    job a bare read schedules (one job at zero information gain on
+    every state fold/probe; the packing read-back measured it at
+    ~0.1-0.2 s per call locally and strictly more on a busy cluster).
+    Exact for strings, integers, doubles, booleans, arrays, dates and
+    decimals. Returns None (callers fall back to the inferring read)
+    when no data file exists or when the schema contains a type whose
+    inference Spark bases on footer metadata or session conf the
+    conversion cannot honor: binary (binaryAsString), nanosecond
+    timestamps (nanosAsLong; INT96 also surfaces as nanos), unsigned
+    ints. Micro/milli timestamps resolve exactly — tz-aware maps to
+    TimestampType unconditionally, tz-naive follows the session's
+    inferTimestampNTZ conf — but only when *spark* is passed (the conf
+    must be read); without a session every timestamp falls back.
+    Searches *paths* in order; the first data file wins (state stores
+    are schema-uniform by construction)."""
     import pyarrow.parquet as _pq
 
     try:
         from pyspark.sql.pandas.types import from_arrow_schema
     except ImportError:  # pragma: no cover - very old pyspark
         return None
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    import pyarrow as _pa
 
-    def _has_risky(dt) -> bool:
-        # timestamp inference depends on footer logical-type details
-        # (isAdjustedToUTC, unit) plus session conf; binary/udt the
-        # same — don't guess, fall back to Spark's own inference
-        if isinstance(dt, StructType):
-            return any(_has_risky(f.dataType) for f in dt.fields)
-        if isinstance(dt, ArrayType):
-            return _has_risky(dt.elementType)
-        if isinstance(dt, MapType):
-            return _has_risky(dt.keyType) or _has_risky(dt.valueType)
-        return dt.typeName() in (
-            "timestamp", "timestamp_ntz", "binary", "null", "void",
+    def _arrow_risky(t) -> bool:
+        if _pa.types.is_struct(t):
+            return any(_arrow_risky(f.type) for f in t)
+        if _pa.types.is_list(t) or _pa.types.is_large_list(t):
+            return _arrow_risky(t.value_type)
+        if _pa.types.is_map(t):
+            return _arrow_risky(t.key_type) or _arrow_risky(t.item_type)
+        if _pa.types.is_timestamp(t):
+            return spark is None or t.unit not in ("us", "ms")
+        return (
+            _pa.types.is_binary(t)
+            or _pa.types.is_large_binary(t)
+            or _pa.types.is_fixed_size_binary(t)
+            or _pa.types.is_null(t)
+            or _pa.types.is_unsigned_integer(t)
+            or _pa.types.is_time(t)
+            or _pa.types.is_duration(t)
         )
 
     for path in paths:
@@ -815,17 +824,39 @@ def footer_spark_schema(*paths: str):
             if any(p.startswith(("_", ".")) for p in rel):
                 continue
             hits.append(i.path)
+        if not hits and str(path).rstrip("/").endswith(".parquet"):
+            # a single parquet FILE, not a directory (FileSelector
+            # only enumerates directories): its own footer is the
+            # schema source
+            fs2, p2 = parquet_fs(path)
+            try:
+                if fs2.get_file_info(p2).is_file:
+                    fs, hits = fs2, [p2]
+            except OSError:
+                pass
         if not hits:
             continue
         with fs.open_input_file(min(hits)) as f:
             arrow_schema = _pq.ParquetFile(f).schema_arrow
+        if any(_arrow_risky(f.type) for f in arrow_schema):
+            return None
+        prefer_ntz = False
+        if spark is not None:
+            prefer_ntz = (
+                str(
+                    spark.conf.get(
+                        "spark.sql.parquet.inferTimestampNTZ.enabled",
+                        "true",
+                    )
+                ).lower()
+                == "true"
+            )
         try:
-            schema = from_arrow_schema(arrow_schema)
+            return from_arrow_schema(
+                arrow_schema, prefer_timestamp_ntz=prefer_ntz
+            )
         except Exception:
             return None
-        if any(_has_risky(f.dataType) for f in schema.fields):
-            return None
-        return schema
     return None
 
 
@@ -839,7 +870,7 @@ def read_parquet_state(spark, *paths: str):
     (timestamps, empty dirs). Read semantics are otherwise identical:
     file-source reads force nullability themselves, so downstream
     schemas match the inferring form."""
-    schema = footer_spark_schema(*paths)
+    schema = footer_spark_schema(*paths, spark=spark)
     if schema is None:
         return spark.read.parquet(*paths)
     return spark.read.schema(schema).parquet(*paths)

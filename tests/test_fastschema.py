@@ -86,6 +86,65 @@ def test_timestamp_store_falls_back(spark, tmp_path):
     ).schema
 
 
+def test_single_file_path_resolves(spark, tmp_path):
+    """A path naming one parquet FILE (the base-table layout) resolves
+    from that file's own footer — FileSelector only walks directories,
+    so the file form needs its own branch."""
+    import glob
+
+    d = str(tmp_path / "one")
+    _state_frame(spark).coalesce(1).write.parquet(d)
+    f = glob.glob(os.path.join(d, "*.parquet"))[0]
+    bare = spark.read.parquet(f)
+    fast = read_parquet_state(spark, f)
+    assert footer_spark_schema(f) is not None
+    assert fast.schema == bare.schema
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, bare.collect())
+    )
+
+
+def test_micros_timestamps_resolve_with_session(spark, tmp_path):
+    """With the session supplied, micro-precision timestamps resolve
+    exactly: tz-aware maps to TimestampType, tz-naive follows the
+    session's inferTimestampNTZ conf — both pinned against Spark's
+    own inference. Without a session, timestamps still fall back."""
+    p = str(tmp_path / "tsus")
+    spark.sql(
+        "select timestamp'2020-01-01 00:00:00' as t, "
+        "timestamp_ntz'2020-01-02 00:00:00' as tn, 1 as x"
+    ).write.parquet(p)
+    assert footer_spark_schema(p) is None  # no session -> fall back
+    assert footer_spark_schema(p, spark=spark) is not None
+    # compare at the READ level: the file source forces nullability on
+    # a user-passed schema exactly as inference does
+    bare = spark.read.parquet(p)
+    fast = read_parquet_state(spark, p)
+    assert fast.schema == bare.schema
+    assert sorted(map(str, fast.collect())) == sorted(
+        map(str, bare.collect())
+    )
+
+
+def test_base_table_reader_schema_and_rows_identical(spark):
+    """read_parquet_table (every query body's _t) pre-resolves the
+    schema driver-side; schema AND rows must be identical to the bare
+    inferring read for every testdata table."""
+    from etlhelper_spark.sources.parquet import read_parquet_table
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in (
+        "region", "nation", "supplier", "orders", "events", "embeddings",
+    ):
+        p = f"/root/testdata/sf0.001/{t}.parquet"
+        fast = read_parquet_table(spark, p)
+        bare = spark.read.parquet(p)
+        assert fast.schema == bare.schema, t
+        assert sorted(map(str, fast.collect())) == sorted(
+            map(str, bare.collect())
+        ), t
+
+
 def test_empty_dir_falls_back_to_inferring_error(spark, tmp_path):
     p = str(tmp_path / "empty")
     os.makedirs(p)
