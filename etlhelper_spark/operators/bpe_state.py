@@ -33,6 +33,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.util import read_parquet_state
+
 __all__ = [
     "build_bpe_state",
     "apply_bpe_state",
@@ -110,7 +112,7 @@ def read_bpe_vocab(spark, state_dir: str) -> DataFrame:
             f"read_bpe_vocab: no persisted vocab under {state_dir} "
             "— build_bpe_state(with_vocab=True) first"
         )
-    return spark.read.parquet(path)
+    return read_parquet_state(spark, path)
 
 
 def read_bpe_merges(spark, state_dir: str) -> DataFrame:
@@ -122,7 +124,7 @@ def read_bpe_merges(spark, state_dir: str) -> DataFrame:
             f"read_bpe_merges: no persisted merges under {state_dir} "
             "— run build_bpe_state first"
         )
-    return spark.read.parquet(path).orderBy("step")
+    return read_parquet_state(spark, path).orderBy("step")
 
 
 def apply_bpe_state(

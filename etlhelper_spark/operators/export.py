@@ -38,6 +38,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.util import read_parquet_state
+
 __all__ = [
     "deterministic_shuffle_rank",
     "grouped_split",
@@ -176,14 +178,14 @@ def write_training_shards(
     )
     spark = df.sparkSession
     manifest = (
-        spark.read.parquet(os.path.join(out_dir, "shards"))
+        read_parquet_state(spark, os.path.join(out_dir, "shards"))
         .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
     manifest.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "_manifest")
     )
-    return spark.read.parquet(os.path.join(out_dir, "_manifest"))
+    return read_parquet_state(spark, os.path.join(out_dir, "_manifest"))
 
 
 def write_packed_tensors(

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.util import footer_spark_schema, read_parquet_state
+
 
 def rollup_partial(
     df: DataFrame, keys: list[str], sum_cols: dict[str, str]
@@ -123,8 +125,14 @@ def streaming_incremental_rollup(
         spark, os.path.join(sf_dir, "events.parquet")
     ).repartition(source_files).write.mode("overwrite").parquet(split_dir)
 
+    # the feed schema resolves from one footer driver-side (the bare
+    # read.parquet(...).schema probe pays an inference job); the
+    # fallback keeps inference for footer types it cannot decide
+    src_schema = footer_spark_schema(split_dir, spark=spark)
+    if src_schema is None:
+        src_schema = spark.read.parquet(split_dir).schema
     stream = (
-        spark.readStream.schema(spark.read.parquet(split_dir).schema)
+        spark.readStream.schema(src_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(split_dir)
         .select(
@@ -143,8 +151,9 @@ def streaming_incremental_rollup(
             if int(os.path.basename(p)[1:]) < batch_id
         ]
         if prior:
-            base = batch_df.sparkSession.read.parquet(
-                os.path.join(state_dir, f"v{max(prior)}")
+            base = read_parquet_state(
+                batch_df.sparkSession,
+                os.path.join(state_dir, f"v{max(prior)}"),
             )
             merged = merge_rollup(base, partial, keys)
         else:
@@ -164,7 +173,9 @@ def streaming_incremental_rollup(
         int(os.path.basename(p)[1:])
         for p in glob.glob(os.path.join(state_dir, "v*"))
     ]
-    return spark.read.parquet(os.path.join(state_dir, f"v{max(versions)}"))
+    return read_parquet_state(
+        spark, os.path.join(state_dir, f"v{max(versions)}")
+    )
 
 
 def rollup_partial_monotonic(
@@ -400,8 +411,9 @@ def streaming_cdc_rollup(
             if int(os.path.basename(p)[1:]) < batch_id
         ]
         if prior:
-            base = batch_df.sparkSession.read.parquet(
-                os.path.join(state_dir, f"v{max(prior)}")
+            base = read_parquet_state(
+                batch_df.sparkSession,
+                os.path.join(state_dir, f"v{max(prior)}"),
             )
             merged = merge_rollup(base, partial, keys, drop_zero=False)
         else:
@@ -498,7 +510,9 @@ def read_rollup_state(
         int(os.path.basename(p)[1:])
         for p in glob.glob(os.path.join(state_dir, "v*"))
     ]
-    latest = spark.read.parquet(os.path.join(state_dir, f"v{max(versions)}"))
+    latest = read_parquet_state(
+        spark, os.path.join(state_dir, f"v{max(versions)}")
+    )
     if check_cols:
         bad = F.lit(False)
         for c in check_cols:

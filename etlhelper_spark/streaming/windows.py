@@ -180,9 +180,15 @@ def read_events_stream(
             os.symlink(path, link)
     elif stream_dir is None:
         stream_dir = path
-    batch = spark.read.parquet(path)
+    # the feed schema resolves from one footer driver-side; the bare
+    # read-then-.schema probe pays an inference job per stream setup
+    from ..functions.util import footer_spark_schema
+
+    feed_schema = footer_spark_schema(path, spark=spark)
+    if feed_schema is None:
+        feed_schema = spark.read.parquet(path).schema
     stream = (
-        spark.readStream.schema(batch.schema)
+        spark.readStream.schema(feed_schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(stream_dir)
     )
@@ -333,8 +339,10 @@ def stream_static_enrichment(
     sink; equals the batch join oracle."""
     from pyspark.sql import functions as F
 
+    from ..sources import read_parquet_table
+
     customers = (
-        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        read_parquet_table(spark, f"{sf_dir}/customer.parquet")
         .select("c_custkey", "c_mktsegment")
     )
     stream = read_events_stream(spark, sf_dir)
